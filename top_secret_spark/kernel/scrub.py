@@ -1,0 +1,166 @@
+"""The scrub kernel: scan → mapping → single-pass substitution → restore.
+
+Pure Python (no Spark imports); wrapped by Arrow pandas UDFs in
+``top_secret_spark.operators.scrub``.  Every semantic choice below is
+pinned to the reference:
+
+  * scan / dispatch / mapping build — lib/top_secret/text.rb:137-158,204-211
+  * single-pass ordered-alternation substitution — text.rb:216-224 and the
+    v1.0.1 no-refilter fix (CHANGELOG.md:5-7)
+  * filter (scan + substitute) — text.rb:165-171
+  * restore — lib/top_secret/filtered_text.rb:43-58
+
+The mapping is an insertion-ordered list of (key, value) pairs — order is
+load-bearing (substitution precedence and restore order), which is why the
+Spark schema is array<struct<key,value>>, never MapType.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from .filters import DEFAULT_CONFIG, NERFilter, RegexFilter, ScrubConfig, TopSecretError
+from .patterns import UNRESTORED_RE
+
+
+def scan_text(
+    text: str,
+    entities: list[dict] | None = None,
+    config: ScrubConfig = DEFAULT_CONFIG,
+) -> list[tuple[str, str]]:
+    """Detect sensitive values; return the ordered mapping (text.rb:137-158).
+
+    For each active filter in order: regex filters scan the text, NER
+    filters select from ``entities`` (pre-extracted, like the stubbed
+    Mitie model in spec/spec_helper.rb:26-31).  Matched values are
+    de-duplicated preserving first occurrence and enumerated from 1 per
+    filter (text.rb:204-211); a later filter re-matching a value already
+    mapped under the same key overwrites it (mapping.merge! semantics).
+    """
+    entities = entities or []
+    mapping: dict[str, str] = {}
+    for f in config.all_filters():
+        if isinstance(f, RegexFilter):
+            values = f.call(text)
+        elif isinstance(f, NERFilter):
+            values = f.call(entities, config.min_confidence_score)
+        else:
+            raise TopSecretError(
+                "Unsupported filter. Expected RegexFilter or NERFilter, "
+                f"but got {type(f).__name__}"
+            )
+        # dedupe preserving first-occurrence order, enumerate from 1
+        for i, value in enumerate(dict.fromkeys(values), 1):
+            mapping[f"{f.label}_{i}"] = value
+    return list(mapping.items())
+
+
+def substitute_text(text: str, mapping: list[tuple[str, str]]) -> str:
+    """Single-pass ordered-alternation substitution (text.rb:216-224).
+
+    Invert the mapping to value → "[KEY]" (last writer wins for duplicate
+    values, so a later filter's label takes precedence —
+    spec/top_secret/text_spec.rb:65-79), then ONE left-to-right pass over
+    the original text with an ordered alternation of literal-escaped
+    values.  At each position the first alternative in mapping insertion
+    order wins (Ruby Regexp.union and Python re share ordered-alternation
+    semantics).  Because it is a single pass, emitted placeholder tokens
+    can never be re-matched — the reference's v1.0.1 correctness fix.
+    Chained regexp_replace calls would re-introduce that bug, which is why
+    this must live in a pandas UDF rather than Catalyst expressions.
+    """
+    if not mapping:
+        return text
+    value_to_label: dict[str, str] = {}
+    for key, value in mapping:
+        value_to_label[value] = f"[{key}]"
+    pattern = "|".join(re.escape(v) for v in value_to_label)
+    return re.sub(pattern, lambda m: value_to_label[m.group(0)], text)
+
+
+def filter_text(
+    text: str,
+    entities: list[dict] | None = None,
+    config: ScrubConfig = DEFAULT_CONFIG,
+) -> tuple[str, list[tuple[str, str]]]:
+    """scan + substitute → (scrubbed output, mapping) (text.rb:165-171)."""
+    mapping = scan_text(text, entities, config)
+    output = substitute_text(text, mapping) if mapping else text
+    return output, mapping
+
+
+def restore_text(
+    text: str, mapping: list[tuple[str, str]]
+) -> tuple[str, list[str], list[str]]:
+    """Inverse scrub → (output, unrestored, restored) (filtered_text.rb:43-58).
+
+    Sequential (NOT single-pass): for each mapping entry in order, if the
+    placeholder "[KEY]" occurs in the current text, record it once in
+    ``restored`` and replace ALL occurrences with the value (plain string
+    replace, no regex, case-sensitive).  Afterwards ``unrestored`` = every
+    remaining token shaped like ``[\\w*_\\d]`` in document order,
+    duplicates kept.  Reference quirks preserved: the unrestored pattern
+    requires a SINGLE trailing digit, so [PERSON_10] is never reported
+    unrestored even though restoring it works (string containment, not the
+    regex) — spec/top_secret/filtered_text_spec.rb:31-43.
+    """
+    output = text
+    restored: list[str] = []
+    for key, value in mapping:
+        placeholder = f"[{key}]"
+        if placeholder in output:
+            restored.append(placeholder)
+            output = output.replace(placeholder, value)
+    unrestored = UNRESTORED_RE.findall(output)
+    return output, unrestored, restored
+
+
+# ---------------------------------------------------------------------------
+# Batch kernel — the shape the pandas UDFs call.  One Python loop per Arrow
+# batch (vectorized at the Spark boundary; regexes precompiled per config).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _compiled_plan(config: ScrubConfig):
+    """Precompile the filter plan once per (executor-worker, config)."""
+    return tuple(config.all_filters())
+
+
+def scrub_batch(
+    texts,
+    entities_list=None,
+    config: ScrubConfig = DEFAULT_CONFIG,
+):
+    """Scrub an iterable of texts → (outputs, mappings) lists.
+
+    ``entities_list`` is an optional parallel iterable of per-text entity
+    lists (each entity a dict with text/tag/score).  Null texts pass
+    through as ("", []).
+    """
+    plan = _compiled_plan(config)
+    min_score = config.min_confidence_score
+    outputs: list[str] = []
+    mappings: list[list[tuple[str, str]]] = []
+    n = len(texts)
+    for i in range(n):
+        text = texts[i]
+        if text is None:
+            outputs.append("")
+            mappings.append([])
+            continue
+        entities = entities_list[i] if entities_list is not None else None
+        entities = entities or []
+        mapping: dict[str, str] = {}
+        for f in plan:
+            if f.kind == "regex":
+                values = f.call(text)
+            else:
+                values = f.call(entities, min_score)
+            for j, value in enumerate(dict.fromkeys(values), 1):
+                mapping[f"{f.label}_{j}"] = value
+        items = list(mapping.items())
+        outputs.append(substitute_text(text, items) if items else text)
+        mappings.append(items)
+    return outputs, mappings
