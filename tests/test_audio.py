@@ -1,0 +1,98 @@
+"""Audio codec kernel + Spark decode operator tests, including the
+decoded-PCM passthrough invariant: allclose at SNR >= 30 dB
+(BASELINE.json input_hint)."""
+
+import numpy as np
+import pytest
+
+from top_secret_spark.kernel.audio import (
+    alaw_decode,
+    alaw_encode,
+    decode,
+    encode,
+    float_to_pcm16,
+    pcm16_to_float,
+    snr_db,
+    synth_pcm,
+    ulaw_decode,
+    ulaw_encode,
+)
+
+
+@pytest.fixture(scope="module")
+def pcm():
+    return synth_pcm(seed=123, n_samples=16000, sr_hz=16000)
+
+
+def test_pcm16_roundtrip_snr(pcm):
+    assert snr_db(pcm, pcm16_to_float(float_to_pcm16(pcm))) > 80
+
+
+def test_ulaw_roundtrip_snr(pcm):
+    assert snr_db(pcm, ulaw_decode(ulaw_encode(pcm))) >= 30
+
+
+def test_alaw_roundtrip_snr(pcm):
+    assert snr_db(pcm, alaw_decode(alaw_encode(pcm))) >= 30
+
+
+@pytest.mark.parametrize("codec", ["pcm16", "ulaw", "alaw"])
+def test_encode_decode_bytes_roundtrip(codec, pcm):
+    decoded = decode(encode(pcm, codec), codec)
+    assert len(decoded) == len(pcm)
+    assert snr_db(pcm, decoded) >= 30
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(NotImplementedError, match="external decoder"):
+        decode(b"\x00\x01", "opus")
+    with pytest.raises(NotImplementedError, match="external decoder"):
+        encode(np.zeros(4, np.float32), "mp3")
+
+
+def test_synth_deterministic():
+    a = synth_pcm(7, 1000, 8000)
+    b = synth_pcm(7, 1000, 8000)
+    np.testing.assert_array_equal(a, b)
+    c = synth_pcm(8, 1000, 8000)
+    assert not np.array_equal(a, c)
+
+
+# --- Spark decode operator + per-row passthrough invariant --------------------
+
+
+def test_spark_decode_snr_passthrough(spark):
+    """Generate clips via Spark, decode via the operator, regenerate the
+    reference PCM from the row seed (pure function), assert SNR >= 30 dB
+    and transcript equality clip-by-clip."""
+    from top_secret_spark.operators.audio import decoded_pcm_df, with_audio_features
+    from top_secret_spark.sources.clips import SEED, clips_df, rows_for_range
+
+    n = 60
+    df = clips_df(spark, n, with_audio=True, partitions=4).cache()
+    decoded = {r["clip_id"]: np.array(r["pcm"]) for r in decoded_pcm_df(df).collect()}
+    expected = rows_for_range(0, n, with_audio=False)
+
+    assert len(decoded) == n
+    for r in range(n):
+        clip_id = f"clip-{r:010d}"
+        row = expected.iloc[r]
+        ref = synth_pcm(SEED * 7_000_003 + r,
+                        int(row["sr_hz"] * row["dur_ms"] / 1000), int(row["sr_hz"]))
+        got = decoded[clip_id]
+        assert len(got) == len(ref)
+        assert snr_db(ref, got) >= 30.0
+
+    # transcript equality: Spark-generated vs pure-function reference
+    spark_rows = {r["clip_id"]: r["transcript"]
+                  for r in df.select("clip_id", "transcript").collect()}
+    for r in range(n):
+        assert spark_rows[f"clip-{r:010d}"] == expected.iloc[r]["transcript"]
+
+    feats = with_audio_features(df).select("clip_id", "decode_ok", "rms",
+                                           "dur_ms_measured", "dur_ms").collect()
+    for row in feats:
+        assert row["decode_ok"] is True
+        assert row["rms"] > 0.1  # synth signal is ~0.3 RMS
+        assert abs(row["dur_ms_measured"] - row["dur_ms"]) <= 1
+    df.unpersist()

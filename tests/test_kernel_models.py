@@ -1,0 +1,111 @@
+"""Tests for the deterministic langid + perplexity models and quality
+heuristics (all [north-rule] stages — BASELINE.json north_star)."""
+
+import numpy as np
+
+from top_secret_spark.kernel.langid import LANGS, UNKNOWN, detect_batch
+from top_secret_spark.kernel.perplexity import perplexity_batch
+from top_secret_spark.kernel.quality import (
+    DEFAULT_THRESHOLDS,
+    digit_ratio,
+    dup_line_frac,
+    keep_drop,
+    symbol_ratio,
+    top_bigram_frac,
+    word_count,
+)
+
+EN = "The quick brown fox jumps over the lazy dog while everyone watches happily."
+DE = "Der schnelle braune Fuchs springt über den faulen Hund und alle schauen zu."
+FR = "Le rapide renard brun saute par dessus le chien paresseux devant tout le monde."
+ES = "La rápida zorra marrón salta sobre el perro perezoso mientras todos miran."
+GIBBERISH = "zxq jkw vbn mqp xyz qqq wvx kjh zzz pqm xkcd vvv qzj wxq"
+SYMBOLS = "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~ ||| ???"
+
+
+def test_langid_identifies_clear_languages():
+    langs, conf = detect_batch([EN, DE, FR, ES])
+    assert list(langs) == ["en", "de", "fr", "es"]
+    assert (conf > 0.5).all()
+
+
+def test_langid_english_high_confidence():
+    langs, conf = detect_batch([EN * 3])
+    assert langs[0] == "en" and conf[0] > 0.9
+
+
+def test_langid_empty_und():
+    langs, conf = detect_batch(["", None, "ab"])
+    assert list(langs) == [UNKNOWN] * 3
+    assert (conf == 0.0).all()
+
+
+def test_langid_deterministic_across_batching():
+    texts = [EN, DE, FR, ES, GIBBERISH] * 4
+    l1, c1 = detect_batch(texts)
+    parts = [detect_batch(texts[i : i + 3]) for i in range(0, len(texts), 3)]
+    l2 = np.concatenate([p[0] for p in parts])
+    c2 = np.concatenate([p[1] for p in parts])
+    assert list(l1) == list(l2)
+    np.testing.assert_allclose(c1, c2, rtol=1e-12)
+
+
+def test_langid_known_langs():
+    assert set(LANGS) == {"en", "es", "fr", "de", "it", "pt", "nl"}
+
+
+def test_perplexity_orders_fluency():
+    ppl = perplexity_batch([EN, GIBBERISH, SYMBOLS])
+    assert ppl[0] < ppl[1] < ppl[2]
+    assert ppl[0] < 1000
+
+
+def test_perplexity_empty_maxed():
+    ppl = perplexity_batch(["", None])
+    assert (ppl >= 1e6 - 1).all()
+
+
+def test_perplexity_deterministic():
+    p1 = perplexity_batch([EN, DE, GIBBERISH])
+    p2 = perplexity_batch([GIBBERISH])
+    np.testing.assert_allclose(p1[2], p2[0], rtol=1e-12)
+
+
+# --- quality heuristics -------------------------------------------------------
+
+
+def test_symbol_and_digit_ratios():
+    assert symbol_ratio("abc def") == 0.0
+    assert symbol_ratio("@@@@") == 1.0
+    assert digit_ratio("a1b2") == 0.5
+
+
+def test_dup_line_frac():
+    assert dup_line_frac("a\nb\nc") == 0.0
+    assert dup_line_frac("a\na\na\nb") == 0.5
+    assert dup_line_frac("single line") == 0.0
+
+
+def test_top_bigram_frac():
+    assert top_bigram_frac("buy now buy now buy now buy now buy now") > 0.4
+    assert top_bigram_frac(EN) < 0.2
+
+
+def test_keep_drop_reasons_priority():
+    th = DEFAULT_THRESHOLDS
+    assert keep_drop("", "en", 1.0, 10.0, th) == (False, "too_short")
+    assert keep_drop("x" * 21, "en", 1.0, 10.0, th) == (False, "too_few_words")
+    assert keep_drop(SYMBOLS, "en", 1.0, 10.0, th) == (False, "symbol_ratio")
+    assert keep_drop("12 34 56 78 90 12 34 56 78", "en", 1.0, 10.0, th) == (
+        False, "digit_ratio")
+    assert keep_drop("the line here\n" * 10, "en", 1.0, 10.0, th)[1] == "dup_lines"
+    assert keep_drop("buy now " * 10, "en", 1.0, 10.0, th)[1] == "repetition"
+    assert keep_drop(EN, "de", 1.0, 10.0, th) == (False, "lang")
+    assert keep_drop(EN, "en", 0.2, 10.0, th) == (False, "lang_conf")
+    assert keep_drop(EN, "en", 1.0, 99999.0, th) == (False, "perplexity")
+    assert keep_drop(EN, "en", 0.95, 200.0, th) == (True, None)
+
+
+def test_word_count():
+    assert word_count("a b  c\nd") == 4
+    assert word_count("") == 0

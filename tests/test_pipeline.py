@@ -1,0 +1,127 @@
+"""End-to-end pipeline tests: the F1 >= 0.99 gate (BASELINE.json metric)
+comparing the Spark pipeline's keep/drop + scrubbed output clip-by-clip
+against reference labels computed by the kernel oracle, plus
+partitioning-invariance checks."""
+
+import numpy as np
+import pytest
+
+from top_secret_spark.kernel.langid import detect_batch
+from top_secret_spark.kernel.perplexity import perplexity_batch
+from top_secret_spark.kernel.quality import keep_drop
+from top_secret_spark.kernel.scrub import filter_text
+from top_secret_spark.pipeline import PipelineConfig, run_pipeline, with_bucket
+from top_secret_spark.sources.clips import clips_df, rows_for_range
+
+N = 400
+
+
+def reference_labels(transcripts):
+    """Kernel oracle: the reference keep/drop + scrub labels, computed
+    driver-side row-by-row (the ground truth the F1 gate compares to)."""
+    langs, confs = detect_batch(transcripts)
+    ppls = perplexity_batch(transcripts)
+    out = []
+    for text, lang, conf, ppl in zip(transcripts, langs, confs, ppls):
+        keep, reason = keep_drop(text, lang, float(conf), float(ppl))
+        scrubbed, mapping = filter_text(text) if keep else (None, None)
+        out.append({"keep": keep, "drop_reason": reason,
+                    "scrubbed": scrubbed, "mapping": mapping})
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline_rows(spark):
+    clips = clips_df(spark, N, with_audio=False, partitions=8)
+    result = run_pipeline(clips).orderBy("clip_id").collect()
+    assert len(result) == N
+    return result
+
+
+@pytest.fixture(scope="module")
+def expected():
+    pdf = rows_for_range(0, N, with_audio=False)
+    return reference_labels(pdf["transcript"].tolist())
+
+
+def f1(tp, fp, fn):
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    return 2 * p * r / (p + r) if p + r else 0.0
+
+
+def test_keep_drop_f1_gate(pipeline_rows, expected):
+    tp = fp = fn = 0
+    mismatches = []
+    for row, exp in zip(pipeline_rows, expected):
+        if row["keep"] and exp["keep"]:
+            tp += 1
+        elif row["keep"] and not exp["keep"]:
+            fp += 1
+            mismatches.append((row["clip_id"], row["drop_reason"], exp["drop_reason"]))
+        elif not row["keep"] and exp["keep"]:
+            fn += 1
+            mismatches.append((row["clip_id"], row["drop_reason"], exp["drop_reason"]))
+    score = f1(tp, fp, fn)
+    assert score >= 0.99, f"F1={score:.4f}, mismatches={mismatches[:10]}"
+
+
+def test_drop_reasons_match_exactly(pipeline_rows, expected):
+    for row, exp in zip(pipeline_rows, expected):
+        assert row["drop_reason"] == exp["drop_reason"], row["clip_id"]
+
+
+def test_scrubbed_text_matches_clip_by_clip(pipeline_rows, expected):
+    for row, exp in zip(pipeline_rows, expected):
+        assert row["scrubbed"] == exp["scrubbed"], row["clip_id"]
+        got_mapping = (
+            None if row["mapping"] is None
+            else [(e["key"], e["value"]) for e in row["mapping"]]
+        )
+        assert got_mapping == exp["mapping"], row["clip_id"]
+
+
+def test_row_mix_exercises_all_reasons(expected):
+    reasons = {e["drop_reason"] for e in expected}
+    assert None in reasons  # some rows kept
+    for expected_reason in ("lang", "symbol_ratio", "too_short",
+                            "repetition", "dup_lines", "digit_ratio"):
+        assert expected_reason in reasons, expected_reason
+    kept = [e for e in expected if e["keep"]]
+    with_pii = [e for e in kept if e["mapping"]]
+    assert len(with_pii) > 10  # planted PII survives keep and is scrubbed
+
+
+def test_partitioning_invariance(spark, pipeline_rows):
+    """Same input at a different partitioning → identical output
+    (determinism across cluster sizes is a north-rule requirement)."""
+    clips = clips_df(spark, N, with_audio=False, partitions=2)
+    other = run_pipeline(clips).orderBy("clip_id").collect()
+    for a, b in zip(pipeline_rows, other):
+        assert a["keep"] == b["keep"]
+        assert a["drop_reason"] == b["drop_reason"]
+        assert a["scrubbed"] == b["scrubbed"]
+        assert abs((a["ppl"] or 0) - (b["ppl"] or 0)) < 1e-9
+        assert abs((a["lang_conf"] or 0) - (b["lang_conf"] or 0)) < 1e-9
+
+
+def test_pipeline_plan_is_map_only(spark):
+    clips = clips_df(spark, 10, with_audio=False)
+    plan = run_pipeline(clips)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "pipeline must not shuffle"
+
+
+def test_bucket_column_stable(spark):
+    clips = clips_df(spark, 50, with_audio=False)
+    b1 = {r["clip_id"]: r["bucket"] for r in with_bucket(clips, 64).collect()}
+    b2 = {r["clip_id"]: r["bucket"] for r in
+          with_bucket(clips.repartition(13), 64).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 64 for v in b1.values())
+
+
+def test_scrub_dropped_config(spark):
+    clips = clips_df(spark, 60, with_audio=False)
+    rows = run_pipeline(clips, PipelineConfig(scrub_dropped=True)).collect()
+    for r in rows:
+        assert r["scrubbed"] is not None

@@ -1,0 +1,152 @@
+"""Audio codec kernel: PCM16 / G.711 μ-law / G.711 A-law, vectorized numpy.
+
+The clips table carries encoded audio as an opaque binary column with a
+``codec`` tag (BASELINE.json input_hint).  This module implements the
+standard, public G.711 companding transforms (ITU-T G.711) plus plain
+little-endian PCM16 — enough for the decoded-PCM allclose / SNR ≥ 30 dB
+passthrough invariant.  Everything operates on whole numpy arrays; the
+Spark side calls these from ``mapInPandas`` so each Arrow batch is one
+vectorized decode.
+
+Codecs the container lacks libraries for (mp3/opus/...) are explicitly
+stubbed: ``decode`` raises NotImplementedError with a clear message, and
+the Spark plumbing (schema, batching, UDF signature) is identical — drop
+in a real decoder and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SUPPORTED_CODECS = ("pcm16", "ulaw", "alaw")
+
+_MU = 255.0
+_A = 87.6
+_LN_A = float(np.log(_A))
+
+
+# --- float [-1, 1] <-> int16 -------------------------------------------------
+
+
+def float_to_pcm16(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+
+
+def pcm16_to_float(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.float32) / 32767.0
+
+
+# --- G.711 μ-law (continuous companding form) --------------------------------
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float [-1,1] → uint8 μ-law code (8-bit quantized compression)."""
+    x = np.clip(x, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def ulaw_decode(code: np.ndarray) -> np.ndarray:
+    y = code.astype(np.float32) / 127.5 - 1.0
+    return (np.sign(y) * ((1.0 + _MU) ** np.abs(y) - 1.0) / _MU).astype(np.float32)
+
+
+# --- G.711 A-law (continuous companding form) --------------------------------
+
+
+def alaw_encode(x: np.ndarray) -> np.ndarray:
+    x = np.clip(x, -1.0, 1.0)
+    ax = np.abs(x)
+    y = np.where(
+        ax < 1.0 / _A,
+        _A * ax / (1.0 + _LN_A),
+        (1.0 + np.log(np.maximum(_A * ax, 1.0))) / (1.0 + _LN_A),
+    )
+    y = np.sign(x) * y
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def alaw_decode(code: np.ndarray) -> np.ndarray:
+    y = code.astype(np.float32) / 127.5 - 1.0
+    ay = np.abs(y) * (1.0 + _LN_A)
+    out = np.where(ay < 1.0, ay / _A, np.exp(ay - 1.0) / _A)
+    return (np.sign(y) * out).astype(np.float32)
+
+
+# --- byte-level encode/decode -------------------------------------------------
+
+
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    """float32 [-1,1] samples → encoded bytes."""
+    if codec == "pcm16":
+        return float_to_pcm16(pcm).tobytes()
+    if codec == "ulaw":
+        return ulaw_encode(pcm).tobytes()
+    if codec == "alaw":
+        return alaw_encode(pcm).tobytes()
+    raise NotImplementedError(
+        f"codec '{codec}' requires an external decoder not present in this "
+        f"container; supported: {SUPPORTED_CODECS}"
+    )
+
+
+def decode(data: bytes, codec: str) -> np.ndarray:
+    """encoded bytes → float32 [-1,1] samples."""
+    if codec == "pcm16":
+        return pcm16_to_float(np.frombuffer(data, dtype="<i2"))
+    if codec == "ulaw":
+        return ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    if codec == "alaw":
+        return alaw_decode(np.frombuffer(data, dtype=np.uint8))
+    raise NotImplementedError(
+        f"codec '{codec}' requires an external decoder not present in this "
+        f"container; supported: {SUPPORTED_CODECS}"
+    )
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of decoded vs reference, in dB."""
+    reference = reference.astype(np.float64)
+    decoded = decoded.astype(np.float64)
+    noise = reference - decoded
+    p_sig = float(np.mean(reference**2))
+    p_noise = float(np.mean(noise**2))
+    if p_noise == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / max(p_noise, 1e-300))
+
+
+# --- deterministic synthesis (for the synthetic clips table) ------------------
+
+
+def synth_pcm(seed: int, n_samples: int, sr_hz: int) -> np.ndarray:
+    """Deterministic speech-band test signal: three harmonics + shaped
+    noise, amplitude ~0.45 full scale (keeps companding SNR well above
+    the 30 dB gate).  Pure function of (seed, n_samples, sr_hz)."""
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    t = np.arange(n_samples, dtype=np.float64) / sr_hz
+    f0 = 90.0 + (seed % 211)
+    sig = (
+        0.30 * np.sin(2 * np.pi * f0 * t)
+        + 0.12 * np.sin(2 * np.pi * 2.3 * f0 * t + 0.7)
+        + 0.06 * np.sin(2 * np.pi * 4.1 * f0 * t + 1.9)
+    )
+    sig += 0.01 * rng.standard_normal(n_samples)
+    return np.clip(sig, -1.0, 1.0).astype(np.float32)
+
+
+# --- feature extraction (vectorized per clip) ---------------------------------
+
+
+def audio_features(pcm: np.ndarray, sr_hz: int) -> dict:
+    """Cheap deterministic features over decoded PCM: RMS level,
+    zero-crossing rate, measured duration."""
+    if len(pcm) == 0:
+        return {"rms": 0.0, "zcr": 0.0, "dur_ms_measured": 0}
+    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
+    return {
+        "rms": rms,
+        "zcr": zcr,
+        "dur_ms_measured": int(round(1000.0 * len(pcm) / sr_hz)),
+    }

@@ -1,0 +1,84 @@
+"""Vectorized char-n-gram hashing shared by langid, perplexity, and
+fingerprinting.
+
+Everything is numpy over a single concatenated byte buffer per Arrow
+batch — no per-row Python loops in the hot path.  Hashes are a
+deterministic polynomial over the text bytes, so results are identical
+across partitions, partitionings, retries, and cluster sizes (a
+requirement for resumable checkpoints and the F1 gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MASK32 = np.uint64(0xFFFFFFFF)
+MULT = np.uint64(131)
+# distinct seed per n-gram order so all orders share one bucket space
+_N_SEED = {1: np.uint64(0x9E3779B1), 2: np.uint64(0x85EBCA77), 3: np.uint64(0xC2B2AE3D)}
+
+
+def encode_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate texts → (byte array, per-doc lengths).  None → empty."""
+    bufs = [(t or "").encode("utf-8", "replace") for t in texts]
+    lengths = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return data, lengths
+
+
+def ngram_hashes(
+    data: np.ndarray, lengths: np.ndarray, n: int, buckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All n-gram bucket ids in one pass → (doc_idx, bucket) arrays.
+
+    N-grams crossing document boundaries are masked out by comparing the
+    doc id of an n-gram's first and last byte.
+    """
+    total = int(lengths.sum())
+    if total < n:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    doc_id = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    arr = data.astype(np.uint64)
+    h = np.full(total - n + 1, _N_SEED[n], dtype=np.uint64)
+    for i in range(n):
+        h = (h * MULT + arr[i : total - n + 1 + i]) & MASK32
+    valid = doc_id[: total - n + 1] == doc_id[n - 1 :]
+    h = h[valid] % np.uint64(buckets)
+    return doc_id[: total - n + 1][valid], h.astype(np.int64)
+
+
+def raw_ngram_hashes(data: np.ndarray, n: int, buckets: int) -> np.ndarray:
+    """Unmasked n-gram bucket ids at every start position 0..L-n (no
+    document-boundary filtering — callers align and mask themselves)."""
+    total = len(data)
+    if total < n:
+        return np.empty(0, np.int64)
+    arr = data.astype(np.uint64)
+    h = np.full(total - n + 1, _N_SEED[n], dtype=np.uint64)
+    for i in range(n):
+        h = (h * MULT + arr[i : total - n + 1 + i]) & MASK32
+    return (h % np.uint64(buckets)).astype(np.int64)
+
+
+def hash_text_ngrams(text: str, orders=(1, 2, 3), buckets: int = 1 << 16) -> np.ndarray:
+    """Bucket-count vector for one text (used to build model profiles)."""
+    data, lengths = encode_batch([text])
+    counts = np.zeros(buckets, dtype=np.float64)
+    for n in orders:
+        _, h = ngram_hashes(data, lengths, n, buckets)
+        np.add.at(counts, h, 1.0)
+    return counts
+
+
+def xxhash64_str(values) -> np.ndarray:
+    """Stable 64-bit content hash for strings (FNV-1a), vectorized enough
+    for id-assignment and salting.  Matches nothing external — used only
+    where WE need deterministic pseudo-randomness from content."""
+    out = np.empty(len(values), dtype=np.uint64)
+    mask = (1 << 64) - 1
+    for i, v in enumerate(values):
+        h = 0xCBF29CE484222325
+        for b in (v or "").encode("utf-8", "replace"):
+            h = ((h ^ b) * 0x100000001B3) & mask
+        out[i] = h
+    return out

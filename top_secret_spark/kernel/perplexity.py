@@ -1,0 +1,123 @@
+"""KenLM-style perplexity scoring — deterministic synthetic model.
+
+An interpolated hashed character-n-gram language model: per-character
+probability P(c | history) = λ1·P(c) + λ2·P(c|c₋₁) + λ3·P(c|c₋₂c₋₁),
+with each conditional read from flat hashed count tables (the classic
+hashed/quantized KenLM layout — Heafield 2011, "KenLM: Faster and Smaller
+Language Model Queries").  Perplexity = exp(mean −log P) per character.
+
+The real KenLM binary is not installed in this sandbox, so the count
+tables are built deterministically at import time from an embedded seed
+corpus; the query path (hash → table lookups → interpolated NLL, all
+numpy over whole Arrow batches) is exactly what a memory-mapped real
+model would use.
+
+Text is normalized first (lowercase, collapse whitespace, non-letter
+runs → '#') so symbol soup lands on unseen histories → high perplexity,
+while fluent text in a supported language scores low.
+
+[north-rule] stage — BASELINE.json north_star: "batched n-gram hash +
+KenLM-style perplexity scorer"; not present in the reference repo.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .hashing import encode_batch, raw_ngram_hashes
+from .langid import _SEEDS
+
+BUCKETS = 1 << 16
+_ALPHA = 0.01
+_VOCAB = 1000.0  # effective vocab for add-alpha conditionals
+_LAMBDAS = (0.1, 0.3, 0.6)
+
+# the LM's training corpus: all langid seeds (so any supported language
+# scores reasonably) with English repeated for weight
+_CORPUS = " ".join([_SEEDS["en"] * 3] + [s for k, s in _SEEDS.items() if k != "en"])
+
+# keep ASCII + Latin-1/Latin-Extended letters (the supported languages'
+# alphabets); anything else — digits, symbols, other scripts — becomes '#'
+_NORM_RE = re.compile(r"[^a-zÀ-ɏ' ]+")
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize(text: str) -> str:
+    """Lowercase, collapse whitespace, non-letter runs → '#'."""
+    t = (text or "").lower()
+    t = _WS_RE.sub(" ", t)
+    t = _NORM_RE.sub("#", t)
+    return t.strip()
+
+
+def _build_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    data, _ = encode_batch([normalize(_CORPUS)])
+    tables = []
+    for n in (1, 2, 3):
+        c = np.zeros(BUCKETS, dtype=np.float64)
+        h = raw_ngram_hashes(data, n, BUCKETS)
+        np.add.at(c, h, 1.0)
+        tables.append(c.astype(np.float32))
+    return tables[0], tables[1], tables[2], float(tables[0].sum())
+
+
+_TABLES = None
+
+
+def tables():
+    """Lazy executor-local singleton (one build per Python worker)."""
+    global _TABLES
+    if _TABLES is None:
+        _TABLES = _build_tables()
+    return _TABLES
+
+
+_MAX_PPL = 1e6
+
+
+def perplexity_batch(texts) -> np.ndarray:
+    """Perplexity per text, vectorized over the whole Arrow batch.
+
+    Scored at every character position with ≥2 chars of in-document
+    history.  Texts with no scorable position (normalized length < 3)
+    get _MAX_PPL — they carry no fluency evidence and the keep/drop
+    stage drops them on length anyway.
+    """
+    c1, c2, c3, total1 = tables()
+    normed = [normalize(x) for x in texts]
+    data, lengths = encode_batch(normed)
+    ndocs = len(normed)
+    out = np.full(ndocs, _MAX_PPL, dtype=np.float64)
+    L = len(data)
+    if L < 3:
+        return out
+
+    h1 = raw_ngram_hashes(data, 1, BUCKETS)  # positions 0..L-1
+    h2 = raw_ngram_hashes(data, 2, BUCKETS)  # start positions 0..L-2
+    h3 = raw_ngram_hashes(data, 3, BUCKETS)  # start positions 0..L-3
+
+    doc_id = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+    # trigram start positions fully inside one document
+    p = np.arange(L - 2)
+    valid = doc_id[p] == doc_id[p + 2]
+    p = p[valid]
+    if len(p) == 0:
+        return out
+
+    a, v = _ALPHA, _VOCAB
+    p1 = (c1[h1[p + 2]].astype(np.float64) + a) / (total1 + a * v)
+    p2 = (c2[h2[p + 1]].astype(np.float64) + a) / (
+        c1[h1[p + 1]].astype(np.float64) + a * v
+    )
+    p3 = (c3[h3[p]].astype(np.float64) + a) / (c2[h2[p]].astype(np.float64) + a * v)
+    prob = _LAMBDAS[0] * p1 + _LAMBDAS[1] * p2 + _LAMBDAS[2] * p3
+
+    nll = np.zeros(ndocs, dtype=np.float64)
+    cnt = np.zeros(ndocs, dtype=np.float64)
+    np.add.at(nll, doc_id[p], -np.log(prob))
+    np.add.at(cnt, doc_id[p], 1.0)
+    ok = cnt > 0
+    out[ok] = np.exp(nll[ok] / cnt[ok])
+    return np.minimum(out, _MAX_PPL)

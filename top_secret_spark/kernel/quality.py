@@ -1,0 +1,126 @@
+"""Heuristic quality signals and the keep/drop decision.
+
+[north-rule] stage — BASELINE.json north_star: "heuristic keep/drop rules
+(length, repetition, symbol ratio, langid confidence)".  Not present in
+the reference repo.
+
+Two implementations of the same semantics:
+  * pure-Python reference functions here (unit-tested, and the oracle the
+    F1 gate compares against);
+  * Catalyst column expressions in operators/quality.py (the distributed
+    hot path — everything SQL-expressible stays JVM-side).
+
+Drop reasons are evaluated in a fixed priority order; the first failing
+rule names the reason.  All thresholds live in ``QualityThresholds`` so
+the Spark and kernel paths share one source of truth.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class QualityThresholds:
+    min_chars: int = 20
+    max_chars: int = 100_000
+    min_words: int = 4
+    max_symbol_ratio: float = 0.30  # non-alnum-non-space chars / chars
+    max_digit_ratio: float = 0.30
+    max_dup_line_frac: float = 0.40  # 1 - distinct_lines/lines (multi-line only)
+    max_top_bigram_frac: float = 0.30  # most frequent word bigram share
+    min_lang_conf: float = 0.60
+    allowed_langs: tuple = ("en",)
+    max_ppl: float = 3000.0
+
+    # Priority order of drop reasons (first failure wins)
+    REASONS = (
+        "too_short",
+        "too_long",
+        "too_few_words",
+        "symbol_ratio",
+        "digit_ratio",
+        "dup_lines",
+        "repetition",
+        "lang",
+        "lang_conf",
+        "perplexity",
+    )
+
+
+DEFAULT_THRESHOLDS = QualityThresholds()
+
+_WORD_RE = re.compile(r"\S+")
+_ALNUM_SPACE_RE = re.compile(r"[A-Za-z0-9\s]")
+_DIGIT_RE = re.compile(r"[0-9]")
+
+
+def symbol_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    sym = len(text) - len(_ALNUM_SPACE_RE.findall(text))
+    return sym / len(text)
+
+
+def digit_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    return len(_DIGIT_RE.findall(text)) / len(text)
+
+
+def dup_line_frac(text: str) -> float:
+    lines = [ln for ln in (text or "").split("\n") if ln.strip()]
+    if len(lines) < 2:
+        return 0.0
+    return 1.0 - len(set(lines)) / len(lines)
+
+
+def top_bigram_frac(text: str) -> float:
+    words = _WORD_RE.findall(text or "")
+    if len(words) < 8:
+        return 0.0
+    bigrams: dict[tuple[str, str], int] = {}
+    for a, b in zip(words, words[1:]):
+        bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    return max(bigrams.values()) / (len(words) - 1)
+
+
+def word_count(text: str) -> int:
+    return len(_WORD_RE.findall(text or ""))
+
+
+def keep_drop(
+    text: str,
+    lang: str,
+    lang_conf: float,
+    ppl: float,
+    th: QualityThresholds = DEFAULT_THRESHOLDS,
+) -> tuple[bool, str | None]:
+    """The keep/drop decision — kernel reference implementation.
+
+    Returns (keep, drop_reason); drop_reason is None when kept.
+    """
+    text = text or ""
+    n = len(text)
+    if n < th.min_chars:
+        return False, "too_short"
+    if n > th.max_chars:
+        return False, "too_long"
+    if word_count(text) < th.min_words:
+        return False, "too_few_words"
+    if symbol_ratio(text) > th.max_symbol_ratio:
+        return False, "symbol_ratio"
+    if digit_ratio(text) > th.max_digit_ratio:
+        return False, "digit_ratio"
+    if dup_line_frac(text) > th.max_dup_line_frac:
+        return False, "dup_lines"
+    if top_bigram_frac(text) > th.max_top_bigram_frac:
+        return False, "repetition"
+    if lang not in th.allowed_langs:
+        return False, "lang"
+    if lang_conf < th.min_lang_conf:
+        return False, "lang_conf"
+    if ppl > th.max_ppl:
+        return False, "perplexity"
+    return True, None

@@ -1,0 +1,320 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each chosen for a different scale/accuracy point:
+
+  * exact           — normalized-text 64-bit fingerprint, one hash groupBy;
+                      the only full-shuffle, and it shuffles 8-byte keys,
+                      not documents.
+  * MinHash + LSH   — char-shingle MinHash signatures (numpy per Arrow
+                      batch), banded LSH bucketing; candidate generation
+                      is an explode + groupBy on small (band, hash) keys,
+                      so the shuffle is signatures, never text.
+  * SimHash         — 64-bit sign-of-weighted-sum sketch; near-dup =
+                      Hamming proximity via band buckets.
+  * n-gram Jaccard  — exact verification on candidate pairs only (join
+                      text back for candidates — tiny relative volume).
+
+At 100 TB the invariant everywhere: never shuffle document bodies to find
+duplicates — shuffle fixed-width sketches, then fetch text only for the
+candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text_analysis import fingerprint_udf
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fingerprint groups with >1 member → (fingerprint, n_docs, doc_ids)."""
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative per fingerprint (deterministic)."""
+    fp = with_fingerprint(df, text_col)
+    w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(w_min, ["fingerprint", id_col], "inner").drop("fingerprint")
+
+
+# --- MinHash -------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_SHINGLE_BUCKETS = 1 << 32
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
+    """MinHash signature UDF: text → array<long> of length num_hashes.
+
+    Char-k-gram shingles over normalized text, hashed to 32 bits, then
+    num_hashes independent affine permutations (a*x+b mod Mersenne-61).
+    Deterministic: params derive from the seed only."""
+    a, b = _minhash_params(num_hashes, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        from ..kernel.hashing import encode_batch, ngram_hashes
+
+        normed = [" ".join((t or "").lower().split()) for t in texts.tolist()]
+        data, lengths = encode_batch(normed)
+        doc_idx, h = ngram_hashes(data, lengths, shingle_k, _SHINGLE_BUCKETS)
+        sigs = np.full((len(normed), num_hashes), _MERSENNE, dtype=np.int64)
+        if len(h):
+            # distinct shingles per doc, then affine-permute and min-reduce
+            order = np.lexsort((h, doc_idx))
+            d_s, h_s = doc_idx[order], h[order]
+            keep = np.ones(len(h_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            d_s, h_s = d_s[keep], h_s[keep]
+            # (n_shingles, num_hashes) in manageable chunks
+            for start in range(0, len(h_s), 65536):
+                hs = h_s[start : start + 65536]
+                ds = d_s[start : start + 65536]
+                vals = (hs[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                np.minimum.at(sigs, ds, vals)
+        return pd.Series(list(sigs))
+
+    return minhash
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    return df.withColumn(
+        "minhash", make_minhash_udf(num_hashes, shingle_k)(F.col(text_col))
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """Banded LSH: split the signature into `bands` rows-per-band chunks,
+    hash each chunk, self-join docs sharing any (band, hash) bucket →
+    distinct (a, b) candidate pairs with a < b.
+
+    The shuffle key is (band, bucket_hash) — small and well distributed;
+    the self-join happens inside buckets via collect_list, so skew is
+    bounded by bucket size (near-identical corpora would need a bucket
+    cap; see max_bucket)."""
+    sig = F.col(sig_col)
+    n = F.size(sig)
+    rows_per_band = (n / bands).cast("int")
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.slice(sig, i * rows_per_band + 1, rows_per_band), i),
+            )
+        ).alias("band", "bucket"),
+    )
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda other: F.struct(
+                            F.col("ids")[i].alias("a"), other.alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+    return pairs
+
+
+def minhash_similarity_col(sig_a, sig_b):
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    return F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                           lambda v: v)) / F.size(sig_a)
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: signatures → LSH candidates →
+    signature-estimated Jaccard filter → (a, b, est_jaccard)."""
+    sigs = with_minhash(df, text_col, num_hashes).select(id_col, "minhash")
+    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn("est_jaccard", minhash_similarity_col(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+# --- exact n-gram Jaccard verification ------------------------------------------
+
+
+def make_jaccard_udf(shingle_k: int = 5):
+    @pandas_udf(T.DoubleType())
+    def jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        from ..kernel.hashing import encode_batch, ngram_hashes
+
+        out = []
+        for ta, tb in zip(text_a.tolist(), text_b.tolist()):
+            na = " ".join((ta or "").lower().split())
+            nb = " ".join((tb or "").lower().split())
+            da, la = encode_batch([na])
+            db, lb = encode_batch([nb])
+            _, ha = ngram_hashes(da, la, shingle_k, _SHINGLE_BUCKETS)
+            _, hb = ngram_hashes(db, lb, shingle_k, _SHINGLE_BUCKETS)
+            sa, sb = set(ha.tolist()), set(hb.tolist())
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 1.0)
+        return pd.Series(out)
+
+    return jaccard
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Join text back for candidate pairs only and compute exact shingle
+    Jaccard — the verification stage after LSH candidate generation."""
+    docs = df.select(F.col(id_col), F.col(text_col))
+    ta = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("text_b"))
+    j = make_jaccard_udf(shingle_k)
+    return (
+        pairs.join(ta, "a").join(tb, "b")
+        .withColumn("jaccard", j(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- SimHash --------------------------------------------------------------------
+
+
+def make_simhash_udf(shingle_k: int = 4):
+    """64-bit SimHash over char shingles (Charikar 2002): sum ±1 per bit
+    weighted by shingle occurrence; sign → bit."""
+
+    @pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        from ..kernel.hashing import encode_batch, ngram_hashes
+
+        normed = [" ".join((t or "").lower().split()) for t in texts.tolist()]
+        data, lengths = encode_batch(normed)
+        ndocs = len(normed)
+        acc = np.zeros((ndocs, 64), dtype=np.int64)
+        doc_idx, h = ngram_hashes(data, lengths, shingle_k, 1 << 62)
+        if len(h):
+            # spread 62-bit hash to 64 sign bits via two mixes
+            h1 = h.astype(np.uint64)
+            h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) & np.uint64((1 << 64) - 1)
+            bits = np.zeros((len(h), 64), dtype=np.int8)
+            for i in range(32):
+                bits[:, i] = ((h1 >> np.uint64(i)) & np.uint64(1)).astype(np.int8)
+                bits[:, 32 + i] = ((h2 >> np.uint64(i)) & np.uint64(1)).astype(np.int8)
+            signs = bits.astype(np.int64) * 2 - 1
+            np.add.at(acc, doc_idx, signs)
+        out = np.zeros(ndocs, dtype=np.uint64)
+        for i in range(64):
+            out |= ((acc[:, i] > 0).astype(np.uint64)) << np.uint64(i)
+        return pd.Series(out.astype(np.int64))
+
+    return simhash
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", make_simhash_udf()(F.col(text_col)))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates = docs sharing any 16-bit band of the 64-bit
+    SimHash (catches pairs within Hamming distance 3 with certainty when
+    the differing bits span ≤3 bands)."""
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col(hash_col), i * band_bits).bitwiseAND(mask)
+                for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).filter(F.size("ids") > 1)
+    return buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda other: F.struct(
+                            F.col("ids")[i].alias("a"), other.alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def hamming_distance_col(a, b):
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,95 @@
+"""Heuristic keep/drop as pure Catalyst column expressions.
+
+Mirrors kernel/quality.py exactly (the kernel is the oracle the tests
+compare against).  Everything here is JVM-side whole-stage-codegen'd —
+no Python: length, word count, symbol/digit ratios via regexp_count,
+duplicate-line fraction via split + array_distinct.  The three signals
+that need a model or O(n) counting (lang, ppl, top_bigram_frac) arrive
+as columns from operators/features.py.
+
+[north-rule] stage — BASELINE.json north_star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.quality import DEFAULT_THRESHOLDS, QualityThresholds
+
+
+def n_chars_col(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.coalesce(c, F.lit("")))
+
+
+def n_words_col(text) -> Column:
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def symbol_ratio_col(text) -> Column:
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    n = F.length(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.regexp_count(c, F.lit(r"[A-Za-z0-9\s]"))) / n
+    )
+
+
+def digit_ratio_col(text) -> Column:
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    n = F.length(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(c, F.lit("[0-9]")) / n
+    )
+
+
+def dup_line_frac_col(text) -> Column:
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    return F.when(n < 2, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n
+    )
+
+
+def with_quality_signals(df: DataFrame, text_col: str = "transcript") -> DataFrame:
+    """Add the Catalyst-computable quality signal columns."""
+    return df.withColumns(
+        {
+            "n_chars": n_chars_col(text_col),
+            "n_words": n_words_col(text_col),
+            "symbol_ratio": symbol_ratio_col(text_col),
+            "digit_ratio": digit_ratio_col(text_col),
+            "dup_line_frac": dup_line_frac_col(text_col),
+        }
+    )
+
+
+def drop_reason_col(th: QualityThresholds = DEFAULT_THRESHOLDS) -> Column:
+    """First failing rule in kernel priority order (quality.py REASONS).
+
+    Expects columns: n_chars, n_words, symbol_ratio, digit_ratio,
+    dup_line_frac, top_bigram_frac, lang, lang_conf, ppl."""
+    return (
+        F.when(F.col("n_chars") < th.min_chars, "too_short")
+        .when(F.col("n_chars") > th.max_chars, "too_long")
+        .when(F.col("n_words") < th.min_words, "too_few_words")
+        .when(F.col("symbol_ratio") > th.max_symbol_ratio, "symbol_ratio")
+        .when(F.col("digit_ratio") > th.max_digit_ratio, "digit_ratio")
+        .when(F.col("dup_line_frac") > th.max_dup_line_frac, "dup_lines")
+        .when(F.col("top_bigram_frac") > th.max_top_bigram_frac, "repetition")
+        .when(~F.col("lang").isin(*th.allowed_langs), "lang")
+        .when(F.col("lang_conf") < th.min_lang_conf, "lang_conf")
+        .when(F.col("ppl") > th.max_ppl, "perplexity")
+    )
+
+
+def with_keep_drop(
+    df: DataFrame, th: QualityThresholds = DEFAULT_THRESHOLDS
+) -> DataFrame:
+    """Add keep: boolean and drop_reason: string columns."""
+    return df.withColumn("drop_reason", drop_reason_col(th)).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )

@@ -1,0 +1,115 @@
+"""The end-to-end quality-filter + PII-scrub pipeline.
+
+clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript)
+  → [optional] audio decode-validate + features   (mapInPandas, numpy)
+  → Catalyst quality signals                      (codegen, no Python)
+  → langid + perplexity + repetition              (one pandas UDF stage)
+  → keep/drop decision                            (Catalyst when-chain)
+  → PII scrub of kept transcripts                 (one pandas UDF stage)
+
+The whole pipeline is map-only: zero shuffles, zero driver collects —
+embarrassingly parallel, which is what makes the N→4N scaling-efficiency
+target (BASELINE.json north_rule, ≥0.8) achievable: throughput is bounded
+by input splittability and per-core UDF speed, not by any exchange.
+Partitioning (hash-bucket by clip_id + salting) matters for the
+checkpointed write layout — see sources/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kernel.filters import DEFAULT_CONFIG, ScrubConfig
+from .kernel.quality import DEFAULT_THRESHOLDS, QualityThresholds
+from .operators.audio import with_audio_features
+from .operators.features import with_text_features
+from .operators.quality import with_keep_drop, with_quality_signals
+from .operators.scrub import make_scrub_udf
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Explicit config object (replaces the reference's mutable module
+    globals, top_secret.rb:46-63) — captured by closures at plan time."""
+
+    scrub: ScrubConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+    thresholds: QualityThresholds = field(default_factory=lambda: DEFAULT_THRESHOLDS)
+    include_audio: bool = False  # decode-validate stage on/off
+    scrub_dropped: bool = False  # scrub even rows that fail keep/drop
+    n_buckets: int = 64  # hash buckets for the checkpointed layout
+
+
+DEFAULT_PIPELINE = PipelineConfig()
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "clip_id") -> DataFrame:
+    """Deterministic hash bucket for partition-granular checkpoint/resume
+    and co-located writes.  xxhash64 is content-based, so bucket ids are
+    stable across runs and cluster sizes."""
+    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+
+
+def salted(df: DataFrame, key: str = "clip_id", salt_mod: int = 16) -> DataFrame:
+    """Salt column for skew mitigation on hot keys (codec/duration skew):
+    composite repartition key (key, salt) splits a hot value across
+    salt_mod reducers."""
+    return df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(key), F.lit("skew-salt")), F.lit(salt_mod))
+    )
+
+
+def run_pipeline(
+    clips: DataFrame, config: PipelineConfig = DEFAULT_PIPELINE
+) -> DataFrame:
+    """clips → clips + (quality signals, lang, lang_conf, ppl, keep,
+    drop_reason, scrubbed, mapping)."""
+    df = clips
+    if config.include_audio:
+        df = with_audio_features(df)
+
+    df = with_quality_signals(df, "transcript")
+    df = with_text_features(df, "transcript")
+    df = with_keep_drop(df, config.thresholds)
+
+    # Scrub only kept rows unless configured otherwise: dropped rows never
+    # reach training data, so scrubbing them is wasted Python time.  The
+    # trick keeps one UDF and no union: dropped rows enter the UDF as
+    # null and pass straight through.
+    scrub_udf = make_scrub_udf(config.scrub)
+    scrub_input = (
+        F.col("transcript")
+        if config.scrub_dropped
+        else F.when(F.col("keep"), F.col("transcript"))
+    )
+    df = df.withColumn("_scrub", scrub_udf(scrub_input))
+    df = df.withColumns(
+        {
+            "scrubbed": F.when(
+                F.col("keep") | F.lit(config.scrub_dropped), F.col("_scrub.scrubbed")
+            ),
+            "mapping": F.when(
+                F.col("keep") | F.lit(config.scrub_dropped), F.col("_scrub.mapping")
+            ),
+        }
+    ).drop("_scrub")
+    return df
+
+
+OUTPUT_COLUMNS = [
+    "clip_id",
+    "keep",
+    "drop_reason",
+    "lang",
+    "lang_conf",
+    "ppl",
+    "scrubbed",
+    "mapping",
+]
+
+
+def pipeline_output(clips: DataFrame, config: PipelineConfig = DEFAULT_PIPELINE) -> DataFrame:
+    """The compact output projection (SURVEY.md §1 north-rule schema)."""
+    return run_pipeline(clips, config).select("clip_id", *OUTPUT_COLUMNS[1:])

@@ -1,0 +1,195 @@
+"""Deterministic synthetic clips table (BASELINE.json input_hint).
+
+Schema: clip_id:string, bytes:binary, sr_hz:int, dur_ms:int, codec:string,
+transcript:string.  Every row is a pure function of (seed, row index) —
+the table is identical regardless of how generation is partitioned, which
+machine runs it, or how many times it is re-run.  That property is what
+lets the same generator back unit tests (pyarrow, hundreds of rows) and
+benchmarks (Spark mapInPandas, millions of rows) and still compare
+clip-by-clip.
+
+Row mix is designed to exercise every pipeline stage: clean English
+(kept), English with planted PII (kept + scrubbed), non-English,
+gibberish, symbol soup, too-short, repetition, duplicate lines, and
+digit-heavy rows (each dropped by its rule).  Codec distribution is
+deliberately skewed (~80% pcm16) with a long-tail duration distribution
+to exercise salting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..kernel.audio import encode, synth_pcm
+
+SEED = 42
+
+_EN_SENTENCES = [
+    "The committee will review the proposal next week and publish its findings.",
+    "She walked along the river bank watching the morning light on the water.",
+    "Our team shipped the new release after months of careful testing.",
+    "The recipe calls for two cups of flour and a pinch of salt.",
+    "Traffic was light on the highway so we arrived earlier than expected.",
+    "He spent the afternoon reading in the garden under the old oak tree.",
+    "The museum exhibit features paintings from the early modern period.",
+    "Students gathered in the hall to hear the announcement about the schedule.",
+    "A gentle rain fell over the city as the evening market opened.",
+    "The engineers traced the fault to a loose connector behind the panel.",
+]
+
+# distinct from the langid training seeds on purpose — the classifier must
+# generalize, not memorize
+_NON_EN_SENTENCES = {
+    "de": ["Die Kinder spielten den ganzen Nachmittag im Garten hinter dem Haus.",
+           "Wir haben gestern einen langen Spaziergang durch die Altstadt gemacht."],
+    "fr": ["Les enfants ont joué dans le jardin pendant tout l'après-midi.",
+           "Nous avons fait une longue promenade dans la vieille ville hier soir."],
+    "es": ["Los niños jugaron en el jardín durante toda la tarde de ayer.",
+           "Hicimos una larga caminata por el casco antiguo de la ciudad."],
+    "pt": ["As crianças brincaram no jardim durante toda a tarde de ontem.",
+           "Fizemos uma longa caminhada pelo centro histórico da cidade."],
+    "it": ["I bambini hanno giocato in giardino per tutto il pomeriggio.",
+           "Abbiamo fatto una lunga passeggiata nel centro storico della città."],
+}
+
+_PII_TEMPLATES = [
+    "Please reach me at {email} whenever you get a chance.",
+    "My card number is {cc} and it expires next spring.",
+    "Call the office at {phone} before five in the afternoon.",
+    "The form lists the social security number {ssn} for verification.",
+    "Send the invoice to {email} and copy the billing team at {email2}.",
+    "Billing tried {cc} first and then charged {cc2} instead.",
+]
+
+_CODECS = ("pcm16", "ulaw", "alaw")
+_CODEC_CDF = (0.80, 0.90, 1.00)  # skewed on purpose
+
+CLIPS_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+
+
+def _email(r: int, k: int = 0) -> str:
+    return f"user{r % 9973}{'' if k == 0 else chr(97 + k)}@example{r % 7}.com"
+
+
+def _phone(r: int) -> str:
+    return f"{200 + r % 700}-{100 + r % 900}-{1000 + r % 9000}"
+
+
+def _ssn(r: int) -> str:
+    return f"{100 + r % 900}-{10 + r % 90}-{1000 + r % 9000}"
+
+
+def _cc(r: int, k: int = 0) -> str:
+    head = "4242" if (r + k) % 2 == 0 else "4141"
+    body = f"{(r * 7919 + k * 104729) % 10**12:012d}"
+    if (r + k) % 3 == 0:
+        g = head + body
+        return f"{g[0:4]}-{g[4:8]}-{g[8:12]}-{g[12:16]}"
+    return head + body
+
+
+def _transcript(r: int, rng: np.random.Generator) -> str:
+    """Deterministic transcript for row r (rng is row-seeded)."""
+    kind = rng.random()
+    pick = lambda seq: seq[int(rng.integers(0, len(seq)))]
+    if kind < 0.55:  # clean English
+        k = int(rng.integers(1, 4))
+        return " ".join(pick(_EN_SENTENCES) for _ in range(k))
+    if kind < 0.67:  # English with planted PII
+        tpl = pick(_PII_TEMPLATES)
+        body = tpl.format(
+            email=_email(r), email2=_email(r, 1), phone=_phone(r),
+            ssn=_ssn(r), cc=_cc(r), cc2=_cc(r, 1),
+        )
+        return pick(_EN_SENTENCES) + " " + body
+    if kind < 0.75:  # non-English
+        lang = pick(list(_NON_EN_SENTENCES))
+        return " ".join(_NON_EN_SENTENCES[lang][i % 2] for i in range(2))
+    if kind < 0.81:  # gibberish
+        letters = "bcdfghjklmnpqrstvwxz"
+        words = ["".join(pick(letters) for _ in range(int(rng.integers(3, 7))))
+                 for _ in range(12)]
+        return " ".join(words)
+    if kind < 0.86:  # symbol soup
+        return " ".join("@#$%^&*()!" for _ in range(8))
+    if kind < 0.90:  # too short
+        return "ok then"
+    if kind < 0.94:  # repetition
+        return "buy now " * 12
+    if kind < 0.97:  # duplicate lines
+        return "\n".join(["the same line of text appears here"] * 6 + ["one other line"])
+    # digit heavy
+    return " ".join(str(10000019 * (r + i) % 10**8) for i in range(10))
+
+
+def rows_for_range(start: int, end: int, with_audio: bool = True) -> pd.DataFrame:
+    """Generate clips rows [start, end) — the pure-function core."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(start, end):
+        rng = np.random.default_rng(SEED * 1_000_003 + r)
+        codec_u = rng.random()
+        codec = _CODECS[int(np.searchsorted(_CODEC_CDF, codec_u, side="left"))]
+        sr_hz = 8000 if codec in ("ulaw", "alaw") else (16000 if rng.random() < 0.9 else 44100)
+        # long-tail duration: lognormal, clamped
+        dur_ms = int(min(4000, max(80, rng.lognormal(mean=5.6, sigma=0.8))))
+        transcript = _transcript(r, rng)
+        if with_audio:
+            n = int(sr_hz * dur_ms / 1000)
+            pcm = synth_pcm(SEED * 7_000_003 + r, n, sr_hz)
+            data = encode(pcm, codec)
+        else:
+            data = b""
+        out["clip_id"].append(f"clip-{r:010d}")
+        out["bytes"].append(data)
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(dur_ms)
+        out["codec"].append(codec)
+        out["transcript"].append(transcript)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+CLIPS_SCHEMA_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+    "codec string, transcript string"
+)
+
+
+def clips_df(spark, n_rows: int, with_audio: bool = True, partitions: int | None = None):
+    """Distributed generation: spark.range → mapInPandas.
+
+    Each task generates its own id range independently — no shuffle, no
+    driver bottleneck; at 10^12 rows this is exactly how the table would
+    be materialized (write per-bucket, see sources/checkpoint.py)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield rows_for_range(int(ids.min()), int(ids.max()) + 1, with_audio)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
+def write_clips_parquet(path: str, n_rows: int, with_audio: bool = True,
+                        rows_per_file: int = 20_000) -> None:
+    """Driverless (pyarrow) writer for tests/small scales."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    for start in range(0, n_rows, rows_per_file):
+        end = min(start + rows_per_file, n_rows)
+        table = pa.Table.from_pandas(rows_for_range(start, end, with_audio))
+        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+        part += 1
