@@ -1,0 +1,188 @@
+"""Dedup (exact / MinHash-LSH / SimHash / Jaccard) and similarity-search
+operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before the sun sets tonight")
+NEAR = BASE.replace("quiet green", "quiet dark")  # one-word change
+OTHER = ("completely different content about database engines and query "
+         "optimizers shuffling partitions across executor nodes at scale")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                      # exact dup of 0
+        (2, "  THE  quick brown fox jumps over the lazy dog and then runs far away into the quiet green forest before the sun sets tonight "),  # ws/case dup of 0
+        (3, NEAR),                      # near dup of 0
+        (4, OTHER),
+        (5, "short one"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(spark, docs):
+    from top_secret_spark.operators.dedup import exact_duplicate_groups
+
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1, 2]  # normalization folds ws/case
+
+
+def test_dedup_exact_keeps_min_id(spark, docs):
+    from top_secret_spark.operators.dedup import dedup_exact
+
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [0, 3, 4, 5]
+
+
+def test_minhash_near_duplicates(spark, docs):
+    from top_secret_spark.operators.dedup import near_duplicates_minhash
+
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in near_duplicates_minhash(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and pairs[(0, 3)] >= 0.5  # near dup caught
+    assert not any({a, b} == {0, 4} for a, b in pairs)  # unrelated not paired
+
+
+def test_jaccard_verification(spark, docs):
+    from top_secret_spark.operators.dedup import (
+        near_duplicates_minhash,
+        verify_pairs_jaccard,
+    )
+
+    cand = near_duplicates_minhash(docs, threshold=0.4).select("a", "b")
+    verified = {(r["a"], r["b"]): r["jaccard"]
+                for r in verify_pairs_jaccard(cand, docs, threshold=0.5).collect()}
+    assert verified[(0, 1)] == 1.0
+    assert 0.5 <= verified[(0, 3)] < 1.0
+
+
+def test_simhash_near_duplicates(spark, docs):
+    from top_secret_spark.operators.dedup import (
+        hamming_distance_col,
+        simhash_candidate_pairs,
+        with_simhash,
+    )
+
+    sh = with_simhash(docs).select("doc_id", "simhash").cache()
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[0] == vals[1] == vals[2]
+    assert vals[0] != vals[4]
+    pairs = simhash_candidate_pairs(sh, "doc_id")
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    close = (pairs.join(sa, "a").join(sb, "b")
+             .withColumn("ham", hamming_distance_col(F.col("ha"), F.col("hb")))
+             .filter(F.col("ham") <= 6))
+    got = {(r["a"], r["b"]) for r in close.collect()}
+    assert (0, 1) in got and (0, 3) in got
+    sh.unpersist()
+
+
+def test_minhash_deterministic_across_partitioning(spark, docs):
+    from top_secret_spark.operators.dedup import with_minhash
+
+    a = {r["doc_id"]: r["minhash"] for r in with_minhash(docs).collect()}
+    b = {r["doc_id"]: r["minhash"]
+         for r in with_minhash(docs.repartition(5)).collect()}
+    assert a == b
+
+
+# --- embedding similarity -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _numpy_top_k(emb_rows, query, k):
+    ids = np.array([r[0] for r in emb_rows])
+    mat = np.array([r[1] for r in emb_rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = np.array(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    scores = mat @ q
+    order = np.lexsort((ids, -scores))[:k]
+    return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+def test_brute_force_top_k_matches_numpy(spark, embeddings):
+    from top_secret_spark.operators.similarity import brute_force_top_k
+
+    rows = [(r["vec_id"], r["embedding"]) for r in embeddings.collect()]
+    queries = [(0, rows[7][1]), (1, rows[123][1])]
+    got = brute_force_top_k(embeddings, queries, k=5).collect()
+    by_query = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid, qvec in queries:
+        exp = _numpy_top_k(rows, qvec, 5)
+        assert [v for v, _ in by_query[qid]] == [v for v, _ in exp]
+        for (_, s_got), (_, s_exp) in zip(by_query[qid], exp):
+            assert abs(s_got - s_exp) < 1e-5
+        # self-query: the query vector itself ranks first with score 1.0
+        assert by_query[qid][0][0] == (7 if qid == 0 else 123)
+        assert by_query[qid][0][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ann_top_k_finds_self_and_subsets_brute_force(spark, embeddings):
+    from top_secret_spark.operators.similarity import ann_top_k, brute_force_top_k
+
+    rows = [(r["vec_id"], r["embedding"]) for r in embeddings.collect()]
+    queries = [(0, rows[42][1])]
+    ann = ann_top_k(embeddings, queries, dim=64, k=5, n_bits=8, multiprobe=1)
+    got = [(r["vec_id"], r["score"]) for r in ann.orderBy("rank").collect()]
+    assert got[0][0] == 42 and got[0][1] == pytest.approx(1.0, abs=1e-6)
+    # every ANN score must appear in the exact scoring (it's a subset search)
+    bf = brute_force_top_k(embeddings, queries, k=500).collect()
+    exact = {r["vec_id"]: r["score"] for r in bf}
+    for vid, score in got:
+        assert exact[vid] == pytest.approx(score, abs=1e-6)
+
+
+def test_lsh_bucket_deterministic(spark, embeddings):
+    from top_secret_spark.operators.similarity import with_lsh_bucket
+
+    a = {r["vec_id"]: r["lsh_bucket"]
+         for r in with_lsh_bucket(embeddings, 64).collect()}
+    b = {r["vec_id"]: r["lsh_bucket"]
+         for r in with_lsh_bucket(embeddings.repartition(7), 64).collect()}
+    assert a == b
+
+
+# --- text analysis ----------------------------------------------------------------
+
+
+def test_text_analysis_columns(spark):
+    from top_secret_spark.operators.text_analysis import with_text_analysis
+
+    df = spark.createDataFrame(
+        [(0, "The cat sat on the mat."), (1, ""), (2, None),
+         (3, "word " * 10)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_text_analysis(df).collect()}
+    assert rows[0]["ws_tokens"] == 6
+    assert rows[0]["bpe_tokens"] >= 6
+    assert rows[0]["stopword_ratio"] > 0.2
+    assert rows[1]["ws_tokens"] == 0 and rows[2]["ws_tokens"] == 0
+    assert 0.0 <= rows[0]["quality_score"] <= 1.0
+    assert rows[0]["fingerprint"] != rows[3]["fingerprint"]
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    from top_secret_spark.operators.text_analysis import with_text_analysis
+
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, " HELLO\nWORLD ")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in with_text_analysis(df).collect()}
+    assert fps[0] == fps[1] == fps[2]

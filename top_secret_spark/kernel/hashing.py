@@ -15,7 +15,8 @@ import numpy as np
 MASK32 = np.uint64(0xFFFFFFFF)
 MULT = np.uint64(131)
 # distinct seed per n-gram order so all orders share one bucket space
-_N_SEED = {1: np.uint64(0x9E3779B1), 2: np.uint64(0x85EBCA77), 3: np.uint64(0xC2B2AE3D)}
+def _n_seed(n: int) -> np.uint64:
+    return np.uint64((0x9E3779B1 * n * n + 0x85EBCA77 * n + 0xC2B2AE3D) & 0xFFFFFFFF)
 
 
 def encode_batch(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -39,7 +40,7 @@ def ngram_hashes(
         return np.empty(0, np.int64), np.empty(0, np.int64)
     doc_id = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
     arr = data.astype(np.uint64)
-    h = np.full(total - n + 1, _N_SEED[n], dtype=np.uint64)
+    h = np.full(total - n + 1, _n_seed(n), dtype=np.uint64)
     for i in range(n):
         h = (h * MULT + arr[i : total - n + 1 + i]) & MASK32
     valid = doc_id[: total - n + 1] == doc_id[n - 1 :]
@@ -54,7 +55,7 @@ def raw_ngram_hashes(data: np.ndarray, n: int, buckets: int) -> np.ndarray:
     if total < n:
         return np.empty(0, np.int64)
     arr = data.astype(np.uint64)
-    h = np.full(total - n + 1, _N_SEED[n], dtype=np.uint64)
+    h = np.full(total - n + 1, _n_seed(n), dtype=np.uint64)
     for i in range(n):
         h = (h * MULT + arr[i : total - n + 1 + i]) & MASK32
     return (h % np.uint64(buckets)).astype(np.int64)

