@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query: the full quality-filter + PII-scrub
+                 pipeline over a deterministic synthetic clips table
+                 derived at sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops); each callable (spark, sf_dir) → DF.
+oracle_sql()   — matching DuckDB SQL per query (omitted only for the
+                 genuinely approximate ANN query → rows-only check).
+
+Implementations live in top_secret_spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from top_secret_spark.queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline (langid + perplexity + heuristics + scrub)
+    over clips derived from sf0.001 documents; returns the output
+    projection (clip_id, keep, drop_reason, lang, lang_conf, ppl,
+    scrubbed, mapping)."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.pipeline import run_pipeline
+    from top_secret_spark.queries import _derived, _prep
+
+    _prep(spark)
+    clips = _derived(spark, "/root/testdata/sf0.001").withColumn(
+        "clip_id", F.col("doc_id").cast("string")
+    )
+    out = run_pipeline(clips)
+    return out.select(
+        "clip_id", "keep", "drop_reason", "lang", "lang_conf", "ppl",
+        "scrubbed", "mapping",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,128 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set:
+  pipeline        full quality-filter + scrub pipeline over generated clips
+                  (text-only; clip count scales with sf)
+  pipeline_audio  pipeline incl. G.711/PCM16 decode over a smaller table
+  scrub_restore   scrub + restore roundtrip over the documents table
+  dedup_minhash   MinHash+LSH near-dup over documents
+  cosine_topk     brute-force cosine top-10, 5 queries over embeddings
+  global_labels   distributed batch global-label job
+  tpch_q1         relational aggregation baseline over lineitem
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("tss-bench")
+        .config("spark.sql.shuffle.partitions", str(int(CPUS) * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from top_secret_spark.operators.batch import batch_scrub
+    from top_secret_spark.operators.dedup import near_duplicates_minhash
+    from top_secret_spark.operators.scrub import with_restore, with_scrub
+    from top_secret_spark.operators.similarity import brute_force_top_k
+    from top_secret_spark.pipeline import run_pipeline
+    from top_secret_spark.sources.clips import clips_df
+    from top_secret_spark.util import ship_package
+
+    ship_package(spark)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # scale clip volume with sf (sf0.1 → 200k text clips, 8k audio clips)
+    sf_num = float(SF) if SF.replace(".", "").isdigit() else 0.1
+    n_text = max(2000, int(2_000_000 * sf_num))
+    n_audio = max(500, int(80_000 * sf_num))
+    cores = spark.sparkContext.defaultParallelism
+
+    clips = clips_df(spark, n_text, with_audio=False, partitions=cores * 4).cache()
+    n = clips.count()  # force generation outside the timed section
+
+    kept = timed("pipeline",
+                 lambda: run_pipeline(clips).filter(F.col("keep")).count())
+    extras["pipeline_clips_per_sec"] = round(n / timings["pipeline"], 1)
+    extras["pipeline_n_clips"] = n
+    extras["pipeline_kept"] = kept
+    clips.unpersist()
+
+    aclips = clips_df(spark, n_audio, with_audio=True, partitions=cores * 2).cache()
+    na = aclips.count()
+    timed("pipeline_audio", lambda: run_pipeline(
+        aclips, __import__("top_secret_spark.pipeline", fromlist=["PipelineConfig"])
+        .PipelineConfig(include_audio=True)).filter(F.col("keep")).count())
+    extras["pipeline_audio_clips_per_sec"] = round(na / timings["pipeline_audio"], 1)
+    aclips.unpersist()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    docs.count()
+    timed("scrub_restore", lambda: with_restore(
+        with_scrub(docs, text_col="text"), text_col="scrubbed")
+        .filter(F.col("restored_text") == F.col("text")).count())
+    timed("dedup_minhash",
+          lambda: near_duplicates_minhash(docs, threshold=0.7).count())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb.count()
+    queries = [(r["vec_id"], r["embedding"])
+               for r in emb.filter(F.col("vec_id") < 5).collect()]
+    timed("cosine_topk", lambda: brute_force_top_k(emb, queries, k=10).count())
+
+    msgs = docs.select(
+        F.col("doc_id").alias("msg_idx"),
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 (F.col("doc_id") % 41).cast("string"),
+                 F.lit("@example.com")).alias("input"),
+    )
+    timed("global_labels", lambda: batch_scrub(msgs)[0].count())
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed("tpch_q1", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1))).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "cores": cores,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

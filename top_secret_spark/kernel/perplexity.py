@@ -116,8 +116,12 @@ def perplexity_batch(texts) -> np.ndarray:
 
     nll = np.zeros(ndocs, dtype=np.float64)
     cnt = np.zeros(ndocs, dtype=np.float64)
-    np.add.at(nll, doc_id[p], -np.log(prob))
-    np.add.at(cnt, doc_id[p], 1.0)
+    # p is sorted → doc_id[p] nondecreasing → segment sums via reduceat
+    dp = doc_id[p]
+    starts = np.flatnonzero(np.r_[True, dp[1:] != dp[:-1]])
+    present = dp[starts]
+    nll[present] = np.add.reduceat(-np.log(prob), starts)
+    cnt[present] = np.diff(np.r_[starts, len(dp)])
     ok = cnt > 0
     out[ok] = np.exp(nll[ok] / cnt[ok])
     return np.minimum(out, _MAX_PPL)

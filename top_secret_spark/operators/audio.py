@@ -21,8 +21,16 @@ def with_audio_features(df: DataFrame) -> DataFrame:
     """Append decode_ok / rms / zcr / dur_ms_measured to a clips frame.
 
     Unknown codecs yield decode_ok=false rather than failing the job —
-    at scale a poison row must not kill a 1000-executor stage."""
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    at scale a poison row must not kill a 1000-executor stage.
+
+    The ``bytes`` column is consumed here and NOT emitted: re-serializing
+    multi-KB audio blobs back across the Arrow boundary (and through
+    every downstream stage) would double the pipeline's memory traffic
+    for a column nothing downstream reads."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if f.name != "bytes"
+    )
     schema += ", " + _FEATURES_SCHEMA_SUFFIX
 
     def run(iterator):
@@ -45,7 +53,7 @@ def with_audio_features(df: DataFrame) -> DataFrame:
                 rmss.append(feats["rms"])
                 zcrs.append(feats["zcr"])
                 durs.append(feats["dur_ms_measured"])
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=["bytes"])
             pdf["decode_ok"] = oks
             pdf["rms"] = rmss
             pdf["zcr"] = zcrs

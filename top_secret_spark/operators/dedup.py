@@ -181,8 +181,18 @@ def near_duplicates_minhash(
     bands: int = 16,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
-    signature-estimated Jaccard filter → (a, b, est_jaccard)."""
-    sigs = with_minhash(df, text_col, num_hashes).select(id_col, "minhash")
+    signature-estimated Jaccard filter → (a, b, est_jaccard).
+
+    Signatures are computed once and persisted — they feed candidate
+    generation AND both sides of the pair join; without the persist the
+    (expensive) signature UDF would run three times."""
+    from pyspark import StorageLevel
+
+    sigs = (
+        with_minhash(df, text_col, num_hashes)
+        .select(id_col, "minhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
     sa = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))

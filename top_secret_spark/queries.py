@@ -1,0 +1,793 @@
+"""Driver-facing queries + DuckDB oracles (the correctness gate).
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data op).  The Spark side runs the REAL engine path (kernel
+UDFs, Catalyst operators); the oracle re-derives the same answer in
+independent ANSI SQL that DuckDB executes over the same parquet tables.
+Where a clips-shaped input is needed, a deterministic transcript is
+derived from `documents` with a CASE expression written once and
+evaluated by BOTH engines — so the comparison is meaningful end-to-end.
+
+Column names are aligned on both sides (the driver hashes values after
+sorting columns by name).  Float-valued outputs are converted to
+integer ppm via floor(x*1e6 + 0.5) on both sides to dodge
+rounding-dialect noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernel.patterns import (
+    CREDIT_CARD_PATTERN,
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    SSN_PATTERN,
+)
+from .kernel.quality import QualityThresholds
+
+# ---------------------------------------------------------------------------
+# shared derivation: a clips-shaped transcript from documents, one SQL
+# expression evaluated by both Spark (F.expr) and DuckDB (inlined)
+# ---------------------------------------------------------------------------
+
+DERIVED_TRANSCRIPT_SQL = """
+CASE cast(doc_id % 10 as int)
+  WHEN 0 THEN '@#$% ^&* !! ?? ~~ || ++ == @@ ##'
+  WHEN 1 THEN 'ok'
+  WHEN 2 THEN '12345 67890 11111 22222 33333 44444 55555 66666'
+  WHEN 3 THEN 'Die Kinder spielen im Garten und das Wetter ist heute wirklich sehr gut gewesen.'
+  WHEN 4 THEN concat(text, ' Contact user', cast(doc_id % 97 as string), '@example.com today.')
+  WHEN 5 THEN concat(text, ' Call 555-', cast(100 + doc_id % 900 as string), '-', cast(1000 + doc_id % 9000 as string), ' now.')
+  WHEN 6 THEN concat(text, ' My social is ', cast(100 + doc_id % 900 as string), '-', cast(10 + doc_id % 90 as string), '-', cast(1000 + doc_id % 9000 as string), '.')
+  WHEN 7 THEN concat(text, ' Card 4242424242424242 works.')
+  WHEN 8 THEN concat(repeat('the same line repeated here\n', 5), 'tail line')
+  ELSE text
+END
+""".strip()
+
+# messages for the global-label batch query
+BATCH_MSG_SQL = (
+    "concat('Mail user', cast(doc_id % 7 as string), '@example.com and "
+    "user', cast(doc_id % 3 as string), '@test.org')"
+)
+
+
+def _sq(pattern: str) -> str:
+    """Escape a regex pattern for embedding in a single-quoted SQL literal."""
+    return pattern.replace("'", "''")
+
+
+EMAIL_SQL = _sq(EMAIL_PATTERN)
+PHONE_SQL = _sq(PHONE_PATTERN)
+SSN_SQL = _sq(SSN_PATTERN)
+CC_SQL = _sq(CREDIT_CARD_PATTERN)
+
+# thresholds with the model-based rules disabled → keep/drop is fully
+# SQL-expressible for the oracle (the model rules are gated in pytest
+# against the kernel oracle instead)
+SQL_ONLY_THRESHOLDS = QualityThresholds(
+    allowed_langs=("en", "es", "fr", "de", "it", "pt", "nl", "und"),
+    min_lang_conf=0.0,
+    max_ppl=1e12,
+    max_top_bigram_frac=1.1,
+)
+
+
+def _prep(spark: SparkSession) -> None:
+    from .util import ship_package
+
+    ship_package(spark)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(DERIVED_TRANSCRIPT_SQL).alias("transcript")
+    )
+
+
+def _ppm(col) -> F.Column:
+    return F.floor(col * 1_000_000 + F.lit(0.5)).cast("long")
+
+
+DERIVED_CTE = (
+    f"WITH t AS (SELECT doc_id, {DERIVED_TRANSCRIPT_SQL} AS transcript "
+    f"FROM documents)"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+
+def q_email_extract(spark, sf_dir):
+    """Op 1/3: regex extract-all via the scan kernel UDF."""
+    _prep(spark)
+    from .operators.scrub import category_values, make_scan_udf
+
+    df = _derived(spark, sf_dir).withColumn(
+        "mapping", make_scan_udf()(F.col("transcript"))
+    )
+    vals = df.select(
+        F.explode(category_values("mapping", "email")).alias("email")
+    )
+    return vals.agg(
+        F.count("email").alias("n_emails"),
+        F.countDistinct("email").alias("n_distinct_emails"),
+    )
+
+
+Q_EMAIL_EXTRACT_SQL = f"""
+{DERIVED_CTE},
+ex AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(transcript, '{EMAIL_SQL}'))) AS email
+  FROM t
+)
+SELECT count(*) AS n_emails, count(DISTINCT email) AS n_distinct_emails FROM ex
+"""
+
+
+def q_category_extract_counts(spark, sf_dir):
+    """Ops 2-5 + 14: per-category distinct-value counts from the mapping."""
+    _prep(spark)
+    from .operators.scrub import make_scan_udf
+
+    df = _derived(spark, sf_dir).withColumn(
+        "mapping", make_scan_udf()(F.col("transcript"))
+    )
+    return (
+        df.select(F.explode("mapping").alias("e"))
+        .select(
+            F.lower(F.regexp_replace(F.col("e.key"), "_[0-9]+$", "")).alias(
+                "category"
+            )
+        )
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+
+
+Q_CATEGORY_EXTRACT_SQL = f"""
+{DERIVED_CTE}
+SELECT category, sum(n) AS n_values FROM (
+  SELECT 'email' AS category, len(list_distinct(regexp_extract_all(transcript, '{EMAIL_SQL}'))) AS n FROM t
+  UNION ALL
+  SELECT 'phone_number', len(list_distinct(regexp_extract_all(transcript, '{PHONE_SQL}'))) FROM t
+  UNION ALL
+  SELECT 'ssn', len(list_distinct(regexp_extract_all(transcript, '{SSN_SQL}'))) FROM t
+  UNION ALL
+  SELECT 'credit_card', len(list_distinct(regexp_extract_all(transcript, '{CC_SQL}'))) FROM t
+) GROUP BY category HAVING sum(n) > 0
+"""
+
+
+def q_scrub_substitution(spark, sf_dir):
+    """Ops 8+11+13: full scrub (dedupe+enumerate+single-pass substitute)
+    on the email/phone planted rows; oracle = independent regexp_replace
+    (equivalent here because plants don't overlap)."""
+    _prep(spark)
+    from .operators.scrub import with_scrub
+
+    df = _derived(spark, sf_dir).filter(F.col("doc_id") % 10 == 4)
+    df2 = _derived(spark, sf_dir).filter(F.col("doc_id") % 10 == 5)
+    return (
+        with_scrub(df.unionByName(df2), text_col="transcript")
+        .select("doc_id", "scrubbed")
+    )
+
+
+Q_SCRUB_SUBSTITUTION_SQL = f"""
+{DERIVED_CTE}
+SELECT doc_id,
+       regexp_replace(regexp_replace(transcript, '{EMAIL_SQL}', '[EMAIL_1]', 'g'),
+                      '{PHONE_SQL}', '[PHONE_NUMBER_1]', 'g') AS scrubbed
+FROM t WHERE doc_id % 10 IN (4, 5)
+"""
+
+
+def q_restore_roundtrip(spark, sf_dir):
+    """Op 19: scrub → restore must reproduce the original text exactly,
+    with zero unrestored placeholders."""
+    _prep(spark)
+    from .operators.scrub import with_restore, with_scrub
+
+    df = _derived(spark, sf_dir).filter((F.col("doc_id") % 10).isin(4, 5, 6, 7))
+    r = with_restore(with_scrub(df, text_col="transcript"), text_col="scrubbed")
+    return r.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            (F.col("restored_text") == F.col("transcript")).cast("long")
+        ).alias("n_roundtrip"),
+        F.sum(F.size("unrestored")).alias("n_unrestored"),
+    )
+
+
+Q_RESTORE_ROUNDTRIP_SQL = """
+SELECT count(*) AS n_total, count(*) AS n_roundtrip, 0 AS n_unrestored
+FROM documents WHERE doc_id % 10 IN (4, 5, 6, 7)
+"""
+
+
+def q_categories_present(spark, sf_dir):
+    """Op 14: categories() projection — docs per category present."""
+    _prep(spark)
+    from .operators.scrub import categories_col, make_scan_udf
+
+    df = _derived(spark, sf_dir).withColumn(
+        "mapping", make_scan_udf()(F.col("transcript"))
+    )
+    return (
+        df.select(F.explode(categories_col("mapping")).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+Q_CATEGORIES_PRESENT_SQL = f"""
+{DERIVED_CTE}
+SELECT category, count(*) AS n_docs FROM (
+  SELECT doc_id, 'email' AS category FROM t WHERE len(regexp_extract_all(transcript, '{EMAIL_SQL}')) > 0
+  UNION ALL
+  SELECT doc_id, 'phone_number' FROM t WHERE len(regexp_extract_all(transcript, '{PHONE_SQL}')) > 0
+  UNION ALL
+  SELECT doc_id, 'ssn' FROM t WHERE len(regexp_extract_all(transcript, '{SSN_SQL}')) > 0
+  UNION ALL
+  SELECT doc_id, 'credit_card' FROM t WHERE len(regexp_extract_all(transcript, '{CC_SQL}')) > 0
+) GROUP BY category
+"""
+
+
+def q_global_labels(spark, sf_dir):
+    """Ops 15-18: distributed batch scrub with global label numbering."""
+    _prep(spark)
+    from .operators.batch import batch_scrub
+
+    msgs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .select(F.col("doc_id").alias("msg_idx"), F.expr(BATCH_MSG_SQL).alias("input"))
+    )
+    _, gmap = batch_scrub(msgs)
+    return spark.createDataFrame(gmap, "global_key string, value string")
+
+
+Q_GLOBAL_LABELS_SQL = f"""
+WITH msgs AS (
+  SELECT doc_id AS msg_idx, {BATCH_MSG_SQL} AS input FROM documents WHERE doc_id < 40
+),
+raw AS (
+  SELECT msg_idx,
+         unnest(regexp_extract_all(input, '{EMAIL_SQL}')) AS value,
+         generate_subscripts(regexp_extract_all(input, '{EMAIL_SQL}'), 1) AS idx
+  FROM msgs
+),
+firsts AS (SELECT value, min(msg_idx * 1000 + idx) AS fs FROM raw GROUP BY value)
+SELECT concat('EMAIL_', cast(row_number() OVER (ORDER BY fs) as string)) AS global_key,
+       value
+FROM firsts
+"""
+
+
+def q_keep_drop(spark, sf_dir):
+    """[north-rule] heuristic keep/drop over derived clips (SQL-expressible
+    thresholds; the model-gated rules are pytest-verified instead)."""
+    _prep(spark)
+    from .pipeline import PipelineConfig, run_pipeline
+
+    clips = _derived(spark, sf_dir).withColumn("clip_id", F.col("doc_id").cast("string"))
+    out = run_pipeline(clips, PipelineConfig(thresholds=SQL_ONLY_THRESHOLDS))
+    return (
+        out.groupBy(F.coalesce("drop_reason", F.lit("keep")).alias("drop_reason"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q_KEEP_DROP_SQL = f"""
+{DERIVED_CTE},
+sig AS (
+  SELECT doc_id, transcript AS tr,
+    length(transcript) AS n_chars,
+    CASE WHEN trim(transcript) = '' THEN 0
+         ELSE len(string_split_regex(trim(transcript), '\\s+')) END AS n_words,
+    CASE WHEN length(transcript) = 0 THEN 0.0
+         ELSE (length(transcript) - len(regexp_extract_all(transcript, '[A-Za-z0-9\\s]'))) * 1.0 / length(transcript) END AS symbol_ratio,
+    CASE WHEN length(transcript) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(transcript, '[0-9]')) * 1.0 / length(transcript) END AS digit_ratio,
+    list_filter(string_split(transcript, chr(10)), x -> trim(x) <> '') AS lines
+  FROM t
+),
+reasons AS (
+  SELECT CASE
+    WHEN n_chars < 20 THEN 'too_short'
+    WHEN n_chars > 100000 THEN 'too_long'
+    WHEN n_words < 4 THEN 'too_few_words'
+    WHEN symbol_ratio > 0.30 THEN 'symbol_ratio'
+    WHEN digit_ratio > 0.30 THEN 'digit_ratio'
+    WHEN len(lines) >= 2 AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) > 0.40 THEN 'dup_lines'
+    ELSE 'keep' END AS drop_reason
+  FROM sig
+)
+SELECT drop_reason, count(*) AS n FROM reasons GROUP BY drop_reason
+"""
+
+
+def q_quality_signals(spark, sf_dir):
+    """[north-rule] per-doc Catalyst quality signals (ppm-int encoded)."""
+    _prep(spark)
+    from .operators.quality import with_quality_signals
+
+    df = with_quality_signals(_derived(spark, sf_dir), "transcript")
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        _ppm(F.col("symbol_ratio")).alias("symbol_ppm"),
+        _ppm(F.col("digit_ratio")).alias("digit_ppm"),
+    )
+
+
+Q_QUALITY_SIGNALS_SQL = f"""
+{DERIVED_CTE}
+SELECT doc_id,
+  length(transcript) AS n_chars,
+  CASE WHEN trim(transcript) = '' THEN 0
+       ELSE len(string_split_regex(trim(transcript), '\\s+')) END AS n_words,
+  cast(CASE WHEN length(transcript) = 0 THEN 0
+       ELSE floor((length(transcript) - len(regexp_extract_all(transcript, '[A-Za-z0-9\\s]'))) * 1000000.0 / length(transcript) + 0.5) END as bigint) AS symbol_ppm,
+  cast(CASE WHEN length(transcript) = 0 THEN 0
+       ELSE floor(len(regexp_extract_all(transcript, '[0-9]')) * 1000000.0 / length(transcript) + 0.5) END as bigint) AS digit_ppm
+FROM t
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Training-data op: whitespace + BPE-ish token counting (Catalyst)."""
+    _prep(spark)
+    from .operators.text_analysis import bpe_ish_token_count, whitespace_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        whitespace_token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+Q_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Training-data op: exact dedup over deliberately duplicated texts."""
+    _prep(spark)
+    from .operators.dedup import dedup_exact, exact_duplicate_groups
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id"), (F.col("doc_id") - F.col("doc_id") % 5).alias("base_id")
+    )
+    dup = base.join(
+        docs.select(F.col("doc_id").alias("base_id"), F.col("text")), "base_id"
+    ).select("doc_id", "text")
+    survivors = dedup_exact(dup)
+    groups = exact_duplicate_groups(dup)
+    return spark.range(1).select(
+        F.lit(survivors.count()).alias("n_after_dedup"),
+        F.lit(groups.count()).alias("n_dup_groups"),
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+WITH dup AS (
+  SELECT d1.doc_id, d2.text
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id - d1.doc_id % 5
+)
+SELECT count(DISTINCT text) AS n_after_dedup,
+       (SELECT count(*) FROM (SELECT text FROM dup GROUP BY text HAVING count(*) > 1)) AS n_dup_groups
+FROM dup
+"""
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """Training-data op: MinHash+LSH near-dup on exact-duplicate pairs —
+    identical texts must land est_jaccard = 1.0."""
+    _prep(spark)
+    from .operators.dedup import near_duplicates_minhash
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id"), (F.col("doc_id") - F.col("doc_id") % 5).alias("base_id")
+    )
+    dup = base.join(
+        docs.select(F.col("doc_id").alias("base_id"), F.col("text")), "base_id"
+    ).select("doc_id", "text")
+    pairs = near_duplicates_minhash(dup, threshold=0.999)
+    return spark.range(1).select(F.lit(pairs.count()).alias("n_pairs"))
+
+
+Q_MINHASH_SQL = """
+WITH dup AS (
+  SELECT d1.doc_id, d2.text
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id - d1.doc_id % 5
+)
+SELECT count(*) AS n_pairs
+FROM dup a JOIN dup b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """Training-data op: SimHash — identical texts share a 64-bit sketch."""
+    _prep(spark)
+    from .operators.dedup import (
+        hamming_distance_col,
+        simhash_candidate_pairs,
+        with_simhash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id"), (F.col("doc_id") - F.col("doc_id") % 5).alias("base_id")
+    )
+    dup = base.join(
+        docs.select(F.col("doc_id").alias("base_id"), F.col("text")), "base_id"
+    ).select("doc_id", "text")
+    sh = with_simhash(dup).select("doc_id", "simhash")
+    pairs = simhash_candidate_pairs(sh, "doc_id")
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    exact = (
+        pairs.join(sa, "a").join(sb, "b")
+        .filter(hamming_distance_col(F.col("ha"), F.col("hb")) == 0)
+    )
+    return spark.range(1).select(F.lit(exact.count()).alias("n_pairs"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Training-data op: brute-force cosine top-k over embeddings."""
+    _prep(spark)
+    from .operators.similarity import brute_force_top_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return brute_force_top_k(emb, queries, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+Q_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS s
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_langid_planted(spark, sf_dir):
+    """[north-rule] langid classifies planted single-language constants."""
+    _prep(spark)
+    from .operators.features import with_text_features
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            """CASE cast(doc_id % 5 as int)
+               WHEN 0 THEN 'The committee will meet on Tuesday to review the annual budget and discuss the new hiring plan for the engineering team.'
+               WHEN 1 THEN 'Die Regierung hat heute eine neue Verordnung über den Schutz der Umwelt und die Förderung erneuerbarer Energien beschlossen.'
+               WHEN 2 THEN 'Le gouvernement a annoncé ce matin une nouvelle politique pour améliorer les transports publics dans toutes les grandes villes.'
+               WHEN 3 THEN 'El gobierno anunció hoy una nueva política para mejorar el transporte público en todas las grandes ciudades del país.'
+               ELSE 'Il governo ha annunciato oggi una nuova politica per migliorare i trasporti pubblici in tutte le grandi città del paese.'
+               END"""
+        ).alias("transcript"),
+    )
+    return (
+        with_text_features(planted, "transcript")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q_LANGID_SQL = """
+SELECT CASE cast(doc_id % 5 as int)
+         WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+         WHEN 3 THEN 'es' ELSE 'it' END AS lang,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_perplexity_planted(spark, sf_dir):
+    """[north-rule] perplexity separates fluent text from gibberish."""
+    _prep(spark)
+    from .operators.features import with_text_features
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            """CASE cast(doc_id % 2 as int)
+               WHEN 0 THEN 'She walked along the river in the morning light and watched the boats drift slowly under the old stone bridge.'
+               ELSE 'zxq jkw vbn mqp xyz qqq wvx kjh zzz pqm bbj qzj wxq kqv jzx'
+               END"""
+        ).alias("transcript"),
+    )
+    feat = with_text_features(planted, "transcript")
+    return (
+        feat.select(
+            F.when(F.col("doc_id") % 2 == 0, "fluent").otherwise("gibberish").alias("kind"),
+            (F.col("ppl") < 100).cast("long").alias("low_ppl"),
+        )
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("low_ppl").alias("n_low_ppl"))
+    )
+
+
+Q_PERPLEXITY_SQL = """
+SELECT CASE cast(doc_id % 2 as int) WHEN 0 THEN 'fluent' ELSE 'gibberish' END AS kind,
+       count(*) AS n,
+       CASE cast(doc_id % 2 as int) WHEN 0 THEN count(*) ELSE 0 END AS n_low_ppl
+FROM documents GROUP BY cast(doc_id % 2 as int)
+"""
+
+
+def q_audio_decode(spark, sf_dir):
+    """[north-rule] audio decode invariant: every generated clip decodes,
+    SNR vs the regenerated reference >= 30 dB, transcripts equal."""
+    _prep(spark)
+
+    def check(iterator):
+        import pandas as pd
+
+        from .kernel.audio import decode, snr_db, synth_pcm
+        from .sources.clips import SEED, rows_for_range
+
+        for pdf in iterator:
+            n_ok = 0
+            n_snr = 0
+            n_txt = 0
+            for _, row in pdf.iterrows():
+                r = int(row["clip_id"].split("-")[1])
+                pcm = decode(bytes(row["bytes"]), row["codec"])
+                n_ok += 1
+                ref = synth_pcm(
+                    SEED * 7_000_003 + r, len(pcm), int(row["sr_hz"])
+                )
+                if snr_db(ref, pcm) >= 30.0:
+                    n_snr += 1
+                exp = rows_for_range(r, r + 1, with_audio=False)
+                if exp["transcript"].iloc[0] == row["transcript"]:
+                    n_txt += 1
+            yield pd.DataFrame(
+                {"n_ok": [n_ok], "n_snr_ok": [n_snr], "n_transcript_ok": [n_txt]}
+            )
+
+    from .sources.clips import clips_df
+
+    clips = clips_df(spark, 120, with_audio=True, partitions=4)
+    out = clips.mapInPandas(
+        check, "n_ok long, n_snr_ok long, n_transcript_ok long"
+    )
+    return out.agg(
+        F.sum("n_ok").alias("n_ok"),
+        F.sum("n_snr_ok").alias("n_snr_ok"),
+        F.sum("n_transcript_ok").alias("n_transcript_ok"),
+    )
+
+
+Q_AUDIO_DECODE_SQL = """
+SELECT cast(120 as bigint) AS n_ok, cast(120 as bigint) AS n_snr_ok,
+       cast(120 as bigint) AS n_transcript_ok
+"""
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    """Relational baseline: TPC-H Q1-style aggregation over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("sum_qty_c"),
+            F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("sum_price_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q_TPCH_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       cast(floor(sum(l_quantity) * 100 + 0.5) as bigint) AS sum_qty_c,
+       cast(floor(sum(l_extendedprice) * 100 + 0.5) as bigint) AS sum_price_c,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_orders_per_nation(spark, sf_dir):
+    """Relational baseline: broadcast dim join (customer→nation) + agg."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("revenue_c"),
+        )
+    )
+
+
+Q_JOIN_ORDERS_SQL = """
+SELECT n_name, count(*) AS n_orders,
+       cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_window_latest_event(spark, sf_dir):
+    """Relational baseline: window function — latest event per user."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("latest_event_id"), "event_type")
+    )
+
+
+Q_WINDOW_LATEST_SQL = """
+SELECT user_id, event_id AS latest_event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_dictionary_scrub(spark, sf_dir):
+    """Custom dictionary filter (north-star: 'custom dictionary filters')."""
+    _prep(spark)
+    from .kernel.filters import ScrubConfig, dictionary_filter
+    from .operators.scrub import with_scrub
+
+    cfg = ScrubConfig(
+        custom_filters=(dictionary_filter("CODE_NAME", ["merge", "shuffle"]),)
+    )
+    df = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("transcript"))
+    return with_scrub(df, cfg, text_col="transcript").select(
+        "doc_id", "scrubbed"
+    )
+
+
+# numbering follows first-occurrence order of the matched values per doc
+# (kernel op 8), so the oracle branches on which term appears first
+Q_DICTIONARY_SCRUB_SQL = """
+SELECT doc_id,
+  CASE
+    WHEN position('merge' in text) > 0
+         AND (position('shuffle' in text) = 0
+              OR position('merge' in text) < position('shuffle' in text))
+      THEN replace(replace(text, 'merge', '[CODE_NAME_1]'), 'shuffle', '[CODE_NAME_2]')
+    WHEN position('shuffle' in text) > 0
+      THEN replace(replace(text, 'shuffle', '[CODE_NAME_1]'), 'merge', '[CODE_NAME_2]')
+    ELSE text
+  END AS scrubbed
+FROM documents
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Training-data op: LSH-bucketed ANN (no SQL oracle — approximate)."""
+    _prep(spark)
+    from .operators.similarity import ann_top_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return ann_top_k(emb, queries, dim=64, k=5, n_bits=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """[north-rule] full pipeline over derived clips: keep counts +
+    scrub coverage in one pass (SQL-only thresholds)."""
+    _prep(spark)
+    from .operators.scrub import sensitive_col
+    from .pipeline import PipelineConfig, run_pipeline
+
+    clips = _derived(spark, sf_dir).withColumn(
+        "clip_id", F.col("doc_id").cast("string")
+    )
+    out = run_pipeline(clips, PipelineConfig(thresholds=SQL_ONLY_THRESHOLDS))
+    return out.agg(
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+        F.sum((F.col("keep") & sensitive_col("mapping")).cast("long")).alias(
+            "n_scrubbed_sensitive"
+        ),
+    )
+
+
+Q_PIPELINE_E2E_SQL = f"""
+{DERIVED_CTE},
+sig AS (
+  SELECT doc_id, transcript,
+    length(transcript) AS n_chars,
+    CASE WHEN trim(transcript) = '' THEN 0
+         ELSE len(string_split_regex(trim(transcript), '\\s+')) END AS n_words,
+    CASE WHEN length(transcript) = 0 THEN 0.0
+         ELSE (length(transcript) - len(regexp_extract_all(transcript, '[A-Za-z0-9\\s]'))) * 1.0 / length(transcript) END AS symbol_ratio,
+    CASE WHEN length(transcript) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(transcript, '[0-9]')) * 1.0 / length(transcript) END AS digit_ratio,
+    list_filter(string_split(transcript, chr(10)), x -> trim(x) <> '') AS lines
+  FROM t
+),
+flags AS (
+  SELECT doc_id, transcript,
+    (n_chars >= 20 AND n_chars <= 100000 AND n_words >= 4
+     AND symbol_ratio <= 0.30 AND digit_ratio <= 0.30
+     AND NOT (len(lines) >= 2 AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) > 0.40)) AS keep
+  FROM sig
+)
+SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_drop,
+       sum(CASE WHEN keep AND (
+             len(regexp_extract_all(transcript, '{EMAIL_SQL}')) > 0
+          OR len(regexp_extract_all(transcript, '{PHONE_SQL}')) > 0
+          OR len(regexp_extract_all(transcript, '{SSN_SQL}')) > 0
+          OR len(regexp_extract_all(transcript, '{CC_SQL}')) > 0)
+           THEN 1 ELSE 0 END) AS n_scrubbed_sensitive
+FROM flags
+"""
+
+
+QUERIES = {
+    "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
+    "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
+    "q03_scrub_substitution": (q_scrub_substitution, Q_SCRUB_SUBSTITUTION_SQL),
+    "q04_restore_roundtrip": (q_restore_roundtrip, Q_RESTORE_ROUNDTRIP_SQL),
+    "q05_categories_present": (q_categories_present, Q_CATEGORIES_PRESENT_SQL),
+    "q06_global_labels": (q_global_labels, Q_GLOBAL_LABELS_SQL),
+    "q07_keep_drop": (q_keep_drop, Q_KEEP_DROP_SQL),
+    "q08_quality_signals": (q_quality_signals, Q_QUALITY_SIGNALS_SQL),
+    "q09_token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
+    "q10_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "q11_minhash_neardup": (q_minhash_neardup, Q_MINHASH_SQL),
+    "q12_simhash_neardup": (q_simhash_neardup, Q_MINHASH_SQL),
+    "q13_cosine_topk": (q_cosine_topk, Q_COSINE_TOPK_SQL),
+    "q14_langid_planted": (q_langid_planted, Q_LANGID_SQL),
+    "q15_perplexity_planted": (q_perplexity_planted, Q_PERPLEXITY_SQL),
+    "q16_audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
+    "q17_tpch_pricing_summary": (q_tpch_pricing_summary, Q_TPCH_PRICING_SQL),
+    "q18_join_orders_per_nation": (q_join_orders_per_nation, Q_JOIN_ORDERS_SQL),
+    "q19_window_latest_event": (q_window_latest_event, Q_WINDOW_LATEST_SQL),
+    "q20_dictionary_scrub": (q_dictionary_scrub, Q_DICTIONARY_SCRUB_SQL),
+    "q21_ann_topk": (q_ann_topk, None),  # approximate — rows-only check
+    "q22_pipeline_e2e": (q_pipeline_e2e, Q_PIPELINE_E2E_SQL),
+}
