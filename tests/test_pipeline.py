@@ -125,3 +125,16 @@ def test_scrub_dropped_config(spark):
     rows = run_pipeline(clips, PipelineConfig(scrub_dropped=True)).collect()
     for r in rows:
         assert r["scrubbed"] is not None
+
+
+def test_fused_equals_modular(spark):
+    """The fused single-crossing stage and the modular operators must
+    produce identical results — both wrap the same kernel."""
+    clips = clips_df(spark, 150, with_audio=False)
+    a = run_pipeline(clips, PipelineConfig(fused=True)).orderBy("clip_id").collect()
+    b = run_pipeline(clips, PipelineConfig(fused=False)).orderBy("clip_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["keep"] == rb["keep"] and ra["drop_reason"] == rb["drop_reason"]
+        assert ra["scrubbed"] == rb["scrubbed"] and ra["mapping"] == rb["mapping"]
+        assert abs(ra["ppl"] - rb["ppl"]) < 1e-9
+        assert ra["n_chars"] == rb["n_chars"] and ra["n_words"] == rb["n_words"]

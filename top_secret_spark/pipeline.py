@@ -40,6 +40,11 @@ class PipelineConfig:
     include_audio: bool = False  # decode-validate stage on/off
     scrub_dropped: bool = False  # scrub even rows that fail keep/drop
     n_buckets: int = 64  # hash buckets for the checkpointed layout
+    # fused=True runs signals+features+keep/drop+scrub in ONE Arrow
+    # crossing (operators/fused.py) — identical semantics, half the
+    # Python-boundary traffic.  fused=False uses the modular operators
+    # (Catalyst signals, two UDF stages).
+    fused: bool = True
 
 
 DEFAULT_PIPELINE = PipelineConfig()
@@ -69,6 +74,13 @@ def run_pipeline(
     df = clips
     if config.include_audio:
         df = with_audio_features(df)
+
+    if config.fused:
+        from .operators.fused import run_pipeline_fused
+
+        return run_pipeline_fused(
+            df, config.scrub, config.thresholds, config.scrub_dropped
+        )
 
     df = with_quality_signals(df, "transcript")
     df = with_text_features(df, "transcript")
