@@ -767,6 +767,38 @@ FROM flags
 """
 
 
+def q_ner_scrub(spark, sf_dir):
+    """Ops 6+7: NER entity filter + scrub with an injected entities column
+    (the reference's own CI injects entities the same way —
+    spec/spec_helper.rb:26-31)."""
+    _prep(spark)
+    from .operators.scrub import with_scrub
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("My name is Ralph from Boston. "), F.col("text")
+        ).alias("transcript"),
+        F.expr(
+            """array(named_struct('text', 'Ralph', 'tag', 'PERSON', 'score', cast(0.9 as double)),
+                     named_struct('text', 'Boston', 'tag', 'LOCATION', 'score', cast(0.8 as double)),
+                     named_struct('text', 'Ghost', 'tag', 'PERSON', 'score', cast(0.3 as double)))"""
+        ).alias("entities"),
+    )
+    return with_scrub(df, text_col="transcript", entities_col="entities").select(
+        "doc_id", "scrubbed"
+    )
+
+
+# 'Ghost' scores 0.3 < 0.5 threshold → must NOT be scrubbed; documents
+# text contains no 'Ralph'/'Boston'/PII (verified: no digits/@ in corpus)
+Q_NER_SCRUB_SQL = """
+SELECT doc_id,
+       concat('My name is [PERSON_1] from [LOCATION_1]. ', text) AS scrubbed
+FROM documents
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -790,4 +822,5 @@ QUERIES = {
     "q20_dictionary_scrub": (q_dictionary_scrub, Q_DICTIONARY_SCRUB_SQL),
     "q21_ann_topk": (q_ann_topk, None),  # approximate — rows-only check
     "q22_pipeline_e2e": (q_pipeline_e2e, Q_PIPELINE_E2E_SQL),
+    "q23_ner_scrub": (q_ner_scrub, Q_NER_SCRUB_SQL),
 }
