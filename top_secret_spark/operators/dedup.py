@@ -328,3 +328,59 @@ def simhash_candidate_pairs(
 
 def hamming_distance_col(a, b):
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- embedding-cosine near-dup ----------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity → (a, b, cos).
+
+    Scale path (default): bucket by random-hyperplane LSH signature
+    (operators/similarity.py), pair only within buckets — at high
+    thresholds near-dups almost surely share all sign bits, so the
+    candidate volume shrinks ~2^-n_bits while recall stays high.
+    ``exact=True`` skips bucketing (full O(n²) pair join) for small
+    inputs and for measuring LSH recall."""
+    from .similarity import with_lsh_bucket
+
+    if exact:
+        left = df.select(F.col(id_col).alias("a"), F.col(emb_col).alias("ea"))
+        right = df.select(F.col(id_col).alias("b"), F.col(emb_col).alias("eb"))
+        pairs = left.join(right, F.col("a") < F.col("b"))
+    else:
+        b = with_lsh_bucket(df, dim, emb_col, n_bits)
+        left = b.select(
+            F.col(id_col).alias("a"), F.col(emb_col).alias("ea"),
+            F.col("lsh_bucket").alias("ba"),
+        )
+        right = b.select(
+            F.col(id_col).alias("b"), F.col(emb_col).alias("eb"),
+            F.col("lsh_bucket").alias("bb"),
+        )
+        pairs = left.join(
+            right, (F.col("ba") == F.col("bb")) & (F.col("a") < F.col("b"))
+        )
+    # cosine in pure Catalyst: zip_with dot products + aggregate norms
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform("ea", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(
+        F.transform("eb", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return (
+        pairs.withColumn("cos", dot / (na * nb))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )

@@ -799,6 +799,41 @@ FROM documents
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Training-data op: embedding-cosine near-dup.  Planted duplicates:
+    scaled copies of the first 50 vectors (cosine is scale-invariant →
+    cos=1.0 with their source).  Exact pair join here (oracle-checkable);
+    the LSH-bucketed variant is covered by tests + the ANN query."""
+    _prep(spark)
+    from .operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+            "label",
+        )
+    )
+    both = emb.unionByName(copies)
+    pairs = embedding_near_duplicates(both, dim=64, threshold=0.95, exact=True)
+    return spark.range(1).select(F.lit(pairs.count()).alias("n_pairs"))
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+WITH uni AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2.0)
+  FROM embeddings WHERE vec_id < 50
+)
+SELECT count(*) AS n_pairs
+FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -823,4 +858,5 @@ QUERIES = {
     "q21_ann_topk": (q_ann_topk, None),  # approximate — rows-only check
     "q22_pipeline_e2e": (q_pipeline_e2e, Q_PIPELINE_E2E_SQL),
     "q23_ner_scrub": (q_ner_scrub, Q_NER_SCRUB_SQL),
+    "q24_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
 }
