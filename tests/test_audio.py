@@ -96,3 +96,45 @@ def test_spark_decode_snr_passthrough(spark):
         assert row["rms"] > 0.1  # synth signal is ~0.3 RMS
         assert abs(row["dur_ms_measured"] - row["dur_ms"]) <= 1
     df.unpersist()
+
+
+def test_resample_kernel_preserves_signal():
+    from top_secret_spark.kernel.audio import resample
+
+    sr_a, sr_b = 8000, 16000
+    t = np.arange(8000) / sr_a
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    up = resample(sig, sr_a, sr_b)
+    assert len(up) == 16000
+    # upsample then downsample recovers the original well above 30 dB
+    back = resample(up, sr_b, sr_a)
+    assert snr_db(sig[10:-10], back[10:-10]) >= 30
+
+
+def test_frame_features_shape_and_level():
+    from top_secret_spark.kernel.audio import frame_features
+
+    pcm = synth_pcm(5, 16000, 16000)  # 1 s
+    frames = frame_features(pcm, 16000, frame_ms=25, hop_ms=10)
+    assert len(frames) == 1 + (16000 - 400) // 160
+    assert (frames > -40).all()  # synth signal ~0.3 RMS ≈ -10 dB
+    assert frame_features(np.empty(0, np.float32), 16000).size == 0
+
+
+def test_spark_resample_and_frames(spark):
+    from top_secret_spark.operators.audio import frame_energy_df, resampled_clips
+    from top_secret_spark.sources.clips import clips_df
+
+    clips = clips_df(spark, 30, with_audio=True, partitions=2).cache()
+    rs = resampled_clips(clips, target_sr=16000)
+    rows = rs.select("clip_id", "sr_hz", "codec").collect()
+    assert all(r["sr_hz"] == 16000 and r["codec"] == "pcm16" for r in rows)
+    assert len(rows) == 30
+
+    frames = {r["clip_id"]: r["frame_db"] for r in frame_energy_df(clips).collect()}
+    durs = {r["clip_id"]: r["dur_ms"] for r in clips.collect()}
+    for cid, fdb in frames.items():
+        if durs[cid] >= 50:
+            assert len(fdb) > 0
+            assert all(v > -60 for v in fdb)
+    clips.unpersist()

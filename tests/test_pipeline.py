@@ -138,3 +138,19 @@ def test_fused_equals_modular(spark):
         assert ra["scrubbed"] == rb["scrubbed"] and ra["mapping"] == rb["mapping"]
         assert abs(ra["ppl"] - rb["ppl"]) < 1e-9
         assert ra["n_chars"] == rb["n_chars"] and ra["n_words"] == rb["n_words"]
+
+
+def test_partition_audit_and_counters(spark):
+    from top_secret_spark.operators.fused import run_pipeline_fused
+    from top_secret_spark.pipeline import PipelineCounters, partition_audit
+
+    clips = clips_df(spark, 200, with_audio=False, partitions=4)
+    counters = PipelineCounters(spark)
+    out = run_pipeline_fused(clips, counters=counters)
+    audit = partition_audit(out).collect()
+    assert sum(r["n"] for r in audit) == 200
+    assert {r["partition_id"] for r in audit} == {0, 1, 2, 3}
+    c = counters.as_dict()
+    assert c["rows_in"] == 200
+    assert 0 < c["rows_kept"] < 200
+    assert c["rows_scrubbed"] == c["rows_kept"]

@@ -135,6 +135,38 @@ def synth_pcm(seed: int, n_samples: int, sr_hz: int) -> np.ndarray:
     return np.clip(sig, -1.0, 1.0).astype(np.float32)
 
 
+# --- resample + frame sampling (the audio analogs of image resize /
+# video frame-sample in a multimodal pipeline) ---------------------------------
+
+
+def resample(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resampling (vectorized).  Adequate for
+    feature extraction; a production pipeline would swap in a polyphase
+    filter here without touching the Spark plumbing."""
+    if sr_from == sr_to or len(pcm) == 0:
+        return pcm.astype(np.float32)
+    n_out = max(1, int(round(len(pcm) * sr_to / sr_from)))
+    x_out = np.arange(n_out, dtype=np.float64) * (sr_from / sr_to)
+    return np.interp(x_out, np.arange(len(pcm)), pcm).astype(np.float32)
+
+
+def frame_features(
+    pcm: np.ndarray, sr_hz: int, frame_ms: int = 25, hop_ms: int = 10
+) -> np.ndarray:
+    """Per-frame RMS energy (dB) over a sliding window — the classic
+    front-end framing step (frame-sampling), fully vectorized via a
+    strided view.  Returns float32[n_frames]."""
+    frame = max(1, int(sr_hz * frame_ms / 1000))
+    hop = max(1, int(sr_hz * hop_ms / 1000))
+    if len(pcm) < frame:
+        return np.empty(0, dtype=np.float32)
+    n_frames = 1 + (len(pcm) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = pcm[idx].astype(np.float64)
+    rms = np.sqrt(np.mean(frames**2, axis=1))
+    return (20.0 * np.log10(np.maximum(rms, 1e-10))).astype(np.float32)
+
+
 # --- feature extraction (vectorized per clip) ---------------------------------
 
 

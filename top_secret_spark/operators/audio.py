@@ -63,6 +63,56 @@ def with_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def resampled_clips(df: DataFrame, target_sr: int = 16000) -> DataFrame:
+    """Re-encode every clip at a uniform sample rate (decode → linear
+    resample → pcm16) — the audio 'resize'.  Output schema matches the
+    clips table with sr_hz = target_sr and codec = pcm16."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def run(iterator):
+        from ..kernel.audio import decode, encode, resample
+
+        for pdf in iterator:
+            out_bytes, out_sr = [], []
+            for data, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
+                pcm = resample(decode(bytes(data), codec), int(sr), target_sr)
+                out_bytes.append(encode(pcm, "pcm16"))
+                out_sr.append(target_sr)
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["sr_hz"] = out_sr
+            pdf["codec"] = "pcm16"
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def frame_energy_df(
+    df: DataFrame, frame_ms: int = 25, hop_ms: int = 10
+) -> DataFrame:
+    """clip_id + per-frame RMS energy in dB (the audio 'frame-sample')."""
+
+    def run(iterator):
+        import pandas as pd
+
+        from ..kernel.audio import decode, frame_features
+
+        for pdf in iterator:
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "frame_db": [
+                        frame_features(
+                            decode(bytes(b), c), int(sr), frame_ms, hop_ms
+                        ).tolist()
+                        for b, c, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema="clip_id string, frame_db array<float>")
+
+
 def decoded_pcm_df(df: DataFrame) -> DataFrame:
     """clip_id + decoded PCM as array<float> — test/verification path only."""
 

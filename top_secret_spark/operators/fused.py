@@ -56,6 +56,7 @@ def make_fused_udf(
     scrub_config: ScrubConfig = DEFAULT_CONFIG,
     thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
     scrub_dropped: bool = False,
+    counters=None,
 ):
     scrub_config.all_filters()  # plan-time label validation (op 9)
 
@@ -105,6 +106,10 @@ def make_fused_udf(
             rows["mapping"][i] = [
                 {"key": k, "value": v} for k, v in mappings[j]
             ]
+        if counters is not None:
+            counters.rows_in.add(n)
+            counters.rows_kept.add(sum(1 for k in rows["keep"] if k))
+            counters.rows_scrubbed.add(len(to_scrub))
         return pd.DataFrame(rows)
 
     return fused
@@ -116,8 +121,9 @@ def run_pipeline_fused(
     thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
     scrub_dropped: bool = False,
     text_col: str = "transcript",
+    counters=None,
 ) -> DataFrame:
-    udf = make_fused_udf(scrub_config, thresholds, scrub_dropped)
+    udf = make_fused_udf(scrub_config, thresholds, scrub_dropped, counters)
     df = clips.withColumn("_f", udf(F.col(text_col)))
     return df.withColumns(
         {name: F.col(f"_f.{name}") for name in FUSED_FIELDS}

@@ -110,6 +110,41 @@ def run_pipeline(
     return df
 
 
+def partition_audit(df: DataFrame) -> DataFrame:
+    """Per-partition audit rows (north-rule counters): how many rows each
+    physical partition produced, split by keep/drop_reason.  Written next
+    to stage lineage, this is the row-accounting trail for reruns."""
+    return (
+        df.groupBy(
+            F.spark_partition_id().alias("partition_id"),
+            F.coalesce("drop_reason", F.lit("keep")).alias("drop_reason"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+class PipelineCounters:
+    """Accumulator-backed stage counters (north-rule 'counters').
+
+    Updated inside the fused UDF via closure capture; read on the driver
+    after an action.  Accumulators are at-least-once under task retries —
+    they are MONITORING, not accounting; exact per-bucket counts live in
+    the checkpoint lineage (sources/checkpoint.py)."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.rows_in = sc.accumulator(0)
+        self.rows_kept = sc.accumulator(0)
+        self.rows_scrubbed = sc.accumulator(0)
+
+    def as_dict(self) -> dict:
+        return {
+            "rows_in": self.rows_in.value,
+            "rows_kept": self.rows_kept.value,
+            "rows_scrubbed": self.rows_scrubbed.value,
+        }
+
+
 OUTPUT_COLUMNS = [
     "clip_id",
     "keep",
