@@ -154,3 +154,30 @@ def test_partition_audit_and_counters(spark):
     assert c["rows_in"] == 200
     assert 0 < c["rows_kept"] < 200
     assert c["rows_scrubbed"] == c["rows_kept"]
+
+
+def test_salting_spreads_hot_key(spark):
+    """codec is deliberately skewed (~80% pcm16); repartitioning by codec
+    alone serializes the hot key into one partition, while the salted
+    composite key spreads it (the north-rule skew mitigation)."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.pipeline import salted
+
+    clips = clips_df(spark, 400, with_audio=False).select("clip_id", "codec")
+
+    def max_partition_frac(df):
+        sizes = (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in sizes)
+        return max(r["count"] for r in sizes) / total
+
+    plain = clips.repartition(8, F.col("codec"))
+    spread = salted(clips, id_col="clip_id", salt_mod=16).repartition(
+        8, F.col("codec"), F.col("salt")
+    )
+    assert max_partition_frac(plain) > 0.6  # hot key serialized
+    assert max_partition_frac(spread) < 0.4  # salt spreads it

@@ -57,12 +57,14 @@ def with_bucket(df: DataFrame, n_buckets: int, key: str = "clip_id") -> DataFram
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
 
 
-def salted(df: DataFrame, key: str = "clip_id", salt_mod: int = 16) -> DataFrame:
+def salted(df: DataFrame, id_col: str = "clip_id", salt_mod: int = 16) -> DataFrame:
     """Salt column for skew mitigation on hot keys (codec/duration skew):
-    composite repartition key (key, salt) splits a hot value across
-    salt_mod reducers."""
+    repartition by the composite (hot_key, salt) to split a hot value
+    across salt_mod reducers.  The salt derives from ROW IDENTITY (not
+    the hot key — all hot rows would share one salt), so it is
+    deterministic across runs/cluster sizes."""
     return df.withColumn(
-        "salt", F.pmod(F.xxhash64(F.col(key), F.lit("skew-salt")), F.lit(salt_mod))
+        "salt", F.pmod(F.xxhash64(F.col(id_col), F.lit("skew-salt")), F.lit(salt_mod))
     )
 
 
