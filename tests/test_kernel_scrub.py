@@ -223,6 +223,14 @@ def test_malformed_label_raises_at_scan():
         scan_text("x", config=cfg)
 
 
+def test_non_filter_object_raises_clear_error():
+    # text.rb:146-153 — unknown filter class raises TopSecret::Error
+    from top_secret_spark.kernel.filters import TopSecretError
+
+    with pytest.raises(TopSecretError, match="Unsupported filter type"):
+        ScrubConfig(custom_filters=(("EMAIL", "x"),)).all_filters()
+
+
 # --- pattern edge semantics -------------------------------------------------
 
 def test_phone_contiguous_10_digits_do_not_match():

@@ -1,0 +1,125 @@
+"""Multimodal (image/video) kernel + Spark operator tests.
+
+The raw_rgb8 codecs are real; jpeg/h264/... are stubbed (no decoder
+libraries in this environment) — the stub must fail loudly, and the
+Spark plumbing (schema, batch shape, determinism across partitionings)
+is tested for real.
+"""
+
+import numpy as np
+import pytest
+
+from top_secret_spark.kernel.media import (
+    decode_image,
+    decode_video,
+    encode_image,
+    encode_video,
+    image_features,
+    resize_nearest,
+    sample_frames,
+    synth_image,
+    synth_video,
+)
+
+
+def test_image_roundtrip_exact():
+    img = synth_image(7, 24, 18)
+    assert img.shape == (18, 24, 3) and img.dtype == np.uint8
+    back = decode_image(encode_image(img), "raw_rgb8", 24, 18)
+    np.testing.assert_array_equal(img, back)
+
+
+def test_video_roundtrip_and_frame_order():
+    vid = synth_video(9, 10, 8, 5)
+    back = decode_video(encode_video(vid), "raw_rgb8_frames", 10, 8, 5)
+    np.testing.assert_array_equal(vid, back)
+    # frame order is observable (brightness drifts per frame)
+    assert not np.array_equal(back[0], back[1])
+
+
+def test_stub_codecs_raise():
+    img = synth_image(1, 4, 4)
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        encode_image(img, "jpeg")
+    with pytest.raises(NotImplementedError, match="h264"):
+        decode_video(b"", "h264", 4, 4, 1)
+
+
+def test_byte_count_validation():
+    with pytest.raises(ValueError):
+        decode_image(b"\x00" * 10, "raw_rgb8", 4, 4)
+
+
+def test_resize_nearest_shape_and_identity():
+    img = synth_image(3, 16, 12)
+    small = resize_nearest(img, 8, 6)
+    assert small.shape == (6, 8, 3)
+    np.testing.assert_array_equal(resize_nearest(img, 16, 12), img)
+
+
+def test_sample_frames_count():
+    vid = synth_video(2, 6, 4, 7)
+    assert sample_frames(vid, 2).shape[0] == 4  # ceil(7/2)
+    assert sample_frames(vid, 3).shape[0] == 3
+
+
+def test_image_features_known_values():
+    img = np.full((4, 4, 3), 128, dtype=np.uint8)
+    f = image_features(img)
+    assert f["mean_r"] == 128.0 and f["brightness"] == 128.0
+    assert f["contrast"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from top_secret_spark.operators.multimodal import media_df
+
+    df = media_df(spark, 64, partitions=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_media_generation_partitioning_independent(spark, media):
+    from top_secret_spark.operators.multimodal import media_df
+
+    a = {r["media_id"]: bytes(r["bytes"]) for r in media.collect()}
+    b = {
+        r["media_id"]: bytes(r["bytes"])
+        for r in media_df(spark, 64, partitions=7).collect()
+    }
+    assert a == b
+
+
+def test_media_features_shapes_match_metadata(media):
+    from top_secret_spark.operators.multimodal import with_media_features
+
+    feats = {r["media_id"]: r for r in with_media_features(media).collect()}
+    for r in media.select("media_id", "kind", "width", "height", "n_frames").collect():
+        f = feats[r["media_id"]]
+        assert (f["dec_width"], f["dec_height"]) == (r["width"], r["height"])
+        assert f["dec_frames"] == (r["n_frames"] if r["kind"] == "video" else 1)
+        assert 0.0 <= f["brightness"] <= 255.0
+
+
+def test_resized_media_redecodes(spark, media):
+    from top_secret_spark.operators.multimodal import resized_media, with_media_features
+
+    small = resized_media(media, 5, 4)
+    feats = with_media_features(small).collect()
+    assert len(feats) == media.count()
+    assert all((f["dec_width"], f["dec_height"]) == (5, 4) for f in feats)
+
+
+def test_sampled_frames(spark, media):
+    from top_secret_spark.operators.multimodal import sampled_frames_df
+
+    frames = sampled_frames_df(media, every_k=2).collect()
+    vids = media.filter("kind = 'video'").select("media_id", "n_frames").collect()
+    expected = sum((r["n_frames"] + 1) // 2 for r in vids)
+    assert len(frames) == expected
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f["media_id"], []).append(f["frame_idx"])
+    for r in vids:
+        assert sorted(by_id[r["media_id"]]) == list(range(0, r["n_frames"], 2))

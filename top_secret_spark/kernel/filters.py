@@ -187,6 +187,14 @@ class ScrubConfig:
         active = [f for f in merged.values() if f is not None]
         active.extend(self.custom_filters)
         for f in active:
+            # unknown filter types raise here, driver-side, like the
+            # reference's dispatch raise (text.rb:146-153)
+            if not (hasattr(f, "label") and hasattr(f, "kind") and callable(getattr(f, "call", None))):
+                raise TopSecretError(
+                    f"Unsupported filter type: {type(f).__name__!s} — filters "
+                    "need label/kind attributes and a call() method "
+                    "(RegexFilter, NERFilter, or a compatible object)."
+                )
             validate_label(f.label)
         return active
 

@@ -1,0 +1,123 @@
+"""Image/video kernel: opaque-binary multimodal columns (pure numpy).
+
+The engine treats images and video as opaque ``binary`` columns with
+typed metadata (width/height/n_frames/fps/codec), mirroring how the
+audio path treats clips (kernel/audio.py).  The synthetic ``raw_rgb8``
+codec — packed uint8 RGB, row-major — is implemented for real, so the
+whole Spark-side pipeline (schema, partitioning, Arrow batch shape,
+mapInPandas signatures) is exercised end-to-end with deterministic
+bytes.  Real-world codecs (jpeg/png/h264/vp9) are STUBBED: the
+image/audio/video decoding libraries are not installed in this
+environment, so ``decode_image``/``decode_video`` raise
+NotImplementedError with a clear message for those codec tags.  The
+plumbing around the stub is the deliverable; swapping in a real decoder
+is a one-function change.
+
+No Spark imports here — unit-testable without a JVM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RAW_IMAGE_CODEC = "raw_rgb8"
+RAW_VIDEO_CODEC = "raw_rgb8_frames"
+STUB_IMAGE_CODECS = ("jpeg", "png", "webp")
+STUB_VIDEO_CODECS = ("h264", "vp9", "av1")
+
+
+def _stub_error(codec: str) -> NotImplementedError:
+    return NotImplementedError(
+        f"codec {codec!r} requires an external decoder library that is not "
+        "installed in this environment; only the deterministic "
+        f"'{RAW_IMAGE_CODEC}'/'{RAW_VIDEO_CODEC}' codecs decode here. "
+        "Plug a real decoder into kernel/media.py decode_image/decode_video."
+    )
+
+
+# --- images --------------------------------------------------------------------
+
+
+def synth_image(seed: int, width: int, height: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 image — pure function of the seed."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:height, 0:width]
+    base = (x * 7 + y * 13 + int(rng.integers(0, 251))) % 256
+    img = np.stack([base, (base * 3) % 256, (base * 5 + 17) % 256], axis=-1)
+    noise = rng.integers(0, 32, size=img.shape)
+    return ((img + noise) % 256).astype(np.uint8)
+
+
+def encode_image(img: np.ndarray, codec: str = RAW_IMAGE_CODEC) -> bytes:
+    if codec == RAW_IMAGE_CODEC:
+        return np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+    raise _stub_error(codec)
+
+
+def decode_image(data: bytes, codec: str, width: int, height: int) -> np.ndarray:
+    """binary + metadata → (h, w, 3) uint8.  Stub for non-raw codecs."""
+    if codec == RAW_IMAGE_CODEC:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.size != width * height * 3:
+            raise ValueError(
+                f"raw_rgb8 byte count {arr.size} != width*height*3 "
+                f"({width}x{height})"
+            )
+        return arr.reshape(height, width, 3)
+    raise _stub_error(codec)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resize, fully vectorized (no interpolation libs)."""
+    h0, w0 = img.shape[:2]
+    ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+    xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+    return img[ys][:, xs]
+
+
+def image_features(img: np.ndarray) -> dict:
+    f = img.astype(np.float64)
+    return {
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "mean_r": float(f[..., 0].mean()),
+        "mean_g": float(f[..., 1].mean()),
+        "mean_b": float(f[..., 2].mean()),
+        "brightness": float(f.mean()),
+        "contrast": float(f.std()),
+    }
+
+
+# --- video ---------------------------------------------------------------------
+
+
+def synth_video(seed: int, width: int, height: int, n_frames: int) -> np.ndarray:
+    """Deterministic (n, h, w, 3) uint8 frame stack."""
+    frames = [
+        # per-frame brightness drift makes frame order observable
+        ((synth_image(seed, width, height).astype(np.int32) + 11 * i) % 256)
+        for i in range(n_frames)
+    ]
+    return np.stack(frames).astype(np.uint8)
+
+
+def encode_video(frames: np.ndarray, codec: str = RAW_VIDEO_CODEC) -> bytes:
+    if codec == RAW_VIDEO_CODEC:
+        return np.ascontiguousarray(frames, dtype=np.uint8).tobytes()
+    raise _stub_error(codec)
+
+
+def decode_video(
+    data: bytes, codec: str, width: int, height: int, n_frames: int
+) -> np.ndarray:
+    if codec == RAW_VIDEO_CODEC:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.size != n_frames * width * height * 3:
+            raise ValueError("raw_rgb8_frames byte count does not match metadata")
+        return arr.reshape(n_frames, height, width, 3)
+    raise _stub_error(codec)
+
+
+def sample_frames(frames: np.ndarray, every_k: int) -> np.ndarray:
+    """Every k-th frame starting at 0 — ceil(n/k) frames out."""
+    return frames[::every_k]

@@ -834,6 +834,126 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 """
 
 
+_JACCARD_TAIL = " extra tail marker alpha beta gamma"
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Training-data op: exact n-gram (char 5-shingle) Jaccard on
+    candidate pairs — the LSH verification stage as its own query.
+    Each ASCII doc is paired with itself + a fixed tail; the engine
+    computes byte-shingle-hash Jaccard (operators/dedup.py
+    verify_pairs_jaccard), the oracle re-derives true substring-set
+    Jaccard in DuckDB.  ASCII filter keeps byte shingles == char
+    shingles so the two are comparable."""
+    _prep(spark)
+    from .operators.dedup import verify_pairs_jaccard
+
+    base = (
+        _docs(spark, sf_dir)
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") >= 20)
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    variants = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_JACCARD_TAIL)).alias("text"),
+    )
+    union = base.select("doc_id", "text").unionByName(variants)
+    pairs = base.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 10_000_000).alias("b")
+    )
+    verified = verify_pairs_jaccard(pairs, union, threshold=0.0)
+    return verified.select(
+        F.col("a").alias("doc_id"), _ppm(F.col("jaccard")).alias("jac_ppm")
+    )
+
+
+Q_NGRAM_JACCARD_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS na,
+         regexp_replace(lower(trim(text || ' extra tail marker alpha beta gamma')), '\\s+', ' ', 'g') AS nb
+  FROM documents
+  WHERE strlen(text) = length(text) AND length(text) >= 20
+  ORDER BY doc_id LIMIT 200
+),
+sha AS (SELECT DISTINCT doc_id, substr(na, i::int, 5) AS sh
+        FROM (SELECT doc_id, na, unnest(range(1, length(na) - 3)) AS i FROM base)),
+shb AS (SELECT DISTINCT doc_id, substr(nb, i::int, 5) AS sh
+        FROM (SELECT doc_id, nb, unnest(range(1, length(nb) - 3)) AS i FROM base)),
+ca AS (SELECT doc_id, count(*) AS n FROM sha GROUP BY doc_id),
+cb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+inter AS (SELECT a.doc_id, count(*) AS n FROM sha a
+          JOIN shb b ON a.doc_id = b.doc_id AND a.sh = b.sh GROUP BY a.doc_id)
+SELECT ca.doc_id AS doc_id,
+       floor(inter.n * 1e6 / (ca.n + cb.n - inter.n) + 0.5)::bigint AS jac_ppm
+FROM ca JOIN cb ON ca.doc_id = cb.doc_id JOIN inter ON inter.doc_id = ca.doc_id
+"""
+
+
+def q_fingerprint_groups(spark, sf_dir):
+    """Training-data op: 64-bit rolling-hash document fingerprinting —
+    group-size histogram over deliberately duplicated texts must equal
+    the text-equality histogram (identical text ⇒ identical fingerprint;
+    64-bit hash ⇒ no cross-text collisions at this scale)."""
+    _prep(spark)
+    from .operators.dedup import with_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id"), (F.col("doc_id") - F.col("doc_id") % 5).alias("base_id")
+    )
+    dup = base.join(
+        docs.select(F.col("doc_id").alias("base_id"), F.col("text")), "base_id"
+    ).select("doc_id", "text")
+    return (
+        with_fingerprint(dup)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+Q_FINGERPRINT_SQL = """
+WITH dup AS (
+  SELECT d1.doc_id, d2.text
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id - d1.doc_id % 5
+),
+groups AS (SELECT text, count(*) AS group_size FROM dup GROUP BY text)
+SELECT group_size, count(*) AS n_groups FROM groups GROUP BY group_size
+"""
+
+
+def q_media_decode(spark, sf_dir):
+    """Multimodal op: generate the synthetic media table (raw_rgb8
+    images + frame-stack videos), run the real decode + feature
+    extraction (operators/multimodal.py), and emit decoded shapes.  The
+    oracle re-derives the expected shapes from the generator's metadata
+    formulas — decoded-pixel-buffer shape must equal planted metadata,
+    validating the decode plumbing end-to-end."""
+    _prep(spark)
+    from .operators.multimodal import media_df, with_media_features
+
+    media = media_df(spark, 256, partitions=8)
+    return with_media_features(media).select(
+        "media_id", "kind", "dec_width", "dec_height", "dec_frames"
+    )
+
+
+Q_MEDIA_DECODE_SQL = """
+SELECT printf('media-%010d', i) AS media_id,
+       CASE WHEN i % 4 = 0 THEN 'video' ELSE 'image' END AS kind,
+       (8 + i % 16)::int AS dec_width,
+       (6 + i % 12)::int AS dec_height,
+       (CASE WHEN i % 4 = 0 THEN 2 + i % 7 ELSE 1 END)::int AS dec_frames
+FROM (SELECT unnest(range(0, 256)) AS i)
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -859,4 +979,7 @@ QUERIES = {
     "q22_pipeline_e2e": (q_pipeline_e2e, Q_PIPELINE_E2E_SQL),
     "q23_ner_scrub": (q_ner_scrub, Q_NER_SCRUB_SQL),
     "q24_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
+    "q25_ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
+    "q26_fingerprint_groups": (q_fingerprint_groups, Q_FINGERPRINT_SQL),
+    "q27_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
 }
