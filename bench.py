@@ -47,13 +47,23 @@ def main():
     from top_secret_spark.operators.dedup import near_duplicates_minhash
     from top_secret_spark.operators.scrub import with_restore, with_scrub
     from top_secret_spark.operators.similarity import brute_force_top_k
-    from top_secret_spark.pipeline import run_pipeline
+    from top_secret_spark.pipeline import PipelineConfig, run_pipeline
     from top_secret_spark.sources.clips import clips_df
     from top_secret_spark.util import ship_package
 
     ship_package(spark)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+
+    # Warm the Python workers (numpy/pandas import + model singletons) on
+    # every core before any timed section — same policy as
+    # tools/pipeline_job.py: steady-state throughput is the metric; a
+    # real 10^12-row run amortizes worker startup to nothing.
+    cores = spark.sparkContext.defaultParallelism
+    warm = clips_df(spark, cores * 64, with_audio=True, partitions=cores)
+    run_pipeline(warm, PipelineConfig(include_audio=True)).filter(
+        F.col("keep")
+    ).count()
 
     def timed(name, fn):
         t0 = time.time()
@@ -65,7 +75,6 @@ def main():
     sf_num = float(SF) if SF.replace(".", "").isdigit() else 0.1
     n_text = max(2000, int(2_000_000 * sf_num))
     n_audio = max(500, int(80_000 * sf_num))
-    cores = spark.sparkContext.defaultParallelism
 
     clips = clips_df(spark, n_text, with_audio=False, partitions=cores * 4).cache()
     n = clips.count()  # force generation outside the timed section
@@ -80,8 +89,8 @@ def main():
     aclips = clips_df(spark, n_audio, with_audio=True, partitions=cores * 2).cache()
     na = aclips.count()
     timed("pipeline_audio", lambda: run_pipeline(
-        aclips, __import__("top_secret_spark.pipeline", fromlist=["PipelineConfig"])
-        .PipelineConfig(include_audio=True)).filter(F.col("keep")).count())
+        aclips, PipelineConfig(include_audio=True)
+    ).filter(F.col("keep")).count())
     extras["pipeline_audio_clips_per_sec"] = round(na / timings["pipeline_audio"], 1)
     aclips.unpersist()
 

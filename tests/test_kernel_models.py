@@ -106,6 +106,33 @@ def test_keep_drop_reasons_priority():
     assert keep_drop(EN, "en", 0.95, 200.0, th) == (True, None)
 
 
+TOXIC = "you worthless idiot shut up you pathetic moron and loser"
+
+
+def test_toxicity_score():
+    from top_secret_spark.kernel.toxicity import toxicity_score
+
+    assert toxicity_score(TOXIC) == 6 / 10  # worthless, idiot, shut up,
+    # pathetic, moron, loser — "shut up" counts once (phrase, not words)
+    assert toxicity_score(EN) == 0.0
+    assert toxicity_score("") == 0.0
+    # word-boundary: no substring matches inside larger words
+    assert toxicity_score("idiotic freakish morons") == 0.0
+    # case-insensitive
+    assert toxicity_score("IDIOT " + "pad " * 5) > 0.08
+
+
+def test_keep_drop_toxicity_rule_and_priority():
+    th = DEFAULT_THRESHOLDS
+    assert keep_drop(TOXIC, "en", 1.0, 10.0, th) == (False, "toxicity")
+    # toxicity outranks the model rules (lang/lang_conf/perplexity)
+    assert keep_drop(TOXIC, "de", 0.1, 99999.0, th) == (False, "toxicity")
+    # one mild term diluted below threshold is kept
+    mild = ("The committee thought the plan came from an idiot but approved "
+            "the annual budget anyway after review.")
+    assert keep_drop(mild, "en", 1.0, 10.0, th) == (True, None)
+
+
 def test_word_count():
     assert word_count("a b  c\nd") == 4
     assert word_count("") == 0

@@ -20,6 +20,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from .toxicity import toxicity_score
+
 
 @dataclass(frozen=True)
 class QualityThresholds:
@@ -30,6 +32,7 @@ class QualityThresholds:
     max_digit_ratio: float = 0.30
     max_dup_line_frac: float = 0.40  # 1 - distinct_lines/lines (multi-line only)
     max_top_bigram_frac: float = 0.30  # most frequent word bigram share
+    max_toxicity: float = 0.08  # toxic-term matches / words
     min_lang_conf: float = 0.60
     allowed_langs: tuple = ("en",)
     max_ppl: float = 3000.0
@@ -43,6 +46,7 @@ class QualityThresholds:
         "digit_ratio",
         "dup_lines",
         "repetition",
+        "toxicity",
         "lang",
         "lang_conf",
         "perplexity",
@@ -117,6 +121,8 @@ def keep_drop(
         return False, "dup_lines"
     if top_bigram_frac(text) > th.max_top_bigram_frac:
         return False, "repetition"
+    if toxicity_score(text) > th.max_toxicity:
+        return False, "toxicity"
     if lang not in th.allowed_langs:
         return False, "lang"
     if lang_conf < th.min_lang_conf:

@@ -39,6 +39,7 @@ FUSED_TYPE = T.StructType(
         T.StructField("digit_ratio", T.DoubleType(), False),
         T.StructField("dup_line_frac", T.DoubleType(), False),
         T.StructField("top_bigram_frac", T.DoubleType(), False),
+        T.StructField("toxicity", T.DoubleType(), False),
         T.StructField("lang", T.StringType(), False),
         T.StructField("lang_conf", T.DoubleType(), False),
         T.StructField("ppl", T.DoubleType(), False),
@@ -70,6 +71,7 @@ def make_fused_udf(
             keep_drop,
             symbol_ratio,
             top_bigram_frac,
+            toxicity_score,
             word_count,
         )
         from ..kernel.scrub import scrub_batch
@@ -89,6 +91,7 @@ def make_fused_udf(
             rows["digit_ratio"][i] = digit_ratio(text)
             rows["dup_line_frac"][i] = dup_line_frac(text)
             rows["top_bigram_frac"][i] = top_bigram_frac(text)
+            rows["toxicity"][i] = toxicity_score(text)
             rows["lang"][i] = langs[i]
             rows["lang_conf"][i] = float(confs[i])
             rows["ppl"][i] = float(ppls[i])

@@ -54,6 +54,19 @@ def dup_line_frac_col(text) -> Column:
     )
 
 
+def toxicity_col(text) -> Column:
+    """Toxic-term matches per word ([north-rule] toxicity stage) — the
+    wordlist alternation uses only ASCII letters + \\b, which agree
+    across Python re.ASCII (kernel), Java regex (here), and RE2 (DuckDB
+    oracle)."""
+    from ..kernel.toxicity import TOXICITY_PATTERN
+
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    return F.regexp_count(F.lower(c), F.lit(TOXICITY_PATTERN)) / F.greatest(
+        n_words_col(c), F.lit(1)
+    )
+
+
 def with_quality_signals(df: DataFrame, text_col: str = "transcript") -> DataFrame:
     """Add the Catalyst-computable quality signal columns."""
     return df.withColumns(
@@ -63,6 +76,7 @@ def with_quality_signals(df: DataFrame, text_col: str = "transcript") -> DataFra
             "symbol_ratio": symbol_ratio_col(text_col),
             "digit_ratio": digit_ratio_col(text_col),
             "dup_line_frac": dup_line_frac_col(text_col),
+            "toxicity": toxicity_col(text_col),
         }
     )
 
@@ -71,7 +85,7 @@ def drop_reason_col(th: QualityThresholds = DEFAULT_THRESHOLDS) -> Column:
     """First failing rule in kernel priority order (quality.py REASONS).
 
     Expects columns: n_chars, n_words, symbol_ratio, digit_ratio,
-    dup_line_frac, top_bigram_frac, lang, lang_conf, ppl."""
+    dup_line_frac, top_bigram_frac, toxicity, lang, lang_conf, ppl."""
     return (
         F.when(F.col("n_chars") < th.min_chars, "too_short")
         .when(F.col("n_chars") > th.max_chars, "too_long")
@@ -80,6 +94,7 @@ def drop_reason_col(th: QualityThresholds = DEFAULT_THRESHOLDS) -> Column:
         .when(F.col("digit_ratio") > th.max_digit_ratio, "digit_ratio")
         .when(F.col("dup_line_frac") > th.max_dup_line_frac, "dup_lines")
         .when(F.col("top_bigram_frac") > th.max_top_bigram_frac, "repetition")
+        .when(F.col("toxicity") > th.max_toxicity, "toxicity")
         .when(~F.col("lang").isin(*th.allowed_langs), "lang")
         .when(F.col("lang_conf") < th.min_lang_conf, "lang_conf")
         .when(F.col("ppl") > th.max_ppl, "perplexity")

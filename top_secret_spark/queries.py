@@ -26,6 +26,7 @@ from .kernel.patterns import (
     SSN_PATTERN,
 )
 from .kernel.quality import QualityThresholds
+from .kernel.toxicity import TOXICITY_PATTERN
 
 # ---------------------------------------------------------------------------
 # shared derivation: a clips-shaped transcript from documents, one SQL
@@ -63,6 +64,7 @@ EMAIL_SQL = _sq(EMAIL_PATTERN)
 PHONE_SQL = _sq(PHONE_PATTERN)
 SSN_SQL = _sq(SSN_PATTERN)
 CC_SQL = _sq(CREDIT_CARD_PATTERN)
+TOX_SQL = _sq(TOXICITY_PATTERN)
 
 # thresholds with the model-based rules disabled → keep/drop is fully
 # SQL-expressible for the oracle (the model rules are gated in pytest
@@ -310,6 +312,7 @@ reasons AS (
     WHEN symbol_ratio > 0.30 THEN 'symbol_ratio'
     WHEN digit_ratio > 0.30 THEN 'digit_ratio'
     WHEN len(lines) >= 2 AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) > 0.40 THEN 'dup_lines'
+    WHEN len(regexp_extract_all(lower(tr), '{TOX_SQL}')) * 1.0 / greatest(n_words, 1) > 0.08 THEN 'toxicity'
     ELSE 'keep' END AS drop_reason
   FROM sig
 )
@@ -752,7 +755,8 @@ flags AS (
   SELECT doc_id, transcript,
     (n_chars >= 20 AND n_chars <= 100000 AND n_words >= 4
      AND symbol_ratio <= 0.30 AND digit_ratio <= 0.30
-     AND NOT (len(lines) >= 2 AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) > 0.40)) AS keep
+     AND NOT (len(lines) >= 2 AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) > 0.40)
+     AND len(regexp_extract_all(lower(transcript), '{TOX_SQL}')) * 1.0 / greatest(n_words, 1) <= 0.08) AS keep
   FROM sig
 )
 SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep,
@@ -954,6 +958,59 @@ FROM (SELECT unnest(range(0, 256)) AS i)
 """
 
 
+TOXIC_PLANT_SQL = """
+CASE cast(doc_id % 3 as int)
+  WHEN 0 THEN 'you worthless idiot shut up you pathetic moron and loser'
+  WHEN 1 THEN 'The committee thought the plan came from an idiot but approved the annual budget anyway after review.'
+  ELSE 'The committee will meet on Tuesday to review the annual budget and the hiring plan.'
+END
+""".strip()
+
+
+def q_toxicity(spark, sf_dir):
+    """[north-rule] toxicity stage: dictionary scorer + keep/drop rule.
+    Planted rows: heavy abuse (score 0.6 → dropped as 'toxicity'), one
+    mild term diluted below threshold (kept), clean (kept).  The oracle
+    recomputes the score with the same wordlist alternation in RE2."""
+    _prep(spark)
+    from .pipeline import PipelineConfig, run_pipeline
+
+    clips = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.expr(TOXIC_PLANT_SQL).alias("transcript"),
+    )
+    out = run_pipeline(clips, PipelineConfig(thresholds=SQL_ONLY_THRESHOLDS))
+    return (
+        out.groupBy(F.coalesce("drop_reason", F.lit("keep")).alias("drop_reason"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_ppm(F.col("toxicity"))).alias("tox_ppm_sum"),
+        )
+    )
+
+
+Q_TOXICITY_SQL = f"""
+WITH t AS (SELECT doc_id, {TOXIC_PLANT_SQL} AS transcript FROM documents),
+sig AS (
+  SELECT doc_id, transcript,
+    CASE WHEN trim(transcript) = '' THEN 0
+         ELSE len(string_split_regex(trim(transcript), '\\s+')) END AS n_words,
+    len(regexp_extract_all(lower(transcript), '{TOX_SQL}')) AS tox_hits
+  FROM t
+),
+scored AS (
+  SELECT doc_id,
+    tox_hits * 1.0 / greatest(n_words, 1) AS toxicity,
+    CASE WHEN tox_hits * 1.0 / greatest(n_words, 1) > 0.08
+         THEN 'toxicity' ELSE 'keep' END AS drop_reason
+  FROM sig
+)
+SELECT drop_reason, count(*) AS n,
+       sum(floor(toxicity * 1e6 + 0.5)::bigint) AS tox_ppm_sum
+FROM scored GROUP BY drop_reason
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -982,4 +1039,5 @@ QUERIES = {
     "q25_ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
     "q26_fingerprint_groups": (q_fingerprint_groups, Q_FINGERPRINT_SQL),
     "q27_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
+    "q28_toxicity": (q_toxicity, Q_TOXICITY_SQL),
 }
