@@ -69,8 +69,10 @@ _SHINGLE_BUCKETS = 1 << 32
 
 def _minhash_params(num_hashes: int, seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    # odd uint64 multipliers → multiply-shift universal hash family; ~20x
+    # cheaper than affine-mod-Mersenne (no 64-bit modulo in the hot loop)
+    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
     return a, b
 
 
@@ -78,8 +80,10 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
     """MinHash signature UDF: text → array<long> of length num_hashes.
 
     Char-k-gram shingles over normalized text, hashed to 32 bits, then
-    num_hashes independent affine permutations (a*x+b mod Mersenne-61).
-    Deterministic: params derive from the seed only."""
+    num_hashes independent multiply-shift permutations
+    ((a*x+b) mod 2^64 >> 3, odd a).  Deterministic: params derive from
+    the seed only, so signatures are identical across partitions,
+    retries, and cluster sizes."""
     a, b = _minhash_params(num_hashes, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))
@@ -89,20 +93,29 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
         normed = [" ".join((t or "").lower().split()) for t in texts.tolist()]
         data, lengths = encode_batch(normed)
         doc_idx, h = ngram_hashes(data, lengths, shingle_k, _SHINGLE_BUCKETS)
-        sigs = np.full((len(normed), num_hashes), _MERSENNE, dtype=np.int64)
+        # sentinel > any (a*x+b) >> 3 value (which is < 2^61) — fits int64
+        sigs = np.full((len(normed), num_hashes), 1 << 62, dtype=np.int64)
         if len(h):
-            # distinct shingles per doc, then affine-permute and min-reduce
+            # distinct shingles per doc, then permute and min-reduce
             order = np.lexsort((h, doc_idx))
             d_s, h_s = doc_idx[order], h[order]
             keep = np.ones(len(h_s), dtype=bool)
             keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-            d_s, h_s = d_s[keep], h_s[keep]
-            # (n_shingles, num_hashes) in manageable chunks
-            for start in range(0, len(h_s), 65536):
-                hs = h_s[start : start + 65536]
+            d_s = d_s[keep]
+            h_u = h_s[keep].astype(np.uint64)
+            # (n_shingles, num_hashes) in manageable chunks; d_s is sorted,
+            # so per-doc mins come from one reduceat over segment starts
+            # (np.minimum.at scatter is ~30x slower — measured)
+            for start in range(0, len(h_u), 65536):
+                hs = h_u[start : start + 65536]
                 ds = d_s[start : start + 65536]
-                vals = (hs[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                np.minimum.at(sigs, ds, vals)
+                vals = (
+                    (hs[:, None] * a[None, :] + b[None, :]) >> np.uint64(3)
+                ).astype(np.int64)
+                seg = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+                seg_min = np.minimum.reduceat(vals, seg, axis=0)
+                docs = ds[seg]  # unique within the chunk
+                sigs[docs] = np.minimum(sigs[docs], seg_min)
         return pd.Series(list(sigs))
 
     return minhash
@@ -124,15 +137,23 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split the signature into `bands` rows-per-band chunks,
-    hash each chunk, self-join docs sharing any (band, hash) bucket →
+    hash each chunk, self-join ids sharing any (band, hash) bucket →
     distinct (a, b) candidate pairs with a < b.
 
     The shuffle key is (band, bucket_hash) — small and well distributed;
-    the self-join happens inside buckets via collect_list, so skew is
-    bounded by bucket size (near-identical corpora would need a bucket
-    cap; see max_bucket)."""
+    pair expansion is a codegen'd self-JOIN on the bucket key (not an
+    in-expression nested loop), so a giant bucket is handled by the join
+    machinery and AQE skew splitting instead of one quadratic expression
+    evaluated on a single row.  ``max_bucket`` (optional, off by default)
+    drops buckets larger than the cap — complete subgraphs of
+    near-identical docs, better collapsed by exact dedup first; callers
+    that cap should count dropped buckets via
+    ``lsh_oversize_buckets(sig_df, ...)`` and surface the number, never
+    cap silently.
+    """
     sig = F.col(sig_col)
     n = F.size(sig)
     rows_per_band = (n / bands).cast("int")
@@ -145,25 +166,51 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    buckets = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    ).filter(F.size("ids") > 1)
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
+    if max_bucket is not None:
+        counts = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = banded.join(
+            F.broadcast(counts.filter(F.col("_bn") <= max_bucket)),
+            ["band", "bucket"],
+        ).drop("_bn")
+    left = banded.select("band", "bucket", F.col(id_col).alias("a"))
+    right = banded.select("band", "bucket", F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def lsh_oversize_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """(band, bucket, n) rows for buckets a ``max_bucket`` cap would drop
+    — the accounting side of capped candidate generation."""
+    sig = F.col(sig_col)
+    n = F.size(sig)
+    rows_per_band = (n / bands).cast("int")
+    return (
+        sig_df.select(
+            F.posexplode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda other: F.struct(
-                            F.col("ids")[i].alias("a"), other.alias("b")
-                        ),
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.xxhash64(
+                        F.slice(sig, i * rows_per_band + 1, rows_per_band), i
                     ),
                 )
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
-    return pairs
+            ).alias("band", "bucket")
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
 
 
 def minhash_similarity_col(sig_a, sig_b):
@@ -172,28 +219,54 @@ def minhash_similarity_col(sig_a, sig_b):
                            lambda v: v)) / F.size(sig_a)
 
 
+def _auto_bands(num_hashes: int, threshold: float) -> int:
+    """Pick the band count whose S-curve knee (1/b)^(1/r) sits at or just
+    below the threshold (recall-preserving): larger rows-per-band r
+    sharply cuts sub-threshold candidate collisions — at web scale the
+    candidate volume, not the signature pass, is the cost driver."""
+    best = num_hashes  # r=1 fallback (knee ~ 1/num_hashes: recall-max)
+    for r in range(num_hashes, 0, -1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if b >= 2 and (1.0 / b) ** (1.0 / r) <= threshold:
+            return b
+    return best
+
+
 def near_duplicates_minhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
     signature-estimated Jaccard filter → (a, b, est_jaccard).
 
     Signatures are computed once and persisted — they feed candidate
     generation AND both sides of the pair join; without the persist the
-    (expensive) signature UDF would run three times."""
+    (expensive) signature UDF would run three times.  Candidate pairs
+    are persisted too: both verify-join inputs reference them, and
+    recomputing candidates means redoing the LSH shuffle."""
     from pyspark import StorageLevel
+
+    # A small parquet scan can land in fewer splits than cores, which
+    # would serialize the signature UDF; spread it first.  At 100 TB the
+    # scan already yields >> cores splits and this is a no-op.
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
 
     sigs = (
         with_minhash(df, text_col, num_hashes)
         .select(id_col, "minhash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands=bands or _auto_bands(num_hashes, threshold)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sa = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
     return (
