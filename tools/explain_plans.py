@@ -114,14 +114,19 @@ def main():
 
     nd_plan = explain_str(near_duplicates_minhash(docs.limit(200)))
     sections.append((
-        "MinHash near-dup (signatures → LSH buckets → pair join)",
+        "MinHash near-dup (signatures → LSH bucket self-join → verify)",
         nd_plan,
         "- The expensive signature UDF runs once (persisted `InMemoryRelation`)\n"
-        "  and feeds candidate generation AND both join sides.\n"
+        "  and feeds candidate generation AND both verify-join sides; the\n"
+        "  candidate pairs are persisted too (both joins reference them).\n"
+        "- Candidate expansion is a codegen'd self-JOIN on (band, bucket)\n"
+        "  — a giant near-duplicate bucket becomes join work that AQE can\n"
+        "  skew-split, not one quadratic expression on a single row.\n"
         "- Shuffles carry (band, bucket-hash) and fixed-width signature arrays\n"
         "  — document text never moves.\n"
-        "- Pair joins on `a`/`b` go through AQE; with a small candidate set\n"
-        "  they resolve to broadcast joins at runtime.",
+        "- Band count auto-tunes to the threshold's S-curve knee, so\n"
+        "  sub-threshold collisions (the candidate-volume cost driver at\n"
+        "  100 TB) are suppressed before any join happens.",
     ))
 
     lines = [
