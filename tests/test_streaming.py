@@ -69,3 +69,47 @@ def test_keep_drop_counters_plan(spark, tmp_path):
     # right rather than row contents
     df = spark.sql("select * from kd_counters")
     assert df.columns == ["window_start", "window_end", "drop_reason", "n"]
+
+
+def test_dedup_stream_first_seen_wins(spark, tmp_path):
+    from top_secret_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "in3")
+    # 90 rows but only 30 distinct texts (3 copies each)
+    clips = clips_df(spark, 30, with_audio=False)
+    tripled = clips.unionByName(
+        clips.withColumn("clip_id", F.concat(F.col("clip_id"), F.lit("-b")))
+    ).unionByName(
+        clips.withColumn("clip_id", F.concat(F.col("clip_id"), F.lit("-c")))
+    )
+    tripled.write.mode("overwrite").parquet(src)
+
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from dedup_stream_t").collect()
+    n_distinct_texts = tripled.select("transcript").distinct().count()
+    assert len(rows) == n_distinct_texts
+    # every emitted transcript is unique and came from the input
+    texts = [r["transcript"] for r in rows]
+    assert len(set(texts)) == len(texts)
+    input_ids = {r["clip_id"] for r in tripled.collect()}
+    assert all(r["clip_id"] in input_ids for r in rows)
+
+
+def test_dedup_stream_rejects_batch_frame(spark):
+    from top_secret_spark.streaming import dedup_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        dedup_stream(clips_df(spark, 5, with_audio=False))

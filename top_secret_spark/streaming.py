@@ -33,6 +33,75 @@ def scrub_stream(
     return run_pipeline_fused(stream, scrub_config, thresholds, text_col=text_col)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "transcript",
+    state_ttl: str | None = "30 minutes",
+) -> DataFrame:
+    """Stateful streaming exact-dedup: first-seen row per content
+    fingerprint wins; later arrivals (same or later micro-batches) are
+    dropped.  Custom stateful operator via ``applyInPandasWithState`` —
+    state is one counter per fingerprint, grouped so each key's state
+    lives on one executor; ``state_ttl`` bounds state size for unbounded
+    streams (ProcessingTimeTimeout evicts idle fingerprints, after which
+    a re-arrival would be emitted again — the standard TTL trade-off).
+
+    At 10^12-row scale the shuffle key is the 64-bit fingerprint, never
+    the document body, mirroring the batch dedup invariant
+    (operators/dedup.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .operators.text_analysis import fingerprint_udf
+
+    if not stream.isStreaming:
+        raise ValueError("dedup_stream expects a streaming DataFrame")
+
+    with_fp = stream.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+    out_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in with_fp.schema
+    )
+    ttl_ms = None
+    if state_ttl is not None:
+        num, unit = state_ttl.split()
+        ttl_ms = int(num) * {
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+        }[unit]
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        emitted = not state.exists
+        first = None
+        n = 0 if not state.exists else state.get[0]
+        for pdf in pdfs:
+            if emitted and first is None and len(pdf):
+                first = pdf.iloc[[0]]
+            n += len(pdf)
+        state.update((n,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if first is not None:
+            yield first
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return with_fp.groupBy("fingerprint").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_ddl,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def keep_drop_counters(
     scrubbed_stream: DataFrame,
     ts_col: str = "ts",
