@@ -147,6 +147,51 @@ def test_ann_top_k_finds_self_and_subsets_brute_force(spark, embeddings):
         assert exact[vid] == pytest.approx(score, abs=1e-6)
 
 
+def test_ivf_top_k_recall_and_determinism(spark, embeddings):
+    from top_secret_spark.operators.similarity import (
+        brute_force_top_k,
+        ivf_top_k,
+        train_ivf_centroids,
+        with_ivf_cell,
+    )
+
+    cents = train_ivf_centroids(embeddings, dim=64, n_cells=16)
+    cents2 = train_ivf_centroids(embeddings, dim=64, n_cells=16)
+    np.testing.assert_array_equal(cents, cents2)  # deterministic training
+
+    # cell assignment is partitioning-independent
+    a = {r["vec_id"]: r["ivf_cell"]
+         for r in with_ivf_cell(embeddings, cents).collect()}
+    b = {r["vec_id"]: r["ivf_cell"]
+         for r in with_ivf_cell(embeddings.repartition(7), cents).collect()}
+    assert a == b and len(set(a.values())) > 1
+
+    rows = [(r["vec_id"], r["embedding"]) for r in embeddings.collect()]
+    queries = [(0, rows[42][1]), (1, rows[7][1])]
+    got = ivf_top_k(embeddings, queries, cents, k=10, nprobe=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], {})[r["vec_id"]] = r["score"]
+    # self-vector found with score 1.0 (its own cell is always probed)
+    assert by_q[0].get(42) == pytest.approx(1.0, abs=1e-6)
+    assert by_q[1].get(7) == pytest.approx(1.0, abs=1e-6)
+    # subset property + decent recall vs exact top-10
+    bf = brute_force_top_k(embeddings, queries, k=10).collect()
+    exact_by_q = {}
+    for r in bf:
+        exact_by_q.setdefault(r["query_id"], {})[r["vec_id"]] = r["score"]
+    bf500 = brute_force_top_k(embeddings, queries, k=500).collect()
+    exact_all = {}
+    for r in bf500:
+        exact_all.setdefault(r["query_id"], {})[r["vec_id"]] = r["score"]
+    for qid in (0, 1):
+        overlap = set(by_q[qid]) & set(exact_by_q[qid])
+        assert len(overlap) >= 5  # recall@10 >= 0.5 with nprobe=4/16
+        for vid, score in by_q[qid].items():
+            # every IVF score equals the exact cosine (subset search)
+            assert exact_all[qid][vid] == pytest.approx(score, abs=1e-6)
+
+
 def test_lsh_bucket_deterministic(spark, embeddings):
     from top_secret_spark.operators.similarity import with_lsh_bucket
 

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
   * brute-force cosine top-k — the exact baseline: query vectors are
     broadcast (numpy matrix inside the UDF closure), each Arrow batch is
     one matmul, global top-k = per-partition top-k then a tiny final
@@ -10,8 +10,13 @@ Two paths:
     sign-bit sketches bucket the corpus; queries probe only their bucket
     (plus multi-probe neighbors), turning top-k into a bucket-local
     matmul.  The scale path when the corpus itself is 10^11 vectors.
+  * IVF (inverted-file) ANN — deterministic k-means coarse quantizer;
+    queries probe the nprobe nearest cells only.  With the index table
+    partitioned by cell, the probe filter becomes partition pruning at
+    the scan.
 
-Both are deterministic: hyperplanes derive from a fixed seed.
+All are deterministic: hyperplanes/centroid training derive from fixed
+seeds and id-ordered samples.
 """
 
 from __future__ import annotations
@@ -159,4 +164,91 @@ def ann_top_k(
 
     bucketed = with_lsh_bucket(df, dim, emb_col, n_bits)
     probed = bucketed.filter(F.col("lsh_bucket").isin(*[int(b) for b in probe_buckets]))
+    return brute_force_top_k(probed, queries, k, id_col, emb_col)
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: k-means on a fixed, id-ordered
+    sample (first `sample` rows by id — reproducible across partitionings
+    and cluster sizes, unlike rdd.takeSample).  Lloyd iterations run on
+    the driver in numpy (sample is tiny); the resulting (n_cells, dim)
+    matrix is broadcast inside UDF closures.  This is the index-build
+    stage of IVF: at 10^11 vectors you train once on a sample and write
+    `cell` as a partition column of the index table."""
+    rows = (
+        df.orderBy(id_col).limit(sample).select(emb_col).collect()
+    )
+    mat = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def make_ivf_cell_udf(centroids: np.ndarray):
+    """embedding → nearest-centroid cell id (one matmul per Arrow batch)."""
+
+    @pandas_udf(T.IntegerType())
+    def cell(embs: pd.Series) -> pd.Series:
+        mat = np.array(embs.tolist(), dtype=np.float64)
+        if mat.ndim != 2 or len(mat) == 0:
+            return pd.Series([0] * len(embs), dtype="int32")
+        sims = _normalize_rows(mat) @ centroids.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return cell
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding"
+) -> DataFrame:
+    return df.withColumn("ivf_cell", make_ivf_cell_udf(centroids)(F.col(emb_col)))
+
+
+def ivf_top_k(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only corpus rows whose cell is among each query's
+    `nprobe` nearest centroids, exact cosine within the probed cells.
+
+    The probed-cell set is a tiny broadcast IN-list filter ahead of the
+    scoring UDF; with the index table partitioned by `ivf_cell`, that
+    filter becomes partition PRUNING — the scan itself skips
+    (n_cells - nprobe)/n_cells of the corpus, which is the entire point
+    of IVF at 10^11 vectors."""
+    qmat = _normalize_rows(
+        np.array([q[1] for q in queries], dtype=np.float64)
+    )
+    sims = qmat @ centroids.T  # (n_queries, n_cells)
+    probe = set()
+    for row in sims:
+        for c in np.argsort(-row)[:nprobe]:
+            probe.add(int(c))
+
+    celled = with_ivf_cell(df, centroids, emb_col)
+    probed = celled.filter(F.col("ivf_cell").isin(*sorted(probe)))
     return brute_force_top_k(probed, queries, k, id_col, emb_col)

@@ -1011,6 +1011,26 @@ FROM scored GROUP BY drop_reason
 """
 
 
+def q_ivf_ann(spark, sf_dir):
+    """Training-data op: IVF ANN — deterministic k-means coarse quantizer,
+    nprobe-nearest-cell probe, exact cosine within probed cells.  No SQL
+    oracle (approximate + centroid training is not SQL-expressible);
+    recall/subset/determinism invariants are pytest-gated
+    (tests/test_dedup_similarity.py)."""
+    _prep(spark)
+    from .operators.similarity import ivf_top_k, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    cents = train_ivf_centroids(emb, dim=64, n_cells=16)
+    return ivf_top_k(emb, queries, cents, k=5, nprobe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1040,4 +1060,5 @@ QUERIES = {
     "q26_fingerprint_groups": (q_fingerprint_groups, Q_FINGERPRINT_SQL),
     "q27_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     "q28_toxicity": (q_toxicity, Q_TOXICITY_SQL),
+    "q29_ivf_ann": (q_ivf_ann, None),  # approximate — rows-only check
 }
