@@ -44,8 +44,8 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 20
     missing = set(oracles) - set(qs)
     assert not missing
-    # only the approximate ANN query may omit its oracle
-    assert set(qs) - set(oracles) == {"q21_ann_topk"}
+    # only the approximate ANN queries may omit their oracle
+    assert set(qs) - set(oracles) == {"q21_ann_topk", "q29_ivf_ann"}
 
 
 @pytest.mark.parametrize("name", [

@@ -94,6 +94,47 @@ def word_count(text: str) -> int:
     return len(_WORD_RE.findall(text or ""))
 
 
+def keep_drop_from_signals(
+    n_chars: int,
+    n_words: int,
+    symbol_ratio: float,
+    digit_ratio: float,
+    dup_line_frac: float,
+    top_bigram_frac: float,
+    toxicity: float,
+    lang: str,
+    lang_conf: float,
+    ppl: float,
+    th: QualityThresholds = DEFAULT_THRESHOLDS,
+) -> tuple[bool, str | None]:
+    """Threshold chain over precomputed signals — the decision core.
+    Callers that already materialized the signal columns (the fused UDF,
+    the Catalyst path) use this directly so no signal is computed twice."""
+    if n_chars < th.min_chars:
+        return False, "too_short"
+    if n_chars > th.max_chars:
+        return False, "too_long"
+    if n_words < th.min_words:
+        return False, "too_few_words"
+    if symbol_ratio > th.max_symbol_ratio:
+        return False, "symbol_ratio"
+    if digit_ratio > th.max_digit_ratio:
+        return False, "digit_ratio"
+    if dup_line_frac > th.max_dup_line_frac:
+        return False, "dup_lines"
+    if top_bigram_frac > th.max_top_bigram_frac:
+        return False, "repetition"
+    if toxicity > th.max_toxicity:
+        return False, "toxicity"
+    if lang not in th.allowed_langs:
+        return False, "lang"
+    if lang_conf < th.min_lang_conf:
+        return False, "lang_conf"
+    if ppl > th.max_ppl:
+        return False, "perplexity"
+    return True, None
+
+
 def keep_drop(
     text: str,
     lang: str,
@@ -106,27 +147,16 @@ def keep_drop(
     Returns (keep, drop_reason); drop_reason is None when kept.
     """
     text = text or ""
-    n = len(text)
-    if n < th.min_chars:
-        return False, "too_short"
-    if n > th.max_chars:
-        return False, "too_long"
-    if word_count(text) < th.min_words:
-        return False, "too_few_words"
-    if symbol_ratio(text) > th.max_symbol_ratio:
-        return False, "symbol_ratio"
-    if digit_ratio(text) > th.max_digit_ratio:
-        return False, "digit_ratio"
-    if dup_line_frac(text) > th.max_dup_line_frac:
-        return False, "dup_lines"
-    if top_bigram_frac(text) > th.max_top_bigram_frac:
-        return False, "repetition"
-    if toxicity_score(text) > th.max_toxicity:
-        return False, "toxicity"
-    if lang not in th.allowed_langs:
-        return False, "lang"
-    if lang_conf < th.min_lang_conf:
-        return False, "lang_conf"
-    if ppl > th.max_ppl:
-        return False, "perplexity"
-    return True, None
+    return keep_drop_from_signals(
+        len(text),
+        word_count(text),
+        symbol_ratio(text),
+        digit_ratio(text),
+        dup_line_frac(text),
+        top_bigram_frac(text),
+        toxicity_score(text),
+        lang,
+        lang_conf,
+        ppl,
+        th,
+    )

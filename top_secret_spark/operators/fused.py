@@ -68,7 +68,7 @@ def make_fused_udf(
         from ..kernel.quality import (
             digit_ratio,
             dup_line_frac,
-            keep_drop,
+            keep_drop_from_signals,
             symbol_ratio,
             top_bigram_frac,
             toxicity_score,
@@ -95,8 +95,18 @@ def make_fused_udf(
             rows["lang"][i] = langs[i]
             rows["lang_conf"][i] = float(confs[i])
             rows["ppl"][i] = float(ppls[i])
-            keep, reason = keep_drop(
-                text, langs[i], float(confs[i]), float(ppls[i]), thresholds
+            keep, reason = keep_drop_from_signals(
+                rows["n_chars"][i],
+                rows["n_words"][i],
+                rows["symbol_ratio"][i],
+                rows["digit_ratio"][i],
+                rows["dup_line_frac"][i],
+                rows["top_bigram_frac"][i],
+                rows["toxicity"][i],
+                langs[i],
+                float(confs[i]),
+                float(ppls[i]),
+                thresholds,
             )
             rows["keep"][i] = keep
             rows["drop_reason"][i] = reason
