@@ -63,38 +63,52 @@ def make_fused_udf(
 
     @pandas_udf(FUSED_TYPE)
     def fused(texts: pd.Series) -> pd.DataFrame:
+        import re
+
         from ..kernel.langid import detect_batch
         from ..kernel.perplexity import perplexity_batch
         from ..kernel.quality import (
-            digit_ratio,
             dup_line_frac,
             keep_drop_from_signals,
-            symbol_ratio,
             top_bigram_frac,
-            toxicity_score,
-            word_count,
         )
         from ..kernel.scrub import scrub_batch
+        from ..kernel.toxicity import TOXICITY_PATTERN
 
         t = texts.tolist()
         langs, confs = detect_batch(t)
         ppls = perplexity_batch(t)
 
         n = len(t)
+        # cheap per-char signals vectorized via pandas .str (same `re`
+        # engine as the kernel functions, so semantics are identical);
+        # dup_line_frac / top_bigram_frac need per-row set/dict work and
+        # stay in the loop
+        s = texts.fillna("")
+        n_chars_v = s.str.len().to_numpy()
+        n_words_v = s.str.count(r"\S+").to_numpy()
+        denom = n_chars_v.clip(min=1)
+        symbol_v = (n_chars_v - s.str.count(r"[A-Za-z0-9\s]").to_numpy()) / denom
+        digit_v = s.str.count(r"[0-9]").to_numpy() / denom
+        tox_v = (
+            s.str.lower().str.count(TOXICITY_PATTERN, flags=re.ASCII).to_numpy()
+            / n_words_v.clip(min=1)
+        )
+
         rows = {k: [None] * n for k in FUSED_FIELDS}
+        rows["n_chars"] = [int(x) for x in n_chars_v]
+        rows["n_words"] = [int(x) for x in n_words_v]
+        rows["symbol_ratio"] = [float(x) for x in symbol_v]
+        rows["digit_ratio"] = [float(x) for x in digit_v]
+        rows["toxicity"] = [float(x) for x in tox_v]
+        rows["lang"] = list(langs)
+        rows["lang_conf"] = [float(c) for c in confs]
+        rows["ppl"] = [float(p) for p in ppls]
         to_scrub: list[int] = []
         for i in range(n):
             text = t[i] or ""
-            rows["n_chars"][i] = len(text)
-            rows["n_words"][i] = word_count(text)
-            rows["symbol_ratio"][i] = symbol_ratio(text)
-            rows["digit_ratio"][i] = digit_ratio(text)
             rows["dup_line_frac"][i] = dup_line_frac(text)
             rows["top_bigram_frac"][i] = top_bigram_frac(text)
-            rows["toxicity"][i] = toxicity_score(text)
-            rows["lang"][i] = langs[i]
-            rows["lang_conf"][i] = float(confs[i])
-            rows["ppl"][i] = float(ppls[i])
             keep, reason = keep_drop_from_signals(
                 rows["n_chars"][i],
                 rows["n_words"][i],
@@ -104,8 +118,8 @@ def make_fused_udf(
                 rows["top_bigram_frac"][i],
                 rows["toxicity"][i],
                 langs[i],
-                float(confs[i]),
-                float(ppls[i]),
+                rows["lang_conf"][i],
+                rows["ppl"][i],
                 thresholds,
             )
             rows["keep"][i] = keep
