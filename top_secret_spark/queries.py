@@ -566,17 +566,18 @@ def q_audio_decode(spark, sf_dir):
             n_ok = 0
             n_snr = 0
             n_txt = 0
-            for _, row in pdf.iterrows():
-                r = int(row["clip_id"].split("-")[1])
-                pcm = decode(bytes(row["bytes"]), row["codec"])
+            for clip_id, data, codec, sr_hz, transcript in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"],
+                pdf["sr_hz"], pdf["transcript"],
+            ):
+                r = int(clip_id.split("-")[1])
+                pcm = decode(bytes(data), codec)
                 n_ok += 1
-                ref = synth_pcm(
-                    SEED * 7_000_003 + r, len(pcm), int(row["sr_hz"])
-                )
+                ref = synth_pcm(SEED * 7_000_003 + r, len(pcm), int(sr_hz))
                 if snr_db(ref, pcm) >= 30.0:
                     n_snr += 1
                 exp = rows_for_range(r, r + 1, with_audio=False)
-                if exp["transcript"].iloc[0] == row["transcript"]:
+                if exp["transcript"].iloc[0] == transcript:
                     n_txt += 1
             yield pd.DataFrame(
                 {"n_ok": [n_ok], "n_snr_ok": [n_snr], "n_transcript_ok": [n_txt]}
