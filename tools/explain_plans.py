@@ -89,6 +89,9 @@ def main():
     sections.append((
         "Batch global-label assignment (the engine's only shuffle)",
         gm_plan,
+        "- ONE ArrowEvalPython: posexplode_outer avoids the generator\n"
+        "  pre-filter that would re-evaluate the scrub UDF (see\n"
+        "  operators/batch.py).\n"
         "- Exactly one `Exchange hashpartitioning(value…)` for the\n"
         "  groupBy(value) first-seen aggregation (high-cardinality key — well\n"
         "  distributed), then one `Exchange hashpartitioning(label_type…)` +\n"

@@ -44,10 +44,17 @@ def global_mapping_df(scrubbed: DataFrame, order_col: str = "msg_idx") -> DataFr
     global_mapping.rb:26-47 + label_sequence.rb:14-25: values numbered by
     first appearance in (message order, entry order); the type comes from
     the key at that first occurrence."""
+    # posexplode_outer, NOT posexplode: the non-outer generator makes
+    # Catalyst push a size(mapping)>0 pre-filter BELOW the Generate,
+    # which references the scrub UDF separately from the projection and
+    # splits the plan into TWO ArrowEvalPython stages — the whole scrub
+    # would run twice.  Outer explode needs no pre-filter; empty
+    # mappings yield one null entry dropped right after, on the already-
+    # computed column.
     entries = scrubbed.select(
         F.col(order_col).alias("_msg"),
-        F.posexplode("mapping").alias("_entry", "e"),
-    ).select(
+        F.posexplode_outer("mapping").alias("_entry", "e"),
+    ).filter(F.col("e").isNotNull()).select(
         "_msg",
         "_entry",
         F.col("e.key").alias("key"),
