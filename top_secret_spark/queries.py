@@ -144,7 +144,10 @@ def q_category_extract_counts(spark, sf_dir):
         "mapping", make_scan_udf()(F.col("transcript"))
     )
     return (
-        df.select(F.explode("mapping").alias("e"))
+        # explode_outer: plain explode pushes a size>0 pre-filter under
+        # the Generate and re-evaluates the scan UDF (see operators/batch.py)
+        df.select(F.explode_outer("mapping").alias("e"))
+        .filter(F.col("e").isNotNull())
         .select(
             F.lower(F.regexp_replace(F.col("e.key"), "_[0-9]+$", "")).alias(
                 "category"
