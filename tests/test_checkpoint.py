@@ -140,3 +140,17 @@ def test_reset_stage(spark, root):
     run_stage(spark, root, "signals", clips, transform, N_BUCKETS)
     reset_stage(root, "signals")
     assert not os.path.exists(f"{root}/signals")
+
+
+def test_max_buckets_throttle_and_resume(spark, root):
+    """max_buckets commits only K buckets (crash simulation); the next
+    run resumes and total output equals an uninterrupted run."""
+    clips = clips_df(spark, 200, with_audio=False)
+    partial = run_stage(spark, root, "signals", clips, transform, N_BUCKETS,
+                        max_buckets=3)
+    assert completed_buckets(spark, root, "signals") == set(range(3)) or \
+        len(completed_buckets(spark, root, "signals")) == 3
+    assert partial.count() < 200
+    full = run_stage(spark, root, "signals", clips, transform, N_BUCKETS)
+    assert full.count() == 200
+    assert completed_buckets(spark, root, "signals") == set(range(N_BUCKETS))

@@ -1,0 +1,114 @@
+"""Checkpointed end-to-end pipeline job with resume — the north-rule
+operational workflow as a spark-submit target:
+
+    spark-submit --master local[N] --py-files top_secret_spark.zip \
+        tools/checkpointed_pipeline_job.py --root /tmp/tss_ckpt \
+        --n-clips 100000 [--kill-after-buckets K]
+
+Runs the fused quality-filter + scrub pipeline THROUGH the bucket-
+granular checkpoint layer (sources/checkpoint.py): buckets by
+xxhash64(clip_id), skips buckets whose lineage rows are complete, writes
+data + lineage per bucket.  Re-invoking the same command after a crash
+(simulate one with --kill-after-buckets) resumes from the checkpoint and
+produces byte-identical output — print the lineage summary and a content
+hash so two runs can be compared.
+
+Prints one JSON line: {"n_rows":..., "kept":..., "completed_buckets":...,
+"pending_before":..., "content_hash":..., "elapsed_sec":...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="checkpoint root directory")
+    ap.add_argument("--n-clips", type=int, default=100_000)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument(
+        "--kill-after-buckets", type=int, default=None,
+        help="process only this many pending buckets then exit (crash "
+        "simulation for the resume test)",
+    )
+    ap.add_argument("--reset", action="store_true", help="clear the stage first")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("tss-checkpointed-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from top_secret_spark.pipeline import run_pipeline
+    from top_secret_spark.sources.checkpoint import (
+        completed_buckets,
+        reset_stage,
+        run_stage,
+        stage_lineage,
+    )
+    from top_secret_spark.sources.clips import clips_df
+    from top_secret_spark.util import ship_package
+
+    ship_package(spark)
+    stage = "pipeline"
+    if args.reset:
+        reset_stage(args.root, stage)
+
+    clips = clips_df(spark, args.n_clips, with_audio=False)
+    done_before = completed_buckets(spark, args.root, stage)
+    pending_before = args.n_buckets - len(done_before)
+
+    def transform(df):
+        return run_pipeline(df).select(
+            "clip_id", "bucket", "keep", "drop_reason", "scrubbed"
+        )
+
+    t0 = time.time()
+    out = run_stage(
+        spark, args.root, stage, clips, transform, args.n_buckets,
+        # crash simulation: commit only K buckets this run, exactly like
+        # a mid-job failure after K bucket commits; the next invocation
+        # resumes from the lineage.
+        max_buckets=args.kill_after_buckets,
+    )
+    n = out.count()
+    kept = out.filter(F.col("keep")).count()
+    elapsed = time.time() - t0
+
+    # order-insensitive content hash over the full checkpointed output
+    content_hash = (
+        out.select(F.xxhash64("clip_id", "keep", "scrubbed").alias("h"))
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("s"))
+        .collect()[0]["s"]
+    )
+    lin = stage_lineage(spark, args.root, stage)
+    completed = lin.filter(F.col("status") == "complete").select(
+        "bucket"
+    ).distinct().count()
+
+    print(json.dumps({
+        "n_rows": n,
+        "kept": kept,
+        "completed_buckets": completed,
+        "pending_before": pending_before,
+        "content_hash": content_hash,
+        "elapsed_sec": round(elapsed, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,12 +85,18 @@ def run_stage(
     transform,
     n_buckets: int = 64,
     key: str = "clip_id",
+    max_buckets: int | None = None,
 ) -> DataFrame:
     """Run `transform(bucketed_df) -> DataFrame` checkpointed by bucket.
 
     Returns the FULL stage output (previously completed buckets read from
     the checkpoint + newly computed ones).  `transform` must be
     deterministic and row-wise (it may not change the `bucket` column).
+
+    ``max_buckets`` processes at most that many pending buckets this
+    invocation (operational throttling, and the crash-simulation knob for
+    resume tests) — remaining buckets stay pending for the next run, and
+    the returned frame contains only data written so far.
     """
     data_path = _data_path(root, stage)
     lineage_path = _lineage_path(root, stage)
@@ -101,6 +107,8 @@ def run_stage(
     )
     done = completed_buckets(spark, root, stage)
     pending = sorted(set(range(n_buckets)) - done)
+    if max_buckets is not None:
+        pending = pending[:max_buckets]
 
     if pending:
         todo = bucketed.filter(F.col("bucket").isin(pending))
