@@ -68,7 +68,7 @@ def main():
     # Best-of-N per arm: this host is a shared VM with minute-scale CPU
     # variance (identical runs swing up to 4x) — the minimum is the
     # faithful estimate of what the code costs; N is in the output.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
 
     def timed(name, fn):
         best, result = None, None

@@ -231,3 +231,32 @@ def test_fingerprint_normalizes_whitespace_case(spark):
     )
     fps = {r["doc_id"]: r["fingerprint"] for r in with_text_analysis(df).collect()}
     assert fps[0] == fps[1] == fps[2]
+
+
+def test_ivf_cell_isolates_bad_rows(spark, embeddings):
+    from top_secret_spark.operators.similarity import (
+        train_ivf_centroids,
+        with_ivf_cell,
+    )
+
+    cents = train_ivf_centroids(embeddings, dim=64, n_cells=8)
+    good = embeddings.limit(20).select("vec_id", "embedding")
+    bad = spark.createDataFrame(
+        [(999990, None), (999991, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cells = {r["vec_id"]: r["ivf_cell"]
+             for r in with_ivf_cell(good.unionByName(bad), cents).collect()}
+    # bad rows get -1 (never probed); valid rows keep their true cells
+    assert cells[999990] == -1 and cells[999991] == -1
+    expected = {r["vec_id"]: r["ivf_cell"]
+                for r in with_ivf_cell(good, cents).collect()}
+    for vid, c in expected.items():
+        assert cells[vid] == c and c >= 0
+
+
+def test_train_ivf_rejects_wrong_dim(spark, embeddings):
+    from top_secret_spark.operators.similarity import train_ivf_centroids
+
+    with pytest.raises(ValueError, match="width mismatch"):
+        train_ivf_centroids(embeddings, dim=32, n_cells=4)

@@ -132,6 +132,25 @@ def with_minhash(
     )
 
 
+def _banded(sig_df: DataFrame, id_col: str, sig_col: str, bands: int) -> DataFrame:
+    """(id, band, bucket) rows: signature sliced into `bands` chunks,
+    each chunk hashed with the band index as seed — the ONE banding
+    expression shared by candidate generation and oversize accounting
+    (same bands ⇒ same buckets)."""
+    sig = F.col(sig_col)
+    n = F.size(sig)
+    rows_per_band = (n / bands).cast("int")
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.slice(sig, i * rows_per_band + 1, rows_per_band), i),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -151,29 +170,24 @@ def lsh_candidate_pairs(
     drops buckets larger than the cap — complete subgraphs of
     near-identical docs, better collapsed by exact dedup first; callers
     that cap should count dropped buckets via
-    ``lsh_oversize_buckets(sig_df, ...)`` and surface the number, never
-    cap silently.
+    ``lsh_oversize_buckets(sig_df, ..., bands=<same bands>)`` and surface
+    the number, never cap silently.
     """
-    sig = F.col(sig_col)
-    n = F.size(sig)
-    rows_per_band = (n / bands).cast("int")
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(F.slice(sig, i * rows_per_band + 1, rows_per_band), i),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _banded(sig_df, id_col, sig_col, bands)
     if max_bucket is not None:
-        counts = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bn")
+        # broadcast the OVERSIZE set (tiny by construction — these are the
+        # rare mega-buckets) and anti-join; broadcasting the keep-side
+        # would ship ~one row per (doc, band) and blow the broadcast limit
+        # at scale.
+        oversize = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("band", "bucket")
         )
         banded = banded.join(
-            F.broadcast(counts.filter(F.col("_bn") <= max_bucket)),
-            ["band", "bucket"],
-        ).drop("_bn")
+            F.broadcast(oversize), ["band", "bucket"], "left_anti"
+        )
     left = banded.select("band", "bucket", F.col(id_col).alias("a"))
     right = banded.select("band", "bucket", F.col(id_col).alias("b"))
     return (
@@ -192,21 +206,11 @@ def lsh_oversize_buckets(
     max_bucket: int = 4096,
 ) -> DataFrame:
     """(band, bucket, n) rows for buckets a ``max_bucket`` cap would drop
-    — the accounting side of capped candidate generation."""
-    sig = F.col(sig_col)
-    n = F.size(sig)
-    rows_per_band = (n / bands).cast("int")
+    — the accounting side of capped candidate generation.  Pass the SAME
+    ``bands`` used for lsh_candidate_pairs (or the value
+    ``_auto_bands(num_hashes, threshold)`` resolved to)."""
     return (
-        sig_df.select(
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda i: F.xxhash64(
-                        F.slice(sig, i * rows_per_band + 1, rows_per_band), i
-                    ),
-                )
-            ).alias("band", "bucket")
-        )
+        _banded(sig_df, id_col, sig_col, bands)
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > max_bucket)
@@ -219,19 +223,21 @@ def minhash_similarity_col(sig_a, sig_b):
                            lambda v: v)) / F.size(sig_a)
 
 
-def _auto_bands(num_hashes: int, threshold: float) -> int:
-    """Pick the band count whose S-curve knee (1/b)^(1/r) sits at or just
-    below the threshold (recall-preserving): larger rows-per-band r
-    sharply cuts sub-threshold candidate collisions — at web scale the
-    candidate volume, not the signature pass, is the cost driver."""
-    best = num_hashes  # r=1 fallback (knee ~ 1/num_hashes: recall-max)
+def _auto_bands(num_hashes: int, threshold: float, min_detect: float = 0.9) -> int:
+    """Largest rows-per-band r whose detection probability for an
+    AT-THRESHOLD pair, 1-(1-t^r)^b, still meets ``min_detect`` — larger r
+    sharply cuts sub-threshold candidate collisions (the cost driver at
+    web scale) but must not sacrifice recall at the threshold itself.
+    E.g. num_hashes=64: t=0.999 → b=2 (r=32, detect≈1.0); t=0.9 → b=8
+    (r=8, detect .989); t=0.8 → b=16 (r=4, detect .998 — r=8 would
+    detect only .77 of threshold-similarity pairs)."""
     for r in range(num_hashes, 0, -1):
         if num_hashes % r:
             continue
         b = num_hashes // r
-        if b >= 2 and (1.0 / b) ** (1.0 / r) <= threshold:
+        if b >= 2 and 1.0 - (1.0 - threshold**r) ** b >= min_detect:
             return b
-    return best
+    return num_hashes  # r=1: every position its own band (recall-max)
 
 
 def near_duplicates_minhash(
@@ -249,7 +255,11 @@ def near_duplicates_minhash(
     generation AND both sides of the pair join; without the persist the
     (expensive) signature UDF would run three times.  Candidate pairs
     are persisted too: both verify-join inputs reference them, and
-    recomputing candidates means redoing the LSH shuffle."""
+    recomputing candidates means redoing the LSH shuffle.  The returned
+    frame is eagerly localCheckpoint-ed (it is small: above-threshold
+    pairs only) so both intermediates can be UNPERSISTED before
+    returning — repeated invocations do not accumulate cached datasets.
+    """
     from pyspark import StorageLevel
 
     # A small parquet scan can land in fewer splits than cores, which
@@ -269,12 +279,16 @@ def near_duplicates_minhash(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sa = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
-    return (
+    result = (
         pairs.join(sa, "a").join(sb, "b")
         .withColumn("est_jaccard", minhash_similarity_col(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    sigs.unpersist()
+    return result
 
 
 # --- exact n-gram Jaccard verification ------------------------------------------

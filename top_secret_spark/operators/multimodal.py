@@ -114,8 +114,19 @@ def with_media_features(df: DataFrame) -> DataFrame:
                     frames = decode_video(
                         t.bytes, t.codec, t.width, t.height, t.n_frames
                     )
-                    feats = image_features(frames[0])
-                    feats["brightness"] = float(frames.astype(np.float64).mean())
+                    # media-level stats span ALL frames (frame-0-only
+                    # channel means would disagree with the all-frame
+                    # brightness for drifting videos)
+                    f = frames.astype(np.float64)
+                    feats = {
+                        "width": int(frames.shape[2]),
+                        "height": int(frames.shape[1]),
+                        "mean_r": float(f[..., 0].mean()),
+                        "mean_g": float(f[..., 1].mean()),
+                        "mean_b": float(f[..., 2].mean()),
+                        "brightness": float(f.mean()),
+                        "contrast": float(f.std()),
+                    }
                     dec_frames = int(frames.shape[0])
                 else:
                     img = decode_image(t.bytes, t.codec, t.width, t.height)

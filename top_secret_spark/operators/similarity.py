@@ -190,7 +190,13 @@ def train_ivf_centroids(
     rows = (
         df.orderBy(id_col).limit(sample).select(emb_col).collect()
     )
-    mat = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    vecs = [r[0] for r in rows if r[0] is not None]
+    if any(len(v) != dim for v in vecs):
+        raise ValueError(
+            f"embedding width mismatch: expected dim={dim}, sample contains "
+            f"widths {sorted({len(v) for v in vecs})}"
+        )
+    mat = _normalize_rows(np.array(vecs, dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
     for _ in range(iters):
@@ -204,15 +210,25 @@ def train_ivf_centroids(
 
 
 def make_ivf_cell_udf(centroids: np.ndarray):
-    """embedding → nearest-centroid cell id (one matmul per Arrow batch)."""
+    """embedding → nearest-centroid cell id (one matmul per Arrow batch).
+
+    Null / wrong-width embeddings get cell -1 (never probed) rather than
+    poisoning the whole batch — one bad row must not silently misfile
+    every valid vector in its Arrow batch."""
+    dim = centroids.shape[1]
 
     @pandas_udf(T.IntegerType())
     def cell(embs: pd.Series) -> pd.Series:
-        mat = np.array(embs.tolist(), dtype=np.float64)
-        if mat.ndim != 2 or len(mat) == 0:
-            return pd.Series([0] * len(embs), dtype="int32")
-        sims = _normalize_rows(mat) @ centroids.T
-        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+        vals = embs.tolist()
+        valid = np.array(
+            [v is not None and len(v) == dim for v in vals], dtype=bool
+        )
+        out = np.full(len(vals), -1, dtype=np.int32)
+        if valid.any():
+            mat = np.array([vals[i] for i in np.flatnonzero(valid)], dtype=np.float64)
+            sims = _normalize_rows(mat) @ centroids.T
+            out[valid] = np.argmax(sims, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return cell
 

@@ -882,8 +882,8 @@ def q_ngram_jaccard(spark, sf_dir):
 Q_NGRAM_JACCARD_SQL = """
 WITH base AS (
   SELECT doc_id,
-         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS na,
-         regexp_replace(lower(trim(text || ' extra tail marker alpha beta gamma')), '\\s+', ' ', 'g') AS nb
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS na,
+         trim(regexp_replace(lower(text || ' extra tail marker alpha beta gamma'), '\\s+', ' ', 'g')) AS nb
   FROM documents
   WHERE strlen(text) = length(text) AND length(text) >= 20
   ORDER BY doc_id LIMIT 200
