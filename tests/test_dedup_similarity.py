@@ -260,3 +260,25 @@ def test_train_ivf_rejects_wrong_dim(spark, embeddings):
 
     with pytest.raises(ValueError, match="width mismatch"):
         train_ivf_centroids(embeddings, dim=32, n_cells=4)
+
+
+def test_collapse_exact_equivalent_output(spark):
+    from top_secret_spark.operators.dedup import near_duplicates_minhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select("doc_id", "text").limit(100)
+    # 3 copies of each text → heavy exact duplication
+    tripled = base.unionByName(
+        base.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    ).unionByName(
+        base.select((F.col("doc_id") + 20_000).alias("doc_id"), "text")
+    )
+    plain = {(r["a"], r["b"], r["est_jaccard"])
+             for r in near_duplicates_minhash(tripled, threshold=0.8).collect()}
+    collapsed = {(r["a"], r["b"], r["est_jaccard"])
+                 for r in near_duplicates_minhash(
+                     tripled, threshold=0.8, collapse_exact=True).collect()}
+    assert plain == collapsed
+    # sanity: the planted triples are present
+    some_id = base.collect()[0]["doc_id"]
+    assert (some_id, some_id + 10_000, 1.0) in collapsed

@@ -247,6 +247,7 @@ def near_duplicates_minhash(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
     signature-estimated Jaccard filter → (a, b, est_jaccard).
@@ -259,6 +260,17 @@ def near_duplicates_minhash(
     frame is eagerly localCheckpoint-ed (it is small: above-threshold
     pairs only) so both intermediates can be UNPERSISTED before
     returning — repeated invocations do not accumulate cached datasets.
+
+    ``collapse_exact=True`` pre-collapses identical signatures to one
+    representative before LSH: the banding shuffle, bucket self-join and
+    verify join then scale with UNIQUE documents, and representative
+    pairs are expanded back through group membership afterwards.  Output
+    is identical to the uncollapsed path (group members share one
+    signature, so every expanded pair has the representative pair's
+    est_jaccard, and intra-group pairs are est 1.0 ≥ any threshold ≤ 1).
+    This is the scale switch for corpora with heavy exact duplication —
+    web crawls routinely >30% — where mega duplicate groups otherwise
+    flood every one of their LSH buckets.
     """
     from pyspark import StorageLevel
 
@@ -269,25 +281,69 @@ def near_duplicates_minhash(
     if df.rdd.getNumPartitions() < cores:
         df = df.repartition(cores)
 
-    sigs = (
+    all_sigs = (
         with_minhash(df, text_col, num_hashes)
         .select(id_col, "minhash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    extra_pairs = None
+    if collapse_exact:
+        with_sid = all_sigs.withColumn("_sid", F.xxhash64("minhash"))
+        reps = with_sid.groupBy("_sid").agg(
+            F.min(id_col).alias(id_col), F.first("minhash").alias("minhash")
+        )
+        sigs = reps.select(id_col, "minhash", "_sid").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        members = with_sid.select("_sid", F.col(id_col).alias("_member"))
+        # intra-group pairs: identical signatures → est 1.0
+        ml = members.select("_sid", F.col("_member").alias("a"))
+        mr = members.select("_sid", F.col("_member").alias("b"))
+        extra_pairs = (
+            ml.join(mr, "_sid")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", F.lit(1.0).alias("est_jaccard"))
+        )
+    else:
+        sigs = all_sigs
+        members = None
+
     pairs = lsh_candidate_pairs(
         sigs, id_col, bands=bands or _auto_bands(num_hashes, threshold)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sa = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
-    result = (
+    verified = (
         pairs.join(sa, "a").join(sb, "b")
         .withColumn("est_jaccard", minhash_similarity_col(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("est_jaccard") >= threshold)
-        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .select("a", "b", "est_jaccard")
+    )
+    if collapse_exact:
+        # expand representative pairs through group membership (each rep
+        # pair fans out to |group_a| x |group_b| member pairs)
+        ga = sigs.select(F.col(id_col).alias("a"), F.col("_sid").alias("_sa"))
+        gb = sigs.select(F.col(id_col).alias("b"), F.col("_sid").alias("_sb"))
+        expanded = (
+            verified.join(ga, "a").join(gb, "b")
+            .join(members.select(F.col("_sid").alias("_sa"),
+                                 F.col("_member").alias("ma")), "_sa")
+            .join(members.select(F.col("_sid").alias("_sb"),
+                                 F.col("_member").alias("mb")), "_sb")
+            .select(
+                F.least("ma", "mb").alias("a"),
+                F.greatest("ma", "mb").alias("b"),
+                "est_jaccard",
+            )
+        )
+        verified = expanded.unionByName(extra_pairs)
+    result = (
+        verified.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .localCheckpoint(eager=True)
     )
     pairs.unpersist()
     sigs.unpersist()
+    all_sigs.unpersist()
     return result
 
 

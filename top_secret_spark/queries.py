@@ -417,7 +417,10 @@ def q_minhash_neardup(spark, sf_dir):
     dup = base.join(
         docs.select(F.col("doc_id").alias("base_id"), F.col("text")), "base_id"
     ).select("doc_id", "text")
-    pairs = near_duplicates_minhash(dup, threshold=0.999)
+    # collapse_exact exercises the scale path: identical signatures are
+    # pre-collapsed to representatives before LSH, then pairs expand back
+    # through group membership (output-equivalent — pytest-gated)
+    pairs = near_duplicates_minhash(dup, threshold=0.999, collapse_exact=True)
     return spark.range(1).select(F.lit(pairs.count()).alias("n_pairs"))
 
 
