@@ -181,3 +181,31 @@ def test_salting_spreads_hot_key(spark):
     )
     assert max_partition_frac(plain) > 0.6  # hot key serialized
     assert max_partition_frac(spread) < 0.4  # salt spreads it
+
+
+def test_pipeline_with_injected_entities(spark):
+    """NER-entities slot at the pipeline level: injected entities column
+    drives the NER filters (fused AND modular paths agree)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", None, 0, 0, "pcm16",
+         "Ralph met the committee in Boston to review the annual budget today.",
+         [("Ralph", "PERSON", 0.9), ("Boston", "LOCATION", 0.8)]),
+        ("b", None, 0, 0, "pcm16",
+         "The committee will meet on Tuesday to review the annual budget.",
+         []),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, "
+              "entities array<struct<text:string,tag:string,score:double>>")
+    df = spark.createDataFrame(rows, schema)
+    for fused in (True, False):
+        out = {r["clip_id"]: r for r in run_pipeline(
+            df, PipelineConfig(entities_col="entities", fused=fused)
+        ).collect()}
+        assert out["a"]["keep"]
+        assert out["a"]["scrubbed"] == (
+            "[PERSON_1] met the committee in [LOCATION_1] to review the "
+            "annual budget today.")
+        assert out["b"]["scrubbed"] == rows[1][5]

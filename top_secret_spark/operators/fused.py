@@ -58,11 +58,11 @@ def make_fused_udf(
     thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
     scrub_dropped: bool = False,
     counters=None,
+    with_entities: bool = False,
 ):
     scrub_config.all_filters()  # plan-time label validation (op 9)
 
-    @pandas_udf(FUSED_TYPE)
-    def fused(texts: pd.Series) -> pd.DataFrame:
+    def _run(texts: pd.Series, ents: list | None) -> pd.DataFrame:
         import re
 
         from ..kernel.langid import detect_batch
@@ -127,7 +127,11 @@ def make_fused_udf(
             if keep or scrub_dropped:
                 to_scrub.append(i)
 
-        outputs, mappings = scrub_batch([t[i] for i in to_scrub], None, scrub_config)
+        outputs, mappings = scrub_batch(
+            [t[i] for i in to_scrub],
+            None if ents is None else [ents[i] for i in to_scrub],
+            scrub_config,
+        )
         for j, i in enumerate(to_scrub):
             rows["scrubbed"][i] = outputs[j]
             rows["mapping"][i] = [
@@ -139,6 +143,29 @@ def make_fused_udf(
             counters.rows_scrubbed.add(len(to_scrub))
         return pd.DataFrame(rows)
 
+    if with_entities:
+
+        @pandas_udf(FUSED_TYPE)
+        def fused_with_entities(
+            texts: pd.Series, entities: pd.Series
+        ) -> pd.DataFrame:
+            ents = [
+                None
+                if e is None
+                else [
+                    {"text": x["text"], "tag": x["tag"], "score": x["score"]}
+                    for x in e
+                ]
+                for e in entities.tolist()
+            ]
+            return _run(texts, ents)
+
+        return fused_with_entities
+
+    @pandas_udf(FUSED_TYPE)
+    def fused(texts: pd.Series) -> pd.DataFrame:
+        return _run(texts, None)
+
     return fused
 
 
@@ -149,9 +176,15 @@ def run_pipeline_fused(
     scrub_dropped: bool = False,
     text_col: str = "transcript",
     counters=None,
+    entities_col: str | None = None,
 ) -> DataFrame:
-    udf = make_fused_udf(scrub_config, thresholds, scrub_dropped, counters)
-    df = clips.withColumn("_f", udf(F.col(text_col)))
+    udf = make_fused_udf(
+        scrub_config, thresholds, scrub_dropped, counters,
+        with_entities=entities_col is not None,
+    )
+    args = (F.col(text_col),) if entities_col is None else (
+        F.col(text_col), F.col(entities_col))
+    df = clips.withColumn("_f", udf(*args))
     return df.withColumns(
         {name: F.col(f"_f.{name}") for name in FUSED_FIELDS}
     ).drop("_f")

@@ -39,6 +39,10 @@ class PipelineConfig:
     thresholds: QualityThresholds = field(default_factory=lambda: DEFAULT_THRESHOLDS)
     include_audio: bool = False  # decode-validate stage on/off
     scrub_dropped: bool = False  # scrub even rows that fail keep/drop
+    # pre-extracted NER entities column (array<struct<text,tag,score>>) —
+    # the engine's injected-entities slot (spec/spec_helper.rb:26-31);
+    # None runs regex/dictionary filters only (NullModel semantics)
+    entities_col: str | None = None
     n_buckets: int = 64  # hash buckets for the checkpointed layout
     # fused=True runs signals+features+keep/drop+scrub in ONE Arrow
     # crossing (operators/fused.py) — identical semantics, half the
@@ -81,7 +85,8 @@ def run_pipeline(
         from .operators.fused import run_pipeline_fused
 
         return run_pipeline_fused(
-            df, config.scrub, config.thresholds, config.scrub_dropped
+            df, config.scrub, config.thresholds, config.scrub_dropped,
+            entities_col=config.entities_col,
         )
 
     df = with_quality_signals(df, "transcript")
@@ -92,13 +97,21 @@ def run_pipeline(
     # reach training data, so scrubbing them is wasted Python time.  The
     # trick keeps one UDF and no union: dropped rows enter the UDF as
     # null and pass straight through.
-    scrub_udf = make_scrub_udf(config.scrub)
     scrub_input = (
         F.col("transcript")
         if config.scrub_dropped
         else F.when(F.col("keep"), F.col("transcript"))
     )
-    df = df.withColumn("_scrub", scrub_udf(scrub_input))
+    if config.entities_col is not None:
+        from .operators.scrub import make_scrub_with_entities_udf
+
+        scrub_udf = make_scrub_with_entities_udf(config.scrub)
+        df = df.withColumn(
+            "_scrub", scrub_udf(scrub_input, F.col(config.entities_col))
+        )
+    else:
+        scrub_udf = make_scrub_udf(config.scrub)
+        df = df.withColumn("_scrub", scrub_udf(scrub_input))
     df = df.withColumns(
         {
             "scrubbed": F.when(
