@@ -23,6 +23,7 @@ def scrub_stream(
     scrub_config: ScrubConfig = DEFAULT_CONFIG,
     thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
     text_col: str = "transcript",
+    entities_col: str | None = None,
 ) -> DataFrame:
     """Apply the full quality-filter + scrub stage to a streaming frame.
 
@@ -30,7 +31,10 @@ def scrub_stream(
     exactly-once file/Delta sinks via checkpointLocation."""
     if not stream.isStreaming:
         raise ValueError("scrub_stream expects a streaming DataFrame")
-    return run_pipeline_fused(stream, scrub_config, thresholds, text_col=text_col)
+    return run_pipeline_fused(
+        stream, scrub_config, thresholds, text_col=text_col,
+        entities_col=entities_col,
+    )
 
 
 def dedup_stream(
