@@ -160,7 +160,7 @@ def q_category_extract_counts(spark, sf_dir):
 
 Q_CATEGORY_EXTRACT_SQL = f"""
 {DERIVED_CTE}
-SELECT category, sum(n) AS n_values FROM (
+SELECT category, cast(sum(n) AS bigint) AS n_values FROM (
   SELECT 'email' AS category, len(list_distinct(regexp_extract_all(transcript, '{EMAIL_SQL}'))) AS n FROM t
   UNION ALL
   SELECT 'phone_number', len(list_distinct(regexp_extract_all(transcript, '{PHONE_SQL}'))) FROM t
@@ -766,14 +766,14 @@ flags AS (
      AND len(regexp_extract_all(lower(transcript), '{TOX_SQL}')) * 1.0 / greatest(n_words, 1) <= 0.08) AS keep
   FROM sig
 )
-SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep,
-       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_drop,
-       sum(CASE WHEN keep AND (
+SELECT cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_keep,
+       cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint) AS n_drop,
+       cast(sum(CASE WHEN keep AND (
              len(regexp_extract_all(transcript, '{EMAIL_SQL}')) > 0
           OR len(regexp_extract_all(transcript, '{PHONE_SQL}')) > 0
           OR len(regexp_extract_all(transcript, '{SSN_SQL}')) > 0
           OR len(regexp_extract_all(transcript, '{CC_SQL}')) > 0)
-           THEN 1 ELSE 0 END) AS n_scrubbed_sensitive
+           THEN 1 ELSE 0 END) AS bigint) AS n_scrubbed_sensitive
 FROM flags
 """
 
@@ -1013,7 +1013,7 @@ scored AS (
   FROM sig
 )
 SELECT drop_reason, count(*) AS n,
-       sum(floor(toxicity * 1e6 + 0.5)::bigint) AS tox_ppm_sum
+       cast(sum(floor(toxicity * 1e6 + 0.5)::bigint) AS bigint) AS tox_ppm_sum
 FROM scored GROUP BY drop_reason
 """
 
