@@ -282,3 +282,156 @@ def test_collapse_exact_equivalent_output(spark):
     # sanity: the planted triples are present
     some_id = base.collect()[0]["doc_id"]
     assert (some_id, some_id + 10_000, 1.0) in collapsed
+
+
+# --- near-dup cluster resolution -------------------------------------------------
+
+
+def test_near_duplicate_clusters_transitive(spark):
+    from top_secret_spark.operators.dedup import near_duplicate_clusters
+
+    # a 4-chain (1-2-3-4) plus an isolated pair (10, 11): min-label must
+    # propagate transitively through the chain, not just over direct edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in near_duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_near_one_survivor_per_cluster(spark, docs):
+    from top_secret_spark.operators.dedup import dedup_near
+
+    # docs: 0,1,2 identical (mod ws/case), 3 near-dup of 0, 4 and 5 unique
+    # → the 0-3 family collapses to min id 0; 4 and 5 survive untouched
+    survivors = sorted(
+        r["doc_id"] for r in dedup_near(docs, threshold=0.7).collect()
+    )
+    assert survivors == [0, 4, 5]
+
+
+def test_dedup_near_no_duplicates_is_identity(spark):
+    from top_secret_spark.operators.dedup import dedup_near
+
+    rows = [
+        (i, f"wholly distinct document number {i} about topic {i * 37} "
+            f"with unique trailing content {'x' * (i % 7)} {i ** 2}")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert dedup_near(docs, threshold=0.95).count() == 50
+
+
+# --- SimHash bucket self-join ----------------------------------------------------
+
+
+def test_simhash_pairs_match_python_banding(spark):
+    from top_secret_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        with_simhash,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(120)
+    )
+    tripled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    sh = with_simhash(tripled).select("doc_id", "simhash").cache()
+    vals = [(r["doc_id"], r["simhash"]) for r in sh.collect()]
+    # reference pair set: python banding over the collected hashes
+    band_bits, mask = 16, (1 << 16) - 1
+    buckets = {}
+    for did, h in vals:
+        for band in range(64 // band_bits):
+            key = (band, (h >> (band * band_bits)) & mask)
+            buckets.setdefault(key, []).append(did)
+    expect = set()
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                expect.add((min(a, b), max(a, b)))
+    got = {(r["a"], r["b"])
+           for r in simhash_candidate_pairs(sh, "doc_id").collect()}
+    sh.unpersist()
+    assert got == expect
+    # the planted exact dup of every doc must be a candidate
+    assert all((d, d + 10_000) in got for d, _ in vals[:5] if d < 10_000)
+
+
+def test_simhash_max_bucket_accounting(spark):
+    from top_secret_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_oversize_buckets,
+        with_simhash,
+    )
+
+    # 30 copies of one text → every band bucket holds 30 ids
+    rows = [(i, "an identical duplicated transcript body " * 4)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = with_simhash(df).select("doc_id", "simhash")
+    capped = simhash_candidate_pairs(sh, "doc_id", max_bucket=10)
+    assert capped.count() == 0
+    oversize = simhash_oversize_buckets(sh, "doc_id", max_bucket=10)
+    assert oversize.count() == 4  # 64/16 bands, one mega-bucket each
+    assert all(r["n"] == 30 for r in oversize.collect())
+
+
+# --- Catalyst fingerprint ---------------------------------------------------------
+
+
+def test_fingerprint_is_pure_catalyst(spark, docs):
+    from top_secret_spark.operators.dedup import with_fingerprint
+
+    plan = (
+        with_fingerprint(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "xxhash64" in plan
+
+
+# --- two-phase top-k --------------------------------------------------------------
+
+
+def test_brute_force_top_k_multi_partition_and_bad_rows(spark, embeddings):
+    from top_secret_spark.operators.similarity import brute_force_top_k
+
+    clean = [(r["vec_id"], r["embedding"])
+             for r in embeddings.select("vec_id", "embedding").collect()]
+    query = clean[7][1]
+    expect = _numpy_top_k(clean, query, 5)
+    # inject null / wrong-width rows and spread over many partitions:
+    # two-phase per-partition top-k must still match the exact answer
+    bad = spark.createDataFrame(
+        [(999_990, None), (999_991, [1.0, 2.0])],
+        embeddings.select("vec_id", "embedding").schema,
+    )
+    noisy = embeddings.select("vec_id", "embedding").unionByName(bad)
+    got = (
+        brute_force_top_k(noisy.repartition(13), [(0, query)], k=5)
+        .orderBy("rank").collect()
+    )
+    assert [(r["vec_id"], round(r["score"], 6)) for r in got] == [
+        (i, round(s, 6)) for i, s in expect
+    ]
+
+
+def test_ivf_results_independent_of_cobatching(spark, embeddings):
+    from top_secret_spark.operators.similarity import (
+        ivf_top_k,
+        train_ivf_centroids,
+    )
+
+    rows = embeddings.select("vec_id", "embedding").limit(2).collect()
+    qa, qb = [(r["vec_id"], r["embedding"]) for r in rows]
+    cents = train_ivf_centroids(embeddings, dim=64, n_cells=8)
+    alone = {(r["query_id"], r["vec_id"], r["score"], r["rank"])
+             for r in ivf_top_k(embeddings, [qa], cents, k=5, nprobe=2).collect()}
+    both = {(r["query_id"], r["vec_id"], r["score"], r["rank"])
+            for r in ivf_top_k(embeddings, [qa, qb], cents, k=5, nprobe=2)
+            .filter(F.col("query_id") == qa[0]).collect()}
+    assert alone == both

@@ -44,8 +44,9 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 20
     missing = set(oracles) - set(qs)
     assert not missing
-    # only the approximate ANN queries may omit their oracle
-    assert set(qs) - set(oracles) == {"q21_ann_topk", "q29_ivf_ann"}
+    # every query now carries an oracle (the ANN queries gate recall@k
+    # + self-hit invariants against a constant table)
+    assert set(qs) - set(oracles) == set()
 
 
 @pytest.mark.parametrize("name", [

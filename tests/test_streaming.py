@@ -113,3 +113,21 @@ def test_dedup_stream_rejects_batch_frame(spark):
 
     with pytest.raises(ValueError, match="streaming"):
         dedup_stream(clips_df(spark, 5, with_audio=False))
+
+
+def test_dedup_stream_state_ttl_validation(spark, tmp_path):
+    import pytest
+
+    from top_secret_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "ttl_src")
+    spark.createDataFrame([("x",)], ["transcript"]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("transcript string").parquet(src)
+    for bad in ("1 fortnight", "90s", "soon", "0 seconds", -5):
+        with pytest.raises(ValueError):
+            dedup_stream(stream, state_ttl=bad)
+    # int milliseconds and day units are accepted at plan time
+    dedup_stream(stream, state_ttl=60_000)
+    dedup_stream(stream, state_ttl="1 day")

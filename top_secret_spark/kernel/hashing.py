@@ -69,17 +69,3 @@ def hash_text_ngrams(text: str, orders=(1, 2, 3), buckets: int = 1 << 16) -> np.
         _, h = ngram_hashes(data, lengths, n, buckets)
         np.add.at(counts, h, 1.0)
     return counts
-
-
-def xxhash64_str(values) -> np.ndarray:
-    """Stable 64-bit content hash for strings (FNV-1a), vectorized enough
-    for id-assignment and salting.  Matches nothing external — used only
-    where WE need deterministic pseudo-randomness from content."""
-    out = np.empty(len(values), dtype=np.uint64)
-    mask = (1 << 64) - 1
-    for i, v in enumerate(values):
-        h = 0xCBF29CE484222325
-        for b in (v or "").encode("utf-8", "replace"):
-            h = ((h ^ b) * 0x100000001B3) & mask
-        out[i] = h
-    return out

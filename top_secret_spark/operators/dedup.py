@@ -28,13 +28,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .text_analysis import fingerprint_udf
+from .text_analysis import fingerprint_col
 
 # --- exact dedup ---------------------------------------------------------------
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+    return df.withColumn("fingerprint", fingerprint_col(text_col))
 
 
 def exact_duplicate_groups(
@@ -248,6 +248,7 @@ def near_duplicates_minhash(
     num_hashes: int = 64,
     bands: int | None = None,
     collapse_exact: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
     signature-estimated Jaccard filter → (a, b, est_jaccard).
@@ -270,7 +271,22 @@ def near_duplicates_minhash(
     est_jaccard, and intra-group pairs are est 1.0 ≥ any threshold ≤ 1).
     This is the scale switch for corpora with heavy exact duplication —
     web crawls routinely >30% — where mega duplicate groups otherwise
-    flood every one of their LSH buckets.
+    flood every one of their LSH buckets.  Groups are keyed on the FULL
+    signature array, not a 64-bit hash of it: at 10^11+ docs a 64-bit
+    collision would silently merge docs with different signatures into
+    one "exact" group and emit false est_jaccard=1.0 pairs.
+
+    ``materialize=False`` returns the result lazily instead of the
+    default eager ``localCheckpoint``; the intermediates then stay
+    persisted (unpersisting them would force recomputation through the
+    lazy result), so callers should write/consume the frame promptly
+    and may ``spark.catalog.clearCache()`` afterwards.  Use it when the
+    pair set may be large — e.g. ``collapse_exact`` over corpora with
+    mega duplicate groups, where member-pair expansion is quadratic in
+    group size — or when the result feeds straight into another job
+    stage; the default keeps small-result ergonomics (eager, executor-
+    local, no cache accumulation across invocations) at the cost of
+    fault-tolerance of the checkpointed blocks.
     """
     from pyspark import StorageLevel
 
@@ -288,19 +304,21 @@ def near_duplicates_minhash(
     )
     extra_pairs = None
     if collapse_exact:
-        with_sid = all_sigs.withColumn("_sid", F.xxhash64("minhash"))
-        reps = with_sid.groupBy("_sid").agg(
-            F.min(id_col).alias(id_col), F.first("minhash").alias("minhash")
-        )
-        sigs = reps.select(id_col, "minhash", "_sid").persist(
+        # group key is the signature ARRAY itself (array<long> is a valid
+        # shuffle/grouping key) — a 64-bit digest here would merge
+        # colliding-but-different signatures at 10^11+ doc scale
+        reps = all_sigs.groupBy("minhash").agg(F.min(id_col).alias(id_col))
+        sigs = reps.select(id_col, "minhash").persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        members = with_sid.select("_sid", F.col(id_col).alias("_member"))
+        members = all_sigs.select(
+            F.col("minhash").alias("_sig"), F.col(id_col).alias("_member")
+        )
         # intra-group pairs: identical signatures → est 1.0
-        ml = members.select("_sid", F.col("_member").alias("a"))
-        mr = members.select("_sid", F.col("_member").alias("b"))
+        ml = members.select("_sig", F.col("_member").alias("a"))
+        mr = members.select("_sig", F.col("_member").alias("b"))
         extra_pairs = (
-            ml.join(mr, "_sid")
+            ml.join(mr, "_sig")
             .filter(F.col("a") < F.col("b"))
             .select("a", "b", F.lit(1.0).alias("est_jaccard"))
         )
@@ -321,14 +339,15 @@ def near_duplicates_minhash(
     )
     if collapse_exact:
         # expand representative pairs through group membership (each rep
-        # pair fans out to |group_a| x |group_b| member pairs)
-        ga = sigs.select(F.col(id_col).alias("a"), F.col("_sid").alias("_sa"))
-        gb = sigs.select(F.col(id_col).alias("b"), F.col("_sid").alias("_sb"))
+        # pair fans out to |group_a| x |group_b| member pairs); the rep →
+        # member join key is the signature array (reps carry it already)
+        ga = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("_sa"))
+        gb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("_sb"))
         expanded = (
             verified.join(ga, "a").join(gb, "b")
-            .join(members.select(F.col("_sid").alias("_sa"),
+            .join(members.select(F.col("_sig").alias("_sa"),
                                  F.col("_member").alias("ma")), "_sa")
-            .join(members.select(F.col("_sid").alias("_sb"),
+            .join(members.select(F.col("_sig").alias("_sb"),
                                  F.col("_member").alias("mb")), "_sb")
             .select(
                 F.least("ma", "mb").alias("a"),
@@ -337,14 +356,114 @@ def near_duplicates_minhash(
             )
         )
         verified = expanded.unionByName(extra_pairs)
-    result = (
-        verified.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
-        .localCheckpoint(eager=True)
+    result = verified.select(
+        "a", "b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
+    if not materialize:
+        return result
+    result = result.localCheckpoint(eager=True)
     pairs.unpersist()
     sigs.unpersist()
     all_sigs.unpersist()
     return result
+
+
+# --- near-dup cluster resolution -------------------------------------------------
+
+
+def near_duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """Connected components over near-dup pairs → (node, cluster_id).
+
+    ``pairs`` is an (a, b) edge frame (e.g. from
+    ``near_duplicates_minhash``); output assigns every endpoint the MIN
+    id of its connected component — the deterministic survivor rule that
+    turns pairwise near-dup evidence into actual deduplication.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels, so the component minimum
+    spreads one hop per round and the loop converges in
+    O(component diameter) rounds — near-dup clusters are
+    similarity-transitive blobs with tiny diameters, so this is a handful
+    of rounds in practice, each a join + groupBy on (node, label) longs
+    only (never text).  Labels are ``localCheckpoint``-ed every round to
+    truncate lineage (plan growth is otherwise exponential in rounds);
+    convergence is detected via the strictly-decreasing label sum, one
+    cheap aggregate per round.  Raises if ``max_iterations`` rounds do
+    not converge (pathological chain-shaped components — not a natural
+    near-dup topology)."""
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_min_nbr"))
+        )
+        labels = (
+            labels.join(
+                nbr.select(F.col("src").alias("node"), "_min_nbr"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_min_nbr", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"near_duplicate_clusters did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Fuzzy deduplication end-to-end: MinHash near-dup pairs →
+    connected components → keep ONE survivor (min id) per cluster, plus
+    every document in no cluster.  The fuzzy twin of ``dedup_exact`` —
+    pairwise near-dup evidence alone cannot deduplicate a corpus; this
+    is the step a training-data pipeline actually runs.
+
+    The drop set (non-survivor cluster members) is joined back
+    ``left_anti`` on the id column — the only thing shuffled against
+    the corpus is 8-byte ids."""
+    pairs = near_duplicates_minhash(
+        df, id_col, text_col, threshold, num_hashes, bands, collapse_exact
+    )
+    clusters = near_duplicate_clusters(pairs)
+    drop = (
+        clusters.filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 # --- exact n-gram Jaccard verification ------------------------------------------
@@ -431,16 +550,15 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", make_simhash_udf()(F.col(text_col)))
 
 
-def simhash_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash",
-    band_bits: int = 16,
+def _simhash_banded(
+    df: DataFrame, id_col: str, hash_col: str, band_bits: int
 ) -> DataFrame:
-    """Near-dup candidates = docs sharing any 16-bit band of the 64-bit
-    SimHash (catches pairs within Hamming distance 3 with certainty when
-    the differing bits span ≤3 bands)."""
+    """(id, band, bucket) rows: the 64-bit SimHash sliced into
+    64/band_bits bands — the one banding expression shared by candidate
+    generation and oversize accounting."""
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    banded = df.select(
+    return df.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
@@ -449,24 +567,57 @@ def simhash_candidate_pairs(
             ])
         ).alias("band", "bucket"),
     )
-    buckets = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    ).filter(F.size("ids") > 1)
-    return buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda other: F.struct(
-                            F.col("ids")[i].alias("a"), other.alias("b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash",
+    band_bits: int = 16, max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates = docs sharing any 16-bit band of the 64-bit
+    SimHash (catches pairs within Hamming distance 3 with certainty when
+    the differing bits span ≤3 bands).
+
+    Pair expansion is a codegen'd self-JOIN on the (band, bucket) key —
+    exactly the ``lsh_candidate_pairs`` shape — NOT a collect_list +
+    nested-transform expansion: a mega-bucket (heavy exact duplication,
+    the norm in web crawls) is handled by the join machinery and AQE
+    skew splitting instead of materializing O(n²) structs from one row
+    on one executor.  ``max_bucket`` (optional) drops oversize buckets;
+    count them via ``simhash_oversize_buckets`` with the SAME band_bits
+    — never cap silently."""
+    banded = _simhash_banded(df, id_col, hash_col, band_bits)
+    if max_bucket is not None:
+        oversize = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(oversize), ["band", "bucket"], "left_anti"
+        )
+    left = banded.select("band", "bucket", F.col(id_col).alias("a"))
+    right = banded.select("band", "bucket", F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash_oversize_buckets(
+    df: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash",
+    band_bits: int = 16, max_bucket: int = 4096,
+) -> DataFrame:
+    """(band, bucket, n) rows a ``max_bucket`` cap would drop — the
+    accounting side of capped SimHash candidate generation."""
+    return (
+        _simhash_banded(df, id_col, hash_col, band_bits)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
 
 
 def hamming_distance_col(a, b):

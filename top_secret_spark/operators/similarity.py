@@ -68,26 +68,100 @@ def make_cosine_scores_udf(queries: list[tuple[int, list[float]]]):
     return scores
 
 
+def _partial_top_k(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+    emb_col: str,
+    cell_col: str | None = None,
+    allowed: np.ndarray | None = None,
+) -> DataFrame:
+    """Per-PARTITION top-k (phase one of two-phase top-k): mapInPandas
+    keeps a running (score, id) top-k per query across the partition's
+    Arrow batches — one matmul per batch against the broadcast query
+    matrix — and emits at most k × n_queries rows per partition.  The
+    downstream global window then ranks ≤ k × n_partitions rows per
+    query instead of the whole corpus — the exchange carries candidate
+    triples, never the corpus.
+
+    Ties are broken (score desc, id asc) HERE as well as in the final
+    window, so per-partition truncation can never cut a row the global
+    top-k would have kept.  Rows with null / wrong-width embeddings are
+    masked out individually (one bad row must not drop its whole batch).
+
+    ``cell_col`` + ``allowed`` (n_queries × n_cells bool) restrict each
+    query to its OWN probe cells: pooled probing filters the scan, the
+    mask keeps per-query semantics exact."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize_rows(np.array([q[1] for q in queries], dtype=np.float64))
+    n_q, dim = qmat.shape
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_ddl = f"query_id long, {id_col} {id_type}, score double"
+
+    def part_topk(batches):
+        top_s = [np.empty(0, dtype=np.float64) for _ in range(n_q)]
+        top_i = [np.empty(0, dtype=object) for _ in range(n_q)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[emb_col].tolist()
+            valid = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            if not valid.any():
+                continue
+            ids = pdf[id_col].to_numpy()[valid]
+            mat = np.array(
+                [vals[i] for i in np.flatnonzero(valid)], dtype=np.float64
+            )
+            sims = qmat @ _normalize_rows(mat).T  # (n_q, n_valid)
+            if cell_col is not None:
+                cells = pdf[cell_col].to_numpy()[valid].astype(np.int64)
+                ok = (cells >= 0) & (cells < allowed.shape[1])
+                mask = np.zeros((n_q, len(cells)), dtype=bool)
+                mask[:, ok] = allowed[:, cells[ok]]
+                sims = np.where(mask, sims, -np.inf)
+            for qi in range(n_q):
+                s = np.concatenate([top_s[qi], sims[qi]])
+                i = np.concatenate([top_i[qi], ids])
+                keep = s > -np.inf
+                s, i = s[keep], i[keep]
+                if len(s) > k:
+                    order = np.lexsort((i, -s))[:k]
+                    s, i = s[order], i[order]
+                top_s[qi], top_i[qi] = s, i
+        qcol, icol, scol = [], [], []
+        for qi in range(n_q):
+            qcol.extend([int(qids[qi])] * len(top_s[qi]))
+            icol.extend(top_i[qi].tolist())
+            scol.extend(top_s[qi].tolist())
+        if qcol:
+            yield pd.DataFrame(
+                {"query_id": qcol, id_col: icol, "score": scol}
+            )
+
+    cols = [id_col, emb_col] + ([cell_col] if cell_col else [])
+    return df.select(*cols).mapInPandas(part_topk, out_ddl)
+
+
 def brute_force_top_k(
     df: DataFrame,
     queries: list[tuple[int, list[float]]],
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    cell_col: str | None = None,
+    allowed: np.ndarray | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query → (query_id, vec_id, score, rank).
 
-    Plan shape: scan → UDF project → explode → window top-k.  The window
-    partitions by query_id (small count), and AQE coalesces the tiny
-    exchange of scalar triples — no vectors are ever shuffled."""
-    scored = df.select(
-        F.col(id_col),
-        F.explode(make_cosine_scores_udf(queries)(F.col(emb_col))).alias("s"),
-    ).select(
-        F.col("s.query_id").alias("query_id"),
-        F.col(id_col),
-        F.col("s.score").alias("score"),
-    )
+    Two-phase: per-partition running top-k inside a mapInPandas (phase
+    one, ``_partial_top_k``) → global window over ≤ k × n_partitions
+    candidates per query (phase two).  At 10^11 corpus rows the single
+    exchange carries k × n_queries rows per partition — scalar triples,
+    never vectors, never the corpus."""
+    scored = _partial_top_k(df, queries, k, id_col, emb_col, cell_col, allowed)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -143,28 +217,39 @@ def ann_top_k(
     within `multiprobe` bit flips of the query's bucket, then exact
     cosine within the probed set.
 
-    The bucket filter is a broadcast IN-list (queries are few), so the
-    plan is scan → filter (pushable) → UDF → window — the corpus fraction
-    scored shrinks ~2^-n_bits per probe set."""
+    The bucket filter is a broadcast IN-list over the UNION of all
+    queries' probe sets (pooled — one scan filter serves every query),
+    but scoring masks each query down to its OWN probe buckets, so a
+    query never returns hits from another query's probe set and results
+    do not depend on which queries are co-batched."""
     planes = _hyperplanes(dim, n_bits)
     weights = 1 << np.arange(n_bits, dtype=np.int64)
 
-    probe_buckets: set[int] = set()
-    for _, vec in queries:
+    def probes(vec) -> set[int]:
         bits = (np.array(vec, dtype=np.float64) @ planes.T) > 0
         base = int(bits @ weights)
-        probe_buckets.add(base)
+        out = {base}
         if multiprobe >= 1:
             for i in range(n_bits):
-                probe_buckets.add(base ^ (1 << i))
+                out.add(base ^ (1 << i))
         if multiprobe >= 2:
             for i in range(n_bits):
                 for j in range(i + 1, n_bits):
-                    probe_buckets.add(base ^ (1 << i) ^ (1 << j))
+                    out.add(base ^ (1 << i) ^ (1 << j))
+        return out
+
+    per_query = [probes(vec) for _, vec in queries]
+    pooled = sorted(set().union(*per_query))
+    allowed = np.zeros((len(queries), 1 << n_bits), dtype=bool)
+    for qi, pset in enumerate(per_query):
+        allowed[qi, sorted(pset)] = True
 
     bucketed = with_lsh_bucket(df, dim, emb_col, n_bits)
-    probed = bucketed.filter(F.col("lsh_bucket").isin(*[int(b) for b in probe_buckets]))
-    return brute_force_top_k(probed, queries, k, id_col, emb_col)
+    probed = bucketed.filter(F.col("lsh_bucket").isin(*[int(b) for b in pooled]))
+    return brute_force_top_k(
+        probed, queries, k, id_col, emb_col,
+        cell_col="lsh_bucket", allowed=allowed,
+    )
 
 
 # --- IVF (inverted-file) ANN ----------------------------------------------------
@@ -255,16 +340,22 @@ def ivf_top_k(
     scoring UDF; with the index table partitioned by `ivf_cell`, that
     filter becomes partition PRUNING — the scan itself skips
     (n_cells - nprobe)/n_cells of the corpus, which is the entire point
-    of IVF at 10^11 vectors."""
+    of IVF at 10^11 vectors.  The scan filter pools every query's probe
+    cells (one pruned scan serves the batch), but scoring masks each
+    query to its OWN nprobe cells, so results are identical whether a
+    query runs alone or co-batched."""
     qmat = _normalize_rows(
         np.array([q[1] for q in queries], dtype=np.float64)
     )
     sims = qmat @ centroids.T  # (n_queries, n_cells)
-    probe = set()
-    for row in sims:
-        for c in np.argsort(-row)[:nprobe]:
-            probe.add(int(c))
+    allowed = np.zeros((len(queries), centroids.shape[0]), dtype=bool)
+    for qi, row in enumerate(sims):
+        allowed[qi, np.argsort(-row)[:nprobe]] = True
+    probe = sorted(int(c) for c in np.flatnonzero(allowed.any(axis=0)))
 
     celled = with_ivf_cell(df, centroids, emb_col)
-    probed = celled.filter(F.col("ivf_cell").isin(*sorted(probe)))
-    return brute_force_top_k(probed, queries, k, id_col, emb_col)
+    probed = celled.filter(F.col("ivf_cell").isin(*probe))
+    return brute_force_top_k(
+        probed, queries, k, id_col, emb_col,
+        cell_col="ivf_cell", allowed=allowed,
+    )

@@ -40,7 +40,7 @@ def scrub_stream(
 def dedup_stream(
     stream: DataFrame,
     text_col: str = "transcript",
-    state_ttl: str | None = "30 minutes",
+    state_ttl: str | int | None = "30 minutes",
 ) -> DataFrame:
     """Stateful streaming exact-dedup: first-seen row per content
     fingerprint wins; later arrivals (same or later micro-batches) are
@@ -53,27 +53,51 @@ def dedup_stream(
     At 10^12-row scale the shuffle key is the 64-bit fingerprint, never
     the document body, mirroring the batch dedup invariant
     (operators/dedup.py).
+
+    ``state_ttl`` accepts ``"N second(s)|minute(s)|hour(s)|day(s)"`` or
+    a millisecond int; anything else raises ValueError at plan time.
+    Among duplicates arriving in the SAME micro-batch the retained
+    "first-seen" representative is whichever row the shuffle delivers
+    first — nondeterministic, which is fine for dedup (all rows share
+    one fingerprint) but don't rely on a specific surviving row id.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from .operators.text_analysis import fingerprint_udf
+    from .operators.text_analysis import fingerprint_col
 
     if not stream.isStreaming:
         raise ValueError("dedup_stream expects a streaming DataFrame")
 
-    with_fp = stream.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+    with_fp = stream.withColumn("fingerprint", fingerprint_col(text_col))
     out_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in with_fp.schema
     )
     ttl_ms = None
     if state_ttl is not None:
-        num, unit = state_ttl.split()
-        ttl_ms = int(num) * {
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-        }[unit]
+        if isinstance(state_ttl, int):
+            ttl_ms = state_ttl
+        else:
+            units = {
+                "second": 1000, "seconds": 1000,
+                "minute": 60_000, "minutes": 60_000,
+                "hour": 3_600_000, "hours": 3_600_000,
+                "day": 86_400_000, "days": 86_400_000,
+            }
+            parts = str(state_ttl).split()
+            if (
+                len(parts) != 2
+                or not parts[0].isdigit()
+                or parts[1] not in units
+            ):
+                raise ValueError(
+                    f"state_ttl must be an int (milliseconds) or "
+                    f"'N second(s)|minute(s)|hour(s)|day(s)', got "
+                    f"{state_ttl!r}"
+                )
+            ttl_ms = int(parts[0]) * units[parts[1]]
+        if ttl_ms <= 0:
+            raise ValueError(f"state_ttl must be positive, got {state_ttl!r}")
 
     def first_seen(key, pdfs, state: GroupState):
         if state.hasTimedOut:
