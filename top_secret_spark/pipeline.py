@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kernel.filters import DEFAULT_CONFIG, ScrubConfig
+from .kernel.filters import NORTH_STAR_CONFIG, ScrubConfig
 from .kernel.quality import DEFAULT_THRESHOLDS, QualityThresholds
 from .operators.audio import with_audio_features
 from .operators.features import with_text_features
@@ -35,7 +35,10 @@ class PipelineConfig:
     """Explicit config object (replaces the reference's mutable module
     globals, top_secret.rb:46-63) — captured by closures at plan time."""
 
-    scrub: ScrubConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+    # pipeline default = reference's six slots + the URL filter (the
+    # north-star names URL scrubbing); parity surfaces that must match
+    # the gem byte-for-byte pass DEFAULT_CONFIG explicitly
+    scrub: ScrubConfig = field(default_factory=lambda: NORTH_STAR_CONFIG)
     thresholds: QualityThresholds = field(default_factory=lambda: DEFAULT_THRESHOLDS)
     include_audio: bool = False  # decode-validate stage on/off
     scrub_dropped: bool = False  # scrub even rows that fail keep/drop

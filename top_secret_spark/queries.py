@@ -1166,6 +1166,88 @@ FROM documents
 """
 
 
+URL_TRANSCRIPT_SQL = (
+    "concat('Visit https://example', cast(doc_id % 7 as string), "
+    "'.com/path', cast(doc_id % 13 as string), "
+    "' now. Details at example.com or mail user', "
+    "cast(doc_id % 5 as string), '@test.org today.')"
+)
+
+
+def q_url_scrub(spark, sf_dir):
+    """North-star URL filter: schemed URLs scrub to [URL_1] while bare
+    domains pass untouched (kernel/filters.py url_filter; the pipeline's
+    NORTH_STAR_CONFIG default).  Email in the same row checks category
+    independence of the numbering."""
+    _prep(spark)
+    from .kernel.filters import NORTH_STAR_CONFIG
+    from .operators.scrub import with_scrub
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(URL_TRANSCRIPT_SQL).alias("transcript")
+    )
+    return with_scrub(planted, NORTH_STAR_CONFIG, text_col="transcript").select(
+        "doc_id", "scrubbed"
+    )
+
+
+Q_URL_SCRUB_SQL = """
+SELECT doc_id,
+       'Visit [URL_1] now. Details at example.com or mail [EMAIL_1] today.'
+         AS scrubbed
+FROM documents
+"""
+
+
+def q_ner_model_scrub(spark, sf_dir):
+    """Op 7 COMPLETE: real model-inference NER — a deterministic
+    gazetteer model artifact is shipped to executors via SparkFiles,
+    loaded once per Python worker (kernel/ner.py singleton, the
+    reference's lazy model-handle pattern, text.rb:21-33), evaluated in
+    an Arrow-batched UDF, and its entities feed the standard scrub —
+    end-to-end WITHOUT an injected entities column.  'Ghost' scores
+    0.3 < 0.5 and must survive unscrubbed."""
+    import os
+    import tempfile
+
+    _prep(spark)
+    from .kernel.ner import write_gazetteer_model
+    from .operators.ner import ship_ner_model, with_ner_entities
+    from .operators.scrub import with_scrub
+
+    model_path = os.path.join(tempfile.gettempdir(), "tss_gazetteer_q33.json")
+    write_gazetteer_model(
+        model_path,
+        [
+            ("Ralph Mason", "PERSON", 0.9),
+            ("Boston", "LOCATION", 0.8),
+            ("Ghost", "PERSON", 0.3),
+        ],
+    )
+    fname = ship_ner_model(spark, model_path)
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("Agent Ralph Mason flew to Boston with Ghost. "),
+            F.col("text"),
+        ).alias("transcript"),
+    )
+    ents = with_ner_entities(df, fname, text_col="transcript")
+    return with_scrub(ents, text_col="transcript", entities_col="entities").select(
+        "doc_id", "scrubbed"
+    )
+
+
+# documents text contains none of the gazetteer names (lower-case word
+# salads) and no PII, so the oracle is the constant-prefix substitution
+Q_NER_MODEL_SCRUB_SQL = """
+SELECT doc_id,
+       concat('Agent [PERSON_1] flew to [LOCATION_1] with Ghost. ', text)
+         AS scrubbed
+FROM documents
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1198,4 +1280,6 @@ QUERIES = {
     "q29_ivf_ann": (q_ivf_ann, Q_IVF_ANN_SQL),
     "q30_dedup_near": (q_dedup_near, Q_DEDUP_NEAR_SQL),
     "q31_filter_composition": (q_filter_composition, Q_FILTER_COMPOSITION_SQL),
+    "q32_url_scrub": (q_url_scrub, Q_URL_SCRUB_SQL),
+    "q33_ner_model_scrub": (q_ner_model_scrub, Q_NER_MODEL_SCRUB_SQL),
 }
