@@ -123,3 +123,42 @@ def test_sampled_frames(spark, media):
         by_id.setdefault(f["media_id"], []).append(f["frame_idx"])
     for r in vids:
         assert sorted(by_id[r["media_id"]]) == list(range(0, r["n_frames"], 2))
+
+
+def test_stacked_stats_match_per_row_loop(spark):
+    """The same-shape stacked fast path must produce byte-identical stats
+    to the per-row decode loop (duplicate shapes force group sizes > 1)."""
+    import numpy as np
+
+    from top_secret_spark.kernel.media import (
+        decode_image,
+        decode_video,
+        image_features,
+    )
+    from top_secret_spark.operators.multimodal import (
+        media_df,
+        with_media_features,
+    )
+
+    media = media_df(spark, 64, partitions=2)
+    rows = {r["media_id"]: r for r in media.collect()}
+    got = {r["media_id"]: r for r in with_media_features(media).collect()}
+    assert set(got) == set(rows)
+    for mid, src in rows.items():
+        g = got[mid]
+        if src["kind"] == "video":
+            frames = decode_video(
+                src["bytes"], src["codec"], src["width"], src["height"],
+                src["n_frames"],
+            ).astype(np.float64)
+            assert g["dec_frames"] == src["n_frames"]
+            assert abs(g["brightness"] - frames.mean()) < 1e-9
+            assert abs(g["contrast"] - frames.std()) < 1e-9
+            assert abs(g["mean_r"] - frames[..., 0].mean()) < 1e-9
+        else:
+            feats = image_features(
+                decode_image(src["bytes"], src["codec"], src["width"],
+                             src["height"])
+            )
+            for k in ("mean_r", "mean_g", "mean_b", "brightness", "contrast"):
+                assert abs(g[k] - feats[k]) < 1e-9, (mid, k)

@@ -106,13 +106,53 @@ def main():
         brute_force_top_k(emb, [(0, [0.1] * 64)], k=5)
     )
     sections.append((
-        "Brute-force cosine top-k",
+        "Brute-force cosine top-k (two-phase)",
         topk_plan,
-        "- Query matrix lives in the UDF closure (broadcast with the task\n"
-        "  binary): the scan streams embeddings through one matmul per batch;\n"
-        "  only (query_id, vec_id, score) triples reach the exchange.\n"
-        "- The `Window` top-k partitions by query_id — partition count equals\n"
-        "  the (small) query count; AQE coalesces the tiny exchange.",
+        "- Phase one is the `MapInPandas` node: a RUNNING per-partition\n"
+        "  top-k (one matmul per Arrow batch against the closure-broadcast\n"
+        "  query matrix) that emits at most k x n_queries rows per\n"
+        "  partition — the corpus never leaves its partition.\n"
+        "- The single `Exchange hashpartitioning(query_id)` therefore\n"
+        "  carries <= k x n_partitions candidate triples per query, not\n"
+        "  corpus_size x n_queries; the `Window` ranks that tiny set.\n"
+        "- Ties break (score desc, id asc) in BOTH phases, so partition\n"
+        "  truncation can never cut a row the global top-k would keep.",
+    ))
+
+    from top_secret_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        with_fingerprint,
+        with_simhash,
+    )
+
+    fp_plan = explain_str(
+        with_fingerprint(docs).groupBy("fingerprint").count()
+    )
+    sections.append((
+        "Exact-dedup fingerprint (pure Catalyst)",
+        fp_plan,
+        "- NO Python anywhere: the fingerprint is `xxhash64` over\n"
+        "  Catalyst-normalized text (lower/trim/regexp_replace), fully\n"
+        "  inside `WholeStageCodegen` — the previous per-byte Python FNV\n"
+        "  loop is gone.\n"
+        "- The groupBy shuffles 8-byte hashes with map-side partial\n"
+        "  aggregation; document text never reaches the exchange.",
+    ))
+
+    sh_plan = explain_str(
+        simhash_candidate_pairs(
+            with_simhash(docs.limit(200)).select("doc_id", "simhash")
+        )
+    )
+    sections.append((
+        "SimHash candidate pairs (bucket self-join)",
+        sh_plan,
+        "- Banding is a posexplode of four 16-bit slices; pair expansion is\n"
+        "  a codegen'd self-JOIN on (band, bucket) — the former\n"
+        "  collect_list + nested-transform expansion evaluated O(n^2)\n"
+        "  structs on ONE row and could OOM an executor on a mega-bucket;\n"
+        "  the join form is AQE-skew-splittable.\n"
+        "- Shuffle keys are (band, 16-bit bucket, 8-byte id) — no text.",
     ))
 
     nd_plan = explain_str(near_duplicates_minhash(docs.limit(200)))

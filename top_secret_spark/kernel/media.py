@@ -121,3 +121,21 @@ def decode_video(
 def sample_frames(frames: np.ndarray, every_k: int) -> np.ndarray:
     """Every k-th frame starting at 0 — ceil(n/k) frames out."""
     return frames[::every_k]
+
+
+def batch_frame_stats(stack: np.ndarray) -> dict:
+    """Per-row channel means / brightness / contrast for a stacked batch
+    of same-shaped media: (n, h, w, 3) images or (n, f, h, w, 3) frame
+    stacks → dict of length-n float64 arrays.  One vectorized reduction
+    over the whole stack — for small images the per-row interpreter
+    loop, not the decode, dominates; stacking removes it."""
+    f = stack.astype(np.float64)
+    spatial = tuple(range(1, f.ndim - 1))
+    with_channel = tuple(range(1, f.ndim))
+    return {
+        "mean_r": f[..., 0].mean(axis=spatial),
+        "mean_g": f[..., 1].mean(axis=spatial),
+        "mean_b": f[..., 2].mean(axis=spatial),
+        "brightness": f.mean(axis=with_channel),
+        "contrast": f.std(axis=with_channel),
+    }

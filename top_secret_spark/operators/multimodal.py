@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from ..kernel.media import (
     RAW_IMAGE_CODEC,
     RAW_VIDEO_CODEC,
+    batch_frame_stats,
     decode_image,
     decode_video,
     encode_image,
@@ -101,56 +102,106 @@ _FEATURES_DDL = (
 )
 
 
+def _features_rows_loop(grp: pd.DataFrame) -> pd.DataFrame:
+    """Per-row decode + stats — the general path for non-raw codecs
+    (stub decoders raise their clear NotImplementedError here) and for
+    raw rows whose byte counts disagree with metadata (per-row decode
+    raises the precise ValueError)."""
+    rows = []
+    for t in grp.itertuples(index=False):
+        if t.kind == "video":
+            frames = decode_video(t.bytes, t.codec, t.width, t.height, t.n_frames)
+            # media-level stats span ALL frames (frame-0-only channel
+            # means would disagree with all-frame brightness for
+            # drifting videos)
+            f = frames.astype(np.float64)
+            feats = {
+                "width": int(frames.shape[2]),
+                "height": int(frames.shape[1]),
+                "mean_r": float(f[..., 0].mean()),
+                "mean_g": float(f[..., 1].mean()),
+                "mean_b": float(f[..., 2].mean()),
+                "brightness": float(f.mean()),
+                "contrast": float(f.std()),
+            }
+            dec_frames = int(frames.shape[0])
+        else:
+            img = decode_image(t.bytes, t.codec, t.width, t.height)
+            feats = image_features(img)
+            dec_frames = 1
+        rows.append(
+            {
+                "media_id": t.media_id,
+                "kind": t.kind,
+                "dec_width": feats["width"],
+                "dec_height": feats["height"],
+                "dec_frames": dec_frames,
+                "mean_r": feats["mean_r"],
+                "mean_g": feats["mean_g"],
+                "mean_b": feats["mean_b"],
+                "brightness": feats["brightness"],
+                "contrast": feats["contrast"],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def with_media_features(df: DataFrame) -> DataFrame:
     """Decode each row by codec and extract shape + channel statistics.
     Decoded shapes come from the actual pixel buffer, so comparing them
-    against the metadata columns validates the decode path end-to-end."""
+    against the metadata columns validates the decode path end-to-end.
+
+    Same-shaped raw rows are STACKED: one frombuffer over the group's
+    concatenated bytes → (n, [frames,] h, w, 3) → one vectorized stats
+    reduction (kernel/media.py batch_frame_stats).  For small images the
+    per-row interpreter loop dominates the decode cost; grouping by
+    (kind, codec, width, height, n_frames) removes it while leaving the
+    per-row path for stub codecs and malformed rows."""
 
     def run(iterator):
         for pdf in iterator:
-            rows = []
-            for t in pdf.itertuples(index=False):
-                if t.kind == "video":
-                    frames = decode_video(
-                        t.bytes, t.codec, t.width, t.height, t.n_frames
-                    )
-                    # media-level stats span ALL frames (frame-0-only
-                    # channel means would disagree with the all-frame
-                    # brightness for drifting videos)
-                    f = frames.astype(np.float64)
-                    feats = {
-                        "width": int(frames.shape[2]),
-                        "height": int(frames.shape[1]),
-                        "mean_r": float(f[..., 0].mean()),
-                        "mean_g": float(f[..., 1].mean()),
-                        "mean_b": float(f[..., 2].mean()),
-                        "brightness": float(f.mean()),
-                        "contrast": float(f.std()),
-                    }
-                    dec_frames = int(frames.shape[0])
-                else:
-                    img = decode_image(t.bytes, t.codec, t.width, t.height)
-                    feats = image_features(img)
-                    dec_frames = 1
-                rows.append(
-                    {
-                        "media_id": t.media_id,
-                        "kind": t.kind,
-                        "dec_width": feats["width"],
-                        "dec_height": feats["height"],
-                        "dec_frames": dec_frames,
-                        "mean_r": feats["mean_r"],
-                        "mean_g": feats["mean_g"],
-                        "mean_b": feats["mean_b"],
-                        "brightness": feats["brightness"],
-                        "contrast": feats["contrast"],
-                    }
+            if not len(pdf):
+                continue
+            outs = []
+            for (kind, codec, w, h, nf), grp in pdf.groupby(
+                ["kind", "codec", "width", "height", "n_frames"], sort=False
+            ):
+                is_raw_img = kind != "video" and codec == RAW_IMAGE_CODEC
+                is_raw_vid = kind == "video" and codec == RAW_VIDEO_CODEC
+                expected = (
+                    w * h * 3 * (nf if is_raw_vid else 1)
+                    if (is_raw_img or is_raw_vid)
+                    else -1
                 )
-            if rows:
-                pdf_out = pd.DataFrame(rows)
-                for c in ("dec_width", "dec_height", "dec_frames"):
-                    pdf_out[c] = pdf_out[c].astype("int32")
-                yield pdf_out
+                if expected > 0 and all(
+                    len(b) == expected for b in grp["bytes"]
+                ):
+                    buf = np.frombuffer(
+                        b"".join(grp["bytes"]), dtype=np.uint8
+                    )
+                    shape = (
+                        (len(grp), nf, h, w, 3)
+                        if is_raw_vid
+                        else (len(grp), h, w, 3)
+                    )
+                    stats = batch_frame_stats(buf.reshape(shape))
+                    out = pd.DataFrame(
+                        {
+                            "media_id": grp["media_id"].to_numpy(),
+                            "kind": kind,
+                            "dec_width": w,
+                            "dec_height": h,
+                            "dec_frames": nf if is_raw_vid else 1,
+                            **stats,
+                        }
+                    )
+                else:
+                    out = _features_rows_loop(grp)
+                outs.append(out)
+            pdf_out = pd.concat(outs, ignore_index=True)
+            for c in ("dec_width", "dec_height", "dec_frames"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
 
     return df.mapInPandas(run, schema=_FEATURES_DDL)
 
