@@ -108,16 +108,20 @@ def main():
     timed("scrub_restore", lambda: with_restore(
         with_scrub(docs, text_col="text"), text_col="scrubbed")
         .filter(F.col("restored_text") == F.col("text")).count())
-    # collapse_exact: the scale path — identical signatures pre-collapse
-    # to representatives before LSH (web corpora are heavily duplicated),
-    # output-equivalence is pytest-gated; candidate-pair count is the
-    # cost driver and is surfaced below
+    # collapse_exact='auto': probe the exact-duplication ratio and
+    # pre-collapse identical signatures only when it pays (web corpora
+    # are heavily duplicated; this table is ~98% unique, where collapsing
+    # is pure overhead).  Output-equivalence of both branches is
+    # pytest-gated; candidate-pair count (the web-scale cost driver) and
+    # the collapse decision are surfaced below.
     dd_stats: dict = {}
     timed("dedup_minhash",
           lambda: near_duplicates_minhash(
-              docs, threshold=0.8, collapse_exact=True, stats=dd_stats
+              docs, threshold=0.8, collapse_exact="auto", stats=dd_stats
           ).count())
     extras["dedup_candidate_pairs"] = dd_stats.get("n_candidate_pairs")
+    extras["dedup_exact_dup_ratio"] = dd_stats.get("exact_dup_ratio")
+    extras["dedup_collapsed_exact"] = dd_stats.get("collapsed_exact")
     extras["dedup_unique_signatures"] = dd_stats.get("n_unique_signatures")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()

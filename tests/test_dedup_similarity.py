@@ -435,3 +435,36 @@ def test_ivf_results_independent_of_cobatching(spark, embeddings):
             for r in ivf_top_k(embeddings, [qa, qb], cents, k=5, nprobe=2)
             .filter(F.col("query_id") == qa[0]).collect()}
     assert alone == both
+
+
+def test_collapse_exact_auto_probe(spark):
+    from top_secret_spark.operators.dedup import near_duplicates_minhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select("doc_id", "text").limit(80)
+    tripled = base.unionByName(
+        base.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    ).unionByName(
+        base.select((F.col("doc_id") + 20_000).alias("doc_id"), "text")
+    )
+    # heavy duplication (67%) → auto collapses
+    s1: dict = {}
+    r1 = {(r["a"], r["b"], r["est_jaccard"]) for r in near_duplicates_minhash(
+        tripled, threshold=0.8, collapse_exact="auto", stats=s1).collect()}
+    assert s1["collapsed_exact"] is True and s1["exact_dup_ratio"] > 0.5
+    # output identical to the explicit-collapse and plain paths
+    r2 = {(r["a"], r["b"], r["est_jaccard"]) for r in near_duplicates_minhash(
+        tripled, threshold=0.8, collapse_exact=True).collect()}
+    assert r1 == r2
+    # unique corpus → auto does NOT collapse
+    uniq = spark.createDataFrame(
+        [(i, f"clearly distinct text number {i} on subject {i * 31}")
+         for i in range(60)], ["doc_id", "text"])
+    s3: dict = {}
+    near_duplicates_minhash(uniq, threshold=0.8, collapse_exact="auto",
+                            stats=s3).count()
+    assert s3["collapsed_exact"] is False
+    # invalid value raises at plan time
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collapse_exact"):
+        near_duplicates_minhash(uniq, collapse_exact="yes")

@@ -247,7 +247,8 @@ def near_duplicates_minhash(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int | None = None,
-    collapse_exact: bool = False,
+    collapse_exact: bool | str = False,
+    collapse_min_dup_ratio: float = 0.2,
     materialize: bool = True,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -277,6 +278,16 @@ def near_duplicates_minhash(
     collision would silently merge docs with different signatures into
     one "exact" group and emit false est_jaccard=1.0 pairs.
 
+    On a corpus with LITTLE exact duplication, collapsing is pure
+    overhead (the array-keyed groupBy + membership joins run for
+    nothing — measured ~2× slower on a 98%-unique table), so
+    ``collapse_exact="auto"`` probes first: one approx-distinct
+    aggregate over 64-bit signature digests (collisions only perturb a
+    ratio estimate — never correctness) and collapses only when the
+    duplicate fraction is ≥ ``collapse_min_dup_ratio``.  This is the
+    recommended setting for unknown corpora; the probe costs one pass
+    over the persisted signatures.
+
     ``materialize=False`` returns the result lazily instead of the
     default eager ``localCheckpoint``; the intermediates then stay
     persisted (unpersisting them would force recomputation through the
@@ -303,6 +314,22 @@ def near_duplicates_minhash(
         .select(id_col, "minhash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if collapse_exact == "auto":
+        n_docs = all_sigs.count()
+        n_unique = all_sigs.agg(
+            F.approx_count_distinct(F.xxhash64("minhash")).alias("u")
+        ).collect()[0]["u"]
+        dup_ratio = (n_docs - n_unique) / max(n_docs, 1)
+        collapse_exact = dup_ratio >= collapse_min_dup_ratio
+        if stats is not None:
+            stats["exact_dup_ratio"] = round(dup_ratio, 4)
+    elif not isinstance(collapse_exact, bool):
+        raise ValueError(
+            f"collapse_exact must be True, False, or 'auto', got "
+            f"{collapse_exact!r}"
+        )
+    if stats is not None:
+        stats["collapsed_exact"] = collapse_exact
     extra_pairs = None
     if collapse_exact:
         # group key is the signature ARRAY itself (array<long> is a valid
