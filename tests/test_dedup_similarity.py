@@ -468,3 +468,67 @@ def test_collapse_exact_auto_probe(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="collapse_exact"):
         near_duplicates_minhash(uniq, collapse_exact="yes")
+
+
+def test_ivf_index_prunes_partitions_and_matches_unindexed(spark, embeddings, tmp_path):
+    from top_secret_spark.operators.similarity import (
+        ivf_top_k,
+        ivf_top_k_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_ivf_centroids(embeddings, dim=64, n_cells=8)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(embeddings, cents, path)
+
+    rows = embeddings.select("vec_id", "embedding").limit(2).collect()
+    queries = [(r["vec_id"], r["embedding"]) for r in rows]
+    indexed = ivf_top_k_indexed(spark, path, queries, cents, k=5, nprobe=3)
+
+    # physical partition pruning: the probed scan lists ONLY probed-cell
+    # directories
+    from top_secret_spark.operators.similarity import _probe_mask
+
+    _, probe = _probe_mask(queries, cents, 3)
+    pruned = spark.read.parquet(path).filter(F.col("ivf_cell").isin(*probe))
+    probed_files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert probed_files, "pruned scan read no files"
+    import re as _re
+
+    cells_in_files = {
+        int(_re.search(r"ivf_cell=(\d+)", f).group(1)) for f in probed_files
+    }
+    assert cells_in_files <= set(probe)
+    assert len(cells_in_files) < 8  # strictly fewer than all cells
+    # and the planner records the partition filter (pruning at plan time)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+    # identical results to the unindexed path
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in indexed.collect()}
+    b = {(r["query_id"], r["vec_id"], r["rank"])
+         for r in ivf_top_k(embeddings, queries, cents, k=5, nprobe=3).collect()}
+    assert a == b
+
+
+def test_dedup_near_verify_exact(spark):
+    from top_secret_spark.operators.dedup import dedup_near
+
+    rows = []
+    for fam in range(20):
+        for m in range(4):
+            rows.append((fam * 10 + m,
+                         f"family {fam} shares this exact transcript body "
+                         f"about topic {fam * 11} entirely"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    surv_est = sorted(r["doc_id"] for r in dedup_near(docs, threshold=0.9).collect())
+    surv_ver = sorted(
+        r["doc_id"]
+        for r in dedup_near(docs, threshold=0.9, verify_exact=True).collect()
+    )
+    assert surv_est == surv_ver == [fam * 10 for fam in range(20)]

@@ -479,7 +479,9 @@ def dedup_near(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int | None = None,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
+    verify_exact: bool = False,
+    shingle_k: int = 5,
 ) -> DataFrame:
     """Fuzzy deduplication end-to-end: MinHash near-dup pairs →
     connected components → keep ONE survivor (min id) per cluster, plus
@@ -487,12 +489,22 @@ def dedup_near(
     pairwise near-dup evidence alone cannot deduplicate a corpus; this
     is the step a training-data pipeline actually runs.
 
+    ``verify_exact=True`` re-checks every estimated pair with TRUE
+    shingle Jaccard (text joined back for candidates only) before
+    clustering — signature-estimated Jaccard has a known false-positive
+    rate, and a single false edge merges two whole clusters, so
+    verification matters more here than for pair reporting.
+
     The drop set (non-survivor cluster members) is joined back
     ``left_anti`` on the id column — the only thing shuffled against
     the corpus is 8-byte ids."""
     pairs = near_duplicates_minhash(
         df, id_col, text_col, threshold, num_hashes, bands, collapse_exact
     )
+    if verify_exact:
+        pairs = verify_pairs_jaccard(
+            pairs, df, id_col, text_col, threshold, shingle_k
+        ).select("a", "b")
     clusters = near_duplicate_clusters(pairs)
     drop = (
         clusters.filter(F.col("node") != F.col("cluster_id"))

@@ -344,17 +344,68 @@ def ivf_top_k(
     cells (one pruned scan serves the batch), but scoring masks each
     query to its OWN nprobe cells, so results are identical whether a
     query runs alone or co-batched."""
-    qmat = _normalize_rows(
-        np.array([q[1] for q in queries], dtype=np.float64)
+    allowed, probe = _probe_mask(queries, centroids, nprobe)
+    celled = with_ivf_cell(df, centroids, emb_col)
+    probed = celled.filter(F.col("ivf_cell").isin(*probe))
+    return brute_force_top_k(
+        probed, queries, k, id_col, emb_col,
+        cell_col="ivf_cell", allowed=allowed,
     )
-    sims = qmat @ centroids.T  # (n_queries, n_cells)
+
+
+def _probe_mask(
+    queries: list[tuple[int, list[float]]], centroids: np.ndarray, nprobe: int
+) -> tuple[np.ndarray, list[int]]:
+    qmat = _normalize_rows(np.array([q[1] for q in queries], dtype=np.float64))
+    sims = qmat @ centroids.T
     allowed = np.zeros((len(queries), centroids.shape[0]), dtype=bool)
     for qi, row in enumerate(sims):
         allowed[qi, np.argsort(-row)[:nprobe]] = True
-    probe = sorted(int(c) for c in np.flatnonzero(allowed.any(axis=0)))
+    return allowed, sorted(int(c) for c in np.flatnonzero(allowed.any(axis=0)))
 
-    celled = with_ivf_cell(df, centroids, emb_col)
-    probed = celled.filter(F.col("ivf_cell").isin(*probe))
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the corpus written as parquet
+    PARTITIONED BY ivf_cell.  This is the step that turns the probe
+    filter into physical partition PRUNING — a subsequent
+    ``ivf_top_k_indexed`` scan lists only the probed cell directories
+    and never opens the other (n_cells - nprobe)/n_cells of the data.
+    At 10^11 vectors this is the difference between scanning ~25% and
+    100% of the corpus per query batch.  Cell assignment runs once at
+    index-build time; queries pay zero assignment cost."""
+    (
+        with_ivf_cell(df, centroids, emb_col)
+        .repartition("ivf_cell")
+        .write.partitionBy("ivf_cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_top_k_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over a ``write_ivf_index`` table: the probe filter is on
+    the PARTITION column, so Spark's file index prunes non-probed cell
+    directories at planning time (verify with ``.inputFiles()`` — only
+    ``ivf_cell=<probed>`` paths appear).  Scoring carries the same
+    per-query cell masks as ``ivf_top_k``, so results are identical to
+    the unindexed path on the same data."""
+    allowed, probe = _probe_mask(queries, centroids, nprobe)
+    df = spark.read.parquet(path)
+    probed = df.filter(F.col("ivf_cell").isin(*probe))
     return brute_force_top_k(
         probed, queries, k, id_col, emb_col,
         cell_col="ivf_cell", allowed=allowed,
