@@ -37,7 +37,7 @@ def main():
     spark = (
         SparkSession.builder.appName("tss-pipeline-bench")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -258,10 +258,11 @@ def near_duplicates_minhash(
     Signatures are computed once and persisted — they feed candidate
     generation AND both sides of the pair join; without the persist the
     (expensive) signature UDF would run three times.  Candidate pairs
-    are persisted too: both verify-join inputs reference them, and
-    recomputing candidates means redoing the LSH shuffle.  The returned
+    have a single downstream consumer (the verify join) and flow through
+    unpersisted — except when ``stats`` is requested, where the count
+    action would otherwise recompute the LSH shuffle.  The returned
     frame is eagerly localCheckpoint-ed (it is small: above-threshold
-    pairs only) so both intermediates can be UNPERSISTED before
+    pairs only) so the intermediates can be UNPERSISTED before
     returning — repeated invocations do not accumulate cached datasets.
 
     ``collapse_exact=True`` pre-collapses identical signatures to one
@@ -354,13 +355,19 @@ def near_duplicates_minhash(
         sigs = all_sigs
         members = None
 
+    # pairs has ONE downstream consumer (the verify join), so it is NOT
+    # persisted in the plain path — a persist + materialize there is a
+    # pure extra job barrier.  With a stats request the count() action
+    # would otherwise recompute the LSH shuffle, so persist first.
     pairs = lsh_candidate_pairs(
         sigs, id_col, bands=bands or _auto_bands(num_hashes, threshold)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs_persisted = False
     if stats is not None:
         # candidate volume is THE cost driver at web scale — callers
-        # (bench, ops dashboards) surface it; pairs are persisted so
-        # this count is not recomputation
+        # (bench, ops dashboards) surface it
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs_persisted = True
         stats["n_candidate_pairs"] = pairs.count()
         if collapse_exact:
             stats["n_unique_signatures"] = sigs.count()
@@ -397,7 +404,8 @@ def near_duplicates_minhash(
     if not materialize:
         return result
     result = result.localCheckpoint(eager=True)
-    pairs.unpersist()
+    if pairs_persisted:
+        pairs.unpersist()
     sigs.unpersist()
     all_sigs.unpersist()
     return result
