@@ -138,3 +138,53 @@ def test_spark_resample_and_frames(spark):
             assert len(fdb) > 0
             assert all(v > -60 for v in fdb)
     clips.unpersist()
+
+
+def test_segmented_features_match_per_clip():
+    """The concatenated batch-decode + segmented-feature pass must agree
+    with the per-clip reference path (mixed lengths incl. empty/1-sample
+    clips, all three codecs)."""
+    import numpy as np
+
+    from top_secret_spark.kernel.audio import (
+        audio_features,
+        batch_decode,
+        decode,
+        encode,
+        segmented_features,
+        synth_pcm,
+    )
+
+    for codec in ("pcm16", "ulaw", "alaw"):
+        clips = [
+            synth_pcm(7, 2400, 8000),
+            np.zeros(0, dtype=np.float32),          # empty clip
+            synth_pcm(11, 1, 8000),                  # single sample
+            synth_pcm(13, 5000, 16000),
+            synth_pcm(17, 333, 8000),
+        ]
+        srs = np.array([8000, 8000, 8000, 16000, 8000], dtype=np.float64)
+        datas = [encode(c, codec) for c in clips]
+        samples, lengths = batch_decode(datas, codec)
+        r, z, d = segmented_features(samples, lengths, srs)
+        for i, data in enumerate(datas):
+            pcm = decode(data, codec)
+            ref = audio_features(pcm, int(srs[i]))
+            assert abs(r[i] - ref["rms"]) < 1e-9, (codec, i)
+            if len(pcm) >= 2:
+                assert abs(z[i] - ref["zcr"]) < 1e-12, (codec, i)
+            else:
+                # per-clip path yields nan zcr for <2 samples (mean of an
+                # empty diff); segmented defines it as 0.0 — saner, and no
+                # real clip is that short
+                assert z[i] == 0.0, (codec, i)
+            assert d[i] == ref["dur_ms_measured"], (codec, i)
+
+
+def test_batch_decode_rejects_unknown_codec():
+    import pytest
+
+    from top_secret_spark.kernel.audio import batch_decode
+
+    with pytest.raises(NotImplementedError, match="mp3"):
+        batch_decode([b"\x00\x01"], "mp3")

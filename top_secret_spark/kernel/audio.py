@@ -182,3 +182,69 @@ def audio_features(pcm: np.ndarray, sr_hz: int) -> dict:
         "zcr": zcr,
         "dur_ms_measured": int(round(1000.0 * len(pcm) / sr_hz)),
     }
+
+
+def batch_decode(datas: list[bytes], codec: str) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY same-codec clips in one pass → (samples, lengths).
+
+    One ``frombuffer`` over the concatenated payloads and one companding
+    transform over the whole buffer — removes the per-clip interpreter
+    loop (per-clip numpy-call overhead dominates once clips are short).
+    ``lengths[i]`` is clip i's sample count; samples are contiguous in
+    input order."""
+    joined = b"".join(datas)
+    if codec == "pcm16":
+        samples = pcm16_to_float(np.frombuffer(joined, dtype="<i2"))
+        lengths = np.fromiter((len(d) // 2 for d in datas), dtype=np.int64,
+                              count=len(datas))
+    elif codec == "ulaw":
+        samples = ulaw_decode(np.frombuffer(joined, dtype=np.uint8))
+        lengths = np.fromiter((len(d) for d in datas), dtype=np.int64,
+                              count=len(datas))
+    elif codec == "alaw":
+        samples = alaw_decode(np.frombuffer(joined, dtype=np.uint8))
+        lengths = np.fromiter((len(d) for d in datas), dtype=np.int64,
+                              count=len(datas))
+    else:
+        raise NotImplementedError(
+            f"codec '{codec}' requires an external decoder not present in "
+            f"this container; supported: {SUPPORTED_CODECS}"
+        )
+    return samples, lengths
+
+
+def segmented_features(
+    samples: np.ndarray, lengths: np.ndarray, srs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-clip (rms, zcr, dur_ms) over a concatenated sample buffer —
+    the vectorized twin of ``audio_features``: segment sums via
+    ``add.reduceat`` instead of a per-clip Python loop.  Zero-crossing
+    diffs that straddle clip boundaries are masked out."""
+    n = len(lengths)
+    rms = np.zeros(n, dtype=np.float64)
+    zcr = np.zeros(n, dtype=np.float64)
+    dur = np.zeros(n, dtype=np.int64)
+    if n == 0 or len(samples) == 0:
+        return rms, zcr, dur
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    nonempty = lengths > 0
+    starts = offsets[nonempty]
+    sq = samples.astype(np.float64) ** 2
+    sums = np.add.reduceat(sq, starts)
+    rms[nonempty] = np.sqrt(sums / lengths[nonempty])
+    # zero crossings: |diff(signbit)| with cross-boundary diffs masked
+    sb = np.signbit(samples).astype(np.int8)
+    d = np.abs(np.diff(sb)).astype(np.int64)
+    if len(d):
+        boundary = offsets[1:] - 1  # diff positions straddling clips
+        d[boundary[boundary < len(d)]] = 0
+        csum = np.concatenate([[0], np.cumsum(d)])
+        ends = np.minimum(offsets + lengths - 1, len(d))
+        crossings = csum[np.maximum(ends, offsets)] - csum[offsets]
+        multi = lengths > 1
+        zcr[multi] = crossings[multi] / (lengths[multi] - 1)
+    dur_f = np.zeros(n, dtype=np.float64)
+    np.divide(1000.0 * lengths, srs, out=dur_f, where=srs > 0)
+    dur = np.round(dur_f).astype(np.int64)
+    return rms, zcr, dur

@@ -36,23 +36,40 @@ def with_audio_features(df: DataFrame) -> DataFrame:
     def run(iterator):
         import numpy as np
 
-        from ..kernel.audio import SUPPORTED_CODECS, audio_features, decode
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            batch_decode,
+            segmented_features,
+        )
 
         for pdf in iterator:
-            oks, rmss, zcrs, durs = [], [], [], []
-            for data, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                if data is None or codec not in SUPPORTED_CODECS:
-                    oks.append(False)
-                    rmss.append(0.0)
-                    zcrs.append(0.0)
-                    durs.append(0)
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            rmss = np.zeros(n, dtype=np.float64)
+            zcrs = np.zeros(n, dtype=np.float64)
+            durs = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy()
+            # one concatenated decode + segmented feature pass per codec
+            # present in the batch — no per-clip Python loop
+            for codec in SUPPORTED_CODECS:
+                idx = np.flatnonzero(
+                    (codecs == codec)
+                    & np.array([d is not None for d in datas])
+                )
+                if not len(idx):
                     continue
-                pcm = decode(bytes(data), codec)
-                feats = audio_features(np.asarray(pcm), int(sr))
-                oks.append(True)
-                rmss.append(feats["rms"])
-                zcrs.append(feats["zcr"])
-                durs.append(feats["dur_ms_measured"])
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                r, z, d = segmented_features(
+                    samples, lengths, srs[idx].astype(np.float64)
+                )
+                oks[idx] = True
+                rmss[idx] = r
+                zcrs[idx] = z
+                durs[idx] = d
             pdf = pdf.drop(columns=["bytes"])
             pdf["decode_ok"] = oks
             pdf["rms"] = rmss
