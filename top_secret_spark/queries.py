@@ -1248,6 +1248,52 @@ FROM documents
 """
 
 
+def q_checkpointed_stage(spark, sf_dir):
+    """[north-rule] checkpoint protocol under the oracle gate: run a
+    bucketed stage, then run it AGAIN (the resume must skip every
+    completed bucket and return identical data), and read the lineage —
+    every bucket must be complete and per-bucket row counters must sum
+    to the input.  sources/checkpoint.py run_stage; kill-mid-run resume
+    equality is additionally pytest- and tool-gated
+    (tools/checkpointed_pipeline_job.py)."""
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from .sources.checkpoint import run_stage, stage_lineage
+
+    root = tempfile.mkdtemp(prefix="tss_q34_")
+    try:
+        clips = _derived(spark, sf_dir).withColumn(
+            "clip_id", F.col("doc_id").cast("string")
+        )
+        stage = lambda d: d  # noqa: E731 — identity transform
+        n1 = run_stage(spark, root, "s", clips, stage, n_buckets=16).count()
+        n2 = run_stage(spark, root, "s", clips, stage, n_buckets=16).count()
+        lin = stage_lineage(spark, root, "s")
+        n_buckets = lin.filter(F.col("status") == "complete").select(
+            "bucket"
+        ).distinct().count()
+        lineage_total = int(lin.agg(F.sum("n_rows")).collect()[0][0])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n1).alias("n_rows_first"),
+        F.lit(n2).alias("n_rows_resumed"),
+        F.lit(n_buckets).alias("n_buckets_complete"),
+        F.lit(lineage_total).alias("lineage_row_total"),
+    )
+
+
+Q_CHECKPOINTED_STAGE_SQL = """
+SELECT count(*) AS n_rows_first,
+       count(*) AS n_rows_resumed,
+       16 AS n_buckets_complete,
+       count(*) AS lineage_row_total
+FROM documents
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1282,4 +1328,5 @@ QUERIES = {
     "q31_filter_composition": (q_filter_composition, Q_FILTER_COMPOSITION_SQL),
     "q32_url_scrub": (q_url_scrub, Q_URL_SCRUB_SQL),
     "q33_ner_model_scrub": (q_ner_model_scrub, Q_NER_MODEL_SCRUB_SQL),
+    "q34_checkpointed_stage": (q_checkpointed_stage, Q_CHECKPOINTED_STAGE_SQL),
 }
