@@ -316,10 +316,11 @@ def near_duplicates_minhash(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if collapse_exact == "auto":
-        n_docs = all_sigs.count()
-        n_unique = all_sigs.agg(
-            F.approx_count_distinct(F.xxhash64("minhash")).alias("u")
-        ).collect()[0]["u"]
+        probe = all_sigs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.xxhash64("minhash")).alias("u"),
+        ).collect()[0]
+        n_docs, n_unique = probe["n"], probe["u"]
         dup_ratio = (n_docs - n_unique) / max(n_docs, 1)
         collapse_exact = dup_ratio >= collapse_min_dup_ratio
         if stats is not None:
