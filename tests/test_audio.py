@@ -169,16 +169,20 @@ def test_segmented_features_match_per_clip():
         r, z, d = segmented_features(samples, lengths, srs)
         for i, data in enumerate(datas):
             pcm = decode(data, codec)
-            ref = audio_features(pcm, int(srs[i]))
-            assert abs(r[i] - ref["rms"]) < 1e-9, (codec, i)
             if len(pcm) >= 2:
+                ref = audio_features(pcm, int(srs[i]))
+                assert abs(r[i] - ref["rms"]) < 1e-9, (codec, i)
                 assert abs(z[i] - ref["zcr"]) < 1e-12, (codec, i)
+                assert d[i] == ref["dur_ms_measured"], (codec, i)
             else:
                 # per-clip path yields nan zcr for <2 samples (mean of an
-                # empty diff); segmented defines it as 0.0 — saner, and no
-                # real clip is that short
+                # empty diff); segmented defines degenerate clips as
+                # rms=|x| or 0, zcr=0 — saner, and no real clip is that
+                # short
+                exp_rms = float(abs(pcm[0])) if len(pcm) else 0.0
+                assert abs(r[i] - exp_rms) < 1e-9, (codec, i)
                 assert z[i] == 0.0, (codec, i)
-            assert d[i] == ref["dur_ms_measured"], (codec, i)
+                assert d[i] == round(1000.0 * len(pcm) / srs[i]), (codec, i)
 
 
 def test_batch_decode_rejects_unknown_codec():
