@@ -209,3 +209,43 @@ def test_pipeline_with_injected_entities(spark):
             "[PERSON_1] met the committee in [LOCATION_1] to review the "
             "annual budget today.")
         assert out["b"]["scrubbed"] == rows[1][5]
+
+
+def test_keep_drop_vector_matches_scalar_grid():
+    """keep_drop_vector (np.select priority chain) must agree with the
+    scalar keep_drop_from_signals on a full grid straddling EVERY
+    threshold (3072 combos)."""
+    import itertools
+
+    import numpy as np
+
+    from top_secret_spark.kernel.quality import (
+        DEFAULT_THRESHOLDS,
+        keep_drop_from_signals,
+        keep_drop_vector,
+    )
+
+    vals = [
+        [5, 20, 150, 100_001],          # n_chars
+        [2, 4, 30],                      # n_words
+        [0.0, 0.31],                     # symbol_ratio
+        [0.0, 0.31],                     # digit_ratio
+        [0.0, 0.5],                      # dup_line_frac
+        [0.0, 0.31],                     # top_bigram_frac
+        [0.0, 0.09],                     # toxicity
+        ["en", "xx"],                    # lang
+        [0.2, 0.9],                      # lang_conf
+        [100.0, 5000.0],                 # ppl
+    ]
+    combos = list(itertools.product(*vals))
+    cols = list(zip(*combos))
+    keep_v, reason_v = keep_drop_vector(
+        np.array(cols[0]), np.array(cols[1]), np.array(cols[2]),
+        np.array(cols[3]), np.array(cols[4]), np.array(cols[5]),
+        np.array(cols[6]), list(cols[7]), np.array(cols[8]),
+        np.array(cols[9]),
+    )
+    for idx, combo in enumerate(combos):
+        k, r = keep_drop_from_signals(*combo, DEFAULT_THRESHOLDS)
+        assert bool(keep_v[idx]) == k, combo
+        assert (reason_v[idx] if reason_v[idx] is not None else None) == r, combo

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import encode_batch, ngram_hashes
+from .hashing import encode_batch, ngram_hashes, ngram_hashes_multi
 
 BUCKETS = 1 << 16
 # char bigrams + trigrams; unigrams carry little language signal and cost
@@ -144,8 +144,8 @@ def detect_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     ndocs = len(lowered)
     scores = np.zeros((ndocs, len(LANGS)), dtype=np.float64)
     counts = np.zeros(ndocs, dtype=np.float64)
-    for n in ORDERS:
-        d, h = ngram_hashes(data, lengths, n, BUCKETS)
+    # one shared byte→uint64 + doc-id pass for both n-gram orders
+    for d, h in ngram_hashes_multi(data, lengths, ORDERS, BUCKETS):
         if len(d):
             # d is nondecreasing (positions are in document order), so
             # per-doc segment sums via reduceat — far cheaper than the

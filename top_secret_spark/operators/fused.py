@@ -65,11 +65,13 @@ def make_fused_udf(
     def _run(texts: pd.Series, ents: list | None) -> pd.DataFrame:
         import re
 
+        import numpy as np
+
         from ..kernel.langid import detect_batch
         from ..kernel.perplexity import perplexity_batch
         from ..kernel.quality import (
             dup_line_frac,
-            keep_drop_from_signals,
+            keep_drop_vector,
             top_bigram_frac,
         )
         from ..kernel.scrub import scrub_batch
@@ -81,9 +83,7 @@ def make_fused_udf(
 
         n = len(t)
         # cheap per-char signals vectorized via pandas .str (same `re`
-        # engine as the kernel functions, so semantics are identical);
-        # dup_line_frac / top_bigram_frac need per-row set/dict work and
-        # stay in the loop
+        # engine as the kernel functions, so semantics are identical)
         s = texts.fillna("")
         n_chars_v = s.str.len().to_numpy()
         n_words_v = s.str.count(r"\S+").to_numpy()
@@ -94,39 +94,40 @@ def make_fused_udf(
             s.str.lower().str.count(TOXICITY_PATTERN, flags=re.ASCII).to_numpy()
             / n_words_v.clip(min=1)
         )
+        # the two set/dict signals stay per-row but only run where they
+        # can be nonzero: dup_line_frac needs a newline, top_bigram_frac
+        # needs >= 8 words — most transcripts skip both loops entirely
+        dup_v = np.zeros(n, dtype=np.float64)
+        for i in np.flatnonzero(s.str.contains("\n", regex=False).to_numpy()):
+            dup_v[i] = dup_line_frac(t[i] or "")
+        big_v = np.zeros(n, dtype=np.float64)
+        for i in np.flatnonzero(n_words_v >= 8):
+            big_v[i] = top_bigram_frac(t[i] or "")
 
-        rows = {k: [None] * n for k in FUSED_FIELDS}
-        rows["n_chars"] = [int(x) for x in n_chars_v]
-        rows["n_words"] = [int(x) for x in n_words_v]
-        rows["symbol_ratio"] = [float(x) for x in symbol_v]
-        rows["digit_ratio"] = [float(x) for x in digit_v]
-        rows["toxicity"] = [float(x) for x in tox_v]
-        rows["lang"] = list(langs)
-        rows["lang_conf"] = [float(c) for c in confs]
-        rows["ppl"] = [float(p) for p in ppls]
-        to_scrub: list[int] = []
-        for i in range(n):
-            text = t[i] or ""
-            rows["dup_line_frac"][i] = dup_line_frac(text)
-            rows["top_bigram_frac"][i] = top_bigram_frac(text)
-            keep, reason = keep_drop_from_signals(
-                rows["n_chars"][i],
-                rows["n_words"][i],
-                rows["symbol_ratio"][i],
-                rows["digit_ratio"][i],
-                rows["dup_line_frac"][i],
-                rows["top_bigram_frac"][i],
-                rows["toxicity"][i],
-                langs[i],
-                rows["lang_conf"][i],
-                rows["ppl"][i],
-                thresholds,
-            )
-            rows["keep"][i] = keep
-            rows["drop_reason"][i] = reason
-            if keep or scrub_dropped:
-                to_scrub.append(i)
+        keep_v, reason_v = keep_drop_vector(
+            n_chars_v, n_words_v, symbol_v, digit_v, dup_v, big_v, tox_v,
+            langs, confs, ppls, thresholds,
+        )
 
+        rows = {
+            "n_chars": n_chars_v.astype("int32"),
+            "n_words": n_words_v.astype("int32"),
+            "symbol_ratio": symbol_v,
+            "digit_ratio": digit_v,
+            "dup_line_frac": dup_v,
+            "top_bigram_frac": big_v,
+            "toxicity": tox_v,
+            "lang": list(langs),
+            "lang_conf": np.asarray(confs, dtype=np.float64),
+            "ppl": np.asarray(ppls, dtype=np.float64),
+            "keep": keep_v,
+            "drop_reason": reason_v,
+            "scrubbed": [None] * n,
+            "mapping": [None] * n,
+        }
+        to_scrub = (
+            list(range(n)) if scrub_dropped else np.flatnonzero(keep_v).tolist()
+        )
         outputs, mappings = scrub_batch(
             [t[i] for i in to_scrub],
             None if ents is None else [ents[i] for i in to_scrub],
@@ -139,9 +140,9 @@ def make_fused_udf(
             ]
         if counters is not None:
             counters.rows_in.add(n)
-            counters.rows_kept.add(sum(1 for k in rows["keep"] if k))
+            counters.rows_kept.add(int(keep_v.sum()))
             counters.rows_scrubbed.add(len(to_scrub))
-        return pd.DataFrame(rows)
+        return pd.DataFrame(rows)[FUSED_FIELDS]
 
     if with_entities:
 
