@@ -52,22 +52,33 @@ def ngram_hashes_multi(
     total = int(lengths.sum())
     out: list[tuple[np.ndarray, np.ndarray]] = []
     arr = None
-    doc_id = None
+    ndocs = len(lengths)
     for n in orders:
         if total < n:
             out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
             continue
         if arr is None:
             arr = data.astype(np.uint64)
-            doc_id = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
         h = np.full(total - n + 1, _n_seed(n), dtype=np.uint64)
         for i in range(n):
             h *= MULT
             h += arr[i : total - n + 1 + i]
             h &= MASK32
-        valid = doc_id[: total - n + 1] == doc_id[n - 1 :]
-        hv = _bucketize(h[valid], buckets)
-        out.append((doc_id[: total - n + 1][valid], hv.astype(np.int64)))
+        # valid positions (n-grams fully inside one doc) computed
+        # ARITHMETICALLY: doc i contributes v_i = max(L_i - n + 1, 0)
+        # valid positions starting at its buffer offset, and the m-th
+        # valid element overall sits at m + B_i where B_i = sum over
+        # preceding docs of min(n-1, L_k) — one repeat + one add + one
+        # gather instead of materializing a byte-level doc-id array and
+        # two buffer-sized boolean compares/gathers.
+        v = np.maximum(lengths - (n - 1), 0)
+        skipped = np.minimum(lengths, n - 1)
+        b = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(skipped[:-1], out=b[1:])
+        d = np.repeat(np.arange(ndocs, dtype=np.int64), v)
+        idx = np.arange(len(d), dtype=np.int64) + b[d]
+        hv = _bucketize(h[idx], buckets)
+        out.append((d, hv.astype(np.int64)))
     return out
 
 
