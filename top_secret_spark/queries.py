@@ -102,6 +102,23 @@ DERIVED_CTE = (
     f"FROM documents)"
 )
 
+# Planted 5-member identical-text families (q11/q12/q30) whose
+# CROSS-family shingle overlap is deliberately low (distinct numeric
+# tokens dominate each text): a shared natural-language template would
+# give cross-family Jaccard ~0.8+, and at sf0.1 scale some pair would
+# then agree on all 64 minhash positions / all simhash bits by chance,
+# breaking the text-equality oracle.  With J ≈ 0.4 the collision odds
+# are ~0.4^64.
+FAMILY_TRANSCRIPT_SQL = (
+    "concat('fam', cast(doc_id - doc_id % 5 as string), "
+    "' alpha', cast((doc_id - doc_id % 5) * 7 % 9973 as string), "
+    "' beta', cast((doc_id - doc_id % 5) * 11 % 9941 as string), "
+    "' gamma', cast((doc_id - doc_id % 5) * 13 % 9907 as string), "
+    "' delta', cast((doc_id - doc_id % 5) * 17 % 9871 as string), "
+    "' epsilon', cast((doc_id - doc_id % 5) * 19 % 9851 as string), "
+    "' zeta', cast((doc_id - doc_id % 5) * 23 % 9833 as string))"
+)
+
 
 # ---------------------------------------------------------------------------
 # queries — each returns (spark_fn, oracle_sql | None)
@@ -406,17 +423,17 @@ FROM dup
 
 def q_minhash_neardup(spark, sf_dir):
     """Training-data op: MinHash+LSH near-dup on exact-duplicate pairs —
-    identical texts must land est_jaccard = 1.0."""
+    identical texts must land est_jaccard = 1.0.  Families are PLANTED
+    with low cross-family shingle overlap (see FAMILY_TRANSCRIPT_SQL):
+    the raw word-salad document bodies contain distinct texts with
+    identical shingle SETS at larger sf, which the engine correctly
+    reports as Jaccard-1.0 pairs but a text-equality oracle cannot."""
     _prep(spark)
     from .operators.dedup import near_duplicates_minhash
 
-    docs = _docs(spark, sf_dir)
-    base = docs.select(
-        F.col("doc_id"), (F.col("doc_id") - F.col("doc_id") % 5).alias("base_id")
+    dup = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(FAMILY_TRANSCRIPT_SQL).alias("text")
     )
-    dup = base.join(
-        docs.select(F.col("doc_id").alias("base_id"), F.col("text")), "base_id"
-    ).select("doc_id", "text")
     # collapse_exact exercises the scale path: identical signatures are
     # pre-collapsed to representatives before LSH, then pairs expand back
     # through group membership (output-equivalent — pytest-gated)
@@ -424,18 +441,16 @@ def q_minhash_neardup(spark, sf_dir):
     return spark.range(1).select(F.lit(pairs.count()).alias("n_pairs"))
 
 
-Q_MINHASH_SQL = """
-WITH dup AS (
-  SELECT d1.doc_id, d2.text
-  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id - d1.doc_id % 5
-)
+Q_MINHASH_SQL = f"""
+WITH dup AS (SELECT doc_id, {FAMILY_TRANSCRIPT_SQL} AS text FROM documents)
 SELECT count(*) AS n_pairs
 FROM dup a JOIN dup b ON a.text = b.text AND a.doc_id < b.doc_id
 """
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """Training-data op: SimHash — identical texts share a 64-bit sketch."""
+    """Training-data op: SimHash — identical texts share a 64-bit sketch.
+    Same planted-family input as q11 (and the same reason)."""
     _prep(spark)
     from .operators.dedup import (
         hamming_distance_col,
@@ -443,13 +458,9 @@ def q_simhash_neardup(spark, sf_dir):
         with_simhash,
     )
 
-    docs = _docs(spark, sf_dir)
-    base = docs.select(
-        F.col("doc_id"), (F.col("doc_id") - F.col("doc_id") % 5).alias("base_id")
+    dup = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(FAMILY_TRANSCRIPT_SQL).alias("text")
     )
-    dup = base.join(
-        docs.select(F.col("doc_id").alias("base_id"), F.col("text")), "base_id"
-    ).select("doc_id", "text")
     sh = with_simhash(dup).select("doc_id", "simhash")
     pairs = simhash_candidate_pairs(sh, "doc_id")
     sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
@@ -1104,13 +1115,6 @@ def q_dedup_near(spark, sf_dir):
         F.lit(n_surv).alias("n_survivors"),
         F.lit(n_total - n_surv).alias("n_dropped"),
     )
-
-
-FAMILY_TRANSCRIPT_SQL = (
-    "concat('this is the shared transcript body for family ', "
-    "cast(doc_id - doc_id % 5 as string), ' discussing subject ', "
-    "cast((doc_id - doc_id % 5) * 7 as string), ' at considerable length')"
-)
 
 
 Q_DEDUP_NEAR_SQL = f"""
