@@ -160,8 +160,9 @@ def main():
         "MinHash near-dup (signatures → LSH bucket self-join → verify)",
         nd_plan,
         "- The expensive signature UDF runs once (persisted `InMemoryRelation`)\n"
-        "  and feeds candidate generation AND both verify-join sides; the\n"
-        "  candidate pairs are persisted too (both joins reference them).\n"
+        "  and feeds candidate generation AND both verify-join sides; candidate\n"
+        "  pairs have a single consumer (the verify join) and flow through\n"
+        "  unpersisted — no extra materialization barrier.\n"
         "- Candidate expansion is a codegen'd self-JOIN on (band, bucket)\n"
         "  — a giant near-duplicate bucket becomes join work that AQE can\n"
         "  skew-split, not one quadratic expression on a single row.\n"
