@@ -532,3 +532,17 @@ def test_dedup_near_verify_exact(spark):
         for r in dedup_near(docs, threshold=0.9, verify_exact=True).collect()
     )
     assert surv_est == surv_ver == [fam * 10 for fam in range(20)]
+
+
+def test_near_duplicate_clusters_long_chain(spark):
+    """A 200-node chain converges well inside max_iterations=30 thanks
+    to pointer jumping (pure neighbor propagation would need ~200
+    rounds), and every node gets the chain minimum."""
+    from top_secret_spark.operators.dedup import near_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["a", "b"]
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in near_duplicate_clusters(pairs).collect()}
+    assert len(got) == 201 and set(got.values()) == {0}

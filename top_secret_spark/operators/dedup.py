@@ -425,18 +425,18 @@ def near_duplicate_clusters(
     id of its connected component — the deterministic survivor rule that
     turns pairwise near-dup evidence into actual deduplication.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels, so the component minimum
-    spreads one hop per round and the loop converges in
-    O(component diameter) rounds — near-dup clusters are
-    similarity-transitive blobs with tiny diameters, so this is a handful
-    of rounds in practice, each a join + groupBy on (node, label) longs
-    only (never text).  Labels are ``localCheckpoint``-ed every round to
-    truncate lineage (plan growth is otherwise exponential in rounds);
+    Iterative min-label propagation WITH pointer jumping: each round
+    every node takes the min of (its own label, its neighbors' labels,
+    its label's label).  Neighbor propagation spreads the component
+    minimum one hop per round; the label-of-label step halves the
+    remaining pointer chains (classic pointer jumping), so convergence
+    is O(log n) rounds even for pathological chain-shaped components —
+    ``max_iterations`` = 30 covers components of ~2^30 nodes.  Each
+    round is two joins + a groupBy on (node, label) longs only (never
+    text).  Labels are ``localCheckpoint``-ed every round to truncate
+    lineage (plan growth is otherwise exponential in rounds);
     convergence is detected via the strictly-decreasing label sum, one
-    cheap aggregate per round.  Raises if ``max_iterations`` rounds do
-    not converge (pathological chain-shaped components — not a natural
-    near-dup topology)."""
+    cheap aggregate per round."""
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -458,16 +458,24 @@ def near_duplicate_clusters(
             .groupBy("src")
             .agg(F.min("_nl").alias("_min_nbr"))
         )
+        # pointer jumping: label of my label (labels are node ids by
+        # construction, so this is a self-join on the label column)
+        lol = labels.select(
+            F.col("node").alias("_lnode"), F.col("label").alias("_ll")
+        )
         labels = (
             labels.join(
                 nbr.select(F.col("src").alias("node"), "_min_nbr"),
                 "node",
                 "left",
             )
+            .join(lol, F.col("label") == F.col("_lnode"), "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("_min_nbr", "label")
+                    F.col("label"),
+                    F.coalesce("_min_nbr", "label"),
+                    F.coalesce("_ll", "label"),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
