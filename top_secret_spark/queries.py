@@ -1252,6 +1252,67 @@ FROM documents
 """
 
 
+def q_ivf_indexed(spark, sf_dir):
+    """Training-data op: IVF ANN over a MATERIALIZED index — the corpus
+    written parquet-partitioned by ivf_cell (write_ivf_index), so the
+    probe filter becomes physical partition pruning at the scan
+    (pruning itself is pytest-asserted via input_file_name +
+    PartitionFilters).  Results must be identical to the unindexed IVF
+    path, so the oracle is the same recall@5 + self-hit constant table
+    as q29."""
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from .operators.similarity import (
+        brute_force_top_k,
+        ivf_top_k_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    cents = train_ivf_centroids(emb, dim=64, n_cells=16)
+    path = tempfile.mkdtemp(prefix="tss_q35_") + "/index"
+    try:
+        write_ivf_index(emb, cents, path)
+        exact = brute_force_top_k(emb, queries, k=5).select(
+            "query_id", "vec_id"
+        )
+        approx = ivf_top_k_indexed(spark, path, queries, cents, k=5, nprobe=6)
+        self_rank = approx.filter(F.col("vec_id") == F.col("query_id")).select(
+            "query_id", F.col("rank").alias("self_rank")
+        )
+        hits = (
+            approx.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        rows = (
+            self_rank.join(hits, "query_id")
+            .select(
+                "query_id", "self_rank",
+                (F.col("n_hits") >= F.lit(2)).alias("recall_ok"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, self_rank int, recall_ok boolean"
+    )
+
+
+Q_IVF_INDEXED_SQL = """
+SELECT vec_id AS query_id, 1 AS self_rank, true AS recall_ok
+FROM embeddings WHERE vec_id < 3
+"""
+
+
 def q_checkpointed_stage(spark, sf_dir):
     """[north-rule] checkpoint protocol under the oracle gate: run a
     bucketed stage, then run it AGAIN (the resume must skip every
@@ -1333,4 +1394,5 @@ QUERIES = {
     "q32_url_scrub": (q_url_scrub, Q_URL_SCRUB_SQL),
     "q33_ner_model_scrub": (q_ner_model_scrub, Q_NER_MODEL_SCRUB_SQL),
     "q34_checkpointed_stage": (q_checkpointed_stage, Q_CHECKPOINTED_STAGE_SQL),
+    "q35_ivf_indexed": (q_ivf_indexed, Q_IVF_INDEXED_SQL),
 }
