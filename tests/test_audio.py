@@ -185,6 +185,48 @@ def test_segmented_features_match_per_clip():
                 assert d[i] == round(1000.0 * len(pcm) / srs[i]), (codec, i)
 
 
+def test_segmented_features_trailing_empty_clip():
+    """A zero-length clip at the END of the batch: its offset equals the
+    total sample count, which used to index past the crossing csum
+    (ADVICE r2).  All three codecs, empty-only batch included."""
+    import numpy as np
+
+    from top_secret_spark.kernel.audio import (
+        batch_decode,
+        encode,
+        segmented_features,
+        synth_pcm,
+    )
+
+    for codec in ("pcm16", "ulaw", "alaw"):
+        clips = [synth_pcm(7, 1200, 8000), np.zeros(0, dtype=np.float32)]
+        datas = [encode(c, codec) for c in clips]
+        samples, lengths = batch_decode(datas, codec)
+        r, z, d = segmented_features(
+            samples, lengths, np.array([8000.0, 8000.0])
+        )
+        assert r[1] == 0.0 and z[1] == 0.0 and d[1] == 0
+        assert r[0] > 0.0
+    # batch of ONLY empty clips
+    samples, lengths = batch_decode([b"", b""], "pcm16")
+    r, z, d = segmented_features(samples, lengths, np.array([8000.0, 8000.0]))
+    assert list(r) == [0.0, 0.0] and list(z) == [0.0, 0.0]
+
+
+def test_batch_decode_pcm16_rejects_odd_length_payload():
+    """One odd-length pcm16 payload shifts every later clip by a byte in
+    a concatenated decode; the batch path must raise like the per-clip
+    path did — even when the odd lengths sum to an even total."""
+    import pytest
+
+    from top_secret_spark.kernel.audio import batch_decode
+
+    with pytest.raises(ValueError, match="odd-length"):
+        batch_decode([b"\x01", b"\x02\x03\x04"], "pcm16")
+    with pytest.raises(ValueError, match="odd-length"):
+        batch_decode([b"\x01\x02\x03"], "pcm16")
+
+
 def test_batch_decode_rejects_unknown_codec():
     import pytest
 

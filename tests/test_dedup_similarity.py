@@ -233,6 +233,36 @@ def test_fingerprint_normalizes_whitespace_case(spark):
     assert fps[0] == fps[1] == fps[2]
 
 
+def test_normalized_text_matches_kernel_unicode_whitespace(spark):
+    """normalized_text_col (the fingerprint/exact-dedup canonical form)
+    must agree with the MinHash kernel normalization
+    " ".join(t.lower().split()) on UNICODE whitespace — Java \\s is
+    ASCII-only, so 'foo\\n' vs 'foo' and NBSP-separated words used to
+    fingerprint differently while MinHash called them identical
+    (ADVICE r2)."""
+    from top_secret_spark.operators.text_analysis import normalized_text_col
+
+    cases = [
+        "foo", "foo\n", " foo ", "foo\xa0bar", "foo bar",
+        "a\x1cb", "A\tB\r\n", "", None, "x y", "trés  bien　!",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r[0] for r in df.select(normalized_text_col("text")).collect()]
+    exp = [" ".join((c or "").lower().split()) for c in cases]
+    assert got == exp
+
+
+def test_fingerprint_unifies_unicode_whitespace(spark):
+    from top_secret_spark.operators.text_analysis import with_text_analysis
+
+    df = spark.createDataFrame(
+        [(0, "foo bar"), (1, "foo\xa0bar"), (2, "foo bar\n")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in with_text_analysis(df).collect()}
+    assert fps[0] == fps[1] == fps[2]
+
+
 def test_ivf_cell_isolates_bad_rows(spark, embeddings):
     from top_secret_spark.operators.similarity import (
         train_ivf_centroids,

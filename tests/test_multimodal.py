@@ -102,6 +102,25 @@ def test_media_features_shapes_match_metadata(media):
         assert 0.0 <= f["brightness"] <= 255.0
 
 
+def test_media_features_null_metadata_fails_loudly(spark, media):
+    """A null in a groupby key column must NOT silently drop the row
+    (pandas groupby default dropna=True would) — it falls to the per-row
+    decode path, which raises (ADVICE r2)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.multimodal import with_media_features
+
+    broken = media.withColumn(
+        "width",
+        F.when(F.col("media_id") == "media-0000000001", F.lit(None)).otherwise(
+            F.col("width")
+        ),
+    )
+    with pytest.raises(Exception):
+        with_media_features(broken).collect()
+
+
 def test_resized_media_redecodes(spark, media):
     from top_secret_spark.operators.multimodal import resized_media, with_media_features
 

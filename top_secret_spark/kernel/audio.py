@@ -194,9 +194,20 @@ def batch_decode(datas: list[bytes], codec: str) -> tuple[np.ndarray, np.ndarray
     input order."""
     joined = b"".join(datas)
     if codec == "pcm16":
-        samples = pcm16_to_float(np.frombuffer(joined, dtype="<i2"))
         lengths = np.fromiter((len(d) // 2 for d in datas), dtype=np.int64,
                               count=len(datas))
+        # every odd-length payload contributes exactly one byte to this
+        # difference, so the O(1) check catches any number of them — the
+        # concatenated frombuffer would otherwise shift every subsequent
+        # clip's samples by a byte WITHOUT raising (the per-clip decode
+        # raised loudly; this path must too)
+        if 2 * int(lengths.sum()) != len(joined):
+            raise ValueError(
+                "pcm16 batch contains odd-length payload(s): each sample "
+                "is 2 bytes little-endian; refusing to decode a batch "
+                "whose clip boundaries cannot align"
+            )
+        samples = pcm16_to_float(np.frombuffer(joined, dtype="<i2"))
     elif codec == "ulaw":
         samples = ulaw_decode(np.frombuffer(joined, dtype=np.uint8))
         lengths = np.fromiter((len(d) for d in datas), dtype=np.int64,
@@ -240,8 +251,12 @@ def segmented_features(
         boundary = offsets[1:] - 1  # diff positions straddling clips
         d[boundary[boundary < len(d)]] = 0
         csum = np.concatenate([[0], np.cumsum(d)])
-        ends = np.minimum(offsets + lengths - 1, len(d))
-        crossings = csum[np.maximum(ends, offsets)] - csum[offsets]
+        # csum has len(d)+1 entries; clamp BOTH indices to len(d) — a
+        # zero-length clip at the END of the batch has offset == total
+        # samples, which would otherwise index past csum
+        hi = np.minimum(np.maximum(offsets + lengths - 1, offsets), len(d))
+        lo = np.minimum(offsets, len(d))
+        crossings = csum[hi] - csum[lo]
         multi = lengths > 1
         zcr[multi] = crossings[multi] / (lengths[multi] - 1)
     dur_f = np.zeros(n, dtype=np.float64)

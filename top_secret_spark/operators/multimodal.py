@@ -163,8 +163,15 @@ def with_media_features(df: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             outs = []
+            # dropna=False: pandas groupby silently DROPS null-keyed rows
+            # by default — for external data with nullable metadata that
+            # would be silent row loss in an operator whose output
+            # cardinality callers assume equals input.  Null-keyed groups
+            # fall through to the per-row loop, which fails loudly in
+            # decode instead.
             for (kind, codec, w, h, nf), grp in pdf.groupby(
-                ["kind", "codec", "width", "height", "n_frames"], sort=False
+                ["kind", "codec", "width", "height", "n_frames"],
+                sort=False, dropna=False,
             ):
                 is_raw_img = kind != "video" and codec == RAW_IMAGE_CODEC
                 is_raw_vid = kind == "video" and codec == RAW_VIDEO_CODEC

@@ -72,12 +72,23 @@ def quality_score(text) -> Column:
     )
 
 
+# Java regex \s is ASCII-only by default; Python str.split() (the MinHash
+# kernel normalization, dedup.py) splits on UNICODE whitespace plus the
+# \x1c-\x1f separators.  (?U) turns on UNICODE_CHARACTER_CLASS so \s =
+# \p{IsWhite_Space}; the explicit \x1c-\x1f class covers the four control
+# separators Python treats as whitespace but Unicode does not.  Without
+# this, 'foo' and 'foo ' (or 'foo\n' vs trim) got different
+# fingerprints while MinHash called them identical (est_jaccard 1.0).
+_UNICODE_WS = r"(?U)[\s\x1c-\x1f]+"
+
+
 def normalized_text_col(text) -> Column:
     """Whitespace-collapsed, trimmed, lowercased text — the canonical
-    form for content identity (mirrors the numpy normalization the
-    MinHash/Jaccard kernels apply batch-side)."""
+    form for content identity.  Mirrors the numpy normalization the
+    MinHash/Jaccard kernels apply batch-side
+    (``" ".join(t.lower().split())``) including UNICODE whitespace."""
     c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
-    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.lower(F.trim(F.regexp_replace(c, _UNICODE_WS, " ")))
 
 
 def fingerprint_col(text) -> Column:
@@ -88,7 +99,14 @@ def fingerprint_col(text) -> Column:
     was the slowest possible way to hash a 100 TB corpus).  Stable
     across partitions, retries, and cluster sizes: xxhash64 with
     Spark's fixed default seed is a deterministic function of the
-    bytes."""
+    bytes.
+
+    STATE-BREAKING NOTE: the fingerprint changed twice — FNV-1a → r2's
+    xxhash64, and r3 widened normalization to Unicode whitespace (texts
+    differing only in Unicode/trailing whitespace now share one
+    fingerprint, matching the MinHash kernel).  Streaming-dedup state
+    stores and persisted fingerprint columns from earlier versions are
+    NOT comparable; rebuild them."""
     return F.xxhash64(normalized_text_col(text))
 
 
