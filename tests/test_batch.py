@@ -131,3 +131,18 @@ def test_distributed_batch_larger_scale(spark):
     for row, (exp_out, exp_map) in zip(rows, exp_items):
         assert row["output"] == exp_out
         assert [(e["key"], e["value"]) for e in row["mapping"]] == exp_map
+
+
+def test_batch_scrub_enforces_max_global_values(spark):
+    """batch_scrub is a bounded-batch API: exceeding max_global_values
+    must raise with guidance (pointing at per-clip numbering), never
+    attempt an unbounded driver collect."""
+    from top_secret_spark.operators.batch import batch_scrub
+
+    msgs = [(i, f"mail user{i}@example.com") for i in range(40)]
+    df = spark.createDataFrame(msgs, ["msg_idx", "input"])
+    with pytest.raises(ValueError, match="max_global_values"):
+        batch_scrub(df, max_global_values=10)
+    # at the bound is fine
+    items, gmap = batch_scrub(df, max_global_values=40)
+    assert len(gmap) == 40 and items.count() == 40

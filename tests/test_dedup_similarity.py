@@ -233,6 +233,149 @@ def test_fingerprint_normalizes_whitespace_case(spark):
     assert fps[0] == fps[1] == fps[2]
 
 
+def test_near_duplicates_simhash_end_to_end(spark):
+    """SimHash end-to-end at Hamming ≤ 3: long repeated-base texts with
+    one-token appended variants must pair up (the near-MISS regime);
+    unrelated texts must not; identical texts give hamming 0."""
+    from top_secret_spark.operators.dedup import near_duplicates_simhash
+
+    long_base = (BASE + " ") * 20
+    rows = [
+        (0, long_base),
+        (1, long_base),              # identical → hamming 0
+        (2, long_base + " v2"),      # one-token variant → hamming ~1
+        (3, long_base + " v3"),
+        (4, (OTHER + " ") * 20),     # unrelated long text
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats: dict = {}
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in near_duplicates_simhash(df, max_distance=3, stats=stats).collect()}
+    assert pairs[(0, 1)] == 0
+    assert {(0, 2), (1, 2), (0, 3), (1, 3), (2, 3)} <= set(pairs)
+    assert all(h <= 3 for h in pairs.values())
+    assert not any(4 in p or 5 in p for p in pairs)
+    assert stats["n_candidate_pairs"] >= len(pairs)
+
+
+def test_dedup_near_simhash_method(spark):
+    """dedup_near(method='simhash') keeps one survivor per near-dup
+    cluster (min id) and every unrelated doc."""
+    from top_secret_spark.operators.dedup import dedup_near
+
+    long_base = (BASE + " ") * 20
+    rows = [
+        (0, long_base), (1, long_base), (2, long_base + " v2"),
+        (3, (OTHER + " ") * 20), (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in dedup_near(df, method="simhash").collect())
+    assert kept == [0, 3, 4]
+    with pytest.raises(ValueError, match="method"):
+        dedup_near(df, method="bogus")
+
+
+def test_near_duplicates_simhash_warns_on_unguaranteed_recall(spark):
+    import warnings
+
+    from top_secret_spark.operators.dedup import near_duplicates_simhash
+
+    df = spark.createDataFrame([(0, BASE), (1, BASE)], ["doc_id", "text"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        near_duplicates_simhash(df, max_distance=4)  # 4 >= 64/16
+        assert any("recall" in str(x.message) for x in w)
+
+
+def test_embed_texts_kernel_properties():
+    from top_secret_spark.kernel.hashing import embed_texts
+
+    v = embed_texts(["hello world", "hello world", OTHER, "", None, "ab"])
+    assert v.shape == (6, 64) and v.dtype == np.float32
+    assert np.array_equal(v[0], v[1])  # content-identical → identical
+    for row, want in zip(v, (1.0, 1.0, 1.0, 0.0, 0.0, 0.0)):
+        assert abs(float(np.linalg.norm(row)) - want) < 1e-6
+    assert abs(float(v[0] @ v[2])) < 0.5  # unrelated texts ≪ threshold
+    # normalization parity with the MinHash kernel
+    w = embed_texts([" Hello\xa0WORLD \n"])
+    assert np.array_equal(w[0], v[0])
+    with pytest.raises(ValueError, match="power of two"):
+        embed_texts(["x"], dim=48)
+
+
+def test_with_text_embedding_partitioning_independent(spark, docs):
+    from top_secret_spark.operators.similarity import with_text_embedding
+
+    a = {r["doc_id"]: r["embedding"]
+         for r in with_text_embedding(docs).collect()}
+    b = {r["doc_id"]: r["embedding"]
+         for r in with_text_embedding(docs.repartition(7)).collect()}
+    assert a == b
+    assert a[0] == a[1]  # exact dup docs → identical embeddings
+
+
+def test_text_to_embedding_near_duplicates_end_to_end(spark, docs):
+    """Raw text → with_text_embedding → embedding_near_duplicates:
+    identical/normalized-identical texts pair at cos 1.0; unrelated
+    texts stay out."""
+    from top_secret_spark.operators.dedup import embedding_near_duplicates
+    from top_secret_spark.operators.similarity import with_text_embedding
+
+    emb = with_text_embedding(docs)
+    pairs = {(r["a"], r["b"]): r["cos"]
+             for r in embedding_near_duplicates(
+                 emb, dim=64, threshold=0.99, id_col="doc_id").collect()}
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+    assert all(abs(c - 1.0) < 1e-5 for c in pairs.values())
+
+
+def test_pair_jaccard_matches_per_pair_sets():
+    """The vectorized pair_jaccard kernel (one encode + hash pass over
+    the whole batch) must agree exactly with the straightforward
+    per-pair set computation it replaced, including empty/None/short
+    texts and intra-text duplicate shingles."""
+    import random
+
+    import numpy as np
+
+    from top_secret_spark.kernel.hashing import (
+        encode_batch,
+        ngram_hashes,
+        pair_jaccard,
+    )
+
+    def ref(ta, tb, k=5, buckets=1 << 32):
+        na = " ".join((ta or "").lower().split())
+        nb = " ".join((tb or "").lower().split())
+        da, la = encode_batch([na])
+        db, lb = encode_batch([nb])
+        _, ha = ngram_hashes(da, la, k, buckets)
+        _, hb = ngram_hashes(db, lb, k, buckets)
+        sa, sb = set(ha.tolist()), set(hb.tolist())
+        union = len(sa | sb)
+        return len(sa & sb) / union if union else 1.0
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    pairs = [
+        ("", ""), (None, None), ("", "hello world"), ("ab", "ab"),
+        ("abcd", "abcd"),  # below shingle_k → empty sets → 1.0
+        ("hello hello hello world", "hello world"),
+        ("The  Quick\nBrown Fox", "the quick brown fox"),
+        ("identical text body", "identical text body"),
+    ]
+    for _ in range(60):
+        ta = " ".join(rng.choices(words, k=rng.randint(0, 30)))
+        tb_base = rng.choice([ta, " ".join(rng.choices(words, k=rng.randint(0, 30)))])
+        tb = tb_base + (" extra tail" if rng.random() < 0.5 else "")
+        pairs.append((ta, tb))
+    got = pair_jaccard([p[0] for p in pairs], [p[1] for p in pairs])
+    exp = np.array([ref(a, b) for a, b in pairs])
+    assert np.allclose(got, exp, atol=0), list(zip(pairs, got, exp))
+    assert len(pair_jaccard([], [])) == 0
+
+
 def test_normalized_text_matches_kernel_unicode_whitespace(spark):
     """normalized_text_col (the fingerprint/exact-dedup canonical form)
     must agree with the MinHash kernel normalization

@@ -56,6 +56,46 @@ def main():
         restore_text(items[0][0], gmap)
     restore_sec = (time.perf_counter() - t0) / ITERATIONS
 
+    # pair-Jaccard verify kernel: vectorized batch pass vs the per-pair
+    # set loop it replaced (r2 'weak' item — this UDF sits on the
+    # dedup_near(verify_exact=True) clustering path)
+    import random
+
+    from top_secret_spark.kernel.hashing import (
+        encode_batch,
+        ngram_hashes,
+        pair_jaccard,
+    )
+
+    rng = random.Random(11)
+    words = [f"tok{i}" for i in range(500)]
+    pa = [" ".join(rng.choices(words, k=40)) for _ in range(2000)]
+    pb = [a + " tail" if rng.random() < 0.5 else
+          " ".join(rng.choices(words, k=40)) for a in pa]
+
+    def jaccard_loop(texts_a, texts_b, k=5, buckets=1 << 32):
+        out = []
+        for ta, tb in zip(texts_a, texts_b):
+            na = " ".join((ta or "").lower().split())
+            nb = " ".join((tb or "").lower().split())
+            da, la = encode_batch([na])
+            db, lb = encode_batch([nb])
+            _, ha = ngram_hashes(da, la, k, buckets)
+            _, hb = ngram_hashes(db, lb, k, buckets)
+            sa, sb = set(ha.tolist()), set(hb.tolist())
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 1.0)
+        return out
+
+    pair_jaccard(pa[:50], pb[:50])  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        pair_jaccard(pa, pb)
+    jac_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    jaccard_loop(pa, pb)
+    jac_loop_sec = time.perf_counter() - t0
+
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
     # avg individual / avg batch, both per whole message set
@@ -68,6 +108,9 @@ def main():
         "batch_speedup": round(speedup, 3),
         "reference_gate_speedup": 2.5,
         "restore_ms": round(restore_sec * 1000, 4),
+        "jaccard_vectorized_pairs_per_sec": round(len(pa) / jac_vec_sec, 1),
+        "jaccard_loop_pairs_per_sec": round(len(pa) / jac_loop_sec, 1),
+        "jaccard_vectorized_speedup": round(jac_loop_sec / jac_vec_sec, 2),
         "iterations": ITERATIONS,
         "note": (
             "reference gates measured with a real MITIE NER model; this "

@@ -108,6 +108,78 @@ def raw_ngram_hashes(data: np.ndarray, n: int, buckets: int) -> np.ndarray:
     return _bucketize(h, buckets).astype(np.int64)
 
 
+def pair_jaccard(
+    texts_a, texts_b, shingle_k: int = 5, buckets: int = 1 << 32
+) -> np.ndarray:
+    """Exact char-shingle Jaccard for aligned text PAIRS, one vectorized
+    pass: encode all 2n texts once, hash all shingles once, then compute
+    per-pair |A∩B| / |A∪B| via sorted (pair, shingle) arrays — no
+    per-text encode calls, no Python sets.  Texts are normalized like
+    the MinHash kernel (lowercase, Unicode-whitespace collapse).  Two
+    empty shingle sets → 1.0 (identical), one empty → 0.0."""
+    n = len(texts_a)
+    if n != len(texts_b):
+        raise ValueError(f"pair_jaccard: len mismatch {n} != {len(texts_b)}")
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    normed = [" ".join((t or "").lower().split()) for t in (*texts_a, *texts_b)]
+    data, lengths = encode_batch(normed)
+    doc_idx, h = ngram_hashes(data, lengths, shingle_k, buckets)
+    inter = np.zeros(n, dtype=np.int64)
+    tot = np.zeros(n, dtype=np.int64)
+    if len(h):
+        # distinct shingles per doc (sort, drop adjacent repeats)
+        order = np.lexsort((h, doc_idx))
+        d_s, h_s = doc_idx[order], h[order]
+        keep = np.ones(len(h_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_u, h_u = d_s[keep], h_s[keep]
+        # doc i is pair i's A side, doc n+i its B side
+        pair = d_u % n
+        # sort by (pair, shingle): after per-doc dedup a shingle occurs
+        # at most once per side, so a shingle on BOTH sides of a pair
+        # appears exactly twice, adjacently
+        order2 = np.lexsort((h_u, pair))
+        p2, h2 = pair[order2], h_u[order2]
+        both = (p2[1:] == p2[:-1]) & (h2[1:] == h2[:-1])
+        inter = np.bincount(p2[1:][both], minlength=n)
+        tot = np.bincount(p2, minlength=n)  # |A| + |B| per pair
+    union = tot - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+def embed_texts(
+    texts, dim: int = 64, orders=(3, 4, 5)
+) -> np.ndarray:
+    """Deterministic hashed char-n-gram embeddings → float32 (n, dim),
+    L2-normalized rows (all-zero rows for shingle-less texts stay
+    zero).  The hashing trick: each n-gram hashes to a (bucket, sign)
+    pair — signed counts decorrelate collisions (Weinberger et al.
+    2009) — accumulated via ONE bincount over flat (doc, bucket)
+    indices per order, no per-text loops.  Texts normalize like the
+    MinHash kernel, so identical-content texts get identical vectors
+    (cos 1.0).  ``dim`` must be a power of two (bitwise bucketing)."""
+    if dim & (dim - 1):
+        raise ValueError(f"dim must be a power of two, got {dim}")
+    n = len(texts)
+    acc = np.zeros((n, dim), dtype=np.float64)
+    if n == 0:
+        return acc.astype(np.float32)
+    normed = [" ".join((t or "").lower().split()) for t in texts]
+    data, lengths = encode_batch(normed)
+    for d, b in ngram_hashes_multi(data, lengths, orders, 2 * dim):
+        if not len(d):
+            continue
+        sign = (b & 1).astype(np.float64) * 2.0 - 1.0
+        flat = d * dim + (b >> 1)
+        acc += np.bincount(flat, weights=sign, minlength=n * dim).reshape(
+            n, dim
+        )
+    norms = np.linalg.norm(acc, axis=1, keepdims=True)
+    np.divide(acc, norms, out=acc, where=norms > 0)
+    return acc.astype(np.float32)
+
+
 def hash_text_ngrams(text: str, orders=(1, 2, 3), buckets: int = 1 << 16) -> np.ndarray:
     """Bucket-count vector for one text (used to build model profiles)."""
     data, lengths = encode_batch([text])

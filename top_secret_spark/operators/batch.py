@@ -120,17 +120,36 @@ def batch_scrub(
     text_col: str = "input",
     order_col: str = "msg_idx",
     entities_col: str | None = None,
+    max_global_values: int = 1_000_000,
 ):
     """Ops 15-18 end-to-end (batch_result.rb:33-39).
 
     Returns (items_df, global_mapping) where items_df has
     (order_col, input, output, mapping) and global_mapping is the ordered
     [(global_key, value), ...] list.  The global mapping is collected to
-    the driver — this is a bounded-batch API by design (see module doc).
+    the driver — this is a bounded-batch API by design (see module doc),
+    and ``max_global_values`` ENFORCES the bound: the collect is
+    limit(max+1), so an oversized corpus costs one extra row and a clear
+    error instead of a driver OOM.  Pipelines over unbounded corpora
+    should use per-clip numbering (pipeline.py), which needs no global
+    state at all.
     """
     scrubbed = with_scrub(df, config, text_col=text_col, entities_col=entities_col)
     gdf = global_mapping_df(scrubbed, order_col=order_col)
-    rows = gdf.orderBy("first_msg", "first_entry").collect()
+    rows = (
+        gdf.orderBy("first_msg", "first_entry")
+        .limit(max_global_values + 1)
+        .collect()
+    )
+    if len(rows) > max_global_values:
+        raise ValueError(
+            f"batch_scrub found more than max_global_values="
+            f"{max_global_values} distinct sensitive values; a global "
+            f"label sequence of that size cannot be broadcast from the "
+            f"driver.  Use per-clip numbering (run_pipeline / with_scrub) "
+            f"for unbounded corpora, or raise max_global_values if the "
+            f"driver has headroom."
+        )
     global_entries = [(r["global_key"], r["value"]) for r in rows]
 
     sub = _make_global_substitute_udf(global_entries)

@@ -407,7 +407,8 @@ def near_duplicates_minhash(
     result = result.localCheckpoint(eager=True)
     if pairs_persisted:
         pairs.unpersist()
-    sigs.unpersist()
+    if sigs is not all_sigs:  # plain path: sigs IS all_sigs
+        sigs.unpersist()
     all_sigs.unpersist()
     return result
 
@@ -499,25 +500,40 @@ def dedup_near(
     collapse_exact: bool | str = "auto",
     verify_exact: bool = False,
     shingle_k: int = 5,
+    method: str = "minhash",
+    max_distance: int = 3,
 ) -> DataFrame:
-    """Fuzzy deduplication end-to-end: MinHash near-dup pairs →
-    connected components → keep ONE survivor (min id) per cluster, plus
-    every document in no cluster.  The fuzzy twin of ``dedup_exact`` —
+    """Fuzzy deduplication end-to-end: near-dup pairs → connected
+    components → keep ONE survivor (min id) per cluster, plus every
+    document in no cluster.  The fuzzy twin of ``dedup_exact`` —
     pairwise near-dup evidence alone cannot deduplicate a corpus; this
     is the step a training-data pipeline actually runs.
 
+    ``method`` picks the sketch: ``"minhash"`` (default; Jaccard ≥
+    ``threshold``) or ``"simhash"`` (Hamming ≤ ``max_distance`` on the
+    64-bit sketch — 8 bytes/doc, the cheaper sketch at extreme scale).
+
     ``verify_exact=True`` re-checks every estimated pair with TRUE
     shingle Jaccard (text joined back for candidates only) before
-    clustering — signature-estimated Jaccard has a known false-positive
+    clustering — sketch-estimated similarity has a known false-positive
     rate, and a single false edge merges two whole clusters, so
     verification matters more here than for pair reporting.
 
     The drop set (non-survivor cluster members) is joined back
     ``left_anti`` on the id column — the only thing shuffled against
     the corpus is 8-byte ids."""
-    pairs = near_duplicates_minhash(
-        df, id_col, text_col, threshold, num_hashes, bands, collapse_exact
-    )
+    if method == "minhash":
+        pairs = near_duplicates_minhash(
+            df, id_col, text_col, threshold, num_hashes, bands, collapse_exact
+        )
+    elif method == "simhash":
+        pairs = near_duplicates_simhash(
+            df, id_col, text_col, max_distance
+        )
+    else:
+        raise ValueError(
+            f"method must be 'minhash' or 'simhash', got {method!r}"
+        )
     if verify_exact:
         pairs = verify_pairs_jaccard(
             pairs, df, id_col, text_col, threshold, shingle_k
@@ -534,22 +550,22 @@ def dedup_near(
 
 
 def make_jaccard_udf(shingle_k: int = 5):
+    """Exact shingle-Jaccard UDF over (text_a, text_b) pairs — fully
+    vectorized per Arrow batch: ONE ``encode_batch`` + ``ngram_hashes``
+    pass over all 2n texts, then per-pair intersection/union via sorted
+    (pair, shingle) arrays.  No per-text encode calls, no Python sets —
+    this UDF sits on the ``dedup_near(verify_exact=True)`` clustering
+    path where candidate volume can be O(corpus) after LSH."""
+
     @pandas_udf(T.DoubleType())
     def jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
-        from ..kernel.hashing import encode_batch, ngram_hashes
+        from ..kernel.hashing import pair_jaccard
 
-        out = []
-        for ta, tb in zip(text_a.tolist(), text_b.tolist()):
-            na = " ".join((ta or "").lower().split())
-            nb = " ".join((tb or "").lower().split())
-            da, la = encode_batch([na])
-            db, lb = encode_batch([nb])
-            _, ha = ngram_hashes(da, la, shingle_k, _SHINGLE_BUCKETS)
-            _, hb = ngram_hashes(db, lb, shingle_k, _SHINGLE_BUCKETS)
-            sa, sb = set(ha.tolist()), set(hb.tolist())
-            union = len(sa | sb)
-            out.append(len(sa & sb) / union if union else 1.0)
-        return pd.Series(out)
+        return pd.Series(
+            pair_jaccard(
+                text_a.tolist(), text_b.tolist(), shingle_k, _SHINGLE_BUCKETS
+            )
+        )
 
     return jaccard
 
@@ -686,6 +702,80 @@ def simhash_oversize_buckets(
 
 def hamming_distance_col(a, b):
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def near_duplicates_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    band_bits: int = 16,
+    max_bucket: int | None = None,
+    materialize: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """End-to-end SimHash near-dup: 64-bit sketches → band-bucket
+    candidates → Hamming verify → (a, b, hamming) pairs with
+    hamming ≤ ``max_distance`` — the cheaper-sketch twin of
+    ``near_duplicates_minhash`` (8 bytes/doc vs 8·num_hashes).
+
+    Recall is EXACT for the default parameters: with 64/16 = 4 bands,
+    any pair within Hamming distance 3 differs in at most 3 bands, so
+    by pigeonhole at least one band matches and the pair is generated
+    (general rule: full recall whenever max_distance < 64/band_bits).
+    Sketches are persisted once and reused by banding and both verify
+    sides; the result is eagerly localCheckpoint-ed (≤-max_distance
+    pairs only) so intermediates are unpersisted before returning.
+    ``materialize=False`` returns lazily and leaves the persist in
+    place (see near_duplicates_minhash).  Feed the pairs to
+    ``near_duplicate_clusters`` / ``dedup_near(method='simhash')`` for
+    actual survivor selection."""
+    from pyspark import StorageLevel
+
+    if max_distance >= 64 // band_bits:
+        # still usable, but recall is no longer guaranteed — surface it
+        import warnings
+
+        warnings.warn(
+            f"max_distance={max_distance} >= 64/band_bits="
+            f"{64 // band_bits}: pairs whose differing bits span every "
+            f"band can be missed; lower band_bits for guaranteed recall",
+            stacklevel=2,
+        )
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+    sigs = (
+        with_simhash(df, text_col)
+        .select(id_col, "simhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = simhash_candidate_pairs(
+        sigs, id_col, "simhash", band_bits, max_bucket
+    )
+    pairs_persisted = False
+    if stats is not None:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs_persisted = True
+        stats["n_candidate_pairs"] = pairs.count()
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb"))
+    result = (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "hamming",
+            hamming_distance_col(F.col("_ha"), F.col("_hb")).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("a", "b", "hamming")
+    )
+    if not materialize:
+        return result
+    result = result.localCheckpoint(eager=True)
+    if pairs_persisted:
+        pairs.unpersist()
+    sigs.unpersist()
+    return result
 
 
 # --- embedding-cosine near-dup ----------------------------------------------------

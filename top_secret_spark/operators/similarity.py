@@ -410,3 +410,39 @@ def ivf_top_k_indexed(
         probed, queries, k, id_col, emb_col,
         cell_col="ivf_cell", allowed=allowed,
     )
+
+
+# --- text-native embeddings -------------------------------------------------------
+
+
+def make_text_embedding_udf(dim: int = 64, orders=(3, 4, 5)):
+    """text → array<float> hashed char-n-gram embedding (kernel
+    ``embed_texts``): one encode + hash + bincount pass per Arrow
+    batch.  Deterministic across partitions/retries, so embeddings are
+    stable join keys for downstream near-dup / ANN."""
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        from ..kernel.hashing import embed_texts
+
+        vecs = embed_texts(texts.tolist(), dim, orders)
+        return pd.Series(list(vecs))
+
+    return embed
+
+
+def with_text_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    orders=(3, 4, 5),
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-native embeddings: every similarity/ANN operator in this
+    module (and ``embedding_near_duplicates``) can now run end-to-end
+    from raw text — semantic-ish dedup of a corpus that arrives WITHOUT
+    a precomputed embedding table.  Map-only (no shuffle); at 100 TB
+    this is one ArrowEvalPython stage fused over the scan."""
+    return df.withColumn(
+        out_col, make_text_embedding_udf(dim, orders)(F.col(text_col))
+    )

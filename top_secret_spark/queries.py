@@ -119,6 +119,21 @@ FAMILY_TRANSCRIPT_SQL = (
     "' zeta', cast((doc_id - doc_id % 5) * 23 % 9833 as string))"
 )
 
+# SimHash near-MISS families (q36): the family base text repeated 16×
+# (~1 kB) so an appended one-token variant perturbs only ~0.7% of the
+# occurrence-weighted shingle mass — exactly the ≤3-bit Hamming regime
+# SimHash exists for.  Members 0,1 share the base EXACTLY (deterministic
+# Hamming-0 pairs, the hard part of the oracle); members 2,3,4 append
+# ' v2'/' v3'/' v4'.  Cross-family texts share only the template words
+# (Jaccard ≈ 0.4 → expected Hamming ≈ 20), so contamination at ≤3 bits
+# is a few-in-a-million tail event, gated by a 5% ceiling not an exact
+# count.
+SIMHASH_VARIANT_SQL = (
+    f"concat(repeat({FAMILY_TRANSCRIPT_SQL}, 16), "
+    "case when doc_id % 5 < 2 then '' "
+    "else concat(' v', cast(doc_id % 5 as string)) end)"
+)
+
 
 # ---------------------------------------------------------------------------
 # queries — each returns (spark_fn, oracle_sql | None)
@@ -1359,6 +1374,118 @@ FROM documents
 """
 
 
+def q_simhash_hamming_neardup(spark, sf_dir):
+    """SimHash near-dup END-TO-END at Hamming ≤ 3 — the near-MISS
+    regime, not just identical texts (q12 gates Hamming == 0).  Input
+    plants repeated-base families with one-token variants (see
+    SIMHASH_VARIANT_SQL).  Oracle scheme mirrors q21/q29: the
+    deterministic quantity (exact-duplicate pairs found — identical
+    text ⇒ identical sketch ⇒ identical bands ⇒ always generated and
+    Hamming 0) is gated EXACTLY against the text-equality pair count;
+    the probabilistic quantities are gated as generous-floor booleans
+    (variant-pair recall ≥ 0.5 where the expected Hamming is ~1;
+    cross-family contamination ≤ 5% where the expected Hamming is ~20)."""
+    _prep(spark)
+    from .operators.dedup import near_duplicates_simhash
+
+    dup = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(SIMHASH_VARIANT_SQL).alias("text")
+    )
+    pairs = near_duplicates_simhash(dup, max_distance=3)
+    t = dup.select("doc_id", "text")
+    labeled = (
+        pairs.join(
+            t.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta")), "a"
+        )
+        .join(
+            t.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb")), "b"
+        )
+        .select(
+            (F.col("_ta") == F.col("_tb")).alias("is_exact"),
+            (
+                (F.col("a") - F.col("a") % 5) == (F.col("b") - F.col("b") % 5)
+            ).alias("same_fam"),
+        )
+    )
+    got = labeled.agg(
+        F.sum(F.when(F.col("is_exact"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(
+            F.when(F.col("same_fam") & ~F.col("is_exact"), 1).otherwise(0)
+        ).alias("n_variant"),
+        F.sum(F.when(~F.col("same_fam"), 1).otherwise(0)).alias("n_cross"),
+    ).collect()[0]
+    # expected counts, computed from the data (not assumed): exact pairs
+    # from text-group sizes; within-family non-exact pairs from family
+    # sizes minus the exact pairs
+    exp_exact = int(
+        dup.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2))
+        .collect()[0][0]
+    )
+    exp_within = int(
+        dup.groupBy(F.col("doc_id") - F.col("doc_id") % 5)
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2))
+        .collect()[0][0]
+    )
+    exp_variant = exp_within - exp_exact
+    total_found = int(got["n_exact"] + got["n_variant"] + got["n_cross"])
+    return spark.range(1).select(
+        F.lit(int(got["n_exact"])).alias("n_exact_pairs"),
+        F.lit(
+            exp_variant == 0 or got["n_variant"] >= 0.5 * exp_variant
+        ).alias("variant_recall_ok"),
+        F.lit(got["n_cross"] * 20 <= total_found).alias("contamination_ok"),
+    )
+
+
+Q_SIMHASH_HAMMING_SQL = f"""
+WITH dup AS (SELECT doc_id, {SIMHASH_VARIANT_SQL} AS text FROM documents),
+g AS (SELECT text, count(*) AS c FROM dup GROUP BY text)
+SELECT cast(sum(c * (c - 1) / 2) AS bigint) AS n_exact_pairs,
+       true AS variant_recall_ok,
+       true AS contamination_ok
+FROM g
+"""
+
+
+def q_text_embedding_neardup(spark, sf_dir):
+    """Corpus-native semantic dedup END-TO-END: raw text →
+    with_text_embedding (hashed char-n-gram vectors, one map-only
+    Arrow stage) → embedding_near_duplicates (LSH-bucketed cosine).
+    Planted identical-text families: identical text ⇒ identical vector
+    ⇒ identical LSH bucket ⇒ cos exactly 1.0, so the pair set — and
+    the count of cos-1.0 pairs — must equal the text-equality pair
+    count; cross-family texts share only template words (hashed cos
+    ≈ 0.5 ≪ the 0.99 threshold)."""
+    _prep(spark)
+    from .operators.dedup import embedding_near_duplicates
+    from .operators.similarity import with_text_embedding
+
+    dup = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(FAMILY_TRANSCRIPT_SQL).alias("text")
+    )
+    emb = with_text_embedding(dup)
+    pairs = embedding_near_duplicates(
+        emb, dim=64, threshold=0.99, id_col="doc_id"
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("cos") >= 0.999999, 1)), F.lit(0)
+        ).cast("bigint").alias("n_cos_one"),
+    )
+
+
+Q_TEXT_EMBEDDING_SQL = f"""
+WITH dup AS (SELECT doc_id, {FAMILY_TRANSCRIPT_SQL} AS text FROM documents)
+SELECT cast(count(*) AS bigint) AS n_pairs,
+       cast(count(*) AS bigint) AS n_cos_one
+FROM dup a JOIN dup b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1395,4 +1522,6 @@ QUERIES = {
     "q33_ner_model_scrub": (q_ner_model_scrub, Q_NER_MODEL_SCRUB_SQL),
     "q34_checkpointed_stage": (q_checkpointed_stage, Q_CHECKPOINTED_STAGE_SQL),
     "q35_ivf_indexed": (q_ivf_indexed, Q_IVF_INDEXED_SQL),
+    "q36_simhash_hamming": (q_simhash_hamming_neardup, Q_SIMHASH_HAMMING_SQL),
+    "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
 }
