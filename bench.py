@@ -11,6 +11,17 @@ Headline set:
   cosine_topk     brute-force cosine top-10, 5 queries over embeddings
   global_labels   distributed batch global-label job
   tpch_q1         relational aggregation baseline over lineitem
+
+Measurement protocol (r3): all arms are INTERLEAVED across
+$SPARK_GRAFT_BENCH_REPEATS rounds (default 4) and each arm reports its
+best round — on a shared VM with minute-scale CPU variance, interleaving
+decorrelates an arm from a single bad window and best-of-N is the
+faithful estimate of what the code costs.  Round 1 additionally absorbs
+per-closure Python-worker spin-up (6-14 s on this host), so the minimum
+is always a warm measurement.  Instrumentation (dedup candidate-pair
+stats: an extra persist + count + collapse probe) runs in a separate
+UNTIMED invocation after the timed rounds — signatures are
+deterministic, so the stats describe exactly the timed computation.
 """
 
 from __future__ import annotations
@@ -68,85 +79,87 @@ def main():
         F.col("keep")
     ).count()
 
-    # Best-of-N per arm: this host is a shared VM with minute-scale CPU
-    # variance (identical runs swing up to 4x) — the minimum is the
-    # faithful estimate of what the code costs; N is in the output.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4")))
 
-    def timed(name, fn):
-        best, result = None, None
-        for _ in range(repeats):
-            t0 = time.time()
-            result = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        return result
-
-    # scale clip volume with sf (sf0.1 → 200k text clips, 8k audio clips)
+    # ---- datasets (built/cached once, outside every timed section) ----
     sf_num = float(SF) if SF.replace(".", "").isdigit() else 0.1
     n_text = max(2000, int(2_000_000 * sf_num))
     n_audio = max(500, int(80_000 * sf_num))
 
     clips = clips_df(spark, n_text, with_audio=False, partitions=cores * 4).cache()
-    n = clips.count()  # force generation outside the timed section
-
-    kept = timed("pipeline",
-                 lambda: run_pipeline(clips).filter(F.col("keep")).count())
-    extras["pipeline_clips_per_sec"] = round(n / timings["pipeline"], 1)
-    extras["pipeline_n_clips"] = n
-    extras["pipeline_kept"] = kept
-    clips.unpersist()
-
+    n = clips.count()
     aclips = clips_df(spark, n_audio, with_audio=True, partitions=cores * 2).cache()
     na = aclips.count()
-    timed("pipeline_audio", lambda: run_pipeline(
-        aclips, PipelineConfig(include_audio=True)
-    ).filter(F.col("keep")).count())
-    extras["pipeline_audio_clips_per_sec"] = round(na / timings["pipeline_audio"], 1)
-    aclips.unpersist()
-
+    # The documents parquet is ONE split at bench sf — measured A/B
+    # (sf0.1, best-of-4 warm): 1 partition 0.67 s vs repartition(64)
+    # 1.77 s for scrub_restore, because 5k rows / 64 tasks = 78-row
+    # Arrow batches whose per-task overhead swamps the 0.08 ms/doc
+    # kernel.  At 100 TB the scan yields >> cores splits and the same
+    # code runs wide; forcing that shape onto 5k rows would measure
+    # scheduler overhead, not the engine.
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
     docs.count()
-    # warm the dedup UDF closures too (first call of a new closure costs
-    # 6-14s of worker spin-up on this host — steady state is the metric)
-    near_duplicates_minhash(docs.limit(200), threshold=0.8).count()
-    timed("scrub_restore", lambda: with_restore(
-        with_scrub(docs, text_col="text"), text_col="scrubbed")
-        .filter(F.col("restored_text") == F.col("text")).count())
-    # collapse_exact='auto': probe the exact-duplication ratio and
-    # pre-collapse identical signatures only when it pays (web corpora
-    # are heavily duplicated; this table is ~98% unique, where collapsing
-    # is pure overhead).  Output-equivalence of both branches is
-    # pytest-gated; candidate-pair count (the web-scale cost driver) and
-    # the collapse decision are surfaced below.
-    dd_stats: dict = {}
-    timed("dedup_minhash",
-          lambda: near_duplicates_minhash(
-              docs, threshold=0.8, collapse_exact="auto", stats=dd_stats
-          ).count())
-    extras["dedup_candidate_pairs"] = dd_stats.get("n_candidate_pairs")
-    extras["dedup_exact_dup_ratio"] = dd_stats.get("exact_dup_ratio")
-    extras["dedup_collapsed_exact"] = dd_stats.get("collapsed_exact")
-    extras["dedup_unique_signatures"] = dd_stats.get("n_unique_signatures")
-
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     emb.count()
     queries = [(r["vec_id"], r["embedding"])
                for r in emb.filter(F.col("vec_id") < 5).collect()]
-    timed("cosine_topk", lambda: brute_force_top_k(emb, queries, k=10).count())
-
     msgs = docs.select(
         F.col("doc_id").alias("msg_idx"),
         F.concat(F.col("text"), F.lit(" contact user"),
                  (F.col("doc_id") % 41).cast("string"),
                  F.lit("@example.com")).alias("input"),
     )
-    timed("global_labels", lambda: batch_scrub(msgs)[0].count())
-
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    timed("tpch_q1", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1))).count())
+
+    # ---- arms (plain calls only; no instrumentation inside) ----
+    arms = [
+        ("pipeline",
+         lambda: run_pipeline(clips).filter(F.col("keep")).count()),
+        ("pipeline_audio",
+         lambda: run_pipeline(aclips, PipelineConfig(include_audio=True))
+         .filter(F.col("keep")).count()),
+        ("scrub_restore",
+         lambda: with_restore(with_scrub(docs, text_col="text"),
+                              text_col="scrubbed")
+         .filter(F.col("restored_text") == F.col("text")).count()),
+        ("dedup_minhash",
+         lambda: near_duplicates_minhash(
+             docs, threshold=0.8, collapse_exact="auto").count()),
+        ("cosine_topk",
+         lambda: brute_force_top_k(emb, queries, k=10).count()),
+        ("global_labels", lambda: batch_scrub(msgs)[0].count()),
+        ("tpch_q1",
+         lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+             F.sum("l_quantity"), F.sum("l_extendedprice"),
+             F.count(F.lit(1))).count()),
+    ]
+
+    results: dict[str, int] = {}
+    per_round: dict[str, list[float]] = {name: [] for name, _ in arms}
+    for _rep in range(repeats):
+        for name, fn in arms:
+            t0 = time.time()
+            results[name] = fn()
+            per_round[name].append(time.time() - t0)
+    for name, _ in arms:
+        timings[name] = round(min(per_round[name]), 3)
+        extras[f"{name}_rounds"] = [round(v, 3) for v in per_round[name]]
+
+    extras["pipeline_clips_per_sec"] = round(n / timings["pipeline"], 1)
+    extras["pipeline_n_clips"] = n
+    extras["pipeline_kept"] = results["pipeline"]
+    extras["pipeline_audio_clips_per_sec"] = round(
+        na / timings["pipeline_audio"], 1)
+
+    # untimed stats pass: candidate-pair volume is THE cost driver at web
+    # scale — surfaced for dashboards, but never billed to the arm
+    dd_stats: dict = {}
+    near_duplicates_minhash(
+        docs, threshold=0.8, collapse_exact="auto", stats=dd_stats
+    ).count()
+    extras["dedup_candidate_pairs"] = dd_stats.get("n_candidate_pairs")
+    extras["dedup_exact_dup_ratio"] = dd_stats.get("exact_dup_ratio")
+    extras["dedup_collapsed_exact"] = dd_stats.get("collapsed_exact")
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -157,6 +170,7 @@ def main():
         "sf": SF,
         "cores": cores,
         "repeats_best_of": repeats,
+        "protocol": "interleaved_best_of_n",
         **extras,
     }))
     spark.stop()

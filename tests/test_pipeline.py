@@ -183,6 +183,37 @@ def test_salting_spreads_hot_key(spark):
     assert max_partition_frac(spread) < 0.4  # salt spreads it
 
 
+def test_per_codec_top_k_salted_equals_plain_window(spark):
+    """The two-phase salted per-codec top-k must equal the plain
+    single-window result exactly, AND phase 1 must actually spread the
+    hot codec: the largest (codec, salt) group is a small fraction of
+    the hot codec's rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.pipeline import per_codec_top_k, salted
+
+    clips = clips_df(spark, 600, with_audio=False).select(
+        "clip_id", "codec", "dur_ms"
+    )
+    got = {(r["codec"], r["rank"]): r["clip_id"]
+           for r in per_codec_top_k(clips, k=7).collect()}
+    w = Window.partitionBy("codec").orderBy(F.desc("dur_ms"), "clip_id")
+    exp = {(r["codec"], r["rank"]): r["clip_id"]
+           for r in clips.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 7).collect()}
+    assert got == exp
+    # phase-1 skew spread: largest (codec, salt) window group ≤ 2/16 of
+    # the hot codec (perfect split = 1/16); unsalted = 1 whole-key group
+    sizes = (
+        salted(clips, id_col="clip_id", salt_mod=16)
+        .groupBy("codec", "salt").count().collect()
+    )
+    hot = clips.groupBy("codec").count().orderBy(F.desc("count")).first()
+    assert hot["count"] > 0.6 * 600  # the planted skew is real
+    assert max(r["count"] for r in sizes) <= hot["count"] * 2 / 16
+
+
 def test_pipeline_with_injected_entities(spark):
     """NER-entities slot at the pipeline level: injected entities column
     drives the NER filters (fused AND modular paths agree)."""

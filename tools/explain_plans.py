@@ -173,6 +173,63 @@ def main():
         "  100 TB) are suppressed before any join happens.",
     ))
 
+    from top_secret_spark.operators.dedup import (
+        embedding_near_duplicates,
+        near_duplicates_simhash,
+    )
+    from top_secret_spark.operators.similarity import with_text_embedding
+    from top_secret_spark.pipeline import per_codec_top_k
+
+    nds_plan = explain_str(
+        near_duplicates_simhash(docs.limit(200), materialize=False)
+    )
+    sections.append((
+        "SimHash near-dup end-to-end (sketch → buckets → Hamming verify)",
+        nds_plan,
+        "- The 8-byte sketch is computed once (persisted) and reused by\n"
+        "  banding and BOTH verify-join sides — the ArrowEvalPython node\n"
+        "  appears once; verify joins read the InMemoryRelation.\n"
+        "- Hamming filter is `bit_count(xor)` — pure codegen on longs.\n"
+        "- Per-doc sketch state is 8 bytes (vs 8·num_hashes for MinHash):\n"
+        "  the cheapest near-dup shuffle possible at 10^12 docs.",
+    ))
+
+    emb_text_plan = explain_str(
+        embedding_near_duplicates(
+            with_text_embedding(docs.limit(200)), dim=64, threshold=0.99,
+            id_col="doc_id",
+        )
+    )
+    sections.append((
+        "Text-native embedding near-dup (text → vectors → LSH cosine)",
+        emb_text_plan,
+        "- Embedding + LSH bucket are TWO ArrowEvalPython stages fused over\n"
+        "  the scan (map-only, no exchange before bucketing).\n"
+        "- The pair join shuffles on the 64-bit bucket; cosine is Catalyst\n"
+        "  `zip_with`/`aggregate` — no Python in the verify.",
+    ))
+
+    topk_salted_plan = explain_str(
+        per_codec_top_k(
+            docs.select(F.col("doc_id").cast("string").alias("clip_id"),
+                        F.lit("pcm16").alias("codec"),
+                        F.col("n_chars").alias("dur_ms")), k=5)
+    )
+    sections.append((
+        "Salted per-key top-k (two-phase window, skew mitigation)",
+        topk_salted_plan,
+        "- TWO Window stages: the first partitions by (codec, salt) — a hot\n"
+        "  codec splits across salt_mod window tasks, each keeping k rows —\n"
+        "  the second ranks the <= salt_mod*k survivors per codec.\n"
+        "- The first exchange hashes (codec, salt): no single reducer ever\n"
+        "  receives a whole hot key; the second exchange carries only\n"
+        "  survivors (bounded, tiny).\n"
+        "- Bonus from Catalyst: the row_number<=k filter becomes a\n"
+        "  `WindowGroupLimit` BELOW the exchange too (map-side partial\n"
+        "  top-k), so even the phase-1 shuffle carries at most k rows per\n"
+        "  (mapper, codec, salt) — rank-limit pushdown for free.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",

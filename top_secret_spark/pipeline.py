@@ -75,6 +75,44 @@ def salted(df: DataFrame, id_col: str = "clip_id", salt_mod: int = 16) -> DataFr
     )
 
 
+def per_codec_top_k(
+    df: DataFrame,
+    k: int = 10,
+    order_col: str = "dur_ms",
+    id_col: str = "clip_id",
+    salt_mod: int = 16,
+) -> DataFrame:
+    """Top-k clips per codec by ``order_col`` — the SALTED two-phase
+    form of a skew-prone per-key window.
+
+    A plain ``Window.partitionBy("codec")`` funnels EVERY row of the
+    hot codec (~80% of a G.711/PCM corpus — sources/clips.py plants
+    exactly this skew) through one task; at 10^12 clips that task is
+    the job.  Phase 1 ranks within (codec, salt) — the hot codec's
+    rows split across ``salt_mod`` window tasks, each keeping k — so
+    phase 2 ranks only the ≤ salt_mod·k survivors per codec.  The
+    result is EXACTLY the unsalted window's (ties broken by
+    ``id_col``): every global top-k row is top-k within its own salt.
+    Output: input columns + ``rank`` (1..k per codec)."""
+    from pyspark.sql import Window
+
+    s = salted(df, id_col=id_col, salt_mod=salt_mod)
+    w1 = Window.partitionBy("codec", "salt").orderBy(
+        F.desc(order_col), F.col(id_col)
+    )
+    survivors = (
+        s.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    w2 = Window.partitionBy("codec").orderBy(F.desc(order_col), F.col(id_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("salt")
+    )
+
+
 def run_pipeline(
     clips: DataFrame, config: PipelineConfig = DEFAULT_PIPELINE
 ) -> DataFrame:

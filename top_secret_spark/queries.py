@@ -1121,11 +1121,16 @@ def q_dedup_near(spark, sf_dir):
     _prep(spark)
     from .operators.dedup import dedup_near
 
+    # cache the planted frame: it feeds dedup_near's signature pass AND
+    # the survivor anti-join AND the n_total count — without the cache
+    # the derivation runs three times (flagged in the r2 review; don't
+    # copy the uncached pattern into bench arms)
     dup = _docs(spark, sf_dir).select(
         "doc_id", F.expr(FAMILY_TRANSCRIPT_SQL).alias("text")
-    )
+    ).cache()
     n_total = dup.count()
     n_surv = dedup_near(dup, threshold=0.999).count()
+    dup.unpersist()
     return spark.range(1).select(
         F.lit(n_surv).alias("n_survivors"),
         F.lit(n_total - n_surv).alias("n_dropped"),
@@ -1388,9 +1393,11 @@ def q_simhash_hamming_neardup(spark, sf_dir):
     _prep(spark)
     from .operators.dedup import near_duplicates_simhash
 
+    # cached: feeds the sketch pass, both text-label joins, and the two
+    # expected-count aggregates
     dup = _docs(spark, sf_dir).select(
         "doc_id", F.expr(SIMHASH_VARIANT_SQL).alias("text")
-    )
+    ).cache()
     pairs = near_duplicates_simhash(dup, max_distance=3)
     t = dup.select("doc_id", "text")
     labeled = (
@@ -1430,6 +1437,7 @@ def q_simhash_hamming_neardup(spark, sf_dir):
         .collect()[0][0]
     )
     exp_variant = exp_within - exp_exact
+    dup.unpersist()
     total_found = int(got["n_exact"] + got["n_variant"] + got["n_cross"])
     return spark.range(1).select(
         F.lit(int(got["n_exact"])).alias("n_exact_pairs"),
@@ -1466,15 +1474,22 @@ def q_text_embedding_neardup(spark, sf_dir):
     dup = _docs(spark, sf_dir).select(
         "doc_id", F.expr(FAMILY_TRANSCRIPT_SQL).alias("text")
     )
-    emb = with_text_embedding(dup)
+    # cache the EMBEDDED frame: both sides of the bucket self-join read
+    # it, and the embedding UDF is the expensive stage
+    emb = with_text_embedding(dup).cache()
     pairs = embedding_near_duplicates(
         emb, dim=64, threshold=0.99, id_col="doc_id"
     )
-    return pairs.agg(
+    got = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.coalesce(
             F.sum(F.when(F.col("cos") >= 0.999999, 1)), F.lit(0)
         ).cast("bigint").alias("n_cos_one"),
+    ).collect()[0]
+    emb.unpersist()
+    return spark.range(1).select(
+        F.lit(got["n_pairs"]).cast("bigint").alias("n_pairs"),
+        F.lit(got["n_cos_one"]).cast("bigint").alias("n_cos_one"),
     )
 
 
@@ -1483,6 +1498,45 @@ WITH dup AS (SELECT doc_id, {FAMILY_TRANSCRIPT_SQL} AS text FROM documents)
 SELECT cast(count(*) AS bigint) AS n_pairs,
        cast(count(*) AS bigint) AS n_cos_one
 FROM dup a JOIN dup b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def q_salted_per_key_topk(spark, sf_dir):
+    """Skew-mitigated per-key top-k (north-rule salting, demonstrated
+    INSIDE a skewed shuffle): a derived 80/10/10 codec key funnels 80%
+    of rows into one window partition; per_codec_top_k ranks within
+    (codec, salt) first — splitting the hot key across 16 window tasks
+    — then ranks the ≤ 16·k survivors.  Exactly equal to the plain
+    window (oracle), which is the point: same answer, no serialized
+    hot-key task."""
+    _prep(spark)
+    from .pipeline import per_codec_top_k
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.expr(
+            "case when doc_id % 10 < 8 then 'pcm16' "
+            "when doc_id % 10 < 9 then 'ulaw' else 'alaw' end"
+        ).alias("codec"),
+        (F.col("doc_id") * 37 % 9973).cast("bigint").alias("dur_ms"),
+    )
+    return per_codec_top_k(d, k=10).select("clip_id", "codec", "dur_ms", "rank")
+
+
+Q_SALTED_TOPK_SQL = """
+WITH c AS (
+  SELECT cast(doc_id AS varchar) AS clip_id,
+         CASE WHEN doc_id % 10 < 8 THEN 'pcm16'
+              WHEN doc_id % 10 < 9 THEN 'ulaw' ELSE 'alaw' END AS codec,
+         cast(doc_id * 37 % 9973 AS bigint) AS dur_ms
+  FROM documents
+)
+SELECT clip_id, codec, dur_ms, rank FROM (
+  SELECT clip_id, codec, dur_ms,
+         row_number() OVER (PARTITION BY codec
+                            ORDER BY dur_ms DESC, clip_id) AS rank
+  FROM c
+) WHERE rank <= 10
 """
 
 
@@ -1524,4 +1578,5 @@ QUERIES = {
     "q35_ivf_indexed": (q_ivf_indexed, Q_IVF_INDEXED_SQL),
     "q36_simhash_hamming": (q_simhash_hamming_neardup, Q_SIMHASH_HAMMING_SQL),
     "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
+    "q38_salted_topk": (q_salted_per_key_topk, Q_SALTED_TOPK_SQL),
 }
