@@ -1540,6 +1540,44 @@ SELECT clip_id, codec, dur_ms, rank FROM (
 """
 
 
+def q_text_ann_topk(spark, sf_dir):
+    """Corpus-native ANN end-to-end: raw text → with_text_embedding →
+    two-phase brute-force cosine top-5.  Queries are the embeddings of
+    family-base docs 0 and 5; each family's five members share identical
+    text ⇒ identical vectors ⇒ cos exactly 1.0, and ties break
+    (score desc, id asc) in BOTH top-k phases, so the result is the
+    member ids in order — fully deterministic, text-derivable oracle
+    (cross-family hashed cosine ≈ 0.5 never competes)."""
+    _prep(spark)
+    from .operators.similarity import brute_force_top_k, with_text_embedding
+
+    dup = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(FAMILY_TRANSCRIPT_SQL).alias("text")
+    )
+    emb = with_text_embedding(dup).select("doc_id", "embedding").cache()
+    queries = [
+        (int(r["doc_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("doc_id").isin(0, 5)).collect()
+    ]
+    got = brute_force_top_k(
+        emb, queries, k=5, id_col="doc_id"
+    ).select("query_id", F.col("doc_id").alias("member_id"), "rank").collect()
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(r["query_id"], r["member_id"], r["rank"]) for r in got],
+        "query_id bigint, member_id bigint, rank int",
+    )
+
+
+Q_TEXT_ANN_SQL = """
+SELECT cast(doc_id - doc_id % 5 AS bigint) AS query_id,
+       doc_id AS member_id,
+       cast(doc_id % 5 + 1 AS int) AS rank
+FROM documents
+WHERE doc_id < 10
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1579,4 +1617,5 @@ QUERIES = {
     "q36_simhash_hamming": (q_simhash_hamming_neardup, Q_SIMHASH_HAMMING_SQL),
     "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
     "q38_salted_topk": (q_salted_per_key_topk, Q_SALTED_TOPK_SQL),
+    "q39_text_ann_topk": (q_text_ann_topk, Q_TEXT_ANN_SQL),
 }
