@@ -38,6 +38,24 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
 
+def _bandwidth_probe_sec() -> float:
+    """Host memory-bandwidth control: one 20M-element numpy multiply.
+    ~0.05 s on this VM when calm; observed 8-22 s for hours at a time
+    under neighbor contention (load average near zero throughout — the
+    interference is external).  Reported in the output so a degraded
+    window is visible in the record instead of masquerading as an
+    engine regression; tpch_q1 is the JVM-side control, this is the
+    Python/numpy-side one."""
+    import time as _t
+
+    import numpy as _np
+
+    a = _np.random.rand(20_000_000)
+    t0 = _t.perf_counter()
+    a * 1.5
+    return round(_t.perf_counter() - t0, 3)
+
+
 def main():
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -134,6 +152,7 @@ def main():
              F.count(F.lit(1))).count()),
     ]
 
+    extras["host_probe_before_sec"] = _bandwidth_probe_sec()
     results: dict[str, int] = {}
     per_round: dict[str, list[float]] = {name: [] for name, _ in arms}
     for _rep in range(repeats):
@@ -141,6 +160,7 @@ def main():
             t0 = time.time()
             results[name] = fn()
             per_round[name].append(time.time() - t0)
+    extras["host_probe_after_sec"] = _bandwidth_probe_sec()
     for name, _ in arms:
         timings[name] = round(min(per_round[name]), 3)
         extras[f"{name}_rounds"] = [round(v, 3) for v in per_round[name]]
