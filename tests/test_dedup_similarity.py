@@ -373,6 +373,11 @@ def test_pair_jaccard_matches_per_pair_sets():
     got = pair_jaccard([p[0] for p in pairs], [p[1] for p in pairs])
     exp = np.array([ref(a, b) for a, b in pairs])
     assert np.allclose(got, exp, atol=0), list(zip(pairs, got, exp))
+    # block-chunked path (batch > block) is bit-identical
+    got_blocked = pair_jaccard(
+        [p[0] for p in pairs], [p[1] for p in pairs], block=8
+    )
+    assert np.array_equal(got, got_blocked)
     assert len(pair_jaccard([], [])) == 0
 
 

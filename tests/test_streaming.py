@@ -108,6 +108,48 @@ def test_dedup_stream_first_seen_wins(spark, tmp_path):
     assert all(r["clip_id"] in input_ids for r in rows)
 
 
+def test_dedup_stream_simhash_key_drops_near_identical(spark, tmp_path):
+    """key='simhash' dedups SKETCH-identical near-dups in-stream: long
+    repeated-base texts with a one-token suffix share the 64-bit SimHash
+    (the q36 regime), so only the first survives — while exact
+    fingerprint dedup would keep all of them."""
+    from top_secret_spark.streaming import dedup_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and runs into "
+            "the quiet green forest before the sun sets tonight ") * 20
+    other = ("completely different content about database engines and "
+             "query optimizers shuffling partitions at scale ") * 20
+    rows = [
+        ("a", base), ("b", base + " v2"), ("c", base + " v3"),
+        ("d", other), ("e", "tiny"),
+    ]
+    src = str(tmp_path / "in_sh")
+    spark.createDataFrame(rows, ["clip_id", "transcript"]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "clip_id string, transcript string"
+    ).parquet(src)
+    out = dedup_stream(stream, key="simhash")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_sh")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from dedup_stream_sh").collect()
+    # one survivor from the {a,b,c} sketch-identical family + d + e
+    assert len(got) == 3
+    kept = {r["clip_id"] for r in got}
+    assert len(kept & {"a", "b", "c"}) == 1 and {"d", "e"} <= kept
+
+    with pytest.raises(ValueError, match="key"):
+        dedup_stream(stream, key="md5")
+
+
 def test_dedup_stream_rejects_batch_frame(spark):
     from top_secret_spark.streaming import dedup_stream
 

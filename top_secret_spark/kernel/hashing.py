@@ -109,19 +109,34 @@ def raw_ngram_hashes(data: np.ndarray, n: int, buckets: int) -> np.ndarray:
 
 
 def pair_jaccard(
-    texts_a, texts_b, shingle_k: int = 5, buckets: int = 1 << 32
+    texts_a,
+    texts_b,
+    shingle_k: int = 5,
+    buckets: int = 1 << 32,
+    block: int = 512,
 ) -> np.ndarray:
-    """Exact char-shingle Jaccard for aligned text PAIRS, one vectorized
-    pass: encode all 2n texts once, hash all shingles once, then compute
-    per-pair |A∩B| / |A∪B| via sorted (pair, shingle) arrays — no
-    per-text encode calls, no Python sets.  Texts are normalized like
-    the MinHash kernel (lowercase, Unicode-whitespace collapse).  Two
-    empty shingle sets → 1.0 (identical), one empty → 0.0."""
+    """Exact char-shingle Jaccard for aligned text PAIRS, vectorized:
+    encode a block of texts once, hash all its shingles once, then
+    compute per-pair |A∩B| / |A∪B| via sorted (pair, shingle) arrays —
+    no per-text encode calls, no Python sets.  Work proceeds in
+    ``block``-pair chunks so the sort/gather arrays stay cache-resident
+    regardless of Arrow batch size (identical results; pairs are
+    independent).  Texts are normalized like the MinHash kernel
+    (lowercase, Unicode-whitespace collapse).  Two empty shingle sets →
+    1.0 (identical), one empty → 0.0."""
     n = len(texts_a)
     if n != len(texts_b):
         raise ValueError(f"pair_jaccard: len mismatch {n} != {len(texts_b)}")
     if n == 0:
         return np.empty(0, dtype=np.float64)
+    if n > block:
+        out = np.empty(n, dtype=np.float64)
+        for s in range(0, n, block):
+            out[s : s + block] = pair_jaccard(
+                texts_a[s : s + block], texts_b[s : s + block],
+                shingle_k, buckets, block,
+            )
+        return out
     normed = [" ".join((t or "").lower().split()) for t in (*texts_a, *texts_b)]
     data, lengths = encode_batch(normed)
     doc_idx, h = ngram_hashes(data, lengths, shingle_k, buckets)

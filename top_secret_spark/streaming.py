@@ -41,17 +41,30 @@ def dedup_stream(
     stream: DataFrame,
     text_col: str = "transcript",
     state_ttl: str | int | None = "30 minutes",
+    key: str = "fingerprint",
 ) -> DataFrame:
-    """Stateful streaming exact-dedup: first-seen row per content
-    fingerprint wins; later arrivals (same or later micro-batches) are
-    dropped.  Custom stateful operator via ``applyInPandasWithState`` —
-    state is one counter per fingerprint, grouped so each key's state
-    lives on one executor; ``state_ttl`` bounds state size for unbounded
-    streams (ProcessingTimeTimeout evicts idle fingerprints, after which
-    a re-arrival would be emitted again — the standard TTL trade-off).
+    """Stateful streaming dedup: first-seen row per content key wins;
+    later arrivals (same or later micro-batches) are dropped.  Custom
+    stateful operator via ``applyInPandasWithState`` — state is one
+    counter per key, grouped so each key's state lives on one executor;
+    ``state_ttl`` bounds state size for unbounded streams
+    (ProcessingTimeTimeout evicts idle keys, after which a re-arrival
+    would be emitted again — the standard TTL trade-off).
 
-    At 10^12-row scale the shuffle key is the 64-bit fingerprint, never
-    the document body, mirroring the batch dedup invariant
+    ``key`` picks the content identity:
+
+    * ``"fingerprint"`` (default) — EXACT dedup on the normalized-text
+      xxhash64 fingerprint (operators/text_analysis.py).
+    * ``"simhash"`` — sketch-exact NEAR-dup: the 64-bit SimHash is
+      stable under small edits when the text is long (a one-token change
+      in a ~1 kB transcript usually flips zero bits — see q36), so
+      near-identical re-crawls/retransmissions dedup in-stream.  This is
+      the streamable end of the batch SimHash family
+      (``near_duplicates_simhash``); Hamming>0 near-misses still need
+      the batch pass.
+
+    At 10^12-row scale the shuffle key is 8 bytes either way, never the
+    document body, mirroring the batch dedup invariant
     (operators/dedup.py).
 
     ``state_ttl`` accepts ``"N second(s)|minute(s)|hour(s)|day(s)"`` or
@@ -69,7 +82,18 @@ def dedup_stream(
     if not stream.isStreaming:
         raise ValueError("dedup_stream expects a streaming DataFrame")
 
-    with_fp = stream.withColumn("fingerprint", fingerprint_col(text_col))
+    if key == "fingerprint":
+        with_fp = stream.withColumn("fingerprint", fingerprint_col(text_col))
+    elif key == "simhash":
+        from .operators.dedup import make_simhash_udf
+
+        with_fp = stream.withColumn(
+            "simhash", make_simhash_udf()(F.col(text_col))
+        )
+    else:
+        raise ValueError(
+            f"key must be 'fingerprint' or 'simhash', got {key!r}"
+        )
     out_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in with_fp.schema
     )
@@ -121,7 +145,7 @@ def dedup_stream(
         if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return with_fp.groupBy("fingerprint").applyInPandasWithState(
+    return with_fp.groupBy(key).applyInPandasWithState(
         first_seen,
         outputStructType=out_ddl,
         stateStructType="n long",
