@@ -234,3 +234,63 @@ def test_batch_decode_rejects_unknown_codec():
 
     with pytest.raises(NotImplementedError, match="mp3"):
         batch_decode([b"\x00\x01"], "mp3")
+
+
+def test_segmented_ratios_match_per_clip():
+    """Vectorized silence/clipping ratios must agree with the scalar
+    twin across codecs, mixed lengths, empty and trailing-empty clips —
+    including an all-zero clip round-tripped through G.711 companding
+    (the decoded 'zero' is nonzero but must stay under SILENCE_EPS)."""
+    from top_secret_spark.kernel.audio import (
+        batch_decode,
+        decode,
+        gate_ratios,
+        segmented_ratios,
+    )
+
+    for codec in ("pcm16", "ulaw", "alaw"):
+        clips = [
+            synth_pcm(7, 2400, 8000),
+            np.zeros(1600, dtype=np.float32),                 # silent
+            np.zeros(0, dtype=np.float32),                    # empty
+            np.clip(10.0 * synth_pcm(13, 800, 8000), -1, 1),  # clipped
+            synth_pcm(17, 333, 8000),
+            np.zeros(0, dtype=np.float32),                    # trailing empty
+        ]
+        datas = [encode(np.asarray(c, dtype=np.float32), codec) for c in clips]
+        samples, lengths = batch_decode(datas, codec)
+        sil, clp = segmented_ratios(samples, lengths)
+        for i, data in enumerate(datas):
+            ref = gate_ratios(decode(data, codec))
+            assert abs(sil[i] - ref["silence_ratio"]) < 1e-12, (codec, i)
+            assert abs(clp[i] - ref["clipping_ratio"]) < 1e-12, (codec, i)
+        assert sil[1] == 1.0, codec       # companded zeros still silent
+        assert clp[3] > 0.5, codec        # overdriven clip detected
+        assert sil[2] == 1.0 and clp[2] == 0.0  # empty = silent by definition
+
+
+def test_audio_keep_drop_gate(spark):
+    """End-to-end audio-quality gate over planted defects: each row's
+    drop reason must equal the planted rule (r % 6), and the gate must
+    be pure Catalyst above one Arrow decode boundary."""
+    from top_secret_spark.operators.audio import with_audio_keep_drop
+    from top_secret_spark.sources.clips import gate_clips_df
+
+    gated = with_audio_keep_drop(gate_clips_df(spark, 18, partitions=2))
+    rows = {r["clip_id"]: r for r in gated.collect()}
+    expected = {
+        0: "silent", 1: "clipped", 2: "too_short_audio",
+        3: "decode_error", 4: None, 5: None,
+    }
+    assert len(rows) == 18
+    for r_idx in range(18):
+        row = rows[f"gate-{r_idx:010d}"]
+        exp = expected[r_idx % 6]
+        assert row["audio_drop_reason"] == exp, (r_idx, dict(row.asDict()))
+        assert row["audio_keep"] == (exp is None)
+        if exp is None:
+            assert row["silence_ratio"] < 0.5
+            assert row["clipping_ratio"] == 0.0
+            assert row["dur_ms_measured"] == 1000
+    # bytes must not be carried past the decode boundary
+    assert "bytes" not in gated.columns

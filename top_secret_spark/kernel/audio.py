@@ -263,3 +263,58 @@ def segmented_features(
     np.divide(1000.0 * lengths, srs, out=dur_f, where=srs > 0)
     dur = np.round(dur_f).astype(np.int64)
     return rms, zcr, dur
+
+
+# Silence floor ~-60 dBFS.  Must sit ABOVE the largest companded-zero
+# reconstruction so an all-zero clip round-tripped through G.711 still
+# reads as silent: A-law decodes the zero code to ~2.45e-4, mu-law to
+# ~8.6e-5 (measured), both < 1e-3.
+SILENCE_EPS = 1e-3
+# |x| >= CLIP_LEVEL counts as a clipped sample; full-scale pcm16 decodes
+# to exactly 1.0 (32767/32767) and -1.00003 (-32768/32767).
+CLIP_LEVEL = 0.999
+
+
+def gate_ratios(
+    pcm: np.ndarray,
+    silence_eps: float = SILENCE_EPS,
+    clip_level: float = CLIP_LEVEL,
+) -> dict:
+    """Scalar twin of ``segmented_ratios`` for one decoded clip:
+    silence_ratio (fraction of samples with |x| < silence_eps) and
+    clipping_ratio (fraction with |x| >= clip_level).  Empty clip is
+    defined as fully silent."""
+    if len(pcm) == 0:
+        return {"silence_ratio": 1.0, "clipping_ratio": 0.0}
+    ab = np.abs(pcm.astype(np.float64))
+    return {
+        "silence_ratio": float(np.mean(ab < silence_eps)),
+        "clipping_ratio": float(np.mean(ab >= clip_level)),
+    }
+
+
+def segmented_ratios(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    silence_eps: float = SILENCE_EPS,
+    clip_level: float = CLIP_LEVEL,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-clip (silence_ratio, clipping_ratio) over a concatenated
+    sample buffer — same segment layout as ``segmented_features``:
+    boolean masks summed per clip with ``add.reduceat``, no per-clip
+    Python loop.  Zero-length clips are defined as fully silent."""
+    n = len(lengths)
+    sil = np.ones(n, dtype=np.float64)
+    clp = np.zeros(n, dtype=np.float64)
+    if n == 0 or len(samples) == 0:
+        return sil, clp
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    nonempty = lengths > 0
+    starts = offsets[nonempty]
+    ab = np.abs(samples.astype(np.float64))
+    sil_n = np.add.reduceat((ab < silence_eps).astype(np.int64), starts)
+    clp_n = np.add.reduceat((ab >= clip_level).astype(np.int64), starts)
+    sil[nonempty] = sil_n / lengths[nonempty]
+    clp[nonempty] = clp_n / lengths[nonempty]
+    return sil, clp

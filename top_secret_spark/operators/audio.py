@@ -10,10 +10,14 @@ SNR passthrough gate only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 _FEATURES_SCHEMA_SUFFIX = (
-    "decode_ok boolean, rms double, zcr double, dur_ms_measured int"
+    "decode_ok boolean, rms double, zcr double, dur_ms_measured int, "
+    "silence_ratio double, clipping_ratio double"
 )
 
 
@@ -40,6 +44,7 @@ def with_audio_features(df: DataFrame) -> DataFrame:
             SUPPORTED_CODECS,
             batch_decode,
             segmented_features,
+            segmented_ratios,
         )
 
         for pdf in iterator:
@@ -48,6 +53,11 @@ def with_audio_features(df: DataFrame) -> DataFrame:
             rmss = np.zeros(n, dtype=np.float64)
             zcrs = np.zeros(n, dtype=np.float64)
             durs = np.zeros(n, dtype=np.int64)
+            # undecodable rows are DEFINED as fully silent: they carry no
+            # usable signal, and the gate names decode_error before
+            # silence anyway
+            sils = np.ones(n, dtype=np.float64)
+            clps = np.zeros(n, dtype=np.float64)
             datas = pdf["bytes"].tolist()
             codecs = pdf["codec"].to_numpy()
             srs = pdf["sr_hz"].to_numpy()
@@ -66,18 +76,76 @@ def with_audio_features(df: DataFrame) -> DataFrame:
                 r, z, d = segmented_features(
                     samples, lengths, srs[idx].astype(np.float64)
                 )
+                si, cl = segmented_ratios(samples, lengths)
                 oks[idx] = True
                 rmss[idx] = r
                 zcrs[idx] = z
                 durs[idx] = d
+                sils[idx] = si
+                clps[idx] = cl
             pdf = pdf.drop(columns=["bytes"])
             pdf["decode_ok"] = oks
             pdf["rms"] = rmss
             pdf["zcr"] = zcrs
             pdf["dur_ms_measured"] = durs
+            pdf["silence_ratio"] = sils
+            pdf["clipping_ratio"] = clps
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+@dataclass(frozen=True)
+class AudioGateThresholds:
+    """Keep/drop rules over decoded-audio features — the audio twin of
+    ``kernel.quality.QualityThresholds``.  Frozen so the config captured
+    at plan time cannot drift under a running job."""
+
+    min_dur_ms: int = 300
+    max_silence_ratio: float = 0.98
+    max_clipping_ratio: float = 0.2
+
+
+DEFAULT_AUDIO_GATE = AudioGateThresholds()
+
+
+def audio_drop_reason_col(
+    th: AudioGateThresholds = DEFAULT_AUDIO_GATE,
+) -> Column:
+    """First-matching-rule drop reason over the feature columns emitted
+    by ``with_audio_features`` — pure Catalyst (whole-stage codegen), no
+    Python.  NULL means the clip passes the audio gate."""
+    return (
+        F.when(~F.col("decode_ok"), F.lit("decode_error"))
+        .when(
+            F.col("dur_ms_measured") < F.lit(th.min_dur_ms),
+            F.lit("too_short_audio"),
+        )
+        .when(
+            F.col("silence_ratio") > F.lit(th.max_silence_ratio),
+            F.lit("silent"),
+        )
+        .when(
+            F.col("clipping_ratio") > F.lit(th.max_clipping_ratio),
+            F.lit("clipped"),
+        )
+    )
+
+
+def with_audio_keep_drop(
+    df: DataFrame, th: AudioGateThresholds = DEFAULT_AUDIO_GATE
+) -> DataFrame:
+    """Audio-quality gate: decode + feature-extract (one Arrow boundary)
+    then keep/drop entirely in Catalyst.  Appends ``audio_drop_reason``
+    (NULL = keep) and ``audio_keep``.  Composes with the transcript gate
+    (``operators.quality.with_keep_drop``) for a full multimodal filter:
+    the two reason columns stay separate so counters can attribute drops
+    to the right modality."""
+    feats = with_audio_features(df)
+    reason = audio_drop_reason_col(th)
+    return feats.withColumn("audio_drop_reason", reason).withColumn(
+        "audio_keep", reason.isNull()
+    )
 
 
 def resampled_clips(df: DataFrame, target_sr: int = 16000) -> DataFrame:

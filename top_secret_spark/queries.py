@@ -1578,6 +1578,46 @@ WHERE doc_id < 10
 """
 
 
+def q_audio_quality_gate(spark, sf_dir):
+    """[tier: quality_filter x audio] end-to-end audio keep/drop gate
+    over PLANTED defects: decode -> vectorized features (rms/zcr/dur/
+    silence/clipping, one Arrow boundary) -> pure-Catalyst first-match
+    rules.  Rows are synthesized with a defect keyed by row index
+    (sources/clips.py::gate_rows_for_range), so the oracle RECOMPUTES
+    both the expected decision and the measured-duration sum from the
+    index rule alone — decisions AND a feature value are gated, not just
+    row counts.  Reference parity: top_secret's keep/drop is text-only;
+    this is the audio twin the north rule adds."""
+    from .operators.audio import with_audio_keep_drop
+    from .sources.clips import gate_clips_df
+
+    gated = with_audio_keep_drop(gate_clips_df(spark, 240, partitions=4))
+    return gated.groupBy(
+        F.coalesce(F.col("audio_drop_reason"), F.lit("keep")).alias(
+            "audio_drop_reason"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dur_ms_measured").alias("sum_dur_measured_ms"),
+    )
+
+
+Q_AUDIO_GATE_SQL = """
+SELECT audio_drop_reason,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(dur) AS BIGINT) AS sum_dur_measured_ms
+FROM (
+  SELECT CASE i % 6 WHEN 0 THEN 'silent'
+                    WHEN 1 THEN 'clipped'
+                    WHEN 2 THEN 'too_short_audio'
+                    WHEN 3 THEN 'decode_error'
+                    ELSE 'keep' END AS audio_drop_reason,
+         CASE i % 6 WHEN 2 THEN 120 WHEN 3 THEN 0 ELSE 1000 END AS dur
+  FROM (SELECT unnest(range(0, 240)) AS i))
+GROUP BY audio_drop_reason
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1618,4 +1658,5 @@ QUERIES = {
     "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
     "q38_salted_topk": (q_salted_per_key_topk, Q_SALTED_TOPK_SQL),
     "q39_text_ann_topk": (q_text_ann_topk, Q_TEXT_ANN_SQL),
+    "q40_audio_quality_gate": (q_audio_quality_gate, Q_AUDIO_GATE_SQL),
 }

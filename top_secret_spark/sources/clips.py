@@ -178,6 +178,62 @@ def clips_df(spark, n_rows: int, with_audio: bool = True, partitions: int | None
     )
 
 
+GATE_DEFECT_PERIOD = 6  # row r's planted defect = r % 6 (see gate_rows_for_range)
+
+
+def gate_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED audio defects, keyed by ``r % 6`` so an
+    oracle can recompute the expected gate decision from the row index
+    alone (DuckDB ``range()``): 0 silent (digital zero, codec cycles all
+    three — companded zeros must still read as silent), 1 clipped
+    (overdriven 10x then clamped by the encoder), 2 too-short (120 ms),
+    3 undecodable codec tag, 4-5 clean speech-band signal (kept)."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(start, end):
+        kind = r % GATE_DEFECT_PERIOD
+        codec = _CODECS[r % 3]
+        sr_hz = 8000
+        dur_ms = 120 if kind == 2 else 1000
+        n = int(sr_hz * dur_ms / 1000)
+        if kind == 0:
+            data = encode(np.zeros(n, dtype=np.float32), codec)
+        elif kind == 1:
+            pcm = synth_pcm(SEED * 7_000_003 + r, n, sr_hz)
+            data = encode(np.clip(10.0 * pcm, -1.0, 1.0), codec)
+        elif kind == 3:
+            codec = "opus"  # not in SUPPORTED_CODECS -> decode_error
+            data = b"\x00\x01\x02\x03"
+        else:
+            data = encode(synth_pcm(SEED * 7_000_003 + r, n, sr_hz), codec)
+        out["clip_id"].append(f"gate-{r:010d}")
+        out["bytes"].append(data)
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(dur_ms)
+        out["codec"].append(codec)
+        out["transcript"].append(f"clean transcript for gated clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def gate_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted-defect clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield gate_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 def write_clips_parquet(path: str, n_rows: int, with_audio: bool = True,
                         rows_per_file: int = 20_000) -> None:
     """Driverless (pyarrow) writer for tests/small scales."""
