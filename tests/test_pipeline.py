@@ -280,3 +280,32 @@ def test_keep_drop_vector_matches_scalar_grid():
         k, r = keep_drop_from_signals(*combo, DEFAULT_THRESHOLDS)
         assert bool(keep_v[idx]) == k, combo
         assert (reason_v[idx] if reason_v[idx] is not None else None) == r, combo
+
+
+def test_pipeline_with_audio_gate(spark):
+    """Multimodal keep/drop: with ``audio_gate`` set, keep requires both
+    gates and the audio reason wins the drop_reason slot — checked
+    against a text-only twin run on both the fused and modular paths."""
+    from top_secret_spark.operators.audio import AudioGateThresholds
+    from top_secret_spark.pipeline import PipelineConfig, run_pipeline
+    from top_secret_spark.sources.clips import gate_clips_df
+
+    clips = gate_clips_df(spark, 24, partitions=2)
+    planted = {0: "silent", 1: "clipped", 2: "too_short_audio",
+               3: "decode_error"}
+    for fused in (True, False):
+        cfg = PipelineConfig(include_audio=True, fused=fused,
+                             audio_gate=AudioGateThresholds())
+        text_cfg = PipelineConfig(include_audio=True, fused=fused)
+        out = {r["clip_id"]: r for r in run_pipeline(clips, cfg).collect()}
+        text = {r["clip_id"]: r for r in run_pipeline(clips, text_cfg).collect()}
+        assert len(out) == 24
+        for cid, row in out.items():
+            t = text[cid]
+            r_idx = int(cid.split("-")[1])
+            audio_reason = planted.get(r_idx % 6)
+            assert row["keep"] == (t["keep"] and audio_reason is None), (fused, cid)
+            exp_reason = audio_reason if audio_reason is not None else t["drop_reason"]
+            assert row["drop_reason"] == exp_reason, (fused, cid)
+            # text columns are untouched by the fold
+            assert row["scrubbed"] == t["scrubbed"], (fused, cid)

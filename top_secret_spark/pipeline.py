@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from .kernel.filters import NORTH_STAR_CONFIG, ScrubConfig
 from .kernel.quality import DEFAULT_THRESHOLDS, QualityThresholds
-from .operators.audio import with_audio_features
+from .operators.audio import (
+    AudioGateThresholds,
+    audio_drop_reason_col,
+    with_audio_features,
+)
 from .operators.features import with_text_features
 from .operators.quality import with_keep_drop, with_quality_signals
 from .operators.scrub import make_scrub_udf
@@ -46,6 +50,12 @@ class PipelineConfig:
     # the engine's injected-entities slot (spec/spec_helper.rb:26-31);
     # None runs regex/dictionary filters only (NullModel semantics)
     entities_col: str | None = None
+    # audio-quality gate thresholds (operators/audio.py) — when set (and
+    # include_audio), the final keep/drop is MULTIMODAL: keep requires
+    # passing both gates, drop_reason names the audio reason first (a
+    # clip whose audio is unusable can't be trained on however clean its
+    # transcript reads).  None keeps the text-only reference semantics.
+    audio_gate: AudioGateThresholds | None = None
     n_buckets: int = 64  # hash buckets for the checkpointed layout
     # fused=True runs signals+features+keep/drop+scrub in ONE Arrow
     # crossing (operators/fused.py) — identical semantics, half the
@@ -119,16 +129,23 @@ def run_pipeline(
     """clips → clips + (quality signals, lang, lang_conf, ppl, keep,
     drop_reason, scrubbed, mapping)."""
     df = clips
+    audio_gated = config.include_audio and config.audio_gate is not None
     if config.include_audio:
         df = with_audio_features(df)
+        if audio_gated:
+            reason = audio_drop_reason_col(config.audio_gate)
+            df = df.withColumn("audio_drop_reason", reason).withColumn(
+                "audio_keep", reason.isNull()
+            )
 
     if config.fused:
         from .operators.fused import run_pipeline_fused
 
-        return run_pipeline_fused(
+        out = run_pipeline_fused(
             df, config.scrub, config.thresholds, config.scrub_dropped,
             entities_col=config.entities_col,
         )
+        return _fold_audio_gate(out) if audio_gated else out
 
     df = with_quality_signals(df, "transcript")
     df = with_text_features(df, "transcript")
@@ -163,7 +180,19 @@ def run_pipeline(
             ),
         }
     ).drop("_scrub")
-    return df
+    return _fold_audio_gate(df) if audio_gated else df
+
+
+def _fold_audio_gate(out: DataFrame) -> DataFrame:
+    """Combine the text decision with the audio gate: keep requires both;
+    the audio reason wins the drop_reason slot.  Scrub output for rows
+    dropped ONLY by audio is left as produced by the text pass (they were
+    text-kept) — harmless, since downstream filters on ``keep``, and it
+    keeps the text stages modality-blind."""
+    return out.withColumn(
+        "drop_reason",
+        F.coalesce(F.col("audio_drop_reason"), F.col("drop_reason")),
+    ).withColumn("keep", F.col("keep") & F.col("audio_keep"))
 
 
 def partition_audit(df: DataFrame) -> DataFrame:
