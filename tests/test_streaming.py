@@ -173,3 +173,44 @@ def test_dedup_stream_state_ttl_validation(spark, tmp_path):
     # int milliseconds and day units are accepted at plan time
     dedup_stream(stream, state_ttl=60_000)
     dedup_stream(stream, state_ttl="1 day")
+
+
+def test_audio_gate_streams(spark, tmp_path):
+    """The audio-quality gate is map-only (one mapInPandas + Catalyst
+    CASE), so it lifts to Structured Streaming unchanged: streamed
+    decisions must equal the batch run row-for-row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from top_secret_spark.operators.audio import with_audio_keep_drop
+    from top_secret_spark.sources.clips import (
+        gate_clips_df,
+        gate_rows_for_range,
+    )
+
+    src = str(tmp_path / "gate_in")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pandas(gate_rows_for_range(0, 60)),
+        os.path.join(src, "part-0.parquet"),
+    )
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = with_audio_keep_drop(stream).select("clip_id", "audio_drop_reason")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_stream")
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["clip_id"]: r["audio_drop_reason"]
+           for r in spark.sql("select * from gate_stream").collect()}
+    exp = {r["clip_id"]: r["audio_drop_reason"]
+           for r in with_audio_keep_drop(gate_clips_df(spark, 60))
+           .select("clip_id", "audio_drop_reason").collect()}
+    assert len(got) == 60
+    assert got == exp
