@@ -1,0 +1,100 @@
+"""Deterministic sampling: layout-independence, per-stratum rates,
+disjoint splits, and the map-only plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from top_secret_spark.operators.sampling import (
+    deterministic_sample,
+    sample_u_col,
+    stratified_sample,
+    with_split,
+)
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_sample_is_layout_independent(spark):
+    """The sample must be a property of the rows, not the partitioning —
+    the exact failure mode of df.sample() this operator exists to fix."""
+    base = spark.range(0, 20_000)
+    a = deterministic_sample(base.repartition(3), 0.3, key_col="id")
+    b = deterministic_sample(base.repartition(17, "id"), 0.3, key_col="id")
+    c = deterministic_sample(base.coalesce(1), 0.3, key_col="id")
+    ids_a = _ids(a)
+    assert ids_a == _ids(b) == _ids(c)
+    assert 0.28 < len(ids_a) / 20_000 < 0.32
+
+
+def test_seeds_give_independent_samples(spark):
+    base = spark.range(0, 20_000)
+    s0 = set(_ids(deterministic_sample(base, 0.3, "id", seed=0)))
+    s1 = set(_ids(deterministic_sample(base, 0.3, "id", seed=12345)))
+    assert s0 != s1
+    # independent 30% samples overlap ~9%
+    overlap = len(s0 & s1) / 20_000
+    assert 0.05 < overlap < 0.14
+
+
+def test_stratified_rates_and_default(spark):
+    df = spark.range(0, 30_000).withColumn(
+        "lang", F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("xx")),
+                             (F.col("id") % 3 + 1).cast("int"))
+    )
+    samp = stratified_sample(
+        df, {"en": 0.1, "de": 0.6}, strata_col="lang", key_col="id",
+        default_fraction=0.0,
+    )
+    rates = {r["lang"]: r["n"] / 10_000 for r in
+             samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.08 < rates["en"] < 0.12
+    assert 0.57 < rates["de"] < 0.63
+    assert "xx" not in rates  # default 0.0 drops unlisted strata entirely
+
+
+def test_with_split_disjoint_and_stable(spark):
+    df = with_split(spark.range(0, 10_000), holdout_fraction=0.05,
+                    key_col="id")
+    counts = {r["split"]: r["n"] for r in
+              df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["train"] + counts["holdout"] == 10_000
+    assert 300 < counts["holdout"] < 700
+    # holdout membership must equal the sample at the same fraction/seed:
+    # no document can drift between splits across runs
+    holdout_ids = sorted(r["id"] for r in
+                         df.filter("split = 'holdout'").select("id").collect())
+    sampled_ids = _ids(deterministic_sample(spark.range(0, 10_000), 0.05, "id"))
+    assert holdout_ids == sampled_ids
+
+
+def test_fraction_validation():
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        deterministic_sample(None, 1.5)
+    with pytest.raises(ValueError, match="fractions\\['en'\\]"):
+        stratified_sample(None, {"en": -0.1}, "lang")
+
+
+def test_sample_plan_is_map_only(spark):
+    """Scale shape: the whole sample is filter-above-scan — zero
+    exchanges, and the u-threshold filter is codegen'd Catalyst."""
+    df = deterministic_sample(spark.range(0, 1000), 0.5, key_col="id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_u_matches_reference_values(spark):
+    """Pin the hash arithmetic: these values are also what the q41
+    DuckDB oracle computes — a change here silently breaks
+    reproducibility for persisted splits, so it must be LOUD."""
+    df = spark.createDataFrame(
+        [(0,), (1,), (2147483651,), (999_999_999_999,)], "k bigint"
+    )
+    got = {r["k"]: r["u"] for r in
+           df.select("k", sample_u_col(F.col("k")).alias("u")).collect()}
+    assert got[0] == 0.0
+    assert abs(got[1] - 0.6180339867714792) < 1e-15
+    assert abs(got[2147483651] - 0.2360679735429585) < 1e-15
+    assert abs(got[999_999_999_999] - 0.9754111650399864) < 1e-15

@@ -1618,6 +1618,50 @@ GROUP BY audio_drop_reason
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """[training-data] deterministic stratified sampling: rebalance the
+    corpus by language (downsample 'en' hard, others lightly) with a
+    key-hash decision that is a property of the row — the oracle
+    RECOMPUTES the identical xor-fold + Knuth-multiply arithmetic in
+    DuckDB, so membership (sum of sampled ids / chars), not just counts,
+    is gated bit-for-bit.  Spark's df.sample() could never pass this
+    gate: its decisions change with partitioning and are not
+    reproducible outside Spark."""
+    from .operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    samp = stratified_sample(
+        docs,
+        {"en": 0.1, "de": 0.5, "fr": 0.5},
+        strata_col="lang",
+        key_col="doc_id",
+        default_fraction=0.25,
+    )
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT lang,
+       cast(count(*) AS BIGINT) AS n_sampled,
+       cast(sum(doc_id) AS BIGINT) AS sum_ids,
+       cast(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         (((xor(doc_id >> 31, doc_id) & 2147483647) * 2654435761)
+          % 4294967296) / 4294967296.0 AS u
+  FROM documents)
+WHERE u < CASE lang WHEN 'en' THEN 0.1
+                    WHEN 'de' THEN 0.5
+                    WHEN 'fr' THEN 0.5
+                    ELSE 0.25 END
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1659,4 +1703,5 @@ QUERIES = {
     "q38_salted_topk": (q_salted_per_key_topk, Q_SALTED_TOPK_SQL),
     "q39_text_ann_topk": (q_text_ann_topk, Q_TEXT_ANN_SQL),
     "q40_audio_quality_gate": (q_audio_quality_gate, Q_AUDIO_GATE_SQL),
+    "q41_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
 }
