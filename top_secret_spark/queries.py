@@ -1662,6 +1662,50 @@ GROUP BY lang
 """
 
 
+def q_corpus_profile(spark, sf_dir):
+    """[training-data] corpus profiling/audit: per-(lang, source) counts,
+    char totals, extremes, and p50/p95 length quantiles via
+    ``approx_percentile`` — the MERGEABLE-sketch aggregate that scales:
+    map-side partial GK sketches merge at the reducer, so the shuffle
+    carries one bounded sketch per group per mapper, never rows.  With
+    accuracy (100k) far above any group size at test scale the sketch is
+    rank-exact, so DuckDB's discrete quantile gates it exactly; at 10^12
+    rows the same plan degrades gracefully to epsilon-rank answers
+    instead of OOMing the way an exact sort-based percentile would."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.expr(
+                "approx_percentile(n_chars, array(0.5, 0.95), 100000)"
+            ).alias("_q"),
+        )
+        .select(
+            "lang", "source", "n_docs", "sum_chars", "min_chars",
+            "max_chars",
+            F.col("_q").getItem(0).alias("p50_chars"),
+            F.col("_q").getItem(1).alias("p95_chars"),
+        )
+    )
+
+
+Q_CORPUS_PROFILE_SQL = """
+SELECT lang, source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS sum_chars,
+       cast(min(n_chars) AS BIGINT) AS min_chars,
+       cast(max(n_chars) AS BIGINT) AS max_chars,
+       cast(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+       cast(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1704,4 +1748,5 @@ QUERIES = {
     "q39_text_ann_topk": (q_text_ann_topk, Q_TEXT_ANN_SQL),
     "q40_audio_quality_gate": (q_audio_quality_gate, Q_AUDIO_GATE_SQL),
     "q41_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
 }
