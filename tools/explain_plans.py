@@ -230,6 +230,39 @@ def main():
         "  (mapper, codec, salt) — rank-limit pushdown for free.",
     ))
 
+    from top_secret_spark.operators.audio import with_audio_keep_drop
+    from top_secret_spark.sources.clips import gate_clips_df
+
+    gate_plan = explain_str(with_audio_keep_drop(gate_clips_df(spark, 240)))
+    sections.append((
+        "Audio-quality keep/drop gate (decode features → Catalyst rules)",
+        gate_plan,
+        "- ONE MapInPandas above the generator/scan does decode + ALL five\n"
+        "  features (rms/zcr/dur/silence/clipping) in a single Arrow\n"
+        "  crossing; the keep/drop CASE is a codegen'd Project above it.\n"
+        "- Zero exchanges: the gate is map-only, so it scales with input\n"
+        "  splits exactly like the text pipeline.\n"
+        "- The bytes column dies at the decode boundary — nothing above it\n"
+        "  carries multi-KB payloads.",
+    ))
+
+    from top_secret_spark.operators.sampling import stratified_sample
+
+    sample_plan = explain_str(stratified_sample(
+        docs, {"en": 0.1, "de": 0.5}, strata_col="lang", key_col="doc_id",
+        default_fraction=0.25,
+    ))
+    sections.append((
+        "Deterministic stratified sample (key-hash filter)",
+        sample_plan,
+        "- The whole operator is a codegen'd Filter directly above the\n"
+        "  scan: xor-fold + multiply + threshold CASE, no Python, no\n"
+        "  exchange, no RNG state.\n"
+        "- Sampling decisions depend only on row keys, so the same rows\n"
+        "  are kept on any cluster size or partitioning — required for\n"
+        "  reproducible train/holdout splits.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
