@@ -96,6 +96,46 @@ def main():
     jaccard_loop(pa, pb)
     jac_loop_sec = time.perf_counter() - t0
 
+    # audio feature kernel: one concatenated decode + segmented
+    # reductions (the with_audio_features hot path, now including the
+    # gate's silence/clipping ratios) vs the per-clip loop it replaced
+    import numpy as np
+
+    from top_secret_spark.kernel.audio import (
+        audio_features,
+        batch_decode,
+        decode,
+        encode,
+        gate_ratios,
+        segmented_features,
+        segmented_ratios,
+        synth_pcm,
+    )
+
+    clips = [synth_pcm(i, 4000 + (i * 37) % 4000, 8000) for i in range(400)]
+    datas = [encode(c, "ulaw") for c in clips]
+    srs = np.full(len(datas), 8000.0)
+
+    def audio_batched():
+        samples, lengths = batch_decode(datas, "ulaw")
+        segmented_features(samples, lengths, srs)
+        segmented_ratios(samples, lengths)
+
+    def audio_loop():
+        for d in datas:
+            pcm = decode(d, "ulaw")
+            audio_features(pcm, 8000)
+            gate_ratios(pcm)
+
+    audio_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        audio_batched()
+    audio_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    audio_loop()
+    audio_loop_sec = time.perf_counter() - t0
+
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
     # avg individual / avg batch, both per whole message set
@@ -111,6 +151,12 @@ def main():
         "jaccard_vectorized_pairs_per_sec": round(len(pa) / jac_vec_sec, 1),
         "jaccard_loop_pairs_per_sec": round(len(pa) / jac_loop_sec, 1),
         "jaccard_vectorized_speedup": round(jac_loop_sec / jac_vec_sec, 2),
+        "audio_features_batched_clips_per_sec": round(
+            len(datas) / audio_vec_sec, 1),
+        "audio_features_loop_clips_per_sec": round(
+            len(datas) / audio_loop_sec, 1),
+        "audio_features_batched_speedup": round(
+            audio_loop_sec / audio_vec_sec, 2),
         "iterations": ITERATIONS,
         "note": (
             "reference gates measured with a real MITIE NER model; this "
