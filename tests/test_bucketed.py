@@ -1,0 +1,79 @@
+"""Bucketed-table joins: the storage layout must absorb the shuffle —
+a join of two tables bucketed on the key runs with ZERO exchanges,
+while the same join on plain parquet shuffles both sides."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from top_secret_spark.operators.dedup import with_fingerprint
+from top_secret_spark.sources.bucketed import read_table, write_bucketed_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    fp = with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+    write_bucketed_table(
+        docs, "b_docs", "doc_id", 8, path=str(tmp_path / "b_docs")
+    )
+    write_bucketed_table(
+        fp, "b_fp", "doc_id", 8, path=str(tmp_path / "b_fp")
+    )
+    # force the shuffle-join regime: at test size Spark (rightly)
+    # broadcasts, but the 100-TB case this layout exists for is two
+    # big sides, where the alternative is shuffling both
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        left, right = read_table(spark, "b_docs"), read_table(spark, "b_fp")
+        joined = left.join(right, "doc_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        n = joined.count()
+        assert n == docs.count()
+
+        # control: identical join over plain parquet DOES shuffle
+        p_left = spark.read.parquet(str(tmp_path / "b_docs"))
+        p_right = spark.read.parquet(str(tmp_path / "b_fp"))
+        assert "Exchange" in _plan(p_left.join(p_right, "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_fp")
+
+
+def test_bucketed_groupby_elides_exchange(spark, tmp_path):
+    """Aggregation on the bucket key also skips its exchange — the
+    exact-dedup groupBy over a fingerprint-bucketed corpus is map-side
+    only."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+    write_bucketed_table(
+        fp, "b_fp2", "fingerprint", 8, path=str(tmp_path / "b_fp2")
+    )
+    try:
+        t = read_table(spark, "b_fp2")
+        agg = t.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n"))
+        assert "Exchange" not in _plan(agg), _plan(agg)
+        assert agg.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_fp2")
+
+
+def test_write_bucketed_validates(spark):
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_bucketed_table(None, "t", "k", 0)

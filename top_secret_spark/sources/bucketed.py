@@ -1,0 +1,51 @@
+"""Bucketed-table writes for shuffle-free co-located joins.
+
+At 100 TB the repeated joins in a curation pipeline — near-dup pairs
+back to text, lineage to stage output, incremental batches to the
+corpus fingerprint index — all hash-shuffle BOTH sides every run unless
+the storage layout already agrees with the join key.  Writing the
+corpus bucketed (and sorted) by the join key moves that shuffle into
+the one-time write: every later equi-join on the key becomes a
+zero-exchange sort-merge join over co-located buckets, and Spark skips
+even the sort when ``sortBy`` matched.
+
+Bucketed tables need the session catalog (``saveAsTable``); the path
+option keeps the data at an explicit location so the table is portable
+across sessions pointing at the same warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a parquet table bucketed AND sorted by ``key``.
+
+    ``n_buckets`` must match on both sides of a later join for the
+    exchange to be elided; pick it once per corpus (e.g. 4x the target
+    cluster's cores) and keep it stable across stages."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket metadata (a plain
+    ``spark.read.parquet(path)`` would lose it and re-shuffle)."""
+    return spark.table(table)
