@@ -77,3 +77,52 @@ def test_bucketed_groupby_elides_exchange(spark, tmp_path):
 def test_write_bucketed_validates(spark):
     with pytest.raises(ValueError, match="n_buckets"):
         write_bucketed_table(None, "t", "k", 0)
+
+
+def test_incremental_dedup_against_bucketed_index(spark, tmp_path):
+    """dedup_against_corpus over a bucketed fingerprint index: the
+    corpus side of the anti-join must NOT exchange (its scan already
+    agrees with the join key), dropped/kept rows are exact, and an
+    append of the surviving batch keeps the index joinable."""
+    from top_secret_spark.operators.dedup import dedup_against_corpus
+    from top_secret_spark.sources.bucketed import write_fingerprint_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus text number {i} alpha beta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    write_fingerprint_index(
+        corpus, "b_idx", 8, path=str(tmp_path / "b_idx")
+    )
+    # batch: 10 corpus dups (whitespace variants — normalization must
+    # catch them), 10 new, one within-batch dup pair of a new text
+    rows = [(100 + i, f"  Corpus TEXT number {i} alpha   beta \n") for i in range(10)]
+    rows += [(200 + i, f"fresh text {i} gamma") for i in range(10)]
+    rows += [(300, "fresh text 3 gamma")]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = read_table(spark, "b_idx")
+        out = dedup_against_corpus(batch, idx)
+        plan = _plan(out)
+        assert "Bucketed: true" in plan, plan
+        # the bucketed layout must absorb exactly the corpus-side
+        # exchange: same operator over a plain-parquet index plans one
+        # more Exchange (the corpus re-shuffle) than the bucketed run
+        plain_idx = spark.read.parquet(str(tmp_path / "b_idx"))
+        control = _plan(dedup_against_corpus(batch, plain_idx))
+        assert plan.count("Exchange") == control.count("Exchange") - 1, plan
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [200 + i for i in range(10)]
+
+        # append survivors; a re-run of the same batch now drops everything
+        write_fingerprint_index(
+            out, "b_idx", 8, path=str(tmp_path / "b_idx"), mode="append"
+        )
+        again = dedup_against_corpus(batch, read_table(spark, "b_idx"))
+        assert again.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_idx")

@@ -61,6 +61,39 @@ def dedup_exact(
     return fp.join(w_min, ["fingerprint", id_col], "inner").drop("fingerprint")
 
 
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup of a new batch against an existing corpus.
+
+    Keeps batch rows that are (a) the min-id representative of their
+    normalized text WITHIN the batch and (b) absent from the corpus
+    fingerprint index (``corpus_index`` needs only a ``fingerprint``
+    column — build it with :func:`with_fingerprint` or read it back via
+    ``sources.bucketed.read_table`` from a
+    :func:`~top_secret_spark.sources.bucketed.write_fingerprint_index`
+    table).
+
+    Scale shape (the reason this exists as its own operator): at 10^12
+    corpus rows the index dwarfs every incoming batch, so the join that
+    must not shuffle is the CORPUS side.  With the index stored bucketed
+    by ``fingerprint`` the left-anti join reads corpus buckets in place
+    and only the (small) batch is exchanged; nothing ever shuffles
+    document bodies — the anti-join carries 8-byte fingerprints.  The
+    within-batch stage is the same min-id representative rule as
+    :func:`dedup_exact`, so re-running a batch is idempotent.
+    """
+    fp = with_fingerprint(batch, text_col)
+    reps = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    survivors = fp.join(reps, ["fingerprint", id_col], "inner")
+    return survivors.join(
+        corpus_index.select("fingerprint"), "fingerprint", "left_anti"
+    ).drop("fingerprint")
+
+
 # --- MinHash -------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

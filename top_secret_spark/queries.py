@@ -1706,6 +1706,102 @@ GROUP BY lang, source
 """
 
 
+# shared construction for q43: a synthetic incoming batch over the
+# corpus — one third whitespace-variant corpus duplicates, one third
+# genuinely new texts, and each new text planted TWICE (a within-batch
+# duplicate pair whose min-batch_id member must survive)
+INCR_BATCH_TEXT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(' ', text, '  ') "
+    "ELSE concat('batchnew ', doc_id, ' ', text) END"
+)
+INCR_BATCH_DUP_TEXT_SQL = "concat('batchnew ', doc_id, ' ', text)"
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """[training-data] incremental corpus dedup: a new batch against a
+    MATERIALIZED fingerprint index (sources/bucketed.py — (fingerprint,
+    id) pairs bucketed by fingerprint, so at 10^12 corpus rows the
+    left-anti membership join reads corpus buckets in place and only
+    the small batch shuffles; test_bucketed.py asserts the elided
+    exchange).  Protocol under the gate: build the index from the
+    corpus, dedup the planted batch (corpus dups drop, within-batch
+    dup pairs keep their min-batch_id member), APPEND the survivors,
+    and re-run — the second pass must drop everything (idempotence,
+    emitted as the constant n_second_run column)."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import dedup_against_corpus
+    from .sources.bucketed import read_table, write_fingerprint_index
+
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter("doc_id % 3 <> 2").select(
+        (F.col("doc_id") + 1000000).alias("batch_id"),
+        F.expr(INCR_BATCH_TEXT_SQL).alias("text"),
+    )
+    b2 = docs.filter("doc_id % 3 = 1").select(
+        (F.col("doc_id") + 2000000).alias("batch_id"),
+        F.expr(INCR_BATCH_DUP_TEXT_SQL).alias("text"),
+    )
+    batch = b1.unionAll(b2)
+    root = tempfile.mkdtemp(prefix="tss_q43_")
+    try:
+        write_fingerprint_index(
+            docs, "tss_q43_idx", 8, path=f"{root}/idx", text_col="text"
+        )
+        idx = read_table(spark, "tss_q43_idx")
+        # materialize survivors BEFORE the append: the table the
+        # anti-join reads is about to gain the batch's fingerprints,
+        # and a lazy plan would see its own output
+        kept = spark.createDataFrame(
+            dedup_against_corpus(batch, idx, id_col="batch_id")
+            .select("batch_id")
+            .collect(),
+            "batch_id long",
+        )
+        write_fingerprint_index(
+            kept.join(batch, "batch_id"),
+            "tss_q43_idx",
+            8,
+            path=f"{root}/idx",
+            id_col="batch_id",
+            mode="append",
+        )
+        n_second = dedup_against_corpus(
+            batch, read_table(spark, "tss_q43_idx"), id_col="batch_id"
+        ).count()
+        rows = kept.withColumn(
+            "n_second_run", F.lit(int(n_second)).cast("long")
+        ).collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tss_q43_idx")
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "batch_id long, n_second_run long")
+
+
+Q_INCREMENTAL_DEDUP_SQL = f"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS batch_id, {INCR_BATCH_TEXT_SQL} AS text
+  FROM documents WHERE doc_id % 3 <> 2
+  UNION ALL
+  SELECT doc_id + 2000000 AS batch_id, {INCR_BATCH_DUP_TEXT_SQL} AS text
+  FROM documents WHERE doc_id % 3 = 1
+),
+norm AS (
+  SELECT batch_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+  FROM batch
+),
+corpus_norm AS (
+  SELECT DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+  FROM documents
+),
+reps AS (SELECT ntext, min(batch_id) AS batch_id FROM norm GROUP BY ntext)
+SELECT r.batch_id, cast(0 AS BIGINT) AS n_second_run
+FROM reps r ANTI JOIN corpus_norm c USING (ntext)
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1749,4 +1845,5 @@ QUERIES = {
     "q40_audio_quality_gate": (q_audio_quality_gate, Q_AUDIO_GATE_SQL),
     "q41_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
+    "q43_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
 }

@@ -45,6 +45,32 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def write_fingerprint_index(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus content-fingerprint index bucketed by the
+    fingerprint: ``(fingerprint, id)`` pairs, 16 bytes a row, laid out
+    so membership joins against it (incremental dedup's left-anti, see
+    :func:`~top_secret_spark.operators.dedup.dedup_against_corpus`)
+    never exchange the corpus side.  ``mode="append"`` adds a new
+    batch's fingerprints after it passes dedup — buckets stay aligned
+    because the bucket function is a pure function of the key.  The
+    source's ``id_col`` is stored under the FIXED name ``id`` so
+    batches with differently-named ids append into one index."""
+    from ..operators.dedup import with_fingerprint
+
+    fp = with_fingerprint(df, text_col).select(
+        "fingerprint", df[id_col].cast("long").alias("id")
+    )
+    write_bucketed_table(fp, table, "fingerprint", n_buckets, path=path, mode=mode)
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back WITH its bucket metadata (a plain
     ``spark.read.parquet(path)`` would lose it and re-shuffle)."""
