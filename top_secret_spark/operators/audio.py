@@ -218,3 +218,136 @@ def decoded_pcm_df(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema="clip_id string, pcm array<float>")
+
+
+# --- cross-codec audio near-dup -------------------------------------------------
+
+
+def _audio_candidate_keys(
+    df: DataFrame, id_col: str, band_step: float
+) -> DataFrame:
+    """(id, sr_hz, dur_ms_measured, band) candidate keys for audio
+    near-dup, with DOUBLE band emission: each clip lands in its
+    quantized log-energy band b AND b+1, so two clips whose true
+    energies differ by less than one step always share a key (|Δb| <= 1
+    ⇒ {b, b+1} ∩ {b', b'+1} ≠ ∅) — deterministic candidate recall for
+    codec-level perturbations (~1e-3 relative energy << band_step).
+    Re-encodings of the same recording have the SAME sample count, so
+    they share dur_ms_measured exactly; equal-duration clips of
+    different sample counts only add candidates, and the verify kernel
+    rejects length mismatches."""
+    n_samples = (
+        F.col("sr_hz").cast("double")
+        * F.col("dur_ms_measured").cast("double")
+        / F.lit(1000.0)
+    )
+    energy = F.log10(
+        F.col("rms") * F.col("rms") * n_samples + F.lit(1e-12)
+    )
+    b0 = F.floor(energy / F.lit(float(band_step))).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col("sr_hz"),
+        F.col("dur_ms_measured"),
+        F.explode(F.array(b0, b0 + F.lit(1))).alias("band"),
+    )
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    snr_db_threshold: float = 20.0,
+    band_step: float = 0.25,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Cross-codec audio near-dup: (a, b, snr_db) pairs of clips whose
+    DECODED signals agree at >= ``snr_db_threshold`` dB — the same
+    recording re-encoded under a different G.711 codec pairs (each
+    codec holds >= ~35 dB vs the source, so pairwise lands >= ~30 dB);
+    unrelated recordings score ~0 dB.  Byte-exact dedup can never catch
+    these: the payloads differ in every byte.
+
+    Scale shape mirrors the text near-dup family: one decode pass emits
+    cheap per-clip features; candidates come from a codegen'd self-join
+    on (sr_hz, n_samples, energy-band) keys — double banding makes the
+    candidate stage deterministic-recall, ``max_bucket`` drops
+    mega-buckets LOUDLY (count them with ``audio_oversize_buckets`` at
+    the same band_step — never cap silently); and the expensive decode
+    of PAIRS happens only for candidates, via a vectorized pairwise-SNR
+    kernel (``kernel.audio.batch_pair_snr``) that shuffles clip ids and
+    re-reads bytes through a join instead of shuffling PCM."""
+    feats = with_audio_features(df).filter(F.col("decode_ok"))
+    keyed = _audio_candidate_keys(feats, id_col, band_step)
+    if max_bucket is not None:
+        oversize = (
+            keyed.groupBy("sr_hz", "dur_ms_measured", "band")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("sr_hz", "dur_ms_measured", "band")
+        )
+        keyed = keyed.join(
+            F.broadcast(oversize), ["sr_hz", "dur_ms_measured", "band"], "left_anti"
+        )
+    left = keyed.select("sr_hz", "dur_ms_measured", "band", F.col(id_col).alias("a"))
+    right = keyed.select("sr_hz", "dur_ms_measured", "band", F.col(id_col).alias("b"))
+    cand = (
+        left.join(right, ["sr_hz", "dur_ms_measured", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    payload = df.select(
+        F.col(id_col), F.col("bytes"), F.col("codec")
+    )
+    pa = payload.select(
+        F.col(id_col).alias("a"),
+        F.col("bytes").alias("_bytes_a"),
+        F.col("codec").alias("_codec_a"),
+    )
+    pb = payload.select(
+        F.col(id_col).alias("b"),
+        F.col("bytes").alias("_bytes_b"),
+        F.col("codec").alias("_codec_b"),
+    )
+
+    @F.pandas_udf("double")
+    def pair_snr(ba, bb, ca, cb):
+        import pandas as pd
+
+        from ..kernel.audio import batch_pair_snr
+
+        return pd.Series(
+            batch_pair_snr(
+                ba.tolist(), bb.tolist(), ca.tolist(), cb.tolist()
+            )
+        )
+
+    return (
+        cand.join(pa, "a")
+        .join(pb, "b")
+        .withColumn(
+            "snr_db",
+            pair_snr(
+                F.col("_bytes_a"), F.col("_bytes_b"),
+                F.col("_codec_a"), F.col("_codec_b"),
+            ),
+        )
+        .filter(F.col("snr_db") >= F.lit(float(snr_db_threshold)))
+        .select("a", "b", F.round("snr_db", 3).alias("snr_db"))
+    )
+
+
+def audio_oversize_buckets(
+    df: DataFrame, id_col: str = "clip_id",
+    band_step: float = 0.25, max_bucket: int = 256,
+) -> DataFrame:
+    """Accounting twin of ``audio_near_duplicates(max_bucket=...)``:
+    the (sr_hz, n_samples, band) buckets the cap would drop, with their
+    sizes — surface these instead of capping silently."""
+    feats = with_audio_features(df).filter(F.col("decode_ok"))
+    return (
+        _audio_candidate_keys(feats, id_col, band_step)
+        .groupBy("sr_hz", "dur_ms_measured", "band")
+        .agg(F.count(F.lit(1)).alias("n_clips"))
+        .filter(F.col("n_clips") > max_bucket)
+    )

@@ -1802,6 +1802,50 @@ FROM reps r ANTI JOIN corpus_norm c USING (ntext)
 """
 
 
+def q_audio_neardup(spark, sf_dir):
+    """[tier: quality_filter × audio] cross-codec audio near-dup: 40
+    planted families of THREE lossy-different encodings (pcm16 / ulaw /
+    alaw) of the same synth recording — every payload differs in every
+    byte, so byte dedup finds nothing, but the decoded signals agree at
+    >= ~30 dB pairwise.  The operator (energy-band candidates with
+    deterministic double-band recall → vectorized pairwise-SNR verify)
+    must find EXACTLY the 3 within-family pairs per family and reject
+    every cross-family candidate (families collide on the
+    (sr, duration) key by construction — ~0 dB kills them in verify).
+    Deterministic: codec SNR margins (~14 dB above the 20 dB gate) dwarf
+    every noise source, so the oracle recomputes the exact expected
+    structure from range() arithmetic."""
+    from .operators.audio import audio_near_duplicates
+    from .sources.clips import neardup_clips_df
+
+    clips = neardup_clips_df(spark, 120, partitions=8)  # 40 families
+    pairs = audio_near_duplicates(clips)
+    labeled = pairs.select(
+        F.expr("cast(substr(a, 4) AS bigint) div 3").alias("fam_a"),
+        F.expr("cast(substr(b, 4) AS bigint) div 3").alias("fam_b"),
+    ).cache()
+    n_cross = labeled.filter(F.col("fam_a") != F.col("fam_b")).count()
+    out = (
+        labeled.filter(F.col("fam_a") == F.col("fam_b"))
+        .groupBy(F.col("fam_a").alias("family"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("n_cross", F.lit(int(n_cross)).cast("long"))
+        .collect()
+    )
+    labeled.unpersist()
+    return spark.createDataFrame(
+        out, "family long, n_pairs long, n_cross long"
+    )
+
+
+Q_AUDIO_NEARDUP_SQL = """
+SELECT cast(f AS BIGINT) AS family,
+       cast(3 AS BIGINT) AS n_pairs,
+       cast(0 AS BIGINT) AS n_cross
+FROM (SELECT unnest(range(0, 40)) AS f)
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1846,4 +1890,5 @@ QUERIES = {
     "q41_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
     "q43_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
+    "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
 }

@@ -234,6 +234,56 @@ def gate_clips_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
+NEARDUP_FAMILY_SIZE = 3  # r // 3 = family, r % 3 = codec member
+
+
+def neardup_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Cross-codec near-dup families: rows r in [start, end) where
+    family ``f = r // 3`` shares ONE synth source and member ``r % 3``
+    picks the codec (pcm16 / ulaw / alaw) — three lossy-different
+    encodings of the same recording, so every payload differs in every
+    byte but the decoded signals agree at >= ~30 dB pairwise.  Duration
+    cycles with ``f % 5`` so families collide on the (sr, n_samples)
+    candidate key across DIFFERENT sources too — the verify stage must
+    reject those (~0 dB).  Pure function of the row index, so a SQL
+    oracle recomputes the expected pair structure from ``range()``."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(start, end):
+        f, m = divmod(r, NEARDUP_FAMILY_SIZE)
+        codec = _CODECS[m]
+        sr_hz = 8000
+        dur_ms = 400 + (f % 5) * 150
+        n = int(sr_hz * dur_ms / 1000)
+        pcm = synth_pcm(SEED * 11_000_027 + f, n, sr_hz)
+        out["clip_id"].append(f"nd-{r:08d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(dur_ms)
+        out["codec"].append(codec)
+        out["transcript"].append(f"near dup family {f} member {m}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def neardup_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted near-dup families (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield neardup_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 def write_clips_parquet(path: str, n_rows: int, with_audio: bool = True,
                         rows_per_file: int = 20_000) -> None:
     """Driverless (pyarrow) writer for tests/small scales."""
