@@ -365,3 +365,35 @@ def test_audio_near_duplicates_planted_families(spark):
     assert audio_oversize_buckets(clips, max_bucket=1).count() > 0
     capped = audio_near_duplicates(clips, max_bucket=1).count()
     assert capped < 30
+
+
+def test_rate_consistency_gate(spark):
+    from top_secret_spark.operators.audio import (
+        with_audio_features,
+        with_rate_consistency,
+    )
+    from top_secret_spark.sources.clips import RATE_TRANSCRIPTS, rate_clips_df
+
+    rated = with_rate_consistency(
+        with_audio_features(rate_clips_df(spark, 16, partitions=2))
+    )
+    rows = {r["clip_id"]: r for r in rated.collect()}
+    expected = {0: None, 1: "rate_too_fast", 2: "rate_too_slow", 3: "empty_transcript"}
+    for r_idx in range(16):
+        row = rows[f"rate-{r_idx:08d}"]
+        kind = r_idx % 4
+        assert row["rate_drop_reason"] == expected[kind], (r_idx, row)
+        assert row["chars_per_sec"] == float(
+            len(RATE_TRANSCRIPTS[kind].strip())
+        )
+    # a decode_error row (dur 0) must stay NULL — the audio gate owns it
+    from pyspark.sql import functions as F
+
+    broken = rated.limit(1).withColumn(
+        "dur_ms_measured", F.lit(0)
+    )
+    out = with_rate_consistency(
+        broken.drop("chars_per_sec", "rate_drop_reason")
+    ).collect()[0]
+    assert out["chars_per_sec"] is None
+    assert out["rate_drop_reason"] is None

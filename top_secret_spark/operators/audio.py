@@ -351,3 +351,47 @@ def audio_oversize_buckets(
         .agg(F.count(F.lit(1)).alias("n_clips"))
         .filter(F.col("n_clips") > max_bucket)
     )
+
+
+# --- transcript <-> audio consistency -------------------------------------------
+
+
+def rate_drop_reason_col(
+    min_cps: float = 4.0, max_cps: float = 35.0
+) -> Column:
+    """Speaking-rate consistency over the columns emitted by
+    ``with_audio_features``: characters of transcript per second of
+    MEASURED audio.  An ASR corpus row whose transcript is far too long
+    (or short) for its audio is misaligned — the transcript belongs to
+    a different clip, the audio got truncated, or segmentation drifted —
+    and no unimodal gate can see it.  Human speech spans roughly 4-35
+    chars/sec across languages; outside that, drop.  Pure Catalyst
+    (whole-stage codegen), NULL = consistent.  Rows with no measured
+    audio are left to the audio gate (``decode_error`` names the real
+    problem); empty transcripts are named explicitly."""
+    n_chars = F.length(F.trim(F.coalesce(F.col("transcript"), F.lit(""))))
+    secs = F.col("dur_ms_measured").cast("double") / F.lit(1000.0)
+    cps = n_chars.cast("double") / secs
+    return (
+        F.when(n_chars == 0, F.lit("empty_transcript"))
+        .when(secs <= 0, F.lit(None).cast("string"))
+        .when(cps > F.lit(float(max_cps)), F.lit("rate_too_fast"))
+        .when(cps < F.lit(float(min_cps)), F.lit("rate_too_slow"))
+    )
+
+
+def with_rate_consistency(
+    df: DataFrame, min_cps: float = 4.0, max_cps: float = 35.0
+) -> DataFrame:
+    """Append ``chars_per_sec`` + ``rate_drop_reason`` (NULL = keep) to
+    a frame that already carries ``with_audio_features`` columns.
+    Composes with the audio and transcript gates — a third, CROSS-modal
+    reason channel."""
+    n_chars = F.length(F.trim(F.coalesce(F.col("transcript"), F.lit(""))))
+    secs = F.col("dur_ms_measured").cast("double") / F.lit(1000.0)
+    cps = F.when(
+        secs > 0, F.round(n_chars.cast("double") / secs, 3)
+    ).otherwise(F.lit(None).cast("double"))
+    return df.withColumn("chars_per_sec", cps).withColumn(
+        "rate_drop_reason", rate_drop_reason_col(min_cps, max_cps)
+    )

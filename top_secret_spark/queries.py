@@ -1846,6 +1846,58 @@ FROM (SELECT unnest(range(0, 40)) AS f)
 """
 
 
+def q_rate_consistency(spark, sf_dir):
+    """[tier: quality_filter × audio] transcript↔audio CROSS-modal
+    consistency: chars-per-second of measured audio — misaligned ASR
+    rows (transcript from another clip, truncated audio) that no
+    unimodal gate can see.  Audio is planted as exactly 1 s, so the
+    expected rate equals the transcript length and the oracle
+    recomputes every decision + the rate sums from the same transcript
+    literals (sources.clips.RATE_TRANSCRIPTS) in SQL."""
+    from .operators.audio import with_audio_features, with_rate_consistency
+    from .sources.clips import rate_clips_df
+
+    clips = rate_clips_df(spark, 200, partitions=8)
+    rated = with_rate_consistency(with_audio_features(clips))
+    return (
+        rated.groupBy(
+            F.coalesce(F.col("rate_drop_reason"), F.lit("keep")).alias(
+                "rate_drop_reason"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("chars_per_sec"), 3).alias("sum_cps"),
+        )
+    )
+
+
+def _rate_oracle_sql() -> str:
+    from .sources.clips import RATE_TRANSCRIPTS
+
+    return f"""
+WITH t AS (
+  SELECT CASE i % 4 WHEN 0 THEN '{RATE_TRANSCRIPTS[0]}'
+                    WHEN 1 THEN '{RATE_TRANSCRIPTS[1]}'
+                    WHEN 2 THEN '{RATE_TRANSCRIPTS[2]}'
+                    ELSE '' END AS tr
+  FROM (SELECT unnest(range(0, 200)) AS i)
+),
+m AS (SELECT length(trim(tr)) AS n_chars, length(trim(tr)) / 1.0 AS cps FROM t)
+SELECT CASE WHEN n_chars = 0 THEN 'empty_transcript'
+            WHEN cps > 35.0 THEN 'rate_too_fast'
+            WHEN cps < 4.0 THEN 'rate_too_slow'
+            ELSE 'keep' END AS rate_drop_reason,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(cps), 3) AS sum_cps
+FROM m
+GROUP BY 1
+"""
+
+
+Q_RATE_CONSISTENCY_SQL = _rate_oracle_sql()
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1891,4 +1943,5 @@ QUERIES = {
     "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
     "q43_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
     "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
+    "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
 }

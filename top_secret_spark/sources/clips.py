@@ -284,6 +284,57 @@ def neardup_clips_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
+#: transcripts planted by ``rate_rows_for_range``, indexed by ``r % 4``:
+#: consistent (~21 cps over 1 s), impossibly fast (92 cps), impossibly
+#: slow (2 cps), empty.  Shared with the q45 oracle, which recomputes
+#: chars-per-second from these SAME literals in SQL.
+RATE_TRANSCRIPTS = (
+    "this is a normal rate",
+    "talking extremely fast " * 4,
+    "hi",
+    "",
+)
+
+
+def rate_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted transcript↔audio rate inconsistencies, keyed
+    by ``r % 4`` (see ``RATE_TRANSCRIPTS``).  Audio is always a clean
+    1000 ms pcm16 clip, so the measured duration is exactly 1 s and the
+    expected chars-per-second equals the transcript length — a SQL
+    oracle recomputes every decision and value from ``range()``."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    for r in range(start, end):
+        pcm = synth_pcm(SEED * 13_000_039 + r, sr_hz, sr_hz)
+        out["clip_id"].append(f"rate-{r:08d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append("pcm16")
+        out["transcript"].append(RATE_TRANSCRIPTS[r % 4])
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def rate_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted rate-inconsistency clips (same no-shuffle
+    range → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield rate_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 def write_clips_parquet(path: str, n_rows: int, with_audio: bool = True,
                         rows_per_file: int = 20_000) -> None:
     """Driverless (pyarrow) writer for tests/small scales."""
