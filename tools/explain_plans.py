@@ -263,6 +263,67 @@ def main():
         "  reproducible train/holdout splits.",
     ))
 
+    import shutil
+    import tempfile
+
+    from top_secret_spark.operators.dedup import dedup_against_corpus
+    from top_secret_spark.sources.bucketed import (
+        read_table,
+        write_fingerprint_index,
+    )
+
+    idx_root = tempfile.mkdtemp(prefix="tss_plans_idx_")
+    try:
+        write_fingerprint_index(
+            docs, "tss_plans_idx", 8, path=f"{idx_root}/idx"
+        )
+        batch = docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        incr_plan = explain_str(
+            dedup_against_corpus(batch, read_table(spark, "tss_plans_idx"))
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        sections.append((
+            "Incremental dedup vs bucketed corpus index (anti-join reads buckets in place)",
+            incr_plan,
+            "- The corpus side of the LeftAnti is a bucketed FileScan\n"
+            "  (`Bucketed: true`, `SelectedBucketsCount`) feeding the join\n"
+            "  through a Sort only — NO Exchange above it.  At 10^12 index\n"
+            "  rows that is the exchange that matters; the surviving\n"
+            "  exchanges all carry the (small) incoming batch.\n"
+            "- Broadcast is disabled here to show the big-big regime; at\n"
+            "  real scale the index can never broadcast.\n"
+            "- Only (fingerprint, id) longs move — document text never\n"
+            "  enters a shuffle.",
+        ))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tss_plans_idx")
+        shutil.rmtree(idx_root, ignore_errors=True)
+
+    from top_secret_spark.operators.audio import audio_near_duplicates
+    from top_secret_spark.sources.clips import neardup_clips_df
+
+    audio_nd_plan = explain_str(
+        audio_near_duplicates(neardup_clips_df(spark, 60, partitions=4))
+    )
+    sections.append((
+        "Cross-codec audio near-dup (energy-band candidates → pairwise-SNR verify)",
+        audio_nd_plan,
+        "- ONE MapInPandas decode pass emits the cheap features; the\n"
+        "  candidate keys (sr, duration, double-banded log-energy) are a\n"
+        "  codegen'd Project + Generate(explode) above it.\n"
+        "- Candidate expansion is a self-JOIN on the key (the LSH shape) —\n"
+        "  a mega-bucket goes through join machinery + AQE, never a\n"
+        "  collect_list blowup on one row.\n"
+        "- The expensive pair decode (ArrowEvalPython over bytes pairs)\n"
+        "  sits ABOVE the candidate join and below the SNR filter: only\n"
+        "  candidate pairs are decoded, and raw PCM never shuffles — the\n"
+        "  joins carry clip ids and re-read bytes from the source.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",

@@ -322,6 +322,12 @@ def audio_near_duplicates(
             )
         )
 
+    # the kernel IS deterministic; the flag is an optimizer barrier —
+    # without it Catalyst duplicates the UDF into both the SNR filter
+    # and the output projection, decoding every candidate pair TWICE
+    # (two ArrowEvalPython nodes over the same bytes, seen in PLANS.md)
+    pair_snr = pair_snr.asNondeterministic()
+
     return (
         cand.join(pa, "a")
         .join(pb, "b")
