@@ -214,3 +214,83 @@ def test_audio_gate_streams(spark, tmp_path):
            .select("clip_id", "audio_drop_reason").collect()}
     assert len(got) == 60
     assert got == exp
+
+
+def test_ingest_dedup_stream_drops_corpus_and_stream_dups(spark, tmp_path):
+    """Stream-static anti-join vs the bucketed corpus index, then
+    first-seen-wins: corpus-known transcripts never emit, within-stream
+    dups emit once."""
+    import pandas as pd
+
+    from top_secret_spark.sources.bucketed import (
+        read_table,
+        write_fingerprint_index,
+    )
+    from top_secret_spark.streaming import ingest_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(i, f"already ingested text {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    write_fingerprint_index(
+        corpus, "b_stream_idx", 4, path=str(tmp_path / "b_stream_idx")
+    )
+    src = str(tmp_path / "in_ingest")
+    os.makedirs(src)
+    rows = pd.DataFrame(
+        {
+            "clip_id": [f"s-{i}" for i in range(6)],
+            "transcript": [
+                "already ingested text 3",      # corpus dup (drop)
+                "  Already ingested TEXT 7 ",   # normalized corpus dup (drop)
+                "fresh stream text A",          # keep
+                "fresh stream text A",          # within-stream dup (drop)
+                "fresh stream text B",          # keep
+                "already ingested text 3",      # corpus dup again (drop)
+            ],
+        }
+    )
+    rows.to_parquet(os.path.join(src, "part-0.parquet"))
+    try:
+        stream = spark.readStream.schema(
+            "clip_id string, transcript string"
+        ).parquet(src)
+        out = ingest_dedup_stream(
+            stream, read_table(spark, "b_stream_idx"), state_ttl=None
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ingest_dedup")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted(
+            r["transcript"]
+            for r in spark.sql("select * from ingest_dedup").collect()
+        )
+        assert got == ["fresh stream text A", "fresh stream text B"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_stream_idx")
+
+
+def test_ingest_dedup_stream_validates(spark, tmp_path):
+    import pandas as pd
+
+    from top_secret_spark.streaming import ingest_dedup_stream
+
+    batch = spark.createDataFrame([(1, "x")], "clip_id long, transcript string")
+    with pytest.raises(ValueError, match="streaming"):
+        ingest_dedup_stream(batch, batch)
+    src = str(tmp_path / "in_val")
+    os.makedirs(src)
+    pd.DataFrame({"clip_id": ["a"], "transcript": ["t"]}).to_parquet(
+        os.path.join(src, "p.parquet")
+    )
+    stream = spark.readStream.schema(
+        "clip_id string, transcript string"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="fingerprint"):
+        ingest_dedup_stream(stream, batch)

@@ -177,3 +177,40 @@ def keep_drop_counters(
             "n",
         )
     )
+
+
+def ingest_dedup_stream(
+    stream: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "transcript",
+    state_ttl: str | int | None = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of the incremental batch dedup
+    (``operators.dedup.dedup_against_corpus``): rows whose content the
+    corpus already holds are dropped by a STREAM-STATIC anti-join
+    against the materialized fingerprint index BEFORE the stateful
+    stage, so streaming state only ever tracks genuinely-new keys —
+    at 10^12 corpus rows that is the difference between state the size
+    of the crawl delta and state the size of the corpus.  Within-stream
+    duplicates then dedup via ``dedup_stream`` (first-seen-wins, TTL).
+
+    ``corpus_index`` needs a ``fingerprint`` column
+    (``sources.bucketed.write_fingerprint_index`` /
+    ``operators.dedup.with_fingerprint``); reading it back with
+    ``sources.bucketed.read_table`` keeps the static side's scan
+    bucketed on the join key.  Exact (fingerprint) identity only — the
+    index stores fingerprints, not sketches."""
+    from .operators.text_analysis import fingerprint_col
+
+    if not stream.isStreaming:
+        raise ValueError("ingest_dedup_stream expects a streaming DataFrame")
+    if "fingerprint" not in corpus_index.columns:
+        raise ValueError(
+            "corpus_index must carry a 'fingerprint' column "
+            "(write_fingerprint_index / with_fingerprint)"
+        )
+    with_fp = stream.withColumn("fingerprint", fingerprint_col(text_col))
+    fresh = with_fp.join(
+        corpus_index.select("fingerprint"), "fingerprint", "left_anti"
+    ).drop("fingerprint")
+    return dedup_stream(fresh, text_col=text_col, state_ttl=state_ttl)
