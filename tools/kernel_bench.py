@@ -36,6 +36,9 @@ ITERATIONS = 3
 
 
 def main():
+    from bench import _bandwidth_probe_sec
+
+    host_probe_sec = _bandwidth_probe_sec()
     # warmup (compiles patterns, primes caches) — bin/benchmark:10
     for m in MESSAGES:
         filter_text(m)
@@ -136,6 +139,40 @@ def main():
     audio_loop()
     audio_loop_sec = time.perf_counter() - t0
 
+    # pairwise-SNR verify kernel: grouped concatenated decode + cumsum
+    # segment powers vs the naive per-pair decode loop
+    from top_secret_spark.kernel.audio import batch_pair_snr, snr_db
+
+    pair_n = 300
+    # non-dup partners share the length (the candidate key guarantees
+    # that) but come from a different source
+    others = [
+        synth_pcm(10_000 + i, len(clips[i % 400]), 8000)
+        for i in range(pair_n)
+    ]
+    pairs_a = [encode(clips[i % 400], "pcm16") for i in range(pair_n)]
+    pairs_b = [
+        encode(clips[i % 400] if i % 3 else others[i], "ulaw")
+        for i in range(pair_n)
+    ]
+    ca, cb = ["pcm16"] * pair_n, ["ulaw"] * pair_n
+
+    def snr_batched():
+        batch_pair_snr(pairs_a, pairs_b, ca, cb)
+
+    def snr_loop():
+        for da, db in zip(pairs_a, pairs_b):
+            snr_db(decode(da, "pcm16"), decode(db, "ulaw"))
+
+    snr_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        snr_batched()
+    snr_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    snr_loop()
+    snr_loop_sec = time.perf_counter() - t0
+
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
     # avg individual / avg batch, both per whole message set
@@ -157,7 +194,11 @@ def main():
             len(datas) / audio_loop_sec, 1),
         "audio_features_batched_speedup": round(
             audio_loop_sec / audio_vec_sec, 2),
+        "pair_snr_batched_pairs_per_sec": round(pair_n / snr_vec_sec, 1),
+        "pair_snr_loop_pairs_per_sec": round(pair_n / snr_loop_sec, 1),
+        "pair_snr_batched_speedup": round(snr_loop_sec / snr_vec_sec, 2),
         "iterations": ITERATIONS,
+        "host_probe_sec": round(host_probe_sec, 3),
         "note": (
             "reference gates measured with a real MITIE NER model; this "
             "kernel runs regex-only (NER entities are injected upstream), "
