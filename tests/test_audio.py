@@ -397,3 +397,65 @@ def test_rate_consistency_gate(spark):
     ).collect()[0]
     assert out["chars_per_sec"] is None
     assert out["rate_drop_reason"] is None
+
+
+def test_with_audio_features_poison_pcm16_row(spark):
+    """An odd-length pcm16 payload (truncated upload) must mark THAT
+    clip decode_ok=false — not raise inside mapInPandas and kill the
+    stage with every other clip in the Arrow batch."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import with_audio_keep_drop
+
+    good = synth_pcm(41, 3200, 8000)  # 400 ms — above the gate's min_dur_ms
+    rows = [
+        Row(clip_id="ok-1", bytes=bytearray(encode(good, "pcm16")),
+            sr_hz=8000, dur_ms=400, codec="pcm16", transcript="a"),
+        Row(clip_id="poison", bytes=bytearray(encode(good, "pcm16")[:-1]),
+            sr_hz=8000, dur_ms=400, codec="pcm16", transcript="b"),
+        Row(clip_id="ok-2", bytes=bytearray(encode(good, "ulaw")),
+            sr_hz=8000, dur_ms=400, codec="ulaw", transcript="c"),
+    ]
+    out = {
+        r["clip_id"]: r
+        for r in with_audio_keep_drop(
+            spark.createDataFrame(rows).repartition(1)
+        ).collect()
+    }
+    assert out["poison"]["decode_ok"] is False
+    assert out["poison"]["audio_drop_reason"] == "decode_error"
+    for cid in ("ok-1", "ok-2"):
+        assert out[cid]["decode_ok"] is True
+        assert out[cid]["dur_ms_measured"] == 400
+        assert out[cid]["audio_keep"] is True
+
+
+def test_batch_pair_snr_poison_and_mismatch_mixed():
+    """Odd-length pcm16 payloads score -inf (undecodable ≠ near-dup,
+    and must not raise for the whole codec group); a length-mismatched
+    pair mixed into the same group leaves the survivors' scores exactly
+    equal to the scalar kernel's (the mismatch path slices segments out
+    instead of re-decoding)."""
+    from top_secret_spark.kernel.audio import batch_pair_snr
+
+    x1 = synth_pcm(21, 1600, 8000)
+    x2 = synth_pcm(22, 2400, 8000)
+    da = [
+        encode(x1, "pcm16"),
+        encode(x1, "pcm16")[:-1],      # odd-length poison
+        encode(x2, "pcm16"),
+        encode(x1, "pcm16"),
+    ]
+    db = [
+        encode(x1, "ulaw"),
+        encode(x1, "ulaw"),
+        encode(x2[:800], "ulaw"),       # decoded-length mismatch
+        encode(x2, "ulaw"),             # mismatch (different lengths)
+    ]
+    ca, cb = ["pcm16"] * 4, ["ulaw"] * 4
+    got = batch_pair_snr(da, db, ca, cb)
+    assert got[1] == float("-inf")
+    assert got[2] == float("-inf")
+    assert got[3] == float("-inf")
+    exp = snr_db(decode(da[0], "pcm16"), decode(db[0], "ulaw"))
+    assert got[0] == pytest.approx(exp, abs=1e-9)

@@ -98,3 +98,37 @@ def test_u_matches_reference_values(spark):
     assert abs(got[1] - 0.6180339867714792) < 1e-15
     assert abs(got[2147483651] - 0.2360679735429585) < 1e-15
     assert abs(got[999_999_999_999] - 0.9754111650399864) < 1e-15
+
+
+def test_null_keys_are_kept_not_dropped(spark):
+    """NULL keys hash as key 0: a null-keyed row must not silently
+    vanish from every sample (fraction 1.0 keeps the whole frame) and
+    all three operators must agree on its fate."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.sampling import (
+        deterministic_sample,
+        sample_u_col,
+        with_split,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=None, text="nullkey"), Row(doc_id=7, text="t7"),
+         Row(doc_id=0, text="t0")],
+        schema="doc_id bigint, text string",
+    )
+    assert deterministic_sample(df, 1.0).count() == 3
+    us = {
+        r["text"]: r["u"]
+        for r in df.select(
+            "text", sample_u_col(F.col("doc_id"), seed=3).alias("u")
+        ).collect()
+    }
+    assert us["nullkey"] == us["t0"]  # NULL shares key 0's decision
+    # membership at any fraction matches the u threshold exactly
+    frac = us["t0"] + 1e-9
+    kept = {r["text"] for r in deterministic_sample(df, frac, seed=3).collect()}
+    assert "nullkey" in kept and "t0" in kept
+    splits = {r["text"]: r["split"]
+              for r in with_split(df, 0.5, seed=3).collect()}
+    assert splits["nullkey"] == splits["t0"]

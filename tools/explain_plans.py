@@ -282,10 +282,12 @@ def main():
         )
         prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        incr_plan = explain_str(
-            dedup_against_corpus(batch, read_table(spark, "tss_plans_idx"))
-        )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        try:
+            incr_plan = explain_str(
+                dedup_against_corpus(batch, read_table(spark, "tss_plans_idx"))
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         sections.append((
             "Incremental dedup vs bucketed corpus index (anti-join reads buckets in place)",
             incr_plan,

@@ -343,15 +343,28 @@ def batch_pair_snr(
         idx = np.array(
             [i for i, k in enumerate(keys) if k == key], dtype=np.int64
         )
+        # poison guard: an odd-length pcm16 payload cannot align to
+        # 2-byte samples — batch_decode would raise for the whole group.
+        # Such a pair is undecodable, not a near-dup: leave it at -inf.
+        for side, datas in ((0, datas_a), (1, datas_b)):
+            if key[side] == "pcm16" and len(idx):
+                idx = idx[np.fromiter(
+                    (len(datas[i]) % 2 == 0 for i in idx),
+                    dtype=bool, count=len(idx),
+                )]
+        if len(idx) == 0:
+            continue
         sa, la = batch_decode([bytes(datas_a[i]) for i in idx], key[0])
         sb, lb = batch_decode([bytes(datas_b[i]) for i in idx], key[1])
         ok = la == lb
         if not ok.all():
-            idx = idx[ok]
+            # slice the mismatched pairs' samples out of both buffers
+            # instead of re-decoding the survivors from scratch
+            sa = sa[np.repeat(ok, la)]
+            sb = sb[np.repeat(ok, lb)]
+            la, lb, idx = la[ok], lb[ok], idx[ok]
             if len(idx) == 0:
                 continue
-            sa, la = batch_decode([bytes(datas_a[i]) for i in idx], key[0])
-            sb, lb = batch_decode([bytes(datas_b[i]) for i in idx], key[1])
         sig = sa.astype(np.float64) ** 2
         nse = (sa.astype(np.float64) - sb.astype(np.float64)) ** 2
         cs = np.concatenate([[0.0], np.cumsum(sig)])

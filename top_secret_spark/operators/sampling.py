@@ -36,8 +36,19 @@ def sample_u_col(key: Column, seed: int = 0) -> Column:
     """Deterministic uniform-ish u in [0, 1) from an integer key column.
 
     xor-fold to 31 bits keeps the multiply inside bigint range under
-    ANSI mode: (2^31 - 1) * KNUTH_MULT ≈ 5.7e18 < 2^63 - 1."""
-    k = key.cast("bigint").bitwiseXOR(F.lit(seed).cast("bigint"))
+    ANSI mode: (2^31 - 1) * KNUTH_MULT ≈ 5.7e18 < 2^63 - 1.
+
+    A NULL key hashes as key 0 rather than propagating NULL: a NULL
+    comparison would silently drop the row from every sample AND every
+    stratum (even at fraction 1.0) while ``with_split`` routed it to
+    'train' — silent, inconsistent row loss.  Coalescing gives all three
+    operators one deterministic, auditable decision for null-keyed rows
+    (they share key 0's fate); repair ids upstream if NULL keys carry
+    real volume."""
+    k = (
+        F.coalesce(key.cast("bigint"), F.lit(0).cast("bigint"))
+        .bitwiseXOR(F.lit(seed).cast("bigint"))
+    )
     folded = F.shiftright(k, 31).bitwiseXOR(k).bitwiseAND(F.lit(_MASK31))
     return F.pmod(folded * F.lit(KNUTH_MULT), F.lit(_M32)) / F.lit(float(_M32))
 

@@ -1588,6 +1588,7 @@ def q_audio_quality_gate(spark, sf_dir):
     index rule alone — decisions AND a feature value are gated, not just
     row counts.  Reference parity: top_secret's keep/drop is text-only;
     this is the audio twin the north rule adds."""
+    _prep(spark)
     from .operators.audio import with_audio_keep_drop
     from .sources.clips import gate_clips_df
 
@@ -1815,6 +1816,7 @@ def q_audio_neardup(spark, sf_dir):
     Deterministic: codec SNR margins (~14 dB above the 20 dB gate) dwarf
     every noise source, so the oracle recomputes the exact expected
     structure from range() arithmetic."""
+    _prep(spark)
     from .operators.audio import audio_near_duplicates
     from .sources.clips import neardup_clips_df
 
@@ -1854,6 +1856,7 @@ def q_rate_consistency(spark, sf_dir):
     expected rate equals the transcript length and the oracle
     recomputes every decision + the rate sums from the same transcript
     literals (sources.clips.RATE_TRANSCRIPTS) in SQL."""
+    _prep(spark)
     from .operators.audio import with_audio_features, with_rate_consistency
     from .sources.clips import rate_clips_df
 

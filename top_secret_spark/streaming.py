@@ -54,7 +54,10 @@ def dedup_stream(
     ``key`` picks the content identity:
 
     * ``"fingerprint"`` (default) — EXACT dedup on the normalized-text
-      xxhash64 fingerprint (operators/text_analysis.py).
+      xxhash64 fingerprint (operators/text_analysis.py); if the frame
+      already carries a ``fingerprint`` column it is reused as-is
+      (so upstream stages like ``ingest_dedup_stream`` pay the hash
+      chain once).
     * ``"simhash"`` — sketch-exact NEAR-dup: the 64-bit SimHash is
       stable under small edits when the text is long (a one-token change
       in a ~1 kB transcript usually flips zero bits — see q36), so
@@ -83,7 +86,15 @@ def dedup_stream(
         raise ValueError("dedup_stream expects a streaming DataFrame")
 
     if key == "fingerprint":
-        with_fp = stream.withColumn("fingerprint", fingerprint_col(text_col))
+        # reuse a precomputed fingerprint column (e.g. from
+        # ingest_dedup_stream's anti-join stage) — the normalization +
+        # xxhash64 chain is the keying cost and must not run twice per
+        # row on the ingest hot path
+        with_fp = (
+            stream
+            if "fingerprint" in stream.columns
+            else stream.withColumn("fingerprint", fingerprint_col(text_col))
+        )
     elif key == "simhash":
         from .operators.dedup import make_simhash_udf
 
@@ -210,7 +221,9 @@ def ingest_dedup_stream(
             "(write_fingerprint_index / with_fingerprint)"
         )
     with_fp = stream.withColumn("fingerprint", fingerprint_col(text_col))
+    # keep the fingerprint column: dedup_stream reuses it as the state
+    # key rather than recomputing the hash chain per row
     fresh = with_fp.join(
         corpus_index.select("fingerprint"), "fingerprint", "left_anti"
-    ).drop("fingerprint")
+    )
     return dedup_stream(fresh, text_col=text_col, state_ttl=state_ttl)
