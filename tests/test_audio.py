@@ -459,3 +459,86 @@ def test_batch_pair_snr_poison_and_mismatch_mixed():
     assert got[3] == float("-inf")
     exp = snr_db(decode(da[0], "pcm16"), decode(db[0], "ulaw"))
     assert got[0] == pytest.approx(exp, abs=1e-9)
+
+
+@pytest.mark.parametrize("scale", [1, 16])
+def test_batch_resample_matches_per_clip(scale):
+    """batch_resample must be bit-identical to the scalar resample for
+    every clip — mixed rates, identity rate, empty, single-sample, and
+    a trailing empty clip (the segment-layout edge that bit ADVICE r2).
+    scale=1 keeps mean length under BATCH_RESAMPLE_SHORT_CLIP (gather
+    path); scale=16 pushes it over (per-clip interp path) — BOTH
+    regimes must match the scalar kernel exactly."""
+    from top_secret_spark.kernel.audio import batch_resample, resample
+
+    srs = [8000, 16000, 44100, 16000, 22050, 8000, 16000]
+    lengths = [100 * scale, 0, 441, 1, 137 * scale, 3, 0]
+    clips = [
+        synth_pcm(100 + i, n, sr) if n else np.empty(0, dtype=np.float32)
+        for i, (n, sr) in enumerate(zip(lengths, srs))
+    ]
+    samples = np.concatenate(clips) if clips else np.empty(0, np.float32)
+    out, out_lengths = batch_resample(
+        samples, np.array(lengths), np.array(srs), 16000
+    )
+    exp = [resample(c, sr, 16000) for c, sr in zip(clips, srs)]
+    assert out_lengths.tolist() == [len(e) for e in exp]
+    bounds = np.cumsum(out_lengths)
+    start = 0
+    for k, e in enumerate(exp):
+        got = out[start:bounds[k]]
+        assert np.array_equal(got, e), f"clip {k} diverged"
+        start = int(bounds[k])
+    # empty batch
+    o, ol = batch_resample(np.empty(0, np.float32), np.array([], dtype=np.int64),
+                           np.array([], dtype=np.int64), 16000)
+    assert len(o) == 0 and len(ol) == 0
+
+
+def test_resampled_clips_matches_per_clip_reference(spark):
+    """The batched resampled_clips operator must emit byte-identical
+    payloads to the scalar decode→resample→encode chain, across mixed
+    codecs and rates in one partition, with metadata rewritten."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.kernel.audio import decode, resample
+    from top_secret_spark.operators.audio import resampled_clips
+
+    specs = [("pcm16", 16000, 777), ("ulaw", 8000, 1201),
+             ("pcm16", 44100, 4410), ("alaw", 8000, 1), ("pcm16", 16000, 0)]
+    rows, exp = [], {}
+    for i, (codec, sr, n) in enumerate(specs):
+        pcm = (synth_pcm(500 + i, n, sr) if n
+               else np.empty(0, dtype=np.float32))
+        data = encode(pcm, codec)
+        cid = f"c{i}"
+        rows.append(Row(clip_id=cid, bytes=bytearray(data), sr_hz=sr,
+                        dur_ms=int(1000 * n / sr) if n else 0, codec=codec,
+                        transcript=f"t{i}"))
+        exp[cid] = encode(resample(decode(data, codec), sr, 16000), "pcm16")
+    got = {r["clip_id"]: r for r in
+           resampled_clips(spark.createDataFrame(rows).repartition(1)).collect()}
+    for cid, want in exp.items():
+        assert bytes(got[cid]["bytes"]) == want, cid
+        assert got[cid]["sr_hz"] == 16000
+        assert got[cid]["codec"] == "pcm16"
+        assert got[cid]["transcript"].startswith("t")
+
+
+def test_resampled_clips_raises_on_poison_payload(spark):
+    """resampled_clips is a transform (output must cover every row), so
+    an undecodable payload raises loudly instead of passing through."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import resampled_clips
+    from top_secret_spark.kernel.audio import synth_pcm as _synth
+
+    good = encode(_synth(9, 800, 8000), "pcm16")
+    df = spark.createDataFrame([
+        Row(clip_id="a", bytes=bytearray(good), sr_hz=8000, dur_ms=100,
+            codec="pcm16", transcript="x"),
+        Row(clip_id="b", bytes=bytearray(good[:-1]), sr_hz=8000, dur_ms=100,
+            codec="pcm16", transcript="y"),
+    ]).repartition(1)
+    with pytest.raises(Exception, match="odd-length|cannot align"):
+        resampled_clips(df).collect()

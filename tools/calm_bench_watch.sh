@@ -1,0 +1,39 @@
+#!/bin/bash
+# Watch for a calm host window (shared VM suffers hours-long degraded
+# memory-bandwidth spells; see BENCH/BASELINE.md), then run the kernel
+# micro-bench and the headline suite exactly once each and exit.
+#
+# Probe = 20M-element numpy multiply: ~0.05 s calm, 8-30 s degraded.
+# Threshold 0.6 s requires two consecutive calm probes so a one-off
+# scheduler gap doesn't trigger a bench that then runs degraded.
+set -u
+cd /root/repo
+THRESH=0.6
+CALM_STREAK=0
+echo "[watch] started $(date -u +%H:%M:%SZ)"
+while true; do
+  P=$(python -c "
+import numpy as np, time
+a = np.random.rand(20_000_000)
+t0 = time.perf_counter(); b = a * 1.5; t1 = time.perf_counter()
+print(f'{t1-t0:.3f}')")
+  echo "[watch] $(date -u +%H:%M:%SZ) probe=${P}s streak=${CALM_STREAK}"
+  if python -c "import sys; sys.exit(0 if float('${P}') < ${THRESH} else 1)"; then
+    CALM_STREAK=$((CALM_STREAK + 1))
+  else
+    CALM_STREAK=0
+  fi
+  if [ "$CALM_STREAK" -ge 2 ]; then
+    echo "[watch] calm window confirmed — running kernel bench"
+    python tools/kernel_bench.py > /tmp/kernel_calm.json 2>/tmp/kernel_calm.err \
+      && cp /tmp/kernel_calm.json BENCH/KERNEL.json \
+      && echo "[watch] KERNEL.json refreshed"
+    echo "[watch] running headline bench (best-of-4 interleaved)"
+    python bench.py > /tmp/bench_calm_raw.txt 2>/tmp/bench_calm.err
+    tail -1 /tmp/bench_calm_raw.txt > BENCH/local_r3_calm.json
+    echo "[watch] bench done:"
+    cat BENCH/local_r3_calm.json
+    exit 0
+  fi
+  sleep 90
+done

@@ -173,6 +173,41 @@ def main():
     snr_loop()
     snr_loop_sec = time.perf_counter() - t0
 
+    # uniform-rate resample kernel (resampled_clips hot path).  The
+    # kernel is REGIME-ADAPTIVE (kernel/audio.py BATCH_RESAMPLE_SHORT_CLIP):
+    # short clips take the single-gather path (per-numpy-call overhead
+    # dominates a tiny interp), long clips per-clip np.interp into one
+    # preallocated buffer (tight C loop beats the gather's full-size
+    # temporaries).  Bench the short regime where batching is the win;
+    # the long regime equals the loop by construction.
+    from top_secret_spark.kernel.audio import batch_resample, resample
+
+    rs_n = 2000
+    rs_srs = np.array([8000 if i % 3 == 0 else 44100 for i in range(rs_n)],
+                      dtype=np.int64)
+    rs_clips = [
+        synth_pcm(20_000 + i, 80 + (i * 7) % 120, int(rs_srs[i]))
+        for i in range(rs_n)
+    ]
+    rs_samples = np.concatenate(rs_clips)
+    rs_lengths = np.array([len(c) for c in rs_clips], dtype=np.int64)
+
+    def resample_batched():
+        batch_resample(rs_samples, rs_lengths, rs_srs, 16000)
+
+    def resample_loop():
+        for c, sr in zip(rs_clips, rs_srs):
+            resample(c, int(sr), 16000)
+
+    resample_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        resample_batched()
+    rs_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    resample_loop()
+    rs_loop_sec = time.perf_counter() - t0
+
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
     # avg individual / avg batch, both per whole message set
@@ -197,6 +232,11 @@ def main():
         "pair_snr_batched_pairs_per_sec": round(pair_n / snr_vec_sec, 1),
         "pair_snr_loop_pairs_per_sec": round(pair_n / snr_loop_sec, 1),
         "pair_snr_batched_speedup": round(snr_loop_sec / snr_vec_sec, 2),
+        "resample_batched_clips_per_sec": round(
+            len(rs_clips) / rs_vec_sec, 1),
+        "resample_loop_clips_per_sec": round(
+            len(rs_clips) / rs_loop_sec, 1),
+        "resample_batched_speedup": round(rs_loop_sec / rs_vec_sec, 2),
         "iterations": ITERATIONS,
         "host_probe_sec": round(host_probe_sec, 3),
         "note": (

@@ -150,6 +150,99 @@ def resample(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     return np.interp(x_out, np.arange(len(pcm)), pcm).astype(np.float32)
 
 
+def _concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """``concatenate([arange(c) for c in counts])`` without the loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+# Below this mean clip length the batched gather path wins (per-numpy-
+# call overhead dominates); above it, per-clip np.interp wins (one tight
+# C loop vs ~9 full-size float64 temporaries of memory traffic).
+BATCH_RESAMPLE_SHORT_CLIP = 512
+
+
+def batch_resample(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    srs: np.ndarray,
+    target_sr: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Resample MANY concatenated clips to ``target_sr`` — bit-identical
+    to per-clip :func:`resample` (equivalence pytest-gated).
+
+    Layout matches :func:`batch_decode`: ``samples`` holds the clips
+    back-to-back, ``lengths[i]`` is clip i's sample count, ``srs[i]``
+    its source rate.  Returns ``(out_samples, out_lengths)`` in the same
+    layout.
+
+    Two regimes, picked by mean clip length (``BATCH_RESAMPLE_SHORT_CLIP``):
+    short clips take a single-gather vectorized path (one fused
+    multiply-add over every output sample of every clip, source indices
+    clamped per clip so interpolation never crosses a boundary — exactly
+    ``np.interp``'s right-edge clamp); long clips take per-clip
+    ``np.interp`` into one preallocated buffer, because interp's tight
+    C loop beats the gather's full-size float64 temporaries once the
+    per-clip call overhead is amortized (measured: the gather is ~3x
+    slower at 4-8k-sample clips, several-fold faster at <200)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    srs = np.asarray(srs, dtype=np.int64)
+    n = len(lengths)
+    out_lengths = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return np.empty(0, dtype=np.float32), out_lengths
+    same = (srs == target_sr) & (lengths > 0)
+    conv = (srs != target_sr) & (lengths > 0)
+    out_lengths[same] = lengths[same]
+    # (len * sr_to) exact in int64, THEN the double divide — the same
+    # operation order as the scalar kernel, so the rounding ties agree
+    out_lengths[conv] = np.maximum(
+        1, np.round((lengths[conv] * target_sr) / srs[conv]).astype(np.int64)
+    )
+    offsets = np.cumsum(lengths) - lengths
+    out_offsets = np.cumsum(out_lengths) - out_lengths
+    out = np.empty(int(out_lengths.sum()), dtype=np.float32)
+    if same.any():
+        j = _concat_aranges(lengths[same])
+        src = np.repeat(offsets[same], lengths[same]) + j
+        dst = np.repeat(out_offsets[same], lengths[same]) + j
+        out[dst] = samples[src]
+    if conv.any():
+        total_in = int(lengths[conv].sum())
+        if total_in <= BATCH_RESAMPLE_SHORT_CLIP * int(conv.sum()):
+            cnt = out_lengths[conv]
+            j = _concat_aranges(cnt)
+            # x = j * (sr_from / sr_to) with the per-clip scalar ratio
+            # broadcast per output sample — identical doubles to the
+            # scalar kernel's arange(n_out) * (sr_from / sr_to)
+            x = j * np.repeat(srs[conv] / target_sr, cnt)
+            last = (lengths[conv] - 1).astype(np.float64)
+            np.minimum(x, np.repeat(last, cnt), out=x)
+            i0 = np.floor(x).astype(np.int64)
+            frac = x - i0
+            gi0 = np.repeat(offsets[conv], cnt) + i0
+            gi1 = np.minimum(gi0 + 1, len(samples) - 1)
+            s0 = samples[gi0].astype(np.float64)
+            s1 = samples[gi1].astype(np.float64)
+            dst = np.repeat(out_offsets[conv], cnt) + j
+            # fp[i] + (fp[i+1] - fp[i]) * frac — np.interp's formula and
+            # operation order, applied over the whole batch at once
+            out[dst] = (s0 + (s1 - s0) * frac).astype(np.float32)
+        else:
+            for i in np.flatnonzero(conv):
+                o, ln = int(offsets[i]), int(lengths[i])
+                x_out = (np.arange(int(out_lengths[i]), dtype=np.float64)
+                         * (int(srs[i]) / target_sr))
+                oo = int(out_offsets[i])
+                out[oo:oo + int(out_lengths[i])] = np.interp(
+                    x_out, np.arange(ln), samples[o:o + ln]
+                ).astype(np.float32)
+    return out, out_lengths
+
+
 def frame_features(
     pcm: np.ndarray, sr_hz: int, frame_ms: int = 25, hop_ms: int = 10
 ) -> np.ndarray:

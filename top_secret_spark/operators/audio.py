@@ -160,21 +160,45 @@ def with_audio_keep_drop(
 def resampled_clips(df: DataFrame, target_sr: int = 16000) -> DataFrame:
     """Re-encode every clip at a uniform sample rate (decode → linear
     resample → pcm16) — the audio 'resize'.  Output schema matches the
-    clips table with sr_hz = target_sr and codec = pcm16."""
+    clips table with sr_hz = target_sr and codec = pcm16.
+
+    One concatenated decode + resample + pcm16 encode per codec present
+    in the Arrow batch (``batch_decode`` → ``batch_resample`` →
+    ``float_to_pcm16`` over the whole buffer) — no per-clip numpy calls;
+    the only per-clip work is slicing the encoded buffer back into row
+    payloads.  Unlike the gate path (``with_audio_features``), this is a
+    TRANSFORM whose output must cover every input row, so undecodable
+    payloads (unknown codec, odd-length pcm16) raise loudly rather than
+    passing through corrupt or silently changed rows."""
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
 
     def run(iterator):
-        from ..kernel.audio import decode, encode, resample
+        import numpy as np
+
+        from ..kernel.audio import batch_decode, batch_resample, float_to_pcm16
 
         for pdf in iterator:
-            out_bytes, out_sr = [], []
-            for data, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                pcm = resample(decode(bytes(data), codec), int(sr), target_sr)
-                out_bytes.append(encode(pcm, "pcm16"))
-                out_sr.append(target_sr)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy()
+            out_bytes = [None] * len(pdf)
+            for codec in sorted(set(codecs.tolist()), key=str):
+                idx = np.flatnonzero(codecs == codec)
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                res, res_lengths = batch_resample(
+                    samples, lengths, srs[idx], target_sr
+                )
+                pcm = float_to_pcm16(res)
+                bounds = np.cumsum(res_lengths)
+                start = 0
+                for k, i in enumerate(idx):
+                    out_bytes[i] = pcm[start:bounds[k]].tobytes()
+                    start = int(bounds[k])
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
-            pdf["sr_hz"] = out_sr
+            pdf["sr_hz"] = target_sr
             pdf["codec"] = "pcm16"
             yield pdf
 

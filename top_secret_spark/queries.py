@@ -1901,6 +1901,56 @@ GROUP BY 1
 Q_RATE_CONSISTENCY_SQL = _rate_oracle_sql()
 
 
+def q_resample_uniform(spark, sf_dir):
+    """[tier: quality_filter × audio] uniform-rate normalization — the
+    audio 'resize' every ASR/training front-end runs before feature
+    extraction: decode → linear resample to 16 kHz → pcm16, one
+    concatenated kernel pass per codec per Arrow batch
+    (operators/audio.py resampled_clips).  Planted mixed-rate clips
+    (sources.clips.resample_rows_for_range: sr keyed by r % 3, n
+    samples = 400 + 37r) make every output sample count pure row
+    arithmetic, so the oracle recomputes, per source rate: clip count,
+    TOTAL resampled samples (from length(bytes)/2 of the re-encoded
+    pcm16 — the payload itself is gated, not a side-channel counter),
+    and the transcript passthrough char sum (row alignment)."""
+    _prep(spark)
+    from .operators.audio import resampled_clips
+    from .sources.clips import resample_clips_df
+
+    clips = resample_clips_df(spark, 180, partitions=8)
+    out = resampled_clips(clips.withColumn("sr_orig", F.col("sr_hz")), 16000)
+    return (
+        out.groupBy("sr_orig")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            (F.sum(F.length("bytes")) / F.lit(2)).cast("bigint").alias(
+                "out_samples"
+            ),
+            F.sum(F.length("transcript")).alias("transcript_chars"),
+        )
+        .orderBy("sr_orig")
+    )
+
+
+Q_RESAMPLE_UNIFORM_SQL = """
+WITH p AS (
+  SELECT r,
+         CASE r % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr_orig,
+         400 + 37 * r AS n
+  FROM (SELECT unnest(range(0, 180)) AS r)
+)
+SELECT CAST(sr_orig AS INTEGER) AS sr_orig,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(CASE WHEN sr_orig = 16000 THEN n
+                     ELSE GREATEST(1, CAST(ROUND(n * 16000.0 / sr_orig) AS BIGINT))
+                END) AS BIGINT) AS out_samples,
+       CAST(sum(15 + length(CAST(r AS VARCHAR))) AS BIGINT) AS transcript_chars
+FROM p
+GROUP BY sr_orig
+ORDER BY sr_orig
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1947,4 +1997,5 @@ QUERIES = {
     "q43_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
     "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
     "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
+    "q46_resample_uniform": (q_resample_uniform, Q_RESAMPLE_UNIFORM_SQL),
 }

@@ -335,6 +335,53 @@ def rate_clips_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
+RESAMPLE_SRS = (8000, 16000, 44100)  # r % 3 picks the source rate
+
+
+def resample_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips at mixed sample rates for the uniform-rate resample gate
+    (q46): ``r % 3`` picks sr from ``RESAMPLE_SRS`` (8 kHz clips are
+    G.711 mu-law, the rest pcm16 — the legal codec/rate pairings the
+    corpus generator uses), and ``n_samples = 400 + 37*r`` — pure row
+    arithmetic, so a SQL oracle recomputes every clip's expected output
+    sample count at the target rate: n (16 kHz), 2n (8 kHz), or
+    round(n*16000/44100) (44.1 kHz; no round-half ties below r=311,
+    where Python's banker's rounding and SQL's half-away would part)."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(start, end):
+        sr_hz = RESAMPLE_SRS[r % 3]
+        codec = "ulaw" if sr_hz == 8000 else "pcm16"
+        n = 400 + 37 * r
+        pcm = synth_pcm(SEED * 17_000_023 + r, n, sr_hz)
+        out["clip_id"].append(f"rs-{r:08d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(int(1000 * n / sr_hz))
+        out["codec"].append(codec)
+        out["transcript"].append(f"resample probe {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def resample_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed mixed-rate clips (same no-shuffle range → mapInPandas
+    shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield resample_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 def write_clips_parquet(path: str, n_rows: int, with_audio: bool = True,
                         rows_per_file: int = 20_000) -> None:
     """Driverless (pyarrow) writer for tests/small scales."""
