@@ -542,3 +542,75 @@ def test_resampled_clips_raises_on_poison_payload(spark):
     ]).repartition(1)
     with pytest.raises(Exception, match="odd-length|cannot align"):
         resampled_clips(df).collect()
+
+
+def test_chunked_clips_matches_python_slicing(spark):
+    """chunked_clips must equal per-clip byte slicing at sample
+    boundaries: full coverage (concat of chunks == original payload),
+    bounded duration, transcript on chunk 0 only, unknown codec and
+    empty payload pass through as a single chunk."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import chunked_clips
+
+    specs = [
+        ("pcm16", 16000, 40000),   # 2.5 s -> 3 chunks at 1 s
+        ("ulaw", 8000, 8000),      # exactly 1 s -> 1 chunk
+        ("alaw", 8000, 8001),      # 1 s + 1 sample -> 2 chunks
+        ("pcm16", 16000, 0),       # empty -> 1 empty chunk
+        ("opus", 48000, 1000),     # unsupported -> 1 passthrough chunk
+    ]
+    rows = []
+    for i, (codec, sr, n) in enumerate(specs):
+        if codec in ("pcm16", "ulaw", "alaw") and n:
+            data = encode(synth_pcm(42 + i, n, sr), codec)
+        elif n:
+            data = bytes(range(256)) * 4  # opaque fake payload
+        else:
+            data = b""
+        rows.append(Row(clip_id=f"c{i}", bytes=bytearray(data), sr_hz=sr,
+                        dur_ms=int(1000 * n / sr) if n else 0, codec=codec,
+                        transcript=f"t{i}"))
+    out = chunked_clips(
+        spark.createDataFrame(rows), max_dur_ms=1000
+    ).collect()
+    by_clip = {}
+    for r in out:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    for i, (codec, sr, n) in enumerate(specs):
+        chunks = sorted(by_clip[f"c{i}"], key=lambda r: r["chunk_idx"])
+        orig = bytes(rows[i]["bytes"])
+        if codec in ("pcm16", "ulaw", "alaw"):
+            bps = 2 if codec == "pcm16" else 1
+            cs = sr * bps  # 1000 ms of bytes
+            exp_n = max(1, -(-len(orig) // cs))
+            assert len(chunks) == exp_n, (codec, n)
+            assert b"".join(bytes(c["bytes"]) for c in chunks) == orig
+            for c in chunks:
+                assert len(bytes(c["bytes"])) <= cs
+                assert c["dur_ms"] <= 1000
+        else:
+            assert len(chunks) == 1
+            assert bytes(chunks[0]["bytes"]) == orig
+            assert chunks[0]["dur_ms"] == rows[i]["dur_ms"]
+        assert chunks[0]["transcript"] == f"t{i}"
+        assert all(c["transcript"] is None for c in chunks[1:])
+        assert chunks[0]["chunk_id"] == f"c{i}#0000"
+
+
+def test_chunked_clips_plan_is_pure_catalyst(spark):
+    """The chunker must stay JVM-side: no Python eval and no Exchange
+    anywhere in the physical plan — at 10^12 rows it runs at scan
+    speed or it is the wrong design."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import chunked_clips
+
+    df = spark.createDataFrame(
+        [Row(clip_id="a", bytes=bytearray(b"\x00\x01" * 100), sr_hz=8000,
+             dur_ms=12, codec="pcm16", transcript="x")]
+    )
+    plan = chunked_clips(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode

@@ -205,6 +205,85 @@ def resampled_clips(df: DataFrame, target_sr: int = 16000) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def chunked_clips(
+    df: DataFrame,
+    max_dur_ms: int = 30_000,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Split every clip into chunks of at most ``max_dur_ms`` — the
+    fixed-window segmentation ASR/training front-ends run before
+    feature extraction (e.g. 30 s windows).
+
+    ZERO decode and ZERO Python: every supported codec here is
+    fixed-bytes-per-sample (pcm16 = 2, G.711 mu/A-law = 1), so a
+    sample-aligned chunk is a byte slice — ``explode(sequence(...))`` +
+    ``substring`` on the binary column, pure Catalyst, whole-stage
+    codegen, no shuffle.  At 10^12 rows this runs at scan speed; a
+    decode-based chunker would pay two codec passes for a structural
+    transform that needs neither.
+
+    Emitted per chunk: ``chunk_id`` (``<clip_id>#<idx>``), ``chunk_idx``,
+    re-derived ``dur_ms`` from the actual slice length, and the parent's
+    metadata.  The transcript is NOT alignable to chunks without a
+    forced-alignment model, so it stays on chunk 0 only (NULL on the
+    rest) — downstream cross-modal gates (rate consistency) must run
+    BEFORE chunking or on chunk 0 only.  Codecs outside the
+    fixed-rate set pass through as a single chunk (idx 0) for the gate
+    to flag — a structural transform must not drop or corrupt rows.
+    Empty payloads likewise emit their single (empty) chunk."""
+    bps = (
+        F.when(F.col("codec") == "pcm16", F.lit(2))
+        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    # samples per chunk at this clip's rate; NULL bps (unknown codec)
+    # propagates NULL chunk_bytes → single passthrough chunk
+    chunk_bytes = (
+        F.floor(F.col("sr_hz").cast("bigint") * F.lit(max_dur_ms) / F.lit(1000))
+        .cast("bigint") * bps
+    )
+    n_chunks = F.when(
+        chunk_bytes.isNotNull() & (chunk_bytes > 0),
+        F.greatest(F.lit(1).cast("bigint"),
+                   F.ceil(F.length("bytes") / chunk_bytes)),
+    ).otherwise(F.lit(1))
+    out = (
+        df.withColumn("_cb", chunk_bytes)
+        .withColumn("_nc", n_chunks)
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_nc") - 1)),
+        )
+        .withColumn(
+            "bytes",
+            F.when(
+                F.col("_cb").isNotNull(),
+                F.expr("substring(bytes, cast(chunk_idx * _cb + 1 as int), "
+                       "cast(_cb as int))"),
+            ).otherwise(F.col("bytes")),
+        )
+        .withColumn(
+            "dur_ms",
+            F.when(
+                F.col("_cb").isNotNull(),
+                F.round(
+                    F.length("bytes") / bps * 1000.0 / F.col("sr_hz")
+                ).cast("int"),
+            ).otherwise(F.col("dur_ms")),
+        )
+        .withColumn(
+            "transcript",
+            F.when(F.col("chunk_idx") == 0, F.col("transcript")),
+        )
+        .withColumn(
+            "chunk_id",
+            F.format_string("%s#%04d", F.col(id_col), F.col("chunk_idx")),
+        )
+        .drop("_cb", "_nc")
+    )
+    return out
+
+
 def frame_energy_df(
     df: DataFrame, frame_ms: int = 25, hop_ms: int = 10
 ) -> DataFrame:

@@ -1951,6 +1951,67 @@ ORDER BY sr_orig
 """
 
 
+def q_chunked_clips(spark, sf_dir):
+    """[tier: quality_filter × audio] fixed-window clip segmentation —
+    the 30 s-window prep every ASR training front-end runs — done with
+    ZERO decode and ZERO Python: fixed-bytes-per-sample codecs make a
+    sample-aligned chunk a byte slice, so the whole operator is
+    explode(sequence) + substring in Catalyst (operators/audio.py
+    chunked_clips; plan pytest-asserts no Python eval, no Exchange).
+    Planted mixed-rate clips (n = 400 + 37r samples, sr by r % 3) are
+    chunked at 200 ms; the oracle recomputes, per source rate: parent
+    count (transcripts land on chunk 0 only), total chunks
+    (ceil(n/chunk_samples)), byte conservation (sum of chunk payloads ==
+    sum of n·bytes_per_sample), and the chunk duration sum."""
+    _prep(spark)
+    from .operators.audio import chunked_clips
+    from .sources.clips import resample_clips_df
+
+    clips = resample_clips_df(spark, 180, partitions=8)
+    chunks = chunked_clips(
+        clips.withColumn("sr_orig", F.col("sr_hz")), max_dur_ms=200
+    )
+    return (
+        chunks.groupBy("sr_orig")
+        .agg(
+            F.count(F.when(F.col("transcript").isNotNull(), 1)).alias(
+                "n_clips"
+            ),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("bytes")).alias("bytes_total"),
+            F.sum("dur_ms").alias("dur_ms_total"),
+        )
+        .orderBy("sr_orig")
+    )
+
+
+Q_CHUNKED_CLIPS_SQL = """
+WITH p AS (
+  SELECT r,
+         CASE r % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+         400 + 37 * r AS n
+  FROM (SELECT unnest(range(0, 180)) AS r)
+),
+d AS (
+  SELECT r, sr, n,
+         CASE WHEN sr = 8000 THEN 1 ELSE 2 END AS bps,
+         CAST(FLOOR(sr * 200 / 1000) AS BIGINT) AS cs,
+         CAST(CEIL(CAST(n AS DOUBLE) / FLOOR(sr * 200 / 1000)) AS BIGINT) AS nc
+  FROM p
+)
+SELECT CAST(sr AS INTEGER) AS sr_orig,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(nc) AS BIGINT) AS n_chunks,
+       CAST(sum(n * bps) AS BIGINT) AS bytes_total,
+       CAST(sum((nc - 1) * 200
+                + ROUND((n - (nc - 1) * cs) * 1000.0 / sr)) AS BIGINT)
+           AS dur_ms_total
+FROM d
+GROUP BY sr
+ORDER BY sr
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -1998,4 +2059,5 @@ QUERIES = {
     "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
     "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
     "q46_resample_uniform": (q_resample_uniform, Q_RESAMPLE_UNIFORM_SQL),
+    "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
 }
