@@ -326,6 +326,32 @@ def main():
         "  joins carry clip ids and re-read bytes from the source.",
     ))
 
+    from top_secret_spark.operators.audio import chunked_clips, resampled_clips
+    from top_secret_spark.sources.clips import resample_clips_df
+
+    rs_src = resample_clips_df(spark, 60, partitions=4)
+    sections.append((
+        "Fixed-window clip chunking (pure Catalyst, zero decode)",
+        explain_str(chunked_clips(rs_src, max_dur_ms=1000)),
+        "- NO Python anywhere: fixed-bytes-per-sample codecs make a\n"
+        "  sample-aligned chunk a byte slice, so the operator is a\n"
+        "  codegen'd Project + Generate(explode(sequence)) + substring\n"
+        "  directly above the source.\n"
+        "- Zero exchanges — chunking 10^12 clips runs at scan speed and\n"
+        "  scales with input splits; a decode-based chunker would pay two\n"
+        "  codec passes for a structural transform needing neither.",
+    ))
+    sections.append((
+        "Uniform-rate resample (batched decode→interp→re-encode)",
+        explain_str(resampled_clips(rs_src, 16000)),
+        "- ONE MapInPandas does decode + resample + pcm16 re-encode for\n"
+        "  the whole Arrow batch (one concatenated kernel pass per codec\n"
+        "  present); metadata rewrite is in the same crossing.\n"
+        "- Map-only: no exchange, no driver involvement — the resample of\n"
+        "  a 10^12-clip corpus is embarrassingly parallel and this plan\n"
+        "  keeps it that way.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
