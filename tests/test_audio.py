@@ -614,3 +614,66 @@ def test_chunked_clips_plan_is_pure_catalyst(spark):
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_batch_normalize_gain_semantics():
+    """Per-clip gain to target RMS with cap; silent and empty clips are
+    identity; output clipped to [-1, 1]; trailing empty clip safe."""
+    from top_secret_spark.kernel.audio import batch_normalize_gain
+
+    loud = synth_pcm(3, 1000, 8000)
+    quiet = (synth_pcm(4, 700, 8000) * 0.01).astype(np.float32)
+    tiny = np.full(50, 1e-9, dtype=np.float32)   # gain would be huge -> cap
+    silent = np.zeros(80, dtype=np.float32)
+    empty = np.empty(0, dtype=np.float32)
+    clips = [loud, quiet, tiny, silent, empty]
+    samples = np.concatenate(clips)
+    lengths = np.array([len(c) for c in clips])
+    out = batch_normalize_gain(samples, lengths, target_rms=0.1, max_gain=100.0)
+    bounds = np.cumsum(lengths)
+    got = [out[(bounds[k] - lengths[k]):bounds[k]] for k in range(len(clips))]
+    for k in (0, 1):
+        rms = float(np.sqrt(np.mean(got[k].astype(np.float64) ** 2)))
+        assert abs(rms - 0.1) < 1e-6, (k, rms)
+    # capped: exactly 100x, far below target
+    np.testing.assert_allclose(got[2], np.clip(tiny * 100.0, -1, 1), rtol=1e-6)
+    np.testing.assert_array_equal(got[3], silent)
+    assert got[4].size == 0
+    assert np.abs(out).max() <= 1.0
+    # scalar-equivalence: each clip alone must give the same bytes
+    for k, c in enumerate(clips):
+        solo = batch_normalize_gain(c, np.array([len(c)]), 0.1, 100.0)
+        np.testing.assert_array_equal(solo, got[k]), k
+
+
+def test_normalized_clips_operator(spark):
+    """Mixed codecs in one partition: every non-silent clip lands on the
+    target RMS (within pcm16 quantization), silent clips stay silent,
+    codec rewritten to pcm16, sr preserved."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import (
+        normalized_clips,
+        with_audio_features,
+    )
+
+    rows = [
+        Row(clip_id="loud", bytes=bytearray(encode(synth_pcm(11, 4000, 8000), "ulaw")),
+            sr_hz=8000, dur_ms=500, codec="ulaw", transcript="a"),
+        Row(clip_id="quiet", bytes=bytearray(encode(
+            (synth_pcm(12, 4000, 16000) * 0.03).astype(np.float32), "pcm16")),
+            sr_hz=16000, dur_ms=250, codec="pcm16", transcript="b"),
+        Row(clip_id="silent", bytes=bytearray(encode(
+            np.zeros(800, dtype=np.float32), "pcm16")),
+            sr_hz=8000, dur_ms=100, codec="pcm16", transcript="c"),
+    ]
+    df = spark.createDataFrame(rows).repartition(1)
+    out = {r["clip_id"]: r for r in
+           with_audio_features(normalized_clips(df)).collect()}
+    assert abs(out["loud"]["rms"] - 0.1) < 0.005   # ulaw companding noise
+    assert abs(out["quiet"]["rms"] - 0.1) < 0.001
+    assert out["silent"]["rms"] == 0.0
+    meta = {r["clip_id"]: r for r in normalized_clips(df).collect()}
+    for cid in meta:
+        assert meta[cid]["codec"] == "pcm16"
+    assert meta["loud"]["sr_hz"] == 8000 and meta["quiet"]["sr_hz"] == 16000

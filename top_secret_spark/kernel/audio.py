@@ -413,6 +413,38 @@ def segmented_ratios(
     return sil, clp
 
 
+def batch_normalize_gain(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    target_rms: float = 0.1,
+    max_gain: float = 100.0,
+) -> np.ndarray:
+    """Scale every clip in a concatenated buffer to ``target_rms`` —
+    loudness normalization, the audio 'exposure correction' run before
+    feature extraction so model inputs share a level.
+
+    Per clip: gain = target_rms / rms, capped at ``max_gain`` (a
+    near-silent clip must not be amplified into pure noise), identity
+    for silent (rms == 0) and empty clips; output clipped to [-1, 1].
+    One reduceat for the per-clip power sums and one np.repeat multiply
+    over the whole buffer — no per-clip Python loop."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    if n == 0 or len(samples) == 0:
+        return samples.astype(np.float32)
+    offsets = np.cumsum(lengths) - lengths
+    rms = np.zeros(n, dtype=np.float64)
+    nonempty = lengths > 0
+    sums = np.add.reduceat(samples.astype(np.float64) ** 2,
+                           offsets[nonempty])
+    rms[nonempty] = np.sqrt(sums / lengths[nonempty])
+    gains = np.ones(n, dtype=np.float64)
+    live = rms > 0
+    gains[live] = np.minimum(target_rms / rms[live], max_gain)
+    out = samples.astype(np.float64) * np.repeat(gains, lengths)
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
 def batch_pair_snr(
     datas_a: list, datas_b: list, codecs_a: list, codecs_b: list
 ) -> np.ndarray:

@@ -205,6 +205,54 @@ def resampled_clips(df: DataFrame, target_sr: int = 16000) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def normalized_clips(
+    df: DataFrame, target_rms: float = 0.1, max_gain: float = 100.0
+) -> DataFrame:
+    """Loudness-normalize every clip to ``target_rms`` (decode → gain →
+    pcm16 re-encode) — level equalization before feature extraction, so
+    a whisper-quiet and an overdriven recording present the same scale
+    to a model.  Silent clips pass through at gain 1; near-silent gain
+    is capped at ``max_gain``.  Same batching/contract as
+    :func:`resampled_clips`: one concatenated kernel pass per codec per
+    Arrow batch, undecodable payloads raise loudly (transform, not a
+    gate).  Output codec is pcm16, sample rate unchanged."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import (
+            batch_decode,
+            batch_normalize_gain,
+            float_to_pcm16,
+        )
+
+        for pdf in iterator:
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            out_bytes = [None] * len(pdf)
+            for codec in sorted(set(codecs.tolist()), key=str):
+                idx = np.flatnonzero(codecs == codec)
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                normed = batch_normalize_gain(
+                    samples, lengths, target_rms, max_gain
+                )
+                pcm = float_to_pcm16(normed)
+                bounds = np.cumsum(lengths)
+                start = 0
+                for k, i in enumerate(idx):
+                    out_bytes[i] = pcm[start:bounds[k]].tobytes()
+                    start = int(bounds[k])
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["codec"] = "pcm16"
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def chunked_clips(
     df: DataFrame,
     max_dur_ms: int = 30_000,

@@ -1985,6 +1985,50 @@ def q_chunked_clips(spark, sf_dir):
     )
 
 
+def q_loudness_normalize(spark, sf_dir):
+    """[tier: quality_filter × audio] loudness normalization — level
+    equalization to a target RMS before feature extraction
+    (operators/audio.py normalized_clips: one concatenated decode →
+    reduceat RMS → repeat-multiply gain → pcm16 re-encode per Arrow
+    batch).  Planted level classes (sources.clips.loudness_rows_for_range,
+    class in the transcript): every non-silent clip must measure
+    RMS within 0.005 of the 0.1 target afterward (pcm16 quantization and
+    the loud class's encoder clipping are both far inside that), every
+    silent clip must stay at exactly 0 — per-class decision counts the
+    oracle recomputes from r % 3."""
+    _prep(spark)
+    from .operators.audio import normalized_clips, with_audio_features
+    from .sources.clips import loudness_clips_df
+
+    clips = loudness_clips_df(spark, 120, partitions=8)
+    feats = with_audio_features(normalized_clips(clips))
+    return (
+        feats.groupBy(F.col("transcript").alias("level_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.abs(F.col("rms") - F.lit(0.1)) <= 0.005, 1)
+            ).alias("n_at_target"),
+            F.count(F.when(F.col("rms") == 0.0, 1)).alias("n_silent"),
+        )
+        .orderBy("level_class")
+    )
+
+
+Q_LOUDNESS_SQL = """
+SELECT CASE r % 3 WHEN 0 THEN 'quiet' WHEN 1 THEN 'loud' ELSE 'silent' END
+           AS level_class,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN r % 3 < 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_at_target,
+       CAST(sum(CASE WHEN r % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_silent
+FROM (SELECT unnest(range(0, 120)) AS r)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 Q_CHUNKED_CLIPS_SQL = """
 WITH p AS (
   SELECT r,
@@ -2060,4 +2104,5 @@ QUERIES = {
     "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
     "q46_resample_uniform": (q_resample_uniform, Q_RESAMPLE_UNIFORM_SQL),
     "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
+    "q48_loudness_normalize": (q_loudness_normalize, Q_LOUDNESS_SQL),
 }

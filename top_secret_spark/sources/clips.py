@@ -382,6 +382,59 @@ def resample_clips_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
+LOUDNESS_CLASSES = ("quiet", "loud", "silent")  # r % 3 picks the class
+
+
+def loudness_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted LEVEL classes for the gain-normalization gate
+    (q48), keyed by ``r % 3`` (see ``LOUDNESS_CLASSES``; the class name
+    rides in the transcript so both engines can group on it): quiet =
+    0.05x speech signal, loud = 2.5x (encoder-clipped), silent = digital
+    zero.  All pcm16/8 kHz/800 samples, so after ``normalized_clips``
+    every non-silent clip must measure RMS ≈ target and every silent
+    clip must stay at exactly 0 — decisions a SQL oracle recomputes
+    from the row index alone."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    n = 800
+    for r in range(start, end):
+        cls = LOUDNESS_CLASSES[r % 3]
+        base = synth_pcm(SEED * 23_000_057 + r, n, sr_hz)
+        if cls == "quiet":
+            pcm = (base * 0.05).astype(np.float32)
+        elif cls == "loud":
+            pcm = np.clip(base * 2.5, -1.0, 1.0).astype(np.float32)
+        else:
+            pcm = np.zeros(n, dtype=np.float32)
+        out["clip_id"].append(f"ln-{r:08d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(100)
+        out["codec"].append("pcm16")
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def loudness_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted level-class clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield loudness_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 def write_clips_parquet(path: str, n_rows: int, with_audio: bool = True,
                         rows_per_file: int = 20_000) -> None:
     """Driverless (pyarrow) writer for tests/small scales."""
