@@ -140,3 +140,66 @@ def test_langid_and_ppl_total_functions(text):
     assert 0.0 <= conf[0] <= 1.0
     ppl = perplexity_batch([text])
     assert 0.0 < ppl[0] <= 1e6
+
+
+# --- audio batch kernels: batched == scalar under random layouts --------------
+
+
+import numpy as np
+from hypothesis import strategies as st
+
+_SRS = st.sampled_from([8000, 16000, 22050, 44100])
+_CLIP = st.tuples(st.integers(min_value=0, max_value=900), _SRS)
+
+
+@given(st.lists(_CLIP, min_size=0, max_size=12), _SRS)
+@settings(max_examples=120, deadline=None)
+def test_batch_resample_equivalence_property(specs, target_sr):
+    """batch_resample == per-clip resample bit-for-bit under arbitrary
+    clip-length/rate layouts, both kernel regimes (the strategy spans
+    the BATCH_RESAMPLE_SHORT_CLIP threshold)."""
+    from top_secret_spark.kernel.audio import batch_resample, resample, synth_pcm
+
+    clips = [
+        synth_pcm(31 + i, n, sr) if n else np.empty(0, dtype=np.float32)
+        for i, (n, sr) in enumerate(specs)
+    ]
+    samples = (np.concatenate(clips) if clips
+               else np.empty(0, dtype=np.float32))
+    lengths = np.array([len(c) for c in clips], dtype=np.int64)
+    srs = np.array([sr for _, sr in specs], dtype=np.int64)
+    out, out_lengths = batch_resample(samples, lengths, srs, target_sr)
+    exp = [resample(c, sr, target_sr) for c, sr in zip(clips, srs)]
+    assert out_lengths.tolist() == [len(e) for e in exp]
+    bounds = np.cumsum(out_lengths)
+    for k, e in enumerate(exp):
+        np.testing.assert_array_equal(out[(bounds[k] - len(e)):bounds[k]], e)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=500), min_size=0,
+                max_size=10),
+       st.floats(min_value=0.01, max_value=0.5),
+       st.floats(min_value=1.5, max_value=200.0))
+@settings(max_examples=120, deadline=None)
+def test_batch_normalize_gain_equivalence_property(lens, target, cap):
+    """batch gain == per-clip gain under arbitrary layouts, targets and
+    caps; silent clips identity; output always within [-1, 1]."""
+    from top_secret_spark.kernel.audio import batch_normalize_gain, synth_pcm
+
+    clips = [
+        (synth_pcm(77 + i, n, 8000) * (0.001 if i % 3 == 0 else 1.0)
+         ).astype(np.float32) if n else np.empty(0, dtype=np.float32)
+        for i, n in enumerate(lens)
+    ]
+    samples = (np.concatenate(clips) if clips
+               else np.empty(0, dtype=np.float32))
+    lengths = np.array([len(c) for c in clips], dtype=np.int64)
+    out = batch_normalize_gain(samples, lengths, target, cap)
+    assert out.dtype == np.float32 and len(out) == len(samples)
+    if len(out):
+        assert float(np.abs(out).max()) <= 1.0
+    bounds = np.cumsum(lengths)
+    for k, c in enumerate(clips):
+        solo = batch_normalize_gain(c, np.array([len(c)]), target, cap)
+        np.testing.assert_array_equal(
+            out[(bounds[k] - len(c)):bounds[k]], solo)
