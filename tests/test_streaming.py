@@ -294,3 +294,49 @@ def test_ingest_dedup_stream_validates(spark, tmp_path):
     ).parquet(src)
     with pytest.raises(ValueError, match="fingerprint"):
         ingest_dedup_stream(stream, batch)
+
+def test_audio_prep_transforms_stream(spark, tmp_path):
+    """normalized_clips and chunked_clips are stateless map-only
+    transforms, so they lift to Structured Streaming unchanged: the
+    streamed normalize→chunk chain must equal the batch run
+    chunk-for-chunk (ids, payload sizes, transcripts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from top_secret_spark.operators.audio import chunked_clips, normalized_clips
+    from top_secret_spark.sources.clips import (
+        loudness_clips_df,
+        loudness_rows_for_range,
+    )
+
+    src = str(tmp_path / "prep_in")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pandas(loudness_rows_for_range(0, 30)),
+        os.path.join(src, "part-0.parquet"),
+    )
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = chunked_clips(normalized_clips(stream), max_dur_ms=40).select(
+        "chunk_id", F.length("bytes").alias("nb"), "transcript"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("prep_stream")
+        .option("checkpointLocation", str(tmp_path / "prep_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["chunk_id"]: (r["nb"], r["transcript"])
+           for r in spark.sql("select * from prep_stream").collect()}
+    exp = {r["chunk_id"]: (r["nb"], r["transcript"])
+           for r in chunked_clips(
+               normalized_clips(loudness_clips_df(spark, 30)), max_dur_ms=40
+           ).select("chunk_id", F.length("bytes").alias("nb"),
+                    "transcript").collect()}
+    # 800 samples at 40 ms/8 kHz -> 3 chunks per clip (320+320+160)
+    assert len(got) == 90
+    assert got == exp
