@@ -208,6 +208,29 @@ def main():
     resample_loop()
     rs_loop_sec = time.perf_counter() - t0
 
+    # loudness-normalize kernel: one reduceat + repeat-multiply pass
+    # (normalized_clips hot path) vs a per-clip loop
+    from top_secret_spark.kernel.audio import batch_normalize_gain
+
+    ng_samples = np.concatenate(clips)  # reuse the 400 ulaw-bench clips
+    ng_lengths = np.array([len(c) for c in clips], dtype=np.int64)
+
+    def normalize_batched():
+        batch_normalize_gain(ng_samples, ng_lengths, 0.1, 100.0)
+
+    def normalize_loop():
+        for c in clips:
+            batch_normalize_gain(c, np.array([len(c)]), 0.1, 100.0)
+
+    normalize_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        normalize_batched()
+    ng_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    normalize_loop()
+    ng_loop_sec = time.perf_counter() - t0
+
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
     # avg individual / avg batch, both per whole message set
@@ -237,6 +260,11 @@ def main():
         "resample_loop_clips_per_sec": round(
             len(rs_clips) / rs_loop_sec, 1),
         "resample_batched_speedup": round(rs_loop_sec / rs_vec_sec, 2),
+        "normalize_batched_clips_per_sec": round(
+            len(clips) / ng_vec_sec, 1),
+        "normalize_loop_clips_per_sec": round(
+            len(clips) / ng_loop_sec, 1),
+        "normalize_batched_speedup": round(ng_loop_sec / ng_vec_sec, 2),
         "iterations": ITERATIONS,
         "host_probe_sec": round(host_probe_sec, 3),
         "note": (
