@@ -441,8 +441,22 @@ def batch_normalize_gain(
     gains = np.ones(n, dtype=np.float64)
     live = rms > 0
     gains[live] = np.minimum(target_rms / rms[live], max_gain)
-    out = samples.astype(np.float64) * np.repeat(gains, lengths)
-    return np.clip(out, -1.0, 1.0).astype(np.float32)
+    # regime-adaptive application (same rationale as batch_resample):
+    # short clips -> one repeat-multiply over the whole buffer (per-call
+    # overhead dominates); long clips -> per-clip scalar multiply into
+    # the output (skips the repeat array + full-buffer f64 temporaries,
+    # which dominate once call overhead is amortized)
+    if len(samples) <= BATCH_RESAMPLE_SHORT_CLIP * n:
+        out = samples.astype(np.float64) * np.repeat(gains, lengths)
+        return np.clip(out, -1.0, 1.0).astype(np.float32)
+    out = np.empty(len(samples), dtype=np.float32)
+    ends = np.cumsum(lengths)
+    for i in range(n):
+        sl = slice(int(ends[i]) - int(lengths[i]), int(ends[i]))
+        out[sl] = np.clip(
+            samples[sl].astype(np.float64) * gains[i], -1.0, 1.0
+        )
+    return out
 
 
 def batch_pair_snr(
