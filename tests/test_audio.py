@@ -598,6 +598,33 @@ def test_chunked_clips_matches_python_slicing(spark):
         assert chunks[0]["chunk_id"] == f"c{i}#0000"
 
 
+def test_chunked_clips_null_payload_passes_through(spark):
+    """A NULL bytes payload must emit ONE passthrough chunk (null bytes,
+    original dur_ms) — never silently drop the row (explode over a NULL
+    sequence would)."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import chunked_clips
+
+    df = spark.createDataFrame(
+        [Row(clip_id="n", bytes=None, sr_hz=8000, dur_ms=123,
+             codec="pcm16", transcript="t"),
+         Row(clip_id="ok", bytes=bytearray(b"\x00\x01" * 8000), sr_hz=8000,
+             dur_ms=1000, codec="pcm16", transcript="u")],
+        schema="clip_id string, bytes binary, sr_hz int, dur_ms int, "
+               "codec string, transcript string",
+    )
+    out = chunked_clips(df, max_dur_ms=500).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["clip_id"], []).append(r)
+    assert len(by["n"]) == 1
+    assert by["n"][0]["bytes"] is None
+    assert by["n"][0]["dur_ms"] == 123
+    assert by["n"][0]["transcript"] == "t"
+    assert len(by["ok"]) == 2
+
+
 def test_chunked_clips_plan_is_pure_catalyst(spark):
     """The chunker must stay JVM-side: no Python eval and no Exchange
     anywhere in the physical plan — at 10^12 rows it runs at scan

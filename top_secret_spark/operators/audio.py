@@ -290,11 +290,17 @@ def chunked_clips(
         F.floor(F.col("sr_hz").cast("bigint") * F.lit(max_dur_ms) / F.lit(1000))
         .cast("bigint") * bps
     )
-    n_chunks = F.when(
-        chunk_bytes.isNotNull() & (chunk_bytes > 0),
-        F.greatest(F.lit(1).cast("bigint"),
-                   F.ceil(F.length("bytes") / chunk_bytes)),
-    ).otherwise(F.lit(1))
+    # coalesce(..., 1): a NULL payload must yield one passthrough chunk
+    # — a NULL n_chunks would make explode(sequence(NULL)) silently DROP
+    # the row, and a structural transform never loses rows
+    n_chunks = F.coalesce(
+        F.when(
+            chunk_bytes.isNotNull() & (chunk_bytes > 0),
+            F.greatest(F.lit(1).cast("bigint"),
+                       F.ceil(F.length("bytes") / chunk_bytes)),
+        ).otherwise(F.lit(1)),
+        F.lit(1),
+    )
     out = (
         df.withColumn("_cb", chunk_bytes)
         .withColumn("_nc", n_chunks)
@@ -312,12 +318,15 @@ def chunked_clips(
         )
         .withColumn(
             "dur_ms",
-            F.when(
-                F.col("_cb").isNotNull(),
-                F.round(
-                    F.length("bytes") / bps * 1000.0 / F.col("sr_hz")
-                ).cast("int"),
-            ).otherwise(F.col("dur_ms")),
+            F.coalesce(
+                F.when(
+                    F.col("_cb").isNotNull(),
+                    F.round(
+                        F.length("bytes") / bps * 1000.0 / F.col("sr_hz")
+                    ).cast("int"),
+                ),
+                F.col("dur_ms"),
+            ),
         )
         .withColumn(
             "transcript",
