@@ -704,3 +704,36 @@ def test_normalized_clips_operator(spark):
     for cid in meta:
         assert meta[cid]["codec"] == "pcm16"
     assert meta["loud"]["sr_hz"] == 8000 and meta["quiet"]["sr_hz"] == 16000
+
+
+def test_batch_resample_rejects_nonpositive_sr():
+    """sr_from <= 0 must raise (the scalar kernel's ZeroDivisionError
+    shape) — the vectorized divide would emit inf -> int64 garbage and
+    silently corrupt every later clip in the buffer."""
+    from top_secret_spark.kernel.audio import batch_resample
+
+    s = synth_pcm(1, 100, 8000)
+    with pytest.raises(ValueError, match="non-positive source sample rate"):
+        batch_resample(s, np.array([100]), np.array([0]), 16000)
+    # empty clip with sr 0 is fine (nothing to resample)
+    out, ol = batch_resample(np.empty(0, np.float32), np.array([0]),
+                             np.array([0]), 16000)
+    assert ol.tolist() == [0]
+
+
+def test_chunked_clips_zero_sr_passthrough(spark):
+    """sr_hz = 0 makes chunk_bytes 0: the row must pass through with its
+    payload INTACT (substring(bytes, 1, 0) would have emptied it)."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import chunked_clips
+
+    payload = b"\x01\x02" * 50
+    df = spark.createDataFrame(
+        [Row(clip_id="z", bytes=bytearray(payload), sr_hz=0, dur_ms=77,
+             codec="pcm16", transcript="t")]
+    )
+    out = chunked_clips(df, max_dur_ms=1000).collect()
+    assert len(out) == 1
+    assert bytes(out[0]["bytes"]) == payload
+    assert out[0]["dur_ms"] == 77

@@ -196,6 +196,14 @@ def batch_resample(
         return np.empty(0, dtype=np.float32), out_lengths
     same = (srs == target_sr) & (lengths > 0)
     conv = (srs != target_sr) & (lengths > 0)
+    # the scalar kernel raises ZeroDivisionError on sr_from <= 0; the
+    # vectorized divide would instead emit inf -> int64 garbage lengths
+    # and SILENTLY corrupt every clip after it — refuse loudly
+    if (conv & (srs <= 0)).any():
+        raise ValueError(
+            "batch_resample: non-positive source sample rate for a "
+            "non-empty clip — repair sr_hz metadata upstream"
+        )
     out_lengths[same] = lengths[same]
     # (len * sr_to) exact in int64, THEN the double divide — the same
     # operation order as the scalar kernel, so the rounding ties agree

@@ -310,8 +310,11 @@ def chunked_clips(
         )
         .withColumn(
             "bytes",
+            # _cb > 0, not just non-null: sr_hz <= 0 yields _cb = 0 and
+            # substring(bytes, 1, 0) would EMPTY the payload of a row
+            # that is supposed to pass through untouched
             F.when(
-                F.col("_cb").isNotNull(),
+                F.col("_cb").isNotNull() & (F.col("_cb") > 0),
                 F.expr("substring(bytes, cast(chunk_idx * _cb + 1 as int), "
                        "cast(_cb as int))"),
             ).otherwise(F.col("bytes")),
@@ -320,7 +323,7 @@ def chunked_clips(
             "dur_ms",
             F.coalesce(
                 F.when(
-                    F.col("_cb").isNotNull(),
+                    F.col("_cb").isNotNull() & (F.col("_cb") > 0),
                     F.round(
                         F.length("bytes") / bps * 1000.0 / F.col("sr_hz")
                     ).cast("int"),
