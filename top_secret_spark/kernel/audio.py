@@ -325,6 +325,19 @@ def batch_decode(datas: list[bytes], codec: str) -> tuple[np.ndarray, np.ndarray
     return samples, lengths
 
 
+def pcm16_aligned_indices(datas: list, idx: np.ndarray) -> np.ndarray:
+    """Subset of ``idx`` whose payloads align to whole 2-byte pcm16
+    samples — the shared poison-row guard: ``batch_decode`` refuses a
+    whole batch containing any odd-length pcm16 payload (it cannot slice
+    clip boundaries), so gate-style callers (feature extraction, pair
+    SNR) use this to isolate the poison rows and decode the rest."""
+    if not len(idx):
+        return idx
+    return idx[np.fromiter(
+        (len(datas[i]) % 2 == 0 for i in idx), dtype=bool, count=len(idx)
+    )]
+
+
 def segmented_features(
     samples: np.ndarray, lengths: np.ndarray, srs: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -494,11 +507,8 @@ def batch_pair_snr(
         # 2-byte samples — batch_decode would raise for the whole group.
         # Such a pair is undecodable, not a near-dup: leave it at -inf.
         for side, datas in ((0, datas_a), (1, datas_b)):
-            if key[side] == "pcm16" and len(idx):
-                idx = idx[np.fromiter(
-                    (len(datas[i]) % 2 == 0 for i in idx),
-                    dtype=bool, count=len(idx),
-                )]
+            if key[side] == "pcm16":
+                idx = pcm16_aligned_indices(datas, idx)
         if len(idx) == 0:
             continue
         sa, la = batch_decode([bytes(datas_a[i]) for i in idx], key[0])

@@ -43,6 +43,7 @@ def with_audio_features(df: DataFrame) -> DataFrame:
         from ..kernel.audio import (
             SUPPORTED_CODECS,
             batch_decode,
+            pcm16_aligned_indices,
             segmented_features,
             segmented_ratios,
         )
@@ -68,15 +69,10 @@ def with_audio_features(df: DataFrame) -> DataFrame:
                     (codecs == codec)
                     & np.array([d is not None for d in datas])
                 )
-                if codec == "pcm16" and len(idx):
-                    # odd-length pcm16 payloads cannot align to 2-byte
-                    # samples; batch_decode raises loudly on them, but a
-                    # poison row must not kill the stage — mark those
-                    # clips decode_ok=false and decode the rest
-                    idx = idx[np.fromiter(
-                        (len(datas[i]) % 2 == 0 for i in idx),
-                        dtype=bool, count=len(idx),
-                    )]
+                if codec == "pcm16":
+                    # a poison row must not kill the stage — mark
+                    # odd-length clips decode_ok=false, decode the rest
+                    idx = pcm16_aligned_indices(datas, idx)
                 if not len(idx):
                     continue
                 samples, lengths = batch_decode(

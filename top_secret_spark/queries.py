@@ -1652,7 +1652,10 @@ SELECT lang,
        cast(sum(n_chars) AS BIGINT) AS sum_chars
 FROM (
   SELECT lang, doc_id, n_chars,
-         (((xor(doc_id >> 31, doc_id) & 2147483647) * 2654435761)
+         -- COALESCE mirrors sample_u_col: NULL keys hash as key 0 so a
+         -- null-keyed row shares key 0's decision instead of vanishing
+         (((xor(COALESCE(doc_id, 0) >> 31, COALESCE(doc_id, 0))
+            & 2147483647) * 2654435761)
           % 4294967296) / 4294967296.0 AS u
   FROM documents)
 WHERE u < CASE lang WHEN 'en' THEN 0.1

@@ -42,6 +42,7 @@ def dedup_stream(
     text_col: str = "transcript",
     state_ttl: str | int | None = "30 minutes",
     key: str = "fingerprint",
+    fingerprint_col_name: str | None = None,
 ) -> DataFrame:
     """Stateful streaming dedup: first-seen row per content key wins;
     later arrivals (same or later micro-batches) are dropped.  Custom
@@ -54,10 +55,14 @@ def dedup_stream(
     ``key`` picks the content identity:
 
     * ``"fingerprint"`` (default) — EXACT dedup on the normalized-text
-      xxhash64 fingerprint (operators/text_analysis.py); if the frame
-      already carries a ``fingerprint`` column it is reused as-is
-      (so upstream stages like ``ingest_dedup_stream`` pay the hash
-      chain once).
+      xxhash64 fingerprint (operators/text_analysis.py), computed here
+      from ``text_col``.  To reuse a fingerprint an upstream stage
+      already computed (so the hash chain runs once per row — see
+      ``ingest_dedup_stream``), pass its column name EXPLICITLY via
+      ``fingerprint_col_name``; a column that merely happens to be
+      called ``fingerprint`` (stale persisted values, a different
+      normalization version, another text column) is never silently
+      trusted.
     * ``"simhash"`` — sketch-exact NEAR-dup: the 64-bit SimHash is
       stable under small edits when the text is long (a one-token change
       in a ~1 kB transcript usually flips zero bits — see q36), so
@@ -86,15 +91,23 @@ def dedup_stream(
         raise ValueError("dedup_stream expects a streaming DataFrame")
 
     if key == "fingerprint":
-        # reuse a precomputed fingerprint column (e.g. from
-        # ingest_dedup_stream's anti-join stage) — the normalization +
-        # xxhash64 chain is the keying cost and must not run twice per
-        # row on the ingest hot path
-        with_fp = (
-            stream
-            if "fingerprint" in stream.columns
-            else stream.withColumn("fingerprint", fingerprint_col(text_col))
-        )
+        if fingerprint_col_name is not None:
+            if fingerprint_col_name not in stream.columns:
+                raise ValueError(
+                    f"fingerprint_col_name {fingerprint_col_name!r} not in "
+                    f"stream columns {stream.columns}"
+                )
+            with_fp = (
+                stream
+                if fingerprint_col_name == "fingerprint"
+                else stream.withColumnRenamed(
+                    fingerprint_col_name, "fingerprint"
+                )
+            )
+        else:
+            with_fp = stream.withColumn(
+                "fingerprint", fingerprint_col(text_col)
+            )
     elif key == "simhash":
         from .operators.dedup import make_simhash_udf
 
@@ -221,9 +234,17 @@ def ingest_dedup_stream(
             "(write_fingerprint_index / with_fingerprint)"
         )
     with_fp = stream.withColumn("fingerprint", fingerprint_col(text_col))
-    # keep the fingerprint column: dedup_stream reuses it as the state
-    # key rather than recomputing the hash chain per row
+    # keep the fingerprint column — dedup_stream reuses it as the state
+    # key (explicit opt-in below) rather than recomputing the hash chain
+    # per row — and re-select the pre-join column order: a USING join
+    # fronts the key, which would reorder the output schema out from
+    # under positional consumers (sinks created from the old layout)
     fresh = with_fp.join(
         corpus_index.select("fingerprint"), "fingerprint", "left_anti"
+    ).select(*with_fp.columns)
+    return dedup_stream(
+        fresh,
+        text_col=text_col,
+        state_ttl=state_ttl,
+        fingerprint_col_name="fingerprint",
     )
-    return dedup_stream(fresh, text_col=text_col, state_ttl=state_ttl)
