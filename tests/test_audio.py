@@ -737,3 +737,107 @@ def test_chunked_clips_zero_sr_passthrough(spark):
     assert len(out) == 1
     assert bytes(out[0]["bytes"]) == payload
     assert out[0]["dur_ms"] == 77
+
+
+def test_batch_trim_bounds_matches_scalar():
+    """Vectorized bounds == a per-clip scalar scan, across: leading-only,
+    trailing-only, both-sided padding, no-trim, all-silent, empty, and a
+    trailing all-silent clip (the reduceat-style edge ADVICE flagged in
+    segmented_features)."""
+    from top_secret_spark.kernel.audio import batch_trim_bounds
+
+    sig = np.full(64, 0.3, dtype=np.float32)
+    sig[1::2] = -0.3
+    z = lambda n: np.zeros(n, dtype=np.float32)
+    clips = [
+        np.concatenate([z(10), sig]),          # leading pad
+        np.concatenate([sig, z(7)]),           # trailing pad
+        np.concatenate([z(3), sig, z(5)]),     # both
+        sig.copy(),                            # no trim
+        z(20),                                 # all silent
+        np.empty(0, dtype=np.float32),         # empty
+        z(9),                                  # trailing silent clip
+    ]
+    samples = np.concatenate(clips)
+    lengths = np.array([len(c) for c in clips], dtype=np.int64)
+    starts, ends = batch_trim_bounds(samples, lengths, threshold=0.01)
+    for k, c in enumerate(clips):
+        hits = np.flatnonzero(np.abs(c) > 0.01)
+        exp = (int(hits[0]), int(hits[-1]) + 1) if hits.size else (0, 0)
+        assert (starts[k], ends[k]) == exp, (k, starts[k], ends[k], exp)
+    # pad widens and clamps at clip edges
+    s2, e2 = batch_trim_bounds(samples, lengths, threshold=0.01, pad=6)
+    assert (s2[0], e2[0]) == (4, lengths[0])      # 10-6=4, clamp right
+    assert (s2[2], e2[2]) == (0, lengths[2])      # 3-6 clamps to 0
+    assert (s2[4], e2[4]) == (0, 0)               # silent stays empty
+    # per-clip pad array
+    s3, e3 = batch_trim_bounds(
+        samples, lengths, 0.01, pad=np.array([0, 1, 2, 0, 0, 0, 0])
+    )
+    assert (s3[1], e3[1]) == (0, 65)
+    assert (s3[2], e3[2]) == (1, 3 + 64 + 2)
+
+
+def test_trimmed_clips_operator(spark):
+    """Byte-exact slice of the ORIGINAL payload (codec preserved, no
+    re-encode), dur_ms rewritten, silent clips emptied not dropped,
+    unknown codec raises (transform contract)."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import trimmed_clips
+
+    sig = np.full(800, 0.3, dtype=np.float32)
+    sig[1::2] = -0.3
+    z = lambda n: np.zeros(n, dtype=np.float32)
+    rows = [
+        Row(clip_id="pad-ulaw",
+            bytes=bytearray(encode(np.concatenate([z(400), sig, z(160)]), "ulaw")),
+            sr_hz=8000, dur_ms=170, codec="ulaw", transcript="padded"),
+        Row(clip_id="clean-pcm",
+            bytes=bytearray(encode(sig, "pcm16")),
+            sr_hz=16000, dur_ms=50, codec="pcm16", transcript="clean"),
+        Row(clip_id="silent-alaw",
+            bytes=bytearray(encode(z(500), "alaw")),
+            sr_hz=8000, dur_ms=63, codec="alaw", transcript="silent"),
+    ]
+    df = spark.createDataFrame(rows).repartition(1)
+    out = {r["clip_id"]: r for r in trimmed_clips(df).collect()}
+    # ulaw: 1 byte/sample — retained region is the original bytes [400:1200)
+    orig = bytes(rows[0]["bytes"])
+    assert bytes(out["pad-ulaw"]["bytes"]) == orig[400:1200]
+    assert out["pad-ulaw"]["codec"] == "ulaw"
+    assert out["pad-ulaw"]["dur_ms"] == 100           # 800 samples @ 8 kHz
+    assert bytes(out["clean-pcm"]["bytes"]) == bytes(rows[1]["bytes"])
+    assert out["clean-pcm"]["dur_ms"] == 50
+    assert bytes(out["silent-alaw"]["bytes"]) == b""
+    assert out["silent-alaw"]["dur_ms"] == 0
+    # transcript/metadata pass through untouched
+    assert out["pad-ulaw"]["transcript"] == "padded"
+    # pad_ms keeps context: 10 ms @ 8 kHz = 80 samples each side
+    padded = {r["clip_id"]: r for r in trimmed_clips(df, pad_ms=10).collect()}
+    assert bytes(padded["pad-ulaw"]["bytes"]) == orig[320:1280]
+    bad = spark.createDataFrame(
+        [Row(clip_id="x", bytes=bytearray(b"\x00\x01"), sr_hz=8000,
+             dur_ms=1, codec="opus", transcript="t")]
+    )
+    with pytest.raises(Exception, match="unsupported codec"):
+        trimmed_clips(bad).collect()
+
+
+def test_trim_planted_classes_roundtrip(spark):
+    """The q49 planted table under the operator: retained sample count
+    equals the planted signal length exactly for clean AND padded across
+    all three codecs; silent empties."""
+    from top_secret_spark.operators.audio import trimmed_clips
+    from top_secret_spark.sources.clips import trim_clips_df
+
+    out = trimmed_clips(trim_clips_df(spark, 54, partitions=2)).collect()
+    for r in out:
+        rid = int(r["clip_id"].split("-")[1])
+        bps = 2 if r["codec"] == "pcm16" else 1
+        n_out = len(r["bytes"]) // bps
+        if rid % 3 == 2:
+            assert n_out == 0, r
+        else:
+            assert n_out == 400 + 16 * (rid % 7), r
+            assert r["dur_ms"] == n_out // 8

@@ -480,6 +480,42 @@ def batch_normalize_gain(
     return out
 
 
+def batch_trim_bounds(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    threshold: float = 0.01,
+    pad: np.ndarray | int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-clip ``(start, end)`` sample bounds retaining the span from
+    the first to the last sample with ``|x| > threshold`` — the
+    leading/trailing-silence trim every ASR front-end runs — widened by
+    ``pad`` samples (scalar or per-clip array) and clamped to the clip.
+    All-silent and empty clips yield ``start == end == 0``.
+
+    Layout matches :func:`batch_decode`; one ``flatnonzero`` over the
+    whole buffer and two ``searchsorted`` calls against the clip
+    offsets — no per-clip Python loop."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    hit = np.flatnonzero(np.abs(samples) > threshold)
+    lo = np.searchsorted(hit, offs[:-1], side="left")
+    hi = np.searchsorted(hit, offs[1:], side="left")
+    starts = np.zeros(n, dtype=np.int64)
+    ends = np.zeros(n, dtype=np.int64)
+    has = hi > lo
+    if hit.size and has.any():
+        pad = np.broadcast_to(np.asarray(pad, dtype=np.int64), (n,))
+        starts[has] = np.maximum(
+            hit[lo[has]] - offs[:-1][has] - pad[has], 0
+        )
+        ends[has] = np.minimum(
+            hit[hi[has] - 1] + 1 - offs[:-1][has] + pad[has], lengths[has]
+        )
+    return starts, ends
+
+
 def batch_pair_snr(
     datas_a: list, datas_b: list, codecs_a: list, codecs_b: list
 ) -> np.ndarray:

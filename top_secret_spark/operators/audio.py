@@ -249,6 +249,78 @@ def normalized_clips(
     return df.mapInPandas(run, schema=schema)
 
 
+_BYTES_PER_SAMPLE = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+
+
+def trimmed_clips(
+    df: DataFrame, threshold: float = 0.01, pad_ms: int = 0
+) -> DataFrame:
+    """Strip leading/trailing silence from every clip (the VAD-style
+    endpoint trim ASR front-ends run before feature extraction),
+    keeping ``pad_ms`` of context on each side.
+
+    Decode runs only to FIND the bounds (`kernel.batch_trim_bounds`:
+    one flatnonzero + two searchsorted per codec per Arrow batch); the
+    retained region is then a BYTE SLICE of the original payload —
+    every supported codec is fixed-bytes-per-sample — so the codec
+    column is preserved and retained samples are bit-identical to the
+    input (no decode→re-encode generation loss).  ``dur_ms`` is
+    rewritten from the retained sample count.  All-silent clips come
+    out with an empty payload (dur 0) for the audio gate to name, not
+    silently dropped — a transform covers every input row.  Same
+    contract as :func:`resampled_clips`: undecodable payloads (unknown
+    codec, odd-length pcm16, non-positive sr) raise loudly."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    has_dur = "dur_ms" in df.columns
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_decode, batch_trim_bounds
+
+        for pdf in iterator:
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy()
+            out_bytes = [None] * len(pdf)
+            out_dur = np.zeros(len(pdf), dtype=np.int64)
+            for codec in sorted(set(codecs.tolist()), key=str):
+                bps = _BYTES_PER_SAMPLE.get(codec)
+                if bps is None:
+                    raise ValueError(
+                        f"trimmed_clips: unsupported codec {codec!r} — "
+                        "gate undecodable rows out upstream "
+                        "(with_audio_keep_drop) before transforming"
+                    )
+                idx = np.flatnonzero(codecs == codec)
+                if (srs[idx] <= 0).any():
+                    raise ValueError(
+                        "trimmed_clips: non-positive sr_hz — repair "
+                        "metadata upstream"
+                    )
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                pad = (srs[idx].astype(np.int64) * int(pad_ms)) // 1000
+                starts, ends = batch_trim_bounds(
+                    samples, lengths, threshold, pad
+                )
+                for k, i in enumerate(idx):
+                    out_bytes[i] = bytes(datas[i])[
+                        int(starts[k]) * bps : int(ends[k]) * bps
+                    ]
+                out_dur[idx] = np.round(
+                    (ends - starts) * 1000.0 / srs[idx]
+                ).astype(np.int64)
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            if has_dur:
+                pdf["dur_ms"] = out_dur.astype(pdf["dur_ms"].dtype)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def chunked_clips(
     df: DataFrame,
     max_dur_ms: int = 30_000,

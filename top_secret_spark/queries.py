@@ -2059,6 +2059,60 @@ ORDER BY sr
 """
 
 
+def q_trim_silence(spark, sf_dir):
+    """[tier: quality_filter × audio] endpoint silence trim — the
+    VAD-style lead/tail strip every ASR front-end runs
+    (operators/audio.py trimmed_clips): decode finds the bounds in one
+    flatnonzero + two searchsorted per codec per Arrow batch
+    (kernel.batch_trim_bounds), then the retained region is a BYTE
+    SLICE of the original payload (codec preserved, retained samples
+    bit-identical — no re-encode generation loss).  Planted classes
+    (sources.clips.trim_rows_for_range, class in the transcript; codec
+    cycling (r//3)%3): clean keeps every sample, padded loses exactly
+    its planted zero runs, silent empties.  The oracle recomputes per
+    class: count, retained samples from length(bytes) and the codec's
+    bytes-per-sample (the payload itself is gated, not a side-channel
+    counter), and the rewritten duration sum — pure row arithmetic."""
+    _prep(spark)
+    from .operators.audio import trimmed_clips
+    from .sources.clips import trim_clips_df
+
+    clips = trim_clips_df(spark, 180, partitions=8)
+    out = trimmed_clips(clips, threshold=0.01)
+    bps = F.when(F.col("codec") == "pcm16", F.lit(2)).otherwise(F.lit(1))
+    return (
+        out.groupBy(F.col("transcript").alias("trim_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.length("bytes") / bps).cast("bigint")).cast(
+                "bigint"
+            ).alias("out_samples"),
+            F.sum("dur_ms").cast("bigint").alias("dur_ms_total"),
+        )
+        .orderBy("trim_class")
+    )
+
+
+Q_TRIM_SILENCE_SQL = """
+WITH p AS (
+  SELECT r,
+         CASE r % 3 WHEN 0 THEN 'clean' WHEN 1 THEN 'padded'
+                    ELSE 'silent' END AS cls,
+         400 + 16 * (r % 7) AS n_sig
+  FROM (SELECT unnest(range(0, 180)) AS r)
+)
+SELECT cls AS trim_class,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN cls = 'silent' THEN 0 ELSE n_sig END) AS BIGINT)
+           AS out_samples,
+       CAST(sum(CASE WHEN cls = 'silent' THEN 0 ELSE n_sig // 8 END)
+            AS BIGINT) AS dur_ms_total
+FROM p
+GROUP BY cls
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2108,4 +2162,5 @@ QUERIES = {
     "q46_resample_uniform": (q_resample_uniform, Q_RESAMPLE_UNIFORM_SQL),
     "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
     "q48_loudness_normalize": (q_loudness_normalize, Q_LOUDNESS_SQL),
+    "q49_trim_silence": (q_trim_silence, Q_TRIM_SILENCE_SQL),
 }

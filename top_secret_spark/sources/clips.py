@@ -382,6 +382,72 @@ def resample_clips_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
+TRIM_CLASSES = ("clean", "padded", "silent")  # r % 3 picks the class
+
+
+def trim_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted silence-padding classes for the endpoint-trim
+    transform (q49), keyed by ``r % 3`` (the class rides in the
+    transcript so both engines group on it): clean = signal only,
+    padded = the same signal wrapped in leading/trailing digital-zero
+    runs, silent = all zeros.  The signal is a constant-magnitude
+    alternating wave (|x| = 0.3, which decodes to >= 0.30 under every
+    codec while encoded zeros decode to <= 2.5e-4), so against a 0.01
+    threshold the retained sample count after trimming is EXACTLY the
+    planted signal length — pure row arithmetic a SQL oracle
+    recomputes: n_sig = 400 + 16*(r%7) (divisible by sr/1000 — trimmed
+    durations are exact integers under BOTH numpy round and SQL round),
+    lead = 100 + 50*(r%4),
+    tail = 60 + 30*(r%5), silent n = 500.  Codec cycles with
+    (r // 3) % 3 so every class × codec pair appears."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    codecs = ("pcm16", "ulaw", "alaw")
+    for r in range(start, end):
+        cls = TRIM_CLASSES[r % 3]
+        codec = codecs[(r // 3) % 3]
+        n_sig = 400 + 16 * (r % 7)
+        sig = np.full(n_sig, 0.3, dtype=np.float32)
+        sig[1::2] = -0.3
+        if cls == "clean":
+            pcm = sig
+        elif cls == "padded":
+            lead = 100 + 50 * (r % 4)
+            tail = 60 + 30 * (r % 5)
+            pcm = np.concatenate(
+                [np.zeros(lead, np.float32), sig, np.zeros(tail, np.float32)]
+            )
+        else:
+            pcm = np.zeros(500, dtype=np.float32)
+        out["clip_id"].append(f"tr-{r:08d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(int(round(len(pcm) * 1000.0 / sr_hz)))
+        out["codec"].append(codec)
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def trim_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted trim-class clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield trim_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 LOUDNESS_CLASSES = ("quiet", "loud", "silent")  # r % 3 picks the class
 
 
