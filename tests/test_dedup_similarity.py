@@ -724,3 +724,48 @@ def test_near_duplicate_clusters_long_chain(spark):
     got = {r["node"]: r["cluster_id"]
            for r in near_duplicate_clusters(pairs).collect()}
     assert len(got) == 201 and set(got.values()) == {0}
+
+
+def test_dedup_lines_semantics(spark):
+    """First occurrence (by id, pos) of each line survives; later copies
+    removed — including WITHIN one document; fully-deduped docs become
+    EMPTY (not dropped); NULL text passes through NULL; untouched
+    columns survive the rebuild join."""
+    from top_secret_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "alpha\nboiler\nbeta", "keep"),
+        (2, "boiler\ngamma\ngamma", "strip"),   # cross-doc + within-doc dup
+        (3, "boiler\nalpha", "empty"),           # every line seen earlier
+        (4, None, "null"),
+        (5, "", "blank"),                        # one empty line, first seen
+        (6, "", "blank2"),                       # empty line now a dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert got[1]["text"] == "alpha\nboiler\nbeta"
+    assert got[1]["n_lines_removed"] == 0
+    assert got[2]["text"] == "gamma"
+    assert got[2]["n_lines_removed"] == 2
+    assert got[3]["text"] == "" and got[3]["n_lines_removed"] == 2
+    assert got[4]["text"] is None and got[4]["n_lines_removed"] == 0
+    assert got[5]["text"] == "" and got[5]["n_lines_removed"] == 0
+    assert got[6]["text"] == "" and got[6]["n_lines_removed"] == 1
+    assert got[2]["tag"] == "strip"
+    assert len(got) == 6
+
+
+def test_dedup_lines_partition_independent(spark):
+    """Winner selection is a global min over (id, pos) — results must not
+    change with the physical layout."""
+    from top_secret_spark.operators.dedup import dedup_lines
+
+    rows = [(i, f"shared line\nunique {i}") for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["text"]
+         for r in dedup_lines(df1.repartition(1)).collect()}
+    b = {r["doc_id"]: r["text"]
+         for r in dedup_lines(df1.repartition(13)).collect()}
+    assert a == b
+    assert a[0] == "shared line\nunique 0"
+    assert all(a[i] == f"unique {i}" for i in range(1, 40))

@@ -61,6 +61,83 @@ def dedup_exact(
     return fp.join(w_min, ["fingerprint", id_col], "inner").drop("fingerprint")
 
 
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus LINE dedup (the C4-style boilerplate strip): every
+    distinct line keeps exactly its globally-first occurrence — ordered
+    by (id, position) — and later copies are removed; each document's
+    text is rebuilt from its surviving lines.  Crawled corpora and ASR
+    transcript dumps are full of repeated boilerplate lines
+    ("Subscribe", cookie banners, station idents) that document-level
+    dedup can never touch because the surrounding text differs.
+
+    Replaces ``text_col`` in place (a document whose every line was
+    seen earlier becomes the empty string — the quality gate's
+    ``too_short`` names it downstream; NULL text passes through NULL)
+    and appends ``n_lines_removed``.
+
+    Scale shape — two shuffles, no self-join, no window over a skewed
+    partition:
+
+      1. ``posexplode`` → ``groupBy(line).min(struct(id, pos))``.
+         Partial aggregation combines map-side, so a boilerplate line
+         repeated 10^9 times arrives at the reducer once per mapper —
+         the skew-safe alternative to ``row_number() OVER (PARTITION BY
+         line)``, which would serialize the hot line through one task.
+         Grouping on the line itself (not a 64-bit digest) makes the
+         operator exact: a hash collision would silently delete every
+         copy of one of the colliding lines, including its first.
+      2. The winner rows ARE the surviving lines, so reassembly is one
+         ``groupBy(id)`` + ordered concat — no verify join back.
+
+    The rebuilt text joins back to ``df`` on the 8-byte id to reattach
+    untouched columns."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    winners = lines.groupBy("_line").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")
+    )
+    rebuilt = (
+        winners.select(
+            F.col("_w._id").alias("_rid"),
+            F.col("_w._pos").alias("_pos"),
+            "_line",
+        )
+        .groupBy("_rid")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias("_new_text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    out = df.join(
+        rebuilt, df[id_col] == rebuilt["_rid"], "left"
+    )
+    n_orig = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        out.withColumn(
+            "n_lines_removed",
+            F.when(
+                F.col(text_col).isNull(), F.lit(0)
+            ).otherwise(n_orig - F.coalesce(F.col("_n_kept"), F.lit(0))),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_new_text"), F.lit(""))),
+        )
+        .drop("_rid", "_new_text", "_n_kept")
+    )
+
+
 def dedup_against_corpus(
     batch: DataFrame,
     corpus_index: DataFrame,

@@ -2113,6 +2113,79 @@ ORDER BY cls
 """
 
 
+def q_dedup_lines(spark, sf_dir):
+    """[training-data] cross-corpus LINE dedup — the C4-style
+    boilerplate strip (operators/dedup.py dedup_lines): every distinct
+    line keeps its globally-first (id, pos) occurrence, documents are
+    rebuilt from survivors; skew-safe groupBy(line).min(struct) winner
+    selection (map-side combine — a 10^9-copy boilerplate line never
+    serializes one reducer the way a row_number window would) and the
+    winners ARE the surviving lines, so there is no verify join.
+    Planted corpus from pure row arithmetic (240 docs: a boilerplate
+    line every doc shares, a header line shared by r % 10, two unique
+    lines; every 40th doc is boilerplate-only and must come out EMPTY,
+    not dropped): the oracle recomputes kept-char sums (including the
+    rebuilt text's join newlines), changed-doc counts, and removed-line
+    totals per id group in closed form."""
+    _prep(spark)
+    from .operators.dedup import dedup_lines
+
+    boiler = F.lit("subscribe to our newsletter")
+    header = F.format_string("header %d", F.col("id") % 10)
+    ua = F.format_string("unique line %d a", F.col("id"))
+    ub = F.format_string("unique line %d b", F.col("id"))
+    docs = spark.range(0, 240).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 40 == 39, F.concat_ws("\n", boiler, header)
+        ).otherwise(F.concat_ws("\n", boiler, header, ua, ub)).alias("text"),
+    )
+    out = dedup_lines(docs)
+    return (
+        out.groupBy((F.col("doc_id") % 5).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_lines_removed") > 0, 1)).alias(
+                "n_docs_changed"
+            ),
+            F.sum(F.length("text")).cast("bigint").alias("chars_kept"),
+            F.sum("n_lines_removed").cast("bigint").alias("lines_removed"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_DEDUP_LINES_SQL = """
+WITH p AS (
+  SELECT r,
+         (r % 40 = 39) AS two_liner,
+         CASE WHEN r % 40 = 39 THEN 0
+              ELSE 2 + CASE WHEN r = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN r < 10 THEN 1 ELSE 0 END END AS n_kept,
+         CASE WHEN r % 40 = 39 THEN 2 ELSE 4 END AS n_lines
+  FROM (SELECT unnest(range(0, 240)) AS r)
+),
+c AS (
+  SELECT r, n_kept, n_lines,
+         CASE WHEN two_liner THEN 0
+              ELSE CASE WHEN r = 0 THEN 27 ELSE 0 END
+                 + CASE WHEN r < 10 THEN 8 ELSE 0 END
+                 + 2 * (14 + length(CAST(r AS VARCHAR)))
+                 + (n_kept - 1) END AS chars
+  FROM p
+)
+SELECT CAST(r % 5 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_lines - n_kept > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_changed,
+       CAST(sum(chars) AS BIGINT) AS chars_kept,
+       CAST(sum(n_lines - n_kept) AS BIGINT) AS lines_removed
+FROM c
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2163,4 +2236,5 @@ QUERIES = {
     "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
     "q48_loudness_normalize": (q_loudness_normalize, Q_LOUDNESS_SQL),
     "q49_trim_silence": (q_trim_silence, Q_TRIM_SILENCE_SQL),
+    "q50_dedup_lines": (q_dedup_lines, Q_DEDUP_LINES_SQL),
 }
