@@ -769,3 +769,36 @@ def test_dedup_lines_partition_independent(spark):
     assert a == b
     assert a[0] == "shared line\nunique 0"
     assert all(a[i] == f"unique {i}" for i in range(1, 40))
+
+
+def test_flag_contaminated_semantics(spark):
+    """Full n-gram match flags; sub-n overlap does not; NULL/short texts
+    never flag; hit count is DISTINCT benchmark n-grams contained;
+    matching is case-insensitive; plan broadcasts the benchmark side."""
+    from top_secret_spark.operators.dedup import flag_contaminated
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over a lazy dog",)], ["text"]
+    )  # 9 words -> two 8-grams
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here the quick brown fox jumps over a lazy dog tail"),
+            (2, "THE QUICK BROWN FOX JUMPS OVER A LAZY dog"),  # case-folded
+            (3, "the quick brown fox jumps over a"),            # 7 words only
+            (4, "completely unrelated text with many plain words in it today"),
+            (5, None),
+            (6, "the quick brown fox jumps over a lazy dog "
+                "the quick brown fox jumps over a lazy dog"),   # repeats: still distinct grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in flag_contaminated(docs, bench, n=8).collect()}
+    assert got[1]["contaminated"] and got[1]["n_contaminated_ngrams"] == 2
+    assert got[2]["contaminated"] and got[2]["n_contaminated_ngrams"] == 2
+    assert not got[3]["contaminated"] and got[3]["n_contaminated_ngrams"] == 0
+    assert not got[4]["contaminated"]
+    assert not got[5]["contaminated"]
+    assert got[6]["contaminated"] and got[6]["n_contaminated_ngrams"] == 2
+    assert len(got) == 6
+    plan = flag_contaminated(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

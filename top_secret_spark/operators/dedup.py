@@ -138,6 +138,72 @@ def dedup_lines(
     )
 
 
+def _word_ngrams(text_col: str, n: int):
+    """Array of lowercase word ``n``-grams (space-joined) — empty array
+    for texts shorter than ``n`` words or NULL."""
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def flag_contaminated(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/C4-style eval-leak check):
+    flag every document sharing at least one lowercase word ``n``-gram
+    with the benchmark/eval set, so training data can be scrubbed of
+    test-set content before a model memorizes its own eval.
+
+    Appends ``contaminated`` (bool) and ``n_contaminated_ngrams`` (the
+    number of DISTINCT benchmark n-grams the doc contains).
+
+    Scale shape: the benchmark side is small by definition (an eval set,
+    not a corpus), so its distinct n-grams BROADCAST; the corpus side
+    explodes to (id, xxhash64(ngram)) and probes the broadcast hash
+    table map-side — no shuffle of corpus text, no shuffle at all except
+    the per-doc match count groupBy on 8-byte ids.  The join key is the
+    64-bit hash (fixed width, cache-friendly) but the match is verified
+    on the n-gram STRING carried by the broadcast side, so a hash
+    collision cannot falsely condemn a document — exactness at zero
+    extra shuffle cost.  The final flag joins back to ``df`` on the id;
+    docs shorter than ``n`` words are never flagged."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngrams(bench_text_col, n)).alias("_gram")
+        )
+        .distinct()
+        .select(F.xxhash64("_gram").alias("_gh"), "_gram")
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_word_ngrams(text_col, n)).alias("_dg"),
+    ).select("_id", F.xxhash64("_dg").alias("_gh"), "_dg")
+    matches = (
+        doc_grams.join(F.broadcast(bench_grams), "_gh")
+        .filter(F.col("_dg") == F.col("_gram"))
+        .groupBy("_id")
+        .agg(F.count_distinct("_gram").alias("_n_hit"))
+    )
+    out = df.join(matches, df[id_col] == matches["_id"], "left")
+    return (
+        out.withColumn(
+            "n_contaminated_ngrams", F.coalesce(F.col("_n_hit"), F.lit(0))
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") > 0)
+        .drop("_id", "_n_hit")
+    )
+
+
 def dedup_against_corpus(
     batch: DataFrame,
     corpus_index: DataFrame,

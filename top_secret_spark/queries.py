@@ -2186,6 +2186,78 @@ ORDER BY grp
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """[training-data] benchmark decontamination — the GPT-3/C4-style
+    eval-leak check (operators/dedup.py flag_contaminated): docs sharing
+    any lowercase word 8-gram with the benchmark set are flagged; the
+    benchmark side broadcasts its distinct n-grams (an eval set is small
+    by definition) and the corpus probes it map-side on 64-bit hashes
+    with string-equality verification carried by the broadcast row, so
+    no corpus text ever shuffles and a hash collision cannot falsely
+    condemn a document.  Planted corpus (280 docs of per-row-unique
+    words; every 7th-with-remainder-3 embeds a full 9-word benchmark
+    sentence → exactly TWO matching 8-grams; remainder-5 embeds only a
+    4-word prefix and must NOT flag — the n-gram boundary is gated):
+    the oracle recomputes flags and hit counts from row arithmetic."""
+    _prep(spark)
+    from .operators.dedup import flag_contaminated
+
+    bench = spark.range(0, 3).select(
+        F.format_string(
+            "benchmark question %d alpha bravo charlie delta echo foxtrot",
+            F.col("id"),
+        ).alias("text")
+    )
+    base = [F.format_string(f"t%dw{j}", F.col("id")) for j in range(12)]
+    bench_full = F.format_string(
+        "benchmark question %d alpha bravo charlie delta echo foxtrot",
+        F.col("id") % 3,
+    )
+    bench_part = F.format_string(
+        "benchmark question %d alpha", F.col("id") % 3
+    )
+    docs = spark.range(0, 280).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 7 == 3,
+            F.concat_ws(" ", *base[:6], bench_full, *base[6:]),
+        )
+        .when(
+            F.col("id") % 7 == 5,
+            F.concat_ws(" ", *base[:6], bench_part, *base[6:]),
+        )
+        .otherwise(F.concat_ws(" ", *base))
+        .alias("text"),
+    )
+    out = flag_contaminated(docs, bench, n=8)
+    return (
+        out.groupBy((F.col("doc_id") % 4).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("contaminated"), 1)).alias(
+                "n_contaminated"
+            ),
+            F.sum("n_contaminated_ngrams").cast("bigint").alias(
+                "ngram_hits"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_DECONTAMINATE_SQL = """
+SELECT CAST(r % 4 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(sum(CASE WHEN r % 7 = 3 THEN 2 ELSE 0 END) AS BIGINT)
+           AS ngram_hits
+FROM (SELECT unnest(range(0, 280)) AS r)
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2237,4 +2309,5 @@ QUERIES = {
     "q48_loudness_normalize": (q_loudness_normalize, Q_LOUDNESS_SQL),
     "q49_trim_silence": (q_trim_silence, Q_TRIM_SILENCE_SQL),
     "q50_dedup_lines": (q_dedup_lines, Q_DEDUP_LINES_SQL),
+    "q51_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
 }
