@@ -841,3 +841,83 @@ def test_trim_planted_classes_roundtrip(spark):
         else:
             assert n_out == 400 + 16 * (rid % 7), r
             assert r["dur_ms"] == n_out // 8
+
+
+def test_batch_voiced_segments_matches_scalar():
+    """Vectorized segment detection == a per-clip scalar scan across:
+    single block, split gap, non-split gap, multiple gaps, edge silence,
+    all-silent, empty, and clip-boundary runs that must NOT merge."""
+    from top_secret_spark.kernel.audio import batch_voiced_segments
+
+    sig = lambda n: np.full(n, 0.3, dtype=np.float32)
+    z = lambda n: np.zeros(n, dtype=np.float32)
+    GAP = 50
+    clips = [
+        np.concatenate([z(10), sig(30), z(5)]),                 # 1 seg
+        np.concatenate([sig(20), z(60), sig(25)]),              # split
+        np.concatenate([sig(20), z(50), sig(25)]),              # run == gap: splits
+        np.concatenate([sig(20), z(49), sig(25)]),              # run < gap: stays
+        np.concatenate([sig(8), z(70), sig(9), z(80), sig(7)]), # 3 segs
+        z(40),                                                  # silent
+        np.empty(0, dtype=np.float32),                          # empty
+        sig(12),                                                # ends voiced: next
+        sig(13),                                                # clip must not merge
+    ]
+    samples = np.concatenate(clips)
+    lengths = np.array([len(c) for c in clips], dtype=np.int64)
+    ci, s, e = batch_voiced_segments(samples, lengths, 0.01, GAP)
+
+    def scalar_segments(c):
+        hits = np.flatnonzero(np.abs(c) > 0.01)
+        if not hits.size:
+            return []
+        segs, start, prev = [], hits[0], hits[0]
+        for h in hits[1:]:
+            if h - prev - 1 >= GAP:
+                segs.append((start, prev + 1))
+                start = h
+            prev = h
+        segs.append((start, prev + 1))
+        return segs
+
+    got = {}
+    for k in range(len(ci)):
+        got.setdefault(int(ci[k]), []).append((int(s[k]), int(e[k])))
+    for k, c in enumerate(clips):
+        assert got.get(k, []) == scalar_segments(c), k
+
+
+def test_split_clips_on_silence_operator(spark):
+    """Byte-exact segment slices, codec preserved, transcript on seg 0
+    only, all-silent clip emits one empty segment, seg ids ranked."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import split_clips_on_silence
+
+    sig = np.full(800, 0.3, dtype=np.float32)
+    sig[1::2] = -0.3
+    z = lambda n: np.zeros(n, dtype=np.float32)
+    two = np.concatenate([z(80), sig, z(400), sig, z(48)])
+    rows = [
+        Row(clip_id="two", bytes=bytearray(encode(two, "ulaw")),
+            sr_hz=8000, dur_ms=266, codec="ulaw", transcript="hello there"),
+        Row(clip_id="quiet", bytes=bytearray(encode(z(300), "pcm16")),
+            sr_hz=8000, dur_ms=38, codec="pcm16", transcript="x"),
+    ]
+    df = spark.createDataFrame(rows).repartition(1)
+    got = sorted(
+        split_clips_on_silence(df, min_gap_ms=25).collect(),
+        key=lambda r: r["seg_id"],
+    )
+    by_id = {r["seg_id"]: r for r in got}
+    assert set(by_id) == {"two#s000", "two#s001", "quiet#s000"}
+    orig = bytes(rows[0]["bytes"])
+    assert bytes(by_id["two#s000"]["bytes"]) == orig[80:880]
+    assert bytes(by_id["two#s001"]["bytes"]) == orig[1280:2080]
+    assert by_id["two#s000"]["transcript"] == "hello there"
+    assert by_id["two#s001"]["transcript"] is None
+    assert by_id["two#s000"]["dur_ms"] == 100
+    assert by_id["two#s000"]["codec"] == "ulaw"
+    assert bytes(by_id["quiet#s000"]["bytes"]) == b""
+    assert by_id["quiet#s000"]["dur_ms"] == 0
+    assert by_id["quiet#s000"]["transcript"] == "x"

@@ -516,6 +516,46 @@ def batch_trim_bounds(
     return starts, ends
 
 
+def batch_voiced_segments(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    threshold: float = 0.01,
+    gap: int = 1600,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Voiced-segment detection for utterance splitting: within each
+    clip, cluster the samples with ``|x| > threshold`` into maximal
+    groups whose internal silent runs are SHORTER than ``gap`` samples;
+    each group is one segment ``[start, end)`` (relative to its clip),
+    trimmed to its first/last voiced sample.  Silence runs >= ``gap``
+    become cut points; edge silence always falls off (the per-segment
+    trim).  Returns ``(clip_idx, seg_start, seg_end)`` — all-silent and
+    empty clips contribute NO rows here (the operator decides how to
+    represent them).
+
+    One flatnonzero over the whole buffer, one diff, one searchsorted —
+    run boundaries are where consecutive voiced samples are >= ``gap``
+    apart or belong to different clips; no per-clip Python loop."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    hit = np.flatnonzero(np.abs(samples) > threshold)
+    if not hit.size:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    clip_of = np.searchsorted(offs[1:], hit, side="right")
+    # break between consecutive voiced samples when the silent run
+    # between them (diff - 1) reaches gap, or at a clip boundary
+    brk = np.empty(len(hit), dtype=bool)
+    brk[0] = True
+    brk[1:] = (np.diff(hit) > gap) | (np.diff(clip_of) != 0)
+    starts_at = np.flatnonzero(brk)
+    seg_first = hit[starts_at]
+    seg_last = hit[np.concatenate([starts_at[1:] - 1, [len(hit) - 1]])]
+    clip_idx = clip_of[starts_at]
+    base = offs[clip_idx]
+    return clip_idx, seg_first - base, seg_last + 1 - base
+
+
 def batch_pair_snr(
     datas_a: list, datas_b: list, codecs_a: list, codecs_b: list
 ) -> np.ndarray:

@@ -412,6 +412,113 @@ def chunked_clips(
     return out
 
 
+def split_clips_on_silence(
+    df: DataFrame,
+    min_gap_ms: int = 200,
+    threshold: float = 0.01,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Utterance segmentation: split every clip at internal silence runs
+    of at least ``min_gap_ms`` and emit one row per voiced segment —
+    the VAD-style splitting ASR training runs so each example is one
+    utterance, not a 10-minute recording.  Segment bounds come from
+    ``kernel.batch_voiced_segments`` (one flatnonzero + one diff per
+    (codec, sr) group per Arrow batch); each segment is then a BYTE
+    SLICE of the original payload (codec preserved, samples
+    bit-identical), trimmed to its voiced ends — edge silence falls off,
+    internal silences shorter than the gap stay inside their segment.
+
+    Emitted per segment: ``seg_idx``, ``seg_id`` (``<clip_id>#s<idx>``),
+    rewritten ``dur_ms``, and the parent's metadata; the transcript is
+    not alignable to segments without forced alignment, so it stays on
+    segment 0 only (NULL elsewhere) — same contract as
+    :func:`chunked_clips`.  All-silent and empty clips emit ONE empty
+    segment (a structural transform never loses rows).  Transform
+    contract: undecodable payloads / non-positive sr raise loudly."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema += ", seg_idx int, seg_id string"
+    has_dur = "dur_ms" in df.columns
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_decode, batch_voiced_segments
+
+        for pdf in iterator:
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy()
+            all_rows, all_s, all_e = [], [], []
+            for codec, sr in sorted(
+                {(c, int(s)) for c, s in zip(codecs.tolist(), srs.tolist())},
+                key=str,
+            ):
+                bps = _BYTES_PER_SAMPLE.get(codec)
+                if bps is None:
+                    raise ValueError(
+                        f"split_clips_on_silence: unsupported codec "
+                        f"{codec!r} — gate undecodable rows out upstream"
+                    )
+                if sr <= 0:
+                    raise ValueError(
+                        "split_clips_on_silence: non-positive sr_hz — "
+                        "repair metadata upstream"
+                    )
+                idx = np.flatnonzero((codecs == codec) & (srs == sr))
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                gap = (sr * int(min_gap_ms)) // 1000
+                ci, s, e = batch_voiced_segments(
+                    samples, lengths, threshold, gap
+                )
+                rows = idx[ci]
+                # all-silent clips: one empty segment each
+                silent = np.setdiff1d(idx, rows, assume_unique=False)
+                all_rows.append(np.concatenate([rows, silent]))
+                all_s.append(np.concatenate([s, np.zeros(len(silent), np.int64)]))
+                all_e.append(np.concatenate([e, np.zeros(len(silent), np.int64)]))
+            rows = np.concatenate(all_rows) if all_rows else np.empty(0, np.int64)
+            s = np.concatenate(all_s) if all_s else np.empty(0, np.int64)
+            e = np.concatenate(all_e) if all_e else np.empty(0, np.int64)
+            order = np.lexsort((s, rows))
+            rows, s, e = rows[order], s[order], e[order]
+            # seg_idx = rank of the segment within its clip
+            first_pos = np.zeros(len(rows), dtype=np.int64)
+            if len(rows):
+                new_clip = np.empty(len(rows), dtype=bool)
+                new_clip[0] = True
+                new_clip[1:] = rows[1:] != rows[:-1]
+                first_pos = np.flatnonzero(new_clip)
+                seg_idx = (np.arange(len(rows))
+                           - np.repeat(first_pos, np.diff(
+                               np.append(first_pos, len(rows)))))
+            else:
+                seg_idx = np.empty(0, dtype=np.int64)
+            out = pdf.iloc[rows].reset_index(drop=True)
+            bps_arr = np.where(
+                out["codec"].to_numpy() == "pcm16", 2, 1
+            ).astype(np.int64)
+            out["bytes"] = [
+                bytes(datas[r])[int(a) * int(b): int(z) * int(b)]
+                for r, a, z, b in zip(rows, s, e, bps_arr)
+            ]
+            if has_dur:
+                out["dur_ms"] = np.round(
+                    (e - s) * 1000.0 / out["sr_hz"].to_numpy()
+                ).astype(pdf["dur_ms"].dtype)
+            if "transcript" in out.columns:
+                out["transcript"] = out["transcript"].where(seg_idx == 0)
+            out["seg_idx"] = seg_idx.astype(np.int32)
+            out["seg_id"] = [
+                f"{cid}#s{int(k):03d}"
+                for cid, k in zip(out[id_col], seg_idx)
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def frame_energy_df(
     df: DataFrame, frame_ms: int = 25, hop_ms: int = 10
 ) -> DataFrame:

@@ -2258,6 +2258,63 @@ ORDER BY grp
 """
 
 
+def q_split_on_silence(spark, sf_dir):
+    """[tier: quality_filter × audio] utterance segmentation — split
+    clips at silence runs >= min_gap (operators/audio.py
+    split_clips_on_silence): segment bounds from one flatnonzero + one
+    diff per (codec, sr) group per Arrow batch
+    (kernel.batch_voiced_segments), each segment a BYTE SLICE of the
+    original payload trimmed to its voiced ends.  Planted utterance
+    structure (sources.clips.segment_rows_for_range; gap gate 25 ms =
+    200 samples): a 400-sample internal silence SPLITS (2 segments), a
+    104-sample one STAYS inside (1 segment spanning block+gap+block),
+    edge silence always falls off, all-silent clips emit one empty
+    segment.  The oracle recomputes per class: clip count, segment
+    count, retained samples from length(bytes) and bytes-per-sample,
+    and duration sums — closed form."""
+    _prep(spark)
+    from .operators.audio import split_clips_on_silence
+    from .sources.clips import segment_clips_df
+
+    clips = segment_clips_df(spark, 240, partitions=8)
+    segs = split_clips_on_silence(clips, min_gap_ms=25)
+    bps = F.when(F.col("codec") == "pcm16", F.lit(2)).otherwise(F.lit(1))
+    rid = F.substring("clip_id", 4, 8).cast("bigint")
+    return (
+        segs.groupBy((rid % 4).alias("cls_key"))
+        .agg(
+            F.count_distinct("clip_id").alias("n_clips"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.length("bytes") / bps).cast("bigint")).cast(
+                "bigint"
+            ).alias("out_samples"),
+            F.sum("dur_ms").cast("bigint").alias("dur_ms_total"),
+        )
+        .orderBy("cls_key")
+    )
+
+
+Q_SPLIT_SILENCE_SQL = """
+WITH p AS (
+  SELECT r, r % 4 AS cls_key, 320 + 16 * (r % 5) AS n
+  FROM (SELECT unnest(range(0, 240)) AS r)
+)
+SELECT CAST(cls_key AS BIGINT) AS cls_key,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(CASE cls_key WHEN 1 THEN 2 ELSE 1 END) AS BIGINT)
+           AS n_segments,
+       CAST(sum(CASE cls_key WHEN 0 THEN n WHEN 1 THEN 2 * n
+                             WHEN 2 THEN 2 * n + 104 ELSE 0 END) AS BIGINT)
+           AS out_samples,
+       CAST(sum(CASE cls_key WHEN 0 THEN n WHEN 1 THEN 2 * n
+                             WHEN 2 THEN 2 * n + 104 ELSE 0 END // 8)
+            AS BIGINT) AS dur_ms_total
+FROM p
+GROUP BY cls_key
+ORDER BY cls_key
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2310,4 +2367,5 @@ QUERIES = {
     "q49_trim_silence": (q_trim_silence, Q_TRIM_SILENCE_SQL),
     "q50_dedup_lines": (q_dedup_lines, Q_DEDUP_LINES_SQL),
     "q51_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
+    "q52_split_on_silence": (q_split_on_silence, Q_SPLIT_SILENCE_SQL),
 }

@@ -448,6 +448,69 @@ def trim_clips_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
+SEGMENT_CLASSES = ("single", "two_utterances", "short_gap", "silent")
+
+
+def segment_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted utterance structure for the silence-split
+    transform (q52), keyed by ``r % 4`` (class in the transcript):
+    single = one voiced block, two_utterances = two blocks separated by
+    a 400-sample silence (>= the 25 ms/200-sample gate → 2 segments),
+    short_gap = two blocks separated by 104 samples (< gate → ONE
+    segment spanning block + gap + block), silent = all zeros.  Every
+    clip is wrapped in 80-lead/48-tail silence that must fall off.
+    Signal is the same |x| = 0.3 alternating wave as the trim table;
+    block length n = 320 + 16*(r%5); all lengths are multiples of 8 so
+    durations at 8 kHz are exact integers in both engines.  Codec
+    cycles with (r // 4) % 3."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    codecs = ("pcm16", "ulaw", "alaw")
+    for r in range(start, end):
+        cls = SEGMENT_CLASSES[r % 4]
+        codec = codecs[(r // 4) % 3]
+        n = 320 + 16 * (r % 5)
+        sig = np.full(n, 0.3, dtype=np.float32)
+        sig[1::2] = -0.3
+        z = lambda k: np.zeros(k, dtype=np.float32)
+        if cls == "single":
+            body = sig
+        elif cls == "two_utterances":
+            body = np.concatenate([sig, z(400), sig])
+        elif cls == "short_gap":
+            body = np.concatenate([sig, z(104), sig])
+        else:
+            body = z(512)
+        pcm = body if cls == "silent" else np.concatenate([z(80), body, z(48)])
+        out["clip_id"].append(f"sg-{r:08d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(int(round(len(pcm) * 1000.0 / sr_hz)))
+        out["codec"].append(codec)
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def segment_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted utterance-structure clips (same no-shuffle
+    range → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield segment_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 LOUDNESS_CLASSES = ("quiet", "loud", "silent")  # r % 3 picks the class
 
 
