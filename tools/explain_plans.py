@@ -352,6 +352,53 @@ def main():
         "  keeps it that way.",
     ))
 
+    from top_secret_spark.operators.audio import split_clips_on_silence, trimmed_clips
+    from top_secret_spark.sources.clips import segment_clips_df
+
+    sections.append((
+        "Endpoint trim + utterance segmentation (map-only byte slicing)",
+        explain_str(
+            split_clips_on_silence(
+                trimmed_clips(segment_clips_df(spark, 60, partitions=4)),
+                min_gap_ms=25,
+            )
+        ),
+        "- The whole trim→segment chain is two MapInPandas nodes directly\n"
+        "  above the source: decode runs only to FIND bounds; output\n"
+        "  payloads are byte slices of the original bytes (codec\n"
+        "  preserved, zero re-encode loss).\n"
+        "- Zero exchanges — both transforms are embarrassingly parallel\n"
+        "  at 10^12 clips; the row-count change (segments per clip) stays\n"
+        "  inside the task.",
+    ))
+
+    from top_secret_spark.operators.dedup import dedup_lines, flag_contaminated
+
+    docs_small = spark.read.parquet(f"{SF}/documents.parquet")
+    sections.append((
+        "Cross-corpus line dedup (C4-style boilerplate strip)",
+        explain_str(dedup_lines(docs_small)),
+        "- Winner per line = groupBy(line).min(struct(id,pos)) with\n"
+        "  partial_min map-side: a boilerplate line repeated 10^9 times\n"
+        "  combines locally instead of serializing one reducer (the\n"
+        "  skew-safe alternative to a row_number window over the line).\n"
+        "- The winner rows ARE the surviving lines — reassembly is one\n"
+        "  groupBy(id) ordered concat, no verify join; the only joins are\n"
+        "  the final id-keyed reattach to the untouched columns.",
+    ))
+    bench_df = docs_small.limit(3).select("text")
+    sections.append((
+        "Benchmark decontamination (broadcast n-gram probe)",
+        explain_str(flag_contaminated(docs_small, bench_df)),
+        "- The benchmark side's distinct n-grams BROADCAST (eval sets are\n"
+        "  small by definition); the corpus probes the hash table in a\n"
+        "  BroadcastHashJoin — no shuffle of corpus text at all.\n"
+        "- Match verified on the n-gram STRING carried by the broadcast\n"
+        "  row, so a 64-bit hash collision cannot falsely condemn a\n"
+        "  document; the only exchange is the per-doc hit-count groupBy\n"
+        "  on 8-byte ids.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
