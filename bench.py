@@ -171,6 +171,30 @@ def main():
     extras["pipeline_audio_clips_per_sec"] = round(
         na / timings["pipeline_audio"], 1)
 
+    # NON-headline extra: the audio-prep transform chain (endpoint trim →
+    # utterance split).  Kept OUT of the headline sum so `value` stays
+    # arm-for-arm comparable with BENCH_r01/r02; best-of-2 warm, same
+    # interleave-free protocol is fine because the chain is map-only
+    # (no shuffle to collide with neighbor load)
+    from top_secret_spark.operators.audio import (
+        split_clips_on_silence,
+        trimmed_clips,
+    )
+
+    prep = lambda: split_clips_on_silence(
+        trimmed_clips(aclips), min_gap_ms=200
+    ).count()
+    prep()  # warm the closure
+    prep_times = []
+    for _ in range(2):
+        t0 = time.time()
+        n_segs = prep()
+        prep_times.append(time.time() - t0)
+    extras["audio_prep_sec"] = round(min(prep_times), 3)
+    extras["audio_prep_clips_per_sec"] = round(
+        na / extras["audio_prep_sec"], 1)
+    extras["audio_prep_segments"] = n_segs
+
     # untimed stats pass: candidate-pair volume is THE cost driver at web
     # scale — surfaced for dashboards, but never billed to the arm
     dd_stats: dict = {}

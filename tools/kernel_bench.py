@@ -240,6 +240,63 @@ def main():
     normalize_loop()
     ng_loop_sec = time.perf_counter() - t0
 
+    # silence-trim + voiced-segment kernels: one flatnonzero/diff/
+    # searchsorted pass over the concatenated buffer vs per-clip scans
+    # (trimmed_clips / split_clips_on_silence hot paths).  Clips carry
+    # real padding/gap structure so the hit array is sparse like
+    # production audio, not dense synth noise.
+    from top_secret_spark.kernel.audio import (
+        batch_trim_bounds,
+        batch_voiced_segments,
+    )
+
+    def _seg_clip(i):
+        n = 200 + (i * 13) % 400
+        sig = np.full(n, 0.3, dtype=np.float32)
+        sig[1::2] = -0.3
+        zz = np.zeros(60 + (i % 5) * 30, dtype=np.float32)
+        if i % 3 == 0:
+            return np.concatenate([zz, sig, zz])
+        if i % 3 == 1:
+            return np.concatenate([zz, sig, np.zeros(300, np.float32), sig, zz])
+        return np.zeros(n, dtype=np.float32)
+
+    tb_clips = [_seg_clip(i) for i in range(2000)]
+    tb_samples = np.concatenate(tb_clips)
+    tb_lengths = np.array([len(c) for c in tb_clips], dtype=np.int64)
+
+    def trim_batched():
+        batch_trim_bounds(tb_samples, tb_lengths, 0.01)
+
+    def trim_loop():
+        for c in tb_clips:
+            batch_trim_bounds(c, np.array([len(c)]), 0.01)
+
+    trim_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        trim_batched()
+    tb_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    trim_loop()
+    tb_loop_sec = time.perf_counter() - t0
+
+    def seg_batched():
+        batch_voiced_segments(tb_samples, tb_lengths, 0.01, 200)
+
+    def seg_loop():
+        for c in tb_clips:
+            batch_voiced_segments(c, np.array([len(c)]), 0.01, 200)
+
+    seg_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        seg_batched()
+    sg_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    seg_loop()
+    sg_loop_sec = time.perf_counter() - t0
+
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
     # avg individual / avg batch, both per whole message set
@@ -274,6 +331,14 @@ def main():
         "normalize_loop_clips_per_sec": round(
             len(ng_clips) / ng_loop_sec, 1),
         "normalize_batched_speedup": round(ng_loop_sec / ng_vec_sec, 2),
+        "trim_batched_clips_per_sec": round(len(tb_clips) / tb_vec_sec, 1),
+        "trim_loop_clips_per_sec": round(len(tb_clips) / tb_loop_sec, 1),
+        "trim_batched_speedup": round(tb_loop_sec / tb_vec_sec, 2),
+        "segments_batched_clips_per_sec": round(
+            len(tb_clips) / sg_vec_sec, 1),
+        "segments_loop_clips_per_sec": round(
+            len(tb_clips) / sg_loop_sec, 1),
+        "segments_batched_speedup": round(sg_loop_sec / sg_vec_sec, 2),
         "iterations": ITERATIONS,
         "host_probe_sec": round(host_probe_sec, 3),
         # self-describing validity: per BENCH/BASELINE.md, a probe in the
