@@ -1,0 +1,91 @@
+"""Sequence packing for training-data preparation.
+
+GPT-style packing concatenates documents in a fixed order and chops the
+stream every ``max_tokens`` — every training sequence is exactly full,
+nothing pads.  The primitive underneath is a GLOBAL prefix sum of token
+counts in document order, which naive Spark writes as a window over ONE
+partition (`Window.orderBy(id)` with no partitionBy — a single task
+holding the whole corpus; the classic scale-killer).  This module does
+it as the textbook two-phase distributed prefix sum instead:
+
+  1. range-partition by the order column, exclusive prefix sum WITHIN
+     each partition (a window over a task-sized group);
+  2. per-partition totals — ONE ROW PER PARTITION, thousands at most —
+     come back to the driver, their exclusive running sum is the
+     partition base offset, and a broadcast join adds base + local.
+
+The only driver-side data is the per-partition totals (bounded by the
+partition count, not the data), and the result is partitioning-
+independent: a global prefix sum is a pure function of (order, value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_offset(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "offset",
+) -> DataFrame:
+    """Append ``out_col`` = exclusive global prefix sum of ``value_col``
+    in ``order_col`` order (the first row gets 0).  Two-phase
+    distributed prefix sum — no global single-partition window; see the
+    module docstring for the shape.  ``order_col`` must be unique;
+    ``value_col`` NULLs count as 0."""
+    val = F.coalesce(F.col(value_col), F.lit(0)).cast("bigint")
+    d = (
+        df.repartitionByRange(F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_local", F.coalesce(F.sum(val).over(w), F.lit(0)))
+    # one row per partition — bounded by partition count, never by data
+    totals = sorted(
+        d.groupBy("_pid").agg(F.sum(val).alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    base, running = [], 0
+    for r in totals:
+        base.append((r["_pid"], running))
+        running += int(r["_t"] or 0)
+    base_df = d.sparkSession.createDataFrame(base, "_pid int, _base long")
+    return (
+        d.join(F.broadcast(base_df), "_pid")
+        .withColumn(out_col, F.col("_base") + F.col("_local"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to its GPT-style training pack: documents
+    concatenate in ``order_col`` order and the stream is chopped every
+    ``max_tokens``.  Appends ``offset`` (global token offset of the
+    doc's first token), ``pack_id`` (the pack that first token lands
+    in) and ``pack_offset`` (position within that pack).  A document
+    whose tokens straddle a boundary starts in ``pack_id`` and spills
+    into the next — exactly the concat-then-chop semantics GPT-family
+    training uses (no padding, sequences always full).
+
+    The global offsets come from :func:`with_global_offset`; everything
+    after is pure Catalyst arithmetic."""
+    if max_tokens <= 0:
+        raise ValueError("pack_sequences: max_tokens must be positive")
+    out = with_global_offset(df, order_col, token_col)
+    return out.withColumn(
+        "pack_id", (F.col("offset") / F.lit(int(max_tokens))).cast("bigint")
+    ).withColumn(
+        "pack_offset", F.col("offset") % F.lit(int(max_tokens))
+    )

@@ -2315,6 +2315,59 @@ ORDER BY cls_key
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """[training-data] GPT-style sequence packing — concatenate docs in
+    id order, chop every 4096 tokens (operators/packing.py): the global
+    token offset comes from a TWO-PHASE distributed prefix sum
+    (range-partition → window within each task-sized partition →
+    one-row-per-partition totals → broadcast base offsets) instead of
+    the naive `Window.orderBy(id)` with no partitionBy, which would
+    drag the whole corpus through ONE task.  The oracle recomputes the
+    exact same exclusive cumulative sum with a SQL window — every
+    offset, pack id, and pack-internal position is gated bit-for-bit
+    (sums of all three per pack-id group), so the distributed prefix
+    sum must agree with the sequential definition everywhere."""
+    _prep(spark)
+    from .operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(
+        docs, max_tokens=4096, token_col="n_chars", order_col="doc_id"
+    )
+    return (
+        packed.groupBy((F.col("pack_id") % 8).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("pack_id").alias("n_packs"),
+            F.sum("offset").cast("bigint").alias("sum_offsets"),
+            F.sum("pack_offset").cast("bigint").alias("sum_pack_offsets"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_PACK_SEQUENCES_SQL = """
+WITH o AS (
+  SELECT doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS off
+  FROM documents
+),
+p AS (
+  SELECT off, off // 4096 AS pack_id, off % 4096 AS pack_offset FROM o
+)
+SELECT CAST(pack_id % 8 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(off) AS BIGINT) AS sum_offsets,
+       CAST(sum(pack_offset) AS BIGINT) AS sum_pack_offsets
+FROM p
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2368,4 +2421,5 @@ QUERIES = {
     "q50_dedup_lines": (q_dedup_lines, Q_DEDUP_LINES_SQL),
     "q51_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "q52_split_on_silence": (q_split_on_silence, Q_SPLIT_SILENCE_SQL),
+    "q53_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
 }
