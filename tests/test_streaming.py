@@ -340,3 +340,53 @@ def test_audio_prep_transforms_stream(spark, tmp_path):
     # 800 samples at 40 ms/8 kHz -> 3 chunks per clip (320+320+160)
     assert len(got) == 90
     assert got == exp
+
+
+def test_trim_split_transforms_stream(spark, tmp_path):
+    """trimmed_clips and split_clips_on_silence are stateless map-only
+    transforms, so they lift to Structured Streaming unchanged: the
+    streamed trim→split chain must equal the batch run segment-for-
+    segment (ids, payload sizes, transcripts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from top_secret_spark.operators.audio import (
+        split_clips_on_silence,
+        trimmed_clips,
+    )
+    from top_secret_spark.sources.clips import (
+        segment_clips_df,
+        segment_rows_for_range,
+    )
+
+    src = str(tmp_path / "seg_in")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pandas(segment_rows_for_range(0, 32)),
+        os.path.join(src, "part-0.parquet"),
+    )
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = split_clips_on_silence(trimmed_clips(stream), min_gap_ms=25).select(
+        "seg_id", F.length("bytes").alias("nb"), "transcript"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seg_stream")
+        .option("checkpointLocation", str(tmp_path / "seg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["seg_id"]: (r["nb"], r["transcript"])
+           for r in spark.sql("select * from seg_stream").collect()}
+    exp = {r["seg_id"]: (r["nb"], r["transcript"])
+           for r in split_clips_on_silence(
+               trimmed_clips(segment_clips_df(spark, 32)), min_gap_ms=25
+           ).select("seg_id", F.length("bytes").alias("nb"),
+                    "transcript").collect()}
+    assert got == exp
+    # 32 rows: 8 two_utterances clips (r%4==1) yield 2 segments each
+    assert len(got) == 40
