@@ -37,9 +37,16 @@ def with_global_offset(
     module docstring for the shape.  ``order_col`` must be unique;
     ``value_col`` NULLs count as 0."""
     val = F.coalesce(F.col(value_col), F.lit(0)).cast("bigint")
+    # localCheckpoint FREEZES the range partitioning: the per-partition
+    # totals job below and the final join are separate actions over this
+    # lineage, and RangePartitioner samples its boundaries — without the
+    # checkpoint a recomputation could draw different boundaries and the
+    # _pid each row saw in phase 1 would not be the _pid it joins its
+    # base offset on in phase 2
     d = (
         df.repartitionByRange(F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_pid")
