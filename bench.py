@@ -191,8 +191,11 @@ def main():
         n_segs = prep()
         prep_times.append(time.time() - t0)
     extras["audio_prep_sec"] = round(min(prep_times), 3)
+    # divide by the RAW minimum, not the rounded record value — a
+    # sub-millisecond run would round to 0.000 and a few-ms run would
+    # distort the rate by up to ~50%
     extras["audio_prep_clips_per_sec"] = round(
-        na / extras["audio_prep_sec"], 1)
+        na / max(min(prep_times), 1e-9), 1)
     extras["audio_prep_segments"] = n_segs
 
     # untimed stats pass: candidate-pair volume is THE cost driver at web

@@ -921,3 +921,32 @@ def test_split_clips_on_silence_operator(spark):
     assert bytes(by_id["quiet#s000"]["bytes"]) == b""
     assert by_id["quiet#s000"]["dur_ms"] == 0
     assert by_id["quiet#s000"]["transcript"] == "x"
+
+
+def test_trim_and_split_null_payload_passthrough(spark):
+    """NULL bytes pass through both transforms untouched (chunked_clips
+    policy): original payload/dur kept, one segment emitted."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import (
+        split_clips_on_silence,
+        trimmed_clips,
+    )
+
+    sig = np.full(400, 0.3, dtype=np.float32)
+    rows = [
+        Row(clip_id="null", bytes=None, sr_hz=8000, dur_ms=77,
+            codec="pcm16", transcript="t"),
+        Row(clip_id="live", bytes=bytearray(encode(sig, "pcm16")),
+            sr_hz=8000, dur_ms=50, codec="pcm16", transcript="u"),
+    ]
+    df = spark.createDataFrame(rows).repartition(1)
+    t = {r["clip_id"]: r for r in trimmed_clips(df).collect()}
+    assert t["null"]["bytes"] is None and t["null"]["dur_ms"] == 77
+    assert len(t["live"]["bytes"]) == 800 and t["live"]["dur_ms"] == 50
+    s = {r["seg_id"]: r
+         for r in split_clips_on_silence(df, min_gap_ms=25).collect()}
+    assert set(s) == {"null#s000", "live#s000"}
+    assert s["null#s000"]["bytes"] is None
+    assert s["null#s000"]["dur_ms"] == 77
+    assert s["null#s000"]["transcript"] == "t"

@@ -825,3 +825,17 @@ def test_with_clean_text_semantics(spark):
     assert got[5] == "café already composed"
     both = with_clean_text(df, out_col="clean").collect()[0]
     assert "clean" in both.asDict() and "text" in both.asDict()
+
+
+def test_with_clean_text_cr_and_c1_controls(spark):
+    """Lone CR becomes LF (classic-Mac newline, not deleted noise); C1
+    controls strip — twins differing only in these collapse."""
+    from top_secret_spark.operators.text_analysis import with_clean_text
+
+    df = spark.createDataFrame(
+        [(1, "line one\rline two"), (2, "abc\x85def")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in with_clean_text(df).collect()}
+    assert got[1] == "line one\nline two"
+    assert got[2] == "abcdef"

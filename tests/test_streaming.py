@@ -390,3 +390,36 @@ def test_trim_split_transforms_stream(spark, tmp_path):
     assert got == exp
     # 32 rows: 8 two_utterances clips (r%4==1) yield 2 segments each
     assert len(got) == 40
+
+
+def test_dedup_stream_explicit_fp_col_drops_stale_column(spark, tmp_path):
+    """fingerprint_col_name pointing at a DIFFERENT column must not
+    collide with a stale column literally named 'fingerprint'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from top_secret_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "stale_in")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([1, 2], pa.int64()),
+             pa.array(["a text", "a text"]),
+             pa.array([111, 222], pa.int64()),   # stale junk
+             pa.array([7, 7], pa.int64())],      # real precomputed key
+            names=["doc_id", "transcript", "fingerprint", "fp"],
+        ),
+        os.path.join(src, "part-0.parquet"),
+    )
+    schema = ("doc_id long, transcript string, fingerprint long, fp long")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dedup_stream(stream, state_ttl=None, fingerprint_col_name="fp")
+    q = (out.writeStream.format("memory").queryName("stale_fp")
+         .option("checkpointLocation", str(tmp_path / "stale_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.exception() is None
+    rows = spark.sql("select * from stale_fp").collect()
+    assert len(rows) == 1          # deduped on the real key
+    assert rows[0]["fingerprint"] == 7

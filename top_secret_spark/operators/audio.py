@@ -267,9 +267,11 @@ def trimmed_clips(
     input (no decode→re-encode generation loss).  ``dur_ms`` is
     rewritten from the retained sample count.  All-silent clips come
     out with an empty payload (dur 0) for the audio gate to name, not
-    silently dropped — a transform covers every input row.  Same
-    contract as :func:`resampled_clips`: undecodable payloads (unknown
-    codec, odd-length pcm16, non-positive sr) raise loudly."""
+    silently dropped, and NULL payloads pass through untouched (same
+    policy as :func:`chunked_clips`) — a transform covers every input
+    row.  Same contract as :func:`resampled_clips` otherwise:
+    undecodable payloads (unknown codec, odd-length pcm16, non-positive
+    sr) raise loudly."""
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     has_dur = "dur_ms" in df.columns
 
@@ -280,11 +282,14 @@ def trimmed_clips(
 
         for pdf in iterator:
             datas = pdf["bytes"].tolist()
+            nonnull = np.array([d is not None for d in datas])
             codecs = pdf["codec"].to_numpy()
             srs = pdf["sr_hz"].to_numpy()
-            out_bytes = [None] * len(pdf)
-            out_dur = np.zeros(len(pdf), dtype=np.int64)
-            for codec in sorted(set(codecs.tolist()), key=str):
+            out_bytes = list(datas)  # NULL payloads pass through
+            new_dur = pdf["dur_ms"].copy() if has_dur else None
+            for codec in sorted(
+                set(codecs[nonnull].tolist()), key=str
+            ):
                 bps = _BYTES_PER_SAMPLE.get(codec)
                 if bps is None:
                     raise ValueError(
@@ -292,7 +297,7 @@ def trimmed_clips(
                         "gate undecodable rows out upstream "
                         "(with_audio_keep_drop) before transforming"
                     )
-                idx = np.flatnonzero(codecs == codec)
+                idx = np.flatnonzero((codecs == codec) & nonnull)
                 if (srs[idx] <= 0).any():
                     raise ValueError(
                         "trimmed_clips: non-positive sr_hz — repair "
@@ -309,13 +314,14 @@ def trimmed_clips(
                     out_bytes[i] = bytes(datas[i])[
                         int(starts[k]) * bps : int(ends[k]) * bps
                     ]
-                out_dur[idx] = np.round(
-                    (ends - starts) * 1000.0 / srs[idx]
-                ).astype(np.int64)
+                if has_dur:
+                    new_dur.iloc[idx] = np.round(
+                        (ends - starts) * 1000.0 / srs[idx]
+                    ).astype(np.int64)
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
             if has_dur:
-                pdf["dur_ms"] = out_dur.astype(pdf["dur_ms"].dtype)
+                pdf["dur_ms"] = new_dur
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
@@ -433,8 +439,9 @@ def split_clips_on_silence(
     not alignable to segments without forced alignment, so it stays on
     segment 0 only (NULL elsewhere) — same contract as
     :func:`chunked_clips`.  All-silent and empty clips emit ONE empty
-    segment (a structural transform never loses rows).  Transform
-    contract: undecodable payloads / non-positive sr raise loudly."""
+    segment, and NULL payloads pass through as one untouched segment
+    (a structural transform never loses rows).  Transform contract:
+    undecodable payloads / non-positive sr raise loudly."""
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     schema += ", seg_idx int, seg_id string"
     has_dur = "dur_ms" in df.columns
@@ -446,15 +453,16 @@ def split_clips_on_silence(
 
         for pdf in iterator:
             datas = pdf["bytes"].tolist()
+            nonnull = np.array([d is not None for d in datas])
             codecs = pdf["codec"].to_numpy()
             srs = pdf["sr_hz"].to_numpy()
             all_rows, all_s, all_e = [], [], []
             for codec, sr in sorted(
-                {(c, int(s)) for c, s in zip(codecs.tolist(), srs.tolist())},
+                {(c, int(s)) for c, s, nn in
+                 zip(codecs.tolist(), srs.tolist(), nonnull) if nn},
                 key=str,
             ):
-                bps = _BYTES_PER_SAMPLE.get(codec)
-                if bps is None:
+                if _BYTES_PER_SAMPLE.get(codec) is None:
                     raise ValueError(
                         f"split_clips_on_silence: unsupported codec "
                         f"{codec!r} — gate undecodable rows out upstream"
@@ -464,7 +472,9 @@ def split_clips_on_silence(
                         "split_clips_on_silence: non-positive sr_hz — "
                         "repair metadata upstream"
                     )
-                idx = np.flatnonzero((codecs == codec) & (srs == sr))
+                idx = np.flatnonzero(
+                    (codecs == codec) & (srs == sr) & nonnull
+                )
                 samples, lengths = batch_decode(
                     [bytes(datas[i]) for i in idx], codec
                 )
@@ -478,13 +488,18 @@ def split_clips_on_silence(
                 all_rows.append(np.concatenate([rows, silent]))
                 all_s.append(np.concatenate([s, np.zeros(len(silent), np.int64)]))
                 all_e.append(np.concatenate([e, np.zeros(len(silent), np.int64)]))
+            # NULL payloads: one passthrough segment each (s == e == -1
+            # marks "do not slice, do not rewrite duration")
+            nulls = np.flatnonzero(~nonnull)
+            all_rows.append(nulls)
+            all_s.append(np.full(len(nulls), -1, np.int64))
+            all_e.append(np.full(len(nulls), -1, np.int64))
             rows = np.concatenate(all_rows) if all_rows else np.empty(0, np.int64)
             s = np.concatenate(all_s) if all_s else np.empty(0, np.int64)
             e = np.concatenate(all_e) if all_e else np.empty(0, np.int64)
             order = np.lexsort((s, rows))
             rows, s, e = rows[order], s[order], e[order]
             # seg_idx = rank of the segment within its clip
-            first_pos = np.zeros(len(rows), dtype=np.int64)
             if len(rows):
                 new_clip = np.empty(len(rows), dtype=bool)
                 new_clip[0] = True
@@ -496,17 +511,26 @@ def split_clips_on_silence(
             else:
                 seg_idx = np.empty(0, dtype=np.int64)
             out = pdf.iloc[rows].reset_index(drop=True)
-            bps_arr = np.where(
-                out["codec"].to_numpy() == "pcm16", 2, 1
-            ).astype(np.int64)
+            passthrough = s < 0
+            # one source of truth for bytes-per-sample: the same dict the
+            # codec validation above checked against
+            bps_arr = (
+                out["codec"].map(_BYTES_PER_SAMPLE).fillna(1)
+                .to_numpy().astype(np.int64)
+            )
             out["bytes"] = [
-                bytes(datas[r])[int(a) * int(b): int(z) * int(b)]
+                None if a < 0 else bytes(datas[r])[
+                    int(a) * int(b): int(z) * int(b)]
                 for r, a, z, b in zip(rows, s, e, bps_arr)
             ]
             if has_dur:
-                out["dur_ms"] = np.round(
-                    (e - s) * 1000.0 / out["sr_hz"].to_numpy()
-                ).astype(pdf["dur_ms"].dtype)
+                new_dur = out["dur_ms"].copy()
+                live = np.flatnonzero(~passthrough)
+                new_dur.iloc[live] = np.round(
+                    (e[live] - s[live]) * 1000.0
+                    / out["sr_hz"].to_numpy()[live]
+                ).astype(np.int64)
+                out["dur_ms"] = new_dur
             if "transcript" in out.columns:
                 out["transcript"] = out["transcript"].where(seg_idx == 0)
             out["seg_idx"] = seg_idx.astype(np.int32)

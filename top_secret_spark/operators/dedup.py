@@ -192,7 +192,12 @@ def flag_contaminated(
         doc_grams.join(F.broadcast(bench_grams), "_gh")
         .filter(F.col("_dg") == F.col("_gram"))
         .groupBy("_id")
-        .agg(F.count_distinct("_gram").alias("_n_hit"))
+        # distinct over the 8-byte hash, not the string: the match is
+        # already string-verified by the filter above, and bench_grams
+        # is distinct per string, so this keeps the aggregation shuffle
+        # fixed-width (two colliding benchmark grams could undercount a
+        # doc's hits by one — the FLAG is unaffected)
+        .agg(F.count_distinct("_gh").alias("_n_hit"))
     )
     out = df.join(matches, df[id_col] == matches["_id"], "left")
     return (

@@ -91,8 +91,12 @@ def pack_sequences(
     if max_tokens <= 0:
         raise ValueError("pack_sequences: max_tokens must be positive")
     out = with_global_offset(df, order_col, token_col)
+    # `div`, not `/`: Spark's `/` is double division, which loses
+    # integer exactness once offsets pass 2^52 (~4.5e15 tokens — inside
+    # the 10^12-doc regime this module targets) and would disagree with
+    # the exact bigint `%` below at pack boundaries
     return out.withColumn(
-        "pack_id", (F.col("offset") / F.lit(int(max_tokens))).cast("bigint")
+        "pack_id", F.expr(f"offset div {int(max_tokens)}")
     ).withColumn(
         "pack_offset", F.col("offset") % F.lit(int(max_tokens))
     )

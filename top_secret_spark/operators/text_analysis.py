@@ -110,7 +110,11 @@ def fingerprint_col(text) -> Column:
     return F.xxhash64(normalized_text_col(text))
 
 
-CONTROL_CHARS_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+# C0 (keeping \t \n) + DEL + C1.  \x0d is included: CRLF is rewritten to
+# LF BEFORE this strip runs, so any CR still standing here is a lone
+# classic-Mac/stray CR that would otherwise keep byte-identical texts
+# apart.
+CONTROL_CHARS_PATTERN = r"[\x00-\x08\x0b-\x1f\x7f-\x9f]"
 
 
 def with_clean_text(
@@ -122,8 +126,9 @@ def with_clean_text(
     collapse to one canonical form instead of defeating every
     content-identity operator downstream:
 
-      1. CRLF → LF,
-      2. strip C0/C1 control characters (keeping ``\\n`` and ``\\t``),
+      1. CRLF → LF, then any remaining lone CR → LF (classic-Mac
+         line endings are newlines, not noise to delete),
+      2. strip C0/C1 control characters + DEL (keeping ``\\n``/``\\t``),
       3. Unicode NFC normalization (UAX #15).
 
     Arrow-vectorized pandas string ops (``Series.str`` — no per-row
@@ -136,6 +141,7 @@ def with_clean_text(
     def _clean(s):
         return (
             s.str.replace("\r\n", "\n", regex=False)
+            .str.replace("\r", "\n", regex=False)
             .str.replace(CONTROL_CHARS_PATTERN, "", regex=True)
             .str.normalize("NFC")
         )

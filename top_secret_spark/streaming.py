@@ -97,13 +97,20 @@ def dedup_stream(
                     f"fingerprint_col_name {fingerprint_col_name!r} not in "
                     f"stream columns {stream.columns}"
                 )
-            with_fp = (
-                stream
-                if fingerprint_col_name == "fingerprint"
-                else stream.withColumnRenamed(
+            if fingerprint_col_name == "fingerprint":
+                with_fp = stream
+            else:
+                # drop any pre-existing 'fingerprint' column first — the
+                # caller explicitly chose a DIFFERENT column, and the
+                # rename would otherwise create two columns named
+                # 'fingerprint' and break the state groupBy with an
+                # ambiguous reference (the stale-column scenario this
+                # parameter exists for)
+                if "fingerprint" in stream.columns:
+                    stream = stream.drop("fingerprint")
+                with_fp = stream.withColumnRenamed(
                     fingerprint_col_name, "fingerprint"
                 )
-            )
         else:
             with_fp = stream.withColumn(
                 "fingerprint", fingerprint_col(text_col)
