@@ -2113,6 +2113,23 @@ ORDER BY cls
 """
 
 
+def _planted_line_corpus(spark):
+    """240 multi-line docs from pure row arithmetic (shared by q50 and
+    q55): a boilerplate line every doc carries, a header line shared by
+    r % 10, two per-doc-unique lines; every 40th doc is boilerplate-only
+    and dedups to empty."""
+    boiler = F.lit("subscribe to our newsletter")
+    header = F.format_string("header %d", F.col("id") % 10)
+    ua = F.format_string("unique line %d a", F.col("id"))
+    ub = F.format_string("unique line %d b", F.col("id"))
+    return spark.range(0, 240).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 40 == 39, F.concat_ws("\n", boiler, header)
+        ).otherwise(F.concat_ws("\n", boiler, header, ua, ub)).alias("text"),
+    )
+
+
 def q_dedup_lines(spark, sf_dir):
     """[training-data] cross-corpus LINE dedup — the C4-style
     boilerplate strip (operators/dedup.py dedup_lines): every distinct
@@ -2130,17 +2147,7 @@ def q_dedup_lines(spark, sf_dir):
     _prep(spark)
     from .operators.dedup import dedup_lines
 
-    boiler = F.lit("subscribe to our newsletter")
-    header = F.format_string("header %d", F.col("id") % 10)
-    ua = F.format_string("unique line %d a", F.col("id"))
-    ub = F.format_string("unique line %d b", F.col("id"))
-    docs = spark.range(0, 240).select(
-        F.col("id").alias("doc_id"),
-        F.when(
-            F.col("id") % 40 == 39, F.concat_ws("\n", boiler, header)
-        ).otherwise(F.concat_ws("\n", boiler, header, ua, ub)).alias("text"),
-    )
-    out = dedup_lines(docs)
+    out = dedup_lines(_planted_line_corpus(spark))
     return (
         out.groupBy((F.col("doc_id") % 5).cast("bigint").alias("grp"))
         .agg(
@@ -2431,6 +2438,75 @@ ORDER BY cls
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """[training-data] END-TO-END text curation: canonicalize
+    (with_clean_text) → cross-corpus line dedup (dedup_lines) → token
+    count → GPT-style sequence packing (pack_sequences) — the full
+    prepare-a-crawl-for-training chain as ONE composed plan, gated by
+    ONE oracle.  The planted corpus is q50's (closed-form kept-chars
+    per doc), so the oracle recomputes the post-dedup text length of
+    every document, then the exclusive cumulative sum over doc order
+    (SQL window), then every pack id and pack-internal position — any
+    stage breaking its contract (dedup keeping a dup line, the prefix
+    sum drifting, packing mis-chopping) shifts every downstream value
+    and fails the hash."""
+    _prep(spark)
+    from .operators.dedup import dedup_lines
+    from .operators.packing import pack_sequences
+    from .operators.text_analysis import with_clean_text
+
+    curated = dedup_lines(with_clean_text(_planted_line_corpus(spark)))
+    curated = curated.withColumn("n_tokens", F.length("text"))
+    packed = pack_sequences(curated, max_tokens=512, token_col="n_tokens")
+    return (
+        packed.groupBy((F.col("pack_id") % 8).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("pack_id").alias("n_packs"),
+            F.sum("offset").cast("bigint").alias("sum_offsets"),
+            F.sum("pack_offset").cast("bigint").alias("sum_pack_offsets"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_CURATION_PIPELINE_SQL = """
+WITH p AS (
+  SELECT r,
+         (r % 40 = 39) AS two_liner,
+         CASE WHEN r % 40 = 39 THEN 0
+              ELSE 2 + CASE WHEN r = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN r < 10 THEN 1 ELSE 0 END END AS n_kept
+  FROM (SELECT unnest(range(0, 240)) AS r)
+),
+c AS (
+  SELECT r,
+         CASE WHEN two_liner THEN 0
+              ELSE CASE WHEN r = 0 THEN 27 ELSE 0 END
+                 + CASE WHEN r < 10 THEN 8 ELSE 0 END
+                 + 2 * (14 + length(CAST(r AS VARCHAR)))
+                 + (n_kept - 1) END AS chars
+  FROM p
+),
+o AS (
+  SELECT r, COALESCE(sum(chars) OVER (ORDER BY r
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM c
+),
+k AS (
+  SELECT off, off // 512 AS pack_id, off % 512 AS pack_offset FROM o
+)
+SELECT CAST(pack_id % 8 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(off) AS BIGINT) AS sum_offsets,
+       CAST(sum(pack_offset) AS BIGINT) AS sum_pack_offsets
+FROM k
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2486,4 +2562,5 @@ QUERIES = {
     "q52_split_on_silence": (q_split_on_silence, Q_SPLIT_SILENCE_SQL),
     "q53_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q54_clean_text": (q_clean_text, Q_CLEAN_TEXT_SQL),
+    "q55_curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
 }
