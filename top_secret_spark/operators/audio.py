@@ -315,9 +315,11 @@ def trimmed_clips(
                         int(starts[k]) * bps : int(ends[k]) * bps
                     ]
                 if has_dur:
+                    # cast to the Series' own dtype: pandas deprecates
+                    # (future-errors) int64 setitem into an int32 column
                     new_dur.iloc[idx] = np.round(
                         (ends - starts) * 1000.0 / srs[idx]
-                    ).astype(np.int64)
+                    ).astype(new_dur.dtype, copy=False)
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
             if has_dur:
@@ -526,10 +528,12 @@ def split_clips_on_silence(
             if has_dur:
                 new_dur = out["dur_ms"].copy()
                 live = np.flatnonzero(~passthrough)
+                # cast to the Series' own dtype: pandas deprecates
+                # (future-errors) int64 setitem into an int32 column
                 new_dur.iloc[live] = np.round(
                     (e[live] - s[live]) * 1000.0
                     / out["sr_hz"].to_numpy()[live]
-                ).astype(np.int64)
+                ).astype(new_dur.dtype, copy=False)
                 out["dur_ms"] = new_dur
             if "transcript" in out.columns:
                 out["transcript"] = out["transcript"].where(seg_idx == 0)

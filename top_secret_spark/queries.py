@@ -2507,6 +2507,87 @@ ORDER BY grp
 """
 
 
+def q_audio_prep_pipeline(spark, sf_dir):
+    """[tier: quality_filter × audio] END-TO-END audio prep: endpoint
+    trim → utterance split → resample to 16 kHz → loudness normalize →
+    30 ms chunking, composed as ONE plan (five map-only stages, zero
+    exchanges) and gated by ONE oracle.  The planted utterance corpus
+    (q52's) makes every stage's effect closed-form: trim removes the
+    known padding, split yields the known segment sizes, 8→16 kHz
+    exactly doubles sample counts, normalization preserves length,
+    chunking is ceil(S/480) with the last-chunk remainder divisible by
+    16 so durations are exact in both engines.  A wrong boundary in ANY
+    stage changes the chunk counts / sample sums / duration sums and
+    fails the hash.  chunk ids key on seg_id (chunking the SEGMENTS of
+    a clip, not the clip) so multi-utterance clips cannot collide."""
+    _prep(spark)
+    from .operators.audio import (
+        chunked_clips,
+        normalized_clips,
+        resampled_clips,
+        split_clips_on_silence,
+        trimmed_clips,
+    )
+    from .sources.clips import segment_clips_df
+
+    clips = segment_clips_df(spark, 240, partitions=8)
+    segs = split_clips_on_silence(trimmed_clips(clips), min_gap_ms=25)
+    prepped = chunked_clips(
+        normalized_clips(resampled_clips(segs, 16000)),
+        max_dur_ms=30,
+        id_col="seg_id",
+    )
+    rid = F.substring("clip_id", 4, 8).cast("bigint")
+    return (
+        prepped.groupBy((rid % 4).alias("cls_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.length("bytes") / 2).cast("bigint")).cast(
+                "bigint"
+            ).alias("out_samples"),
+            F.sum("dur_ms").cast("bigint").alias("dur_ms_total"),
+            F.count(F.col("transcript")).alias("n_transcripts"),
+        )
+        .orderBy("cls_key")
+    )
+
+
+Q_AUDIO_PREP_SQL = """
+WITH p AS (
+  SELECT r, r % 4 AS cls_key, 320 + 16 * (r % 5) AS n
+  FROM (SELECT unnest(range(0, 240)) AS r)
+),
+-- per-row chunk arithmetic at 16 kHz, 30 ms chunks = 480 samples
+d AS (
+  SELECT cls_key,
+         CASE cls_key WHEN 0 THEN CEIL(2 * n / 480.0)
+                      WHEN 1 THEN 2 * CEIL(2 * n / 480.0)
+                      WHEN 2 THEN CEIL((4 * n + 208) / 480.0)
+                      ELSE 1 END AS chunks,
+         CASE cls_key WHEN 0 THEN 2 * n WHEN 1 THEN 4 * n
+                      WHEN 2 THEN 4 * n + 208 ELSE 0 END AS samples,
+         CASE cls_key
+           WHEN 0 THEN (CEIL(2 * n / 480.0) - 1) * 30
+                       + (2 * n - (CEIL(2 * n / 480.0) - 1) * 480) // 16
+           WHEN 1 THEN 2 * ((CEIL(2 * n / 480.0) - 1) * 30
+                       + (2 * n - (CEIL(2 * n / 480.0) - 1) * 480) // 16)
+           WHEN 2 THEN (CEIL((4 * n + 208) / 480.0) - 1) * 30
+                       + ((4 * n + 208)
+                          - (CEIL((4 * n + 208) / 480.0) - 1) * 480) // 16
+           ELSE 0 END AS dur
+  FROM p
+)
+SELECT CAST(cls_key AS BIGINT) AS cls_key,
+       CAST(sum(chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(samples) AS BIGINT) AS out_samples,
+       CAST(sum(dur) AS BIGINT) AS dur_ms_total,
+       CAST(count(*) AS BIGINT) AS n_transcripts
+FROM d
+GROUP BY cls_key
+ORDER BY cls_key
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2563,4 +2644,5 @@ QUERIES = {
     "q53_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q54_clean_text": (q_clean_text, Q_CLEAN_TEXT_SQL),
     "q55_curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
+    "q56_audio_prep_pipeline": (q_audio_prep_pipeline, Q_AUDIO_PREP_SQL),
 }
