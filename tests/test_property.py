@@ -203,3 +203,79 @@ def test_batch_normalize_gain_equivalence_property(lens, target, cap):
         solo = batch_normalize_gain(c, np.array([len(c)]), target, cap)
         np.testing.assert_array_equal(
             out[(bounds[k] - len(c)):bounds[k]], solo)
+
+
+# sparse voiced/silent structure: alternating runs of zeros and signal
+_RUNS = st.lists(
+    st.tuples(st.booleans(), st.integers(min_value=0, max_value=120)),
+    min_size=0, max_size=8,
+)
+
+
+def _structured_clip(runs):
+    parts = []
+    for voiced, n in runs:
+        if voiced:
+            seg = np.full(n, 0.3, dtype=np.float32)
+            seg[1::2] = -0.3
+            parts.append(seg)
+        else:
+            parts.append(np.zeros(n, dtype=np.float32))
+    return (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.float32))
+
+
+@given(st.lists(_RUNS, min_size=0, max_size=8),
+       st.integers(min_value=0, max_value=30))
+@settings(max_examples=120, deadline=None)
+def test_batch_trim_bounds_equivalence_property(clip_runs, pad):
+    """batch trim bounds == a scalar per-clip scan under arbitrary
+    silence/signal run layouts and pads (incl. empty / all-silent /
+    trailing-silent clips)."""
+    from top_secret_spark.kernel.audio import batch_trim_bounds
+
+    clips = [_structured_clip(r) for r in clip_runs]
+    samples = (np.concatenate(clips) if clips
+               else np.empty(0, dtype=np.float32))
+    lengths = np.array([len(c) for c in clips], dtype=np.int64)
+    starts, ends = batch_trim_bounds(samples, lengths, 0.01, pad)
+    for k, c in enumerate(clips):
+        hits = np.flatnonzero(np.abs(c) > 0.01)
+        if hits.size:
+            exp = (max(int(hits[0]) - pad, 0),
+                   min(int(hits[-1]) + 1 + pad, len(c)))
+        else:
+            exp = (0, 0)
+        assert (starts[k], ends[k]) == exp, (k, starts[k], ends[k], exp)
+
+
+@given(st.lists(_RUNS, min_size=0, max_size=8),
+       st.integers(min_value=1, max_value=200))
+@settings(max_examples=120, deadline=None)
+def test_batch_voiced_segments_equivalence_property(clip_runs, gap):
+    """batch segment detection == a scalar per-clip scan under arbitrary
+    run layouts and gap thresholds; segments never cross clip bounds."""
+    from top_secret_spark.kernel.audio import batch_voiced_segments
+
+    clips = [_structured_clip(r) for r in clip_runs]
+    samples = (np.concatenate(clips) if clips
+               else np.empty(0, dtype=np.float32))
+    lengths = np.array([len(c) for c in clips], dtype=np.int64)
+    ci, s, e = batch_voiced_segments(samples, lengths, 0.01, gap)
+    got = {}
+    for k in range(len(ci)):
+        got.setdefault(int(ci[k]), []).append((int(s[k]), int(e[k])))
+    for k, c in enumerate(clips):
+        hits = np.flatnonzero(np.abs(c) > 0.01)
+        segs = []
+        if hits.size:
+            start = prev = int(hits[0])
+            for h in hits[1:]:
+                if h - prev - 1 >= gap:
+                    segs.append((start, prev + 1))
+                    start = int(h)
+                prev = int(h)
+            segs.append((start, prev + 1))
+        assert got.get(k, []) == segs, (k, got.get(k, []), segs)
+        for a, b in segs:
+            assert 0 <= a < b <= len(c)
