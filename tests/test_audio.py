@@ -950,3 +950,35 @@ def test_trim_and_split_null_payload_passthrough(spark):
     assert s["null#s000"]["bytes"] is None
     assert s["null#s000"]["dur_ms"] == 77
     assert s["null#s000"]["transcript"] == "t"
+
+
+def test_speed_perturbed_clips(spark):
+    """sox `speed` semantics: n_out = round(n * sr / round(sr*factor)),
+    sr metadata preserved, codec pcm16, dur rewritten, factor 1.0 is
+    sample-identical passthrough, NULL payload passes through."""
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from top_secret_spark.operators.audio import speed_perturbed_clips
+
+    pcm = synth_pcm(91, 1100, 8000)
+    rows = [
+        Row(clip_id="a", bytes=bytearray(encode(pcm, "pcm16")),
+            sr_hz=8000, dur_ms=138, codec="pcm16", transcript="t"),
+        Row(clip_id="n", bytes=None, sr_hz=8000, dur_ms=5,
+            codec="pcm16", transcript="u"),
+    ]
+    df = spark.createDataFrame(rows).repartition(1)
+    got = {r["clip_id"]: r
+           for r in speed_perturbed_clips(df, factor=1.1).collect()}
+    n_out = round(1100 * 8000 / 8800)  # 1000
+    assert len(got["a"]["bytes"]) == n_out * 2
+    assert got["a"]["sr_hz"] == 8000 and got["a"]["codec"] == "pcm16"
+    assert got["a"]["dur_ms"] == 125
+    assert got["n"]["bytes"] is None and got["n"]["dur_ms"] == 5
+    ident = {r["clip_id"]: r
+             for r in speed_perturbed_clips(df, factor=1.0).collect()}
+    assert bytes(ident["a"]["bytes"]) == bytes(rows[0]["bytes"])
+    with _pytest.raises(ValueError, match="factor"):
+        speed_perturbed_clips(df, factor=0)

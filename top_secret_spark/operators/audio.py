@@ -420,6 +420,81 @@ def chunked_clips(
     return out
 
 
+def speed_perturbed_clips(df: DataFrame, factor: float = 1.1) -> DataFrame:
+    """Speed perturbation — the Kaldi-style `sp` augmentation every ASR
+    training recipe runs (0.9×/1.0×/1.1× copies of the corpus): play the
+    waveform ``factor``× faster by resampling it AS IF its source rate
+    were ``round(sr·factor)`` and relabeling at the original rate (sox
+    `speed` semantics — pitch shifts with tempo).  Output sample count
+    is ``round(n · sr / round(sr·factor))``; metadata keeps ``sr_hz``
+    and rewrites ``dur_ms`` and ``codec`` (pcm16, like every
+    re-synthesizing transform here).
+
+    Same batching as :func:`resampled_clips`, grouped per (codec, sr)
+    because the virtual source rate depends on the clip's own rate; the
+    resample kernel is the shared regime-adaptive ``batch_resample``.
+    Transform contract: undecodable payloads / non-positive sr raise
+    loudly; NULL payloads pass through."""
+    if not factor > 0:
+        raise ValueError("speed_perturbed_clips: factor must be positive")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    has_dur = "dur_ms" in df.columns
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_decode, batch_resample, float_to_pcm16
+
+        for pdf in iterator:
+            datas = pdf["bytes"].tolist()
+            nonnull = np.array([d is not None for d in datas])
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy()
+            out_bytes = list(datas)
+            out_codec = pdf["codec"].copy()
+            new_dur = pdf["dur_ms"].copy() if has_dur else None
+            for codec, sr in sorted(
+                {(c, int(s)) for c, s, nn in
+                 zip(codecs.tolist(), srs.tolist(), nonnull) if nn},
+                key=str,
+            ):
+                if sr <= 0:
+                    raise ValueError(
+                        "speed_perturbed_clips: non-positive sr_hz — "
+                        "repair metadata upstream"
+                    )
+                idx = np.flatnonzero(
+                    (codecs == codec) & (srs == sr) & nonnull
+                )
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                virtual_sr = int(round(sr * factor))
+                res, res_lengths = batch_resample(
+                    samples, lengths,
+                    np.full(len(idx), virtual_sr, dtype=np.int64), sr
+                )
+                pcm = float_to_pcm16(res)
+                bounds = np.cumsum(res_lengths)
+                start = 0
+                for k, i in enumerate(idx):
+                    out_bytes[i] = pcm[start:bounds[k]].tobytes()
+                    start = int(bounds[k])
+                out_codec.iloc[idx] = "pcm16"
+                if has_dur:
+                    new_dur.iloc[idx] = np.round(
+                        res_lengths * 1000.0 / sr
+                    ).astype(new_dur.dtype, copy=False)
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["codec"] = out_codec
+            if has_dur:
+                pdf["dur_ms"] = new_dur
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def split_clips_on_silence(
     df: DataFrame,
     min_gap_ms: int = 200,

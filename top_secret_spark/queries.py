@@ -2588,6 +2588,57 @@ ORDER BY cls_key
 """
 
 
+def q_speed_perturb(spark, sf_dir):
+    """[tier: quality_filter × audio] speed perturbation — the Kaldi
+    `sp` augmentation (operators/audio.py speed_perturbed_clips): play
+    1.1× faster by resampling as if the source rate were round(sr·1.1)
+    and relabeling at the original rate (sox `speed` semantics).
+    Planted mixed-rate clips (n = 400 + 37r samples, sr by r % 3) make
+    the output sample count pure row arithmetic — round(n·sr/round(sr·
+    1.1)) = round(n·10/11) at every planted rate, tie-free because 11
+    is odd, so numpy banker's and SQL half-away rounding agree on every
+    row.  The oracle recomputes per source rate: clip count, TOTAL
+    output samples from length(bytes)/2 of the re-encoded pcm16 (the
+    payload is gated, not a counter), and transcript passthrough."""
+    _prep(spark)
+    from .operators.audio import speed_perturbed_clips
+    from .sources.clips import resample_clips_df
+
+    clips = resample_clips_df(spark, 180, partitions=8)
+    out = speed_perturbed_clips(
+        clips.withColumn("sr_orig", F.col("sr_hz")), factor=1.1
+    )
+    return (
+        out.groupBy("sr_orig")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            (F.sum(F.length("bytes")) / F.lit(2)).cast("bigint").alias(
+                "out_samples"
+            ),
+            F.sum(F.length("transcript")).alias("transcript_chars"),
+        )
+        .orderBy("sr_orig")
+    )
+
+
+Q_SPEED_PERTURB_SQL = """
+WITH p AS (
+  SELECT r,
+         CASE r % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr_orig,
+         400 + 37 * r AS n
+  FROM (SELECT unnest(range(0, 180)) AS r)
+)
+SELECT CAST(sr_orig AS INTEGER) AS sr_orig,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(GREATEST(1, CAST(ROUND(n * 10.0 / 11) AS BIGINT)))
+            AS BIGINT) AS out_samples,
+       CAST(sum(15 + length(CAST(r AS VARCHAR))) AS BIGINT) AS transcript_chars
+FROM p
+GROUP BY sr_orig
+ORDER BY sr_orig
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2645,4 +2696,5 @@ QUERIES = {
     "q54_clean_text": (q_clean_text, Q_CLEAN_TEXT_SQL),
     "q55_curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "q56_audio_prep_pipeline": (q_audio_prep_pipeline, Q_AUDIO_PREP_SQL),
+    "q57_speed_perturb": (q_speed_perturb, Q_SPEED_PERTURB_SQL),
 }
