@@ -186,12 +186,10 @@ def resampled_clips(df: DataFrame, target_sr: int = 16000) -> DataFrame:
                 res, res_lengths = batch_resample(
                     samples, lengths, srs[idx], target_sr
                 )
-                pcm = float_to_pcm16(res)
-                bounds = np.cumsum(res_lengths)
-                start = 0
-                for k, i in enumerate(idx):
-                    out_bytes[i] = pcm[start:bounds[k]].tobytes()
-                    start = int(bounds[k])
+                for k, payload in enumerate(
+                    _pcm16_payloads(res, res_lengths)
+                ):
+                    out_bytes[idx[k]] = payload
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
             pdf["sr_hz"] = target_sr
@@ -235,12 +233,10 @@ def normalized_clips(
                 normed = batch_normalize_gain(
                     samples, lengths, target_rms, max_gain
                 )
-                pcm = float_to_pcm16(normed)
-                bounds = np.cumsum(lengths)
-                start = 0
-                for k, i in enumerate(idx):
-                    out_bytes[i] = pcm[start:bounds[k]].tobytes()
-                    start = int(bounds[k])
+                for k, payload in enumerate(
+                    _pcm16_payloads(normed, lengths)
+                ):
+                    out_bytes[idx[k]] = payload
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
             pdf["codec"] = "pcm16"
@@ -250,6 +246,23 @@ def normalized_clips(
 
 
 _BYTES_PER_SAMPLE = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+
+
+def _pcm16_payloads(samples, lengths) -> list:
+    """Encode a concatenated float buffer to pcm16 and slice it back
+    into one bytes payload per clip — the shared re-encode tail of every
+    re-synthesizing transform (resample / normalize / speed-perturb)."""
+    import numpy as np
+
+    from ..kernel.audio import float_to_pcm16
+
+    pcm = float_to_pcm16(samples)
+    bounds = np.cumsum(lengths)
+    out, start = [], 0
+    for b in bounds:
+        out.append(pcm[start:int(b)].tobytes())
+        start = int(b)
+    return out
 
 
 def trimmed_clips(
@@ -470,16 +483,20 @@ def speed_perturbed_clips(df: DataFrame, factor: float = 1.1) -> DataFrame:
                     [bytes(datas[i]) for i in idx], codec
                 )
                 virtual_sr = int(round(sr * factor))
+                if virtual_sr < 1:
+                    raise ValueError(
+                        f"speed_perturbed_clips: factor {factor} "
+                        f"quantizes the virtual source rate to 0 at "
+                        f"sr_hz={sr} - the factor is too small"
+                    )
                 res, res_lengths = batch_resample(
                     samples, lengths,
                     np.full(len(idx), virtual_sr, dtype=np.int64), sr
                 )
-                pcm = float_to_pcm16(res)
-                bounds = np.cumsum(res_lengths)
-                start = 0
-                for k, i in enumerate(idx):
-                    out_bytes[i] = pcm[start:bounds[k]].tobytes()
-                    start = int(bounds[k])
+                for k, payload in enumerate(
+                    _pcm16_payloads(res, res_lengths)
+                ):
+                    out_bytes[idx[k]] = payload
                 out_codec.iloc[idx] = "pcm16"
                 if has_dur:
                     new_dur.iloc[idx] = np.round(
