@@ -839,3 +839,33 @@ def test_with_clean_text_cr_and_c1_controls(spark):
     got = {r["doc_id"]: r["text"] for r in with_clean_text(df).collect()}
     assert got[1] == "line one\nline two"
     assert got[2] == "abcdef"
+
+
+def test_dedup_spans_c4_rule(spark):
+    """Three-sentence spans keep their globally-first occurrence; the
+    sentences of losing occurrences are removed (cross-doc AND
+    within-doc); short docs untouched; NULL passes through."""
+    from top_secret_spark.operators.dedup import dedup_spans
+
+    block = "s-one\ns-two\ns-three"
+    rows = [
+        (1, "intro a\n" + block + "\noutro a"),   # first: keeps block
+        (2, "intro b\n" + block + "\noutro b"),   # loses the 3 sentences
+        (3, "A\nB\nC\nA\nB\nC"),               # within-doc repeat
+        (4, "only\ntwo"),                        # < span: untouched
+        (5, None),
+        (6, block),                               # exact block again: loses
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_spans(df).collect()}
+    assert got[1]["text"] == "intro a\n" + block + "\noutro a"
+    assert got[1]["n_sentences_removed"] == 0
+    assert got[2]["text"] == "intro b\noutro b"
+    assert got[2]["n_sentences_removed"] == 3
+    assert got[3]["text"] == "A\nB\nC"
+    assert got[3]["n_sentences_removed"] == 3
+    assert got[4]["text"] == "only\ntwo"
+    assert got[4]["n_sentences_removed"] == 0
+    assert got[5]["text"] is None and got[5]["n_sentences_removed"] == 0
+    assert got[6]["text"] == "" and got[6]["n_sentences_removed"] == 3
+    assert len(got) == 6

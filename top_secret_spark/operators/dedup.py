@@ -138,6 +138,103 @@ def dedup_lines(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """C4's exact span-dedup rule (Raffel et al. 2020: "we discarded
+    all but one of any three-sentence span occurring more than once"):
+    every ``span``-sentence window keeps only its globally-first
+    (id, position) occurrence; the sentences covered by any LOSING
+    occurrence are removed and each document rebuilt from its
+    survivors.  Complements :func:`dedup_lines` — a copied 3-sentence
+    passage inside otherwise-different articles is invisible to both
+    line- and document-level dedup.
+
+    ``delim`` is a LITERAL sentence separator (split and rejoin use it
+    verbatim); single pass, as in C4 — removal is not iterated.
+    Documents with fewer than ``span`` sentences are untouched; NULL
+    text passes through.  Appends ``n_sentences_removed``.
+
+    Scale shape mirrors :func:`dedup_lines`: spans come from a
+    pure-Catalyst ``transform(sequence)`` over the split array (no
+    per-doc Python); the winner per span is a skew-safe
+    ``groupBy(span).min(struct)`` with map-side combine; losing
+    occurrences explode to (id, sentence-pos) longs and survivors
+    rebuild with one groupBy(id).  Span text shuffles once for the
+    winner aggregation — grouping on the text itself (not a digest)
+    keeps the operator exact."""
+    import re as _re
+
+    lit = _re.escape(delim)
+    arr = F.split(F.col(text_col), lit)
+    spans_col = F.when(
+        F.size(arr) >= span,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - span),
+            lambda i: F.struct(
+                i.alias("_spos"),
+                F.concat_ws(delim, F.slice(arr, i + 1, span)).alias("_stext"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<_spos:int,_stext:string>>"))
+    spans = df.select(
+        F.col(id_col).alias("_id"), F.explode(spans_col).alias("_s")
+    ).select("_id", F.col("_s._spos").alias("_spos"),
+             F.col("_s._stext").alias("_stext"))
+    winners = spans.groupBy("_stext").agg(
+        F.min(F.struct(F.col("_id"), F.col("_spos"))).alias("_w")
+    )
+    losers = (
+        spans.join(winners, "_stext")
+        .filter(
+            (F.col("_id") != F.col("_w._id"))
+            | (F.col("_spos") != F.col("_w._spos"))
+        )
+        .select("_id", "_spos")
+    )
+    removed = losers.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("_spos"), F.col("_spos") + F.lit(span - 1))
+        ).alias("_pos"),
+    ).distinct()
+    sents = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(arr).alias("_pos", "_sent"),
+    )
+    kept = sents.join(removed, ["_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_sent"))),
+                lambda s: s["_sent"],
+            ),
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+    n_orig = F.size(F.split(F.col(text_col), lit))
+    return (
+        out.withColumn(
+            "n_sentences_removed",
+            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+                n_orig - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_new_text"), F.lit(""))),
+        )
+        .drop("_id", "_new_text", "_n_kept")
+    )
+
+
 def _word_ngrams(text_col: str, n: int):
     """Array of lowercase word ``n``-grams (space-joined) — empty array
     for texts shorter than ``n`` words or NULL."""

@@ -2639,6 +2639,75 @@ ORDER BY sr_orig
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """[training-data] C4's exact three-sentence-span dedup rule
+    (operators/dedup.py dedup_spans): every 3-sentence window keeps its
+    globally-first occurrence, losing occurrences' sentences are
+    removed, documents rebuilt.  Planted corpus from row arithmetic
+    (240 six-sentence docs; every r % 5 == 2 doc embeds the shared
+    3-sentence block keyed by r % 3 at positions 2-4, so exactly one
+    doc per key — r = 12, 7, 2 — keeps the block and every other
+    carrier loses those three sentences; spans mixing unique + shared
+    sentences embed the doc id and never collide).  The oracle
+    recomputes kept-char sums (with rebuilt-join newlines) and
+    removed-sentence totals in closed form."""
+    _prep(spark)
+    from .operators.dedup import dedup_spans
+
+    L = F.col("id")
+    u = [F.format_string(f"unique sent %d {j}", L) for j in range(6)]
+    k = F.col("id") % 3
+    shared = [
+        F.format_string("shared alpha %d", k),
+        F.format_string("shared bravo %d", k),
+        F.format_string("shared charlie %d", k),
+    ]
+    docs = spark.range(0, 240).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 5 == 2,
+            F.concat_ws("\n", u[0], u[1], *shared, u[2]),
+        ).otherwise(F.concat_ws("\n", *u)).alias("text"),
+    )
+    out = dedup_spans(docs)
+    return (
+        out.groupBy((F.col("doc_id") % 4).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_kept"),
+            F.sum("n_sentences_removed").cast("bigint").alias(
+                "sentences_removed"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_DEDUP_SPANS_SQL = """
+WITH p AS (
+  SELECT r, length(CAST(r AS VARCHAR)) AS L,
+         (r % 5 = 2) AS planted,
+         (r IN (2, 7, 12)) AS winner
+  FROM (SELECT unnest(range(0, 240)) AS r)
+),
+c AS (
+  SELECT r,
+         CASE WHEN NOT planted THEN 6 * (14 + L) + 5
+              WHEN winner THEN 3 * (14 + L) + 44 + 5
+              ELSE 3 * (14 + L) + 2 END AS chars,
+         CASE WHEN planted AND NOT winner THEN 3 ELSE 0 END AS removed
+  FROM p
+)
+SELECT CAST(r % 4 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS chars_kept,
+       CAST(sum(removed) AS BIGINT) AS sentences_removed
+FROM c
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -2697,4 +2766,5 @@ QUERIES = {
     "q55_curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "q56_audio_prep_pipeline": (q_audio_prep_pipeline, Q_AUDIO_PREP_SQL),
     "q57_speed_perturb": (q_speed_perturb, Q_SPEED_PERTURB_SQL),
+    "q58_dedup_spans": (q_dedup_spans, Q_DEDUP_SPANS_SQL),
 }
