@@ -869,3 +869,32 @@ def test_dedup_spans_c4_rule(spark):
     assert got[5]["text"] is None and got[5]["n_sentences_removed"] == 0
     assert got[6]["text"] == "" and got[6]["n_sentences_removed"] == 3
     assert len(got) == 6
+
+
+def test_dedup_lines_and_spans_null_id_passthrough(spark):
+    """NULL-id rows pass through untouched (an id-keyed rebuild can
+    neither group nor re-join them) and do not affect other docs'
+    winner selection; span < 2 raises."""
+    import pytest as _pytest
+
+    from top_secret_spark.operators.dedup import dedup_lines, dedup_spans
+
+    df = spark.createDataFrame(
+        [(None, "shared\nprivate"), (2, "shared\nother")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert got[None]["text"] == "shared\nprivate"
+    assert got[None]["n_lines_removed"] == 0
+    # the NULL-id doc did NOT claim 'shared' — doc 2 keeps it
+    assert got[2]["text"] == "shared\nother"
+    sp = spark.createDataFrame(
+        [(None, "a\nb\nc\nd"), (9, "a\nb\nc")],
+        "doc_id long, text string",
+    )
+    got2 = {r["doc_id"]: r for r in dedup_spans(sp).collect()}
+    assert got2[None]["text"] == "a\nb\nc\nd"
+    assert got2[None]["n_sentences_removed"] == 0
+    assert got2[9]["text"] == "a\nb\nc"
+    with _pytest.raises(ValueError, match="span"):
+        dedup_spans(sp, span=1)

@@ -61,6 +61,34 @@ def dedup_exact(
     return fp.join(w_min, ["fingerprint", id_col], "inner").drop("fingerprint")
 
 
+def _rebuild_documents(df, rebuilt, id_col, text_col, n_orig, counter_col):
+    """Shared rebuild tail of the line/span dedup operators: left-join
+    the rebuilt (_rid, _new_text, _n_kept) rows back onto ``df``,
+    replace ``text_col`` and append ``counter_col`` = original units -
+    kept units.  Rows with NULL id or NULL text pass through UNTOUCHED
+    with counter 0: an id-keyed rebuild can neither group nor re-join a
+    NULL id (a non-null-safe join would silently wipe the row's text),
+    so callers exclude those rows from the dedup computation and this
+    tail preserves them verbatim."""
+    passthrough = F.col(id_col).isNull() | F.col(text_col).isNull()
+    out = df.join(rebuilt, df[id_col] == rebuilt["_rid"], "left")
+    return (
+        out.withColumn(
+            counter_col,
+            F.when(passthrough, F.lit(0)).otherwise(
+                n_orig - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ),
+        )
+        .withColumn(
+            text_col,
+            F.when(passthrough, F.col(text_col)).otherwise(
+                F.coalesce(F.col("_new_text"), F.lit(""))
+            ),
+        )
+        .drop("_rid", "_new_text", "_n_kept")
+    )
+
+
 def dedup_lines(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -93,7 +121,7 @@ def dedup_lines(
 
     The rebuilt text joins back to ``df`` on the 8-byte id to reattach
     untouched columns."""
-    lines = df.select(
+    lines = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     )
@@ -118,23 +146,9 @@ def dedup_lines(
             F.count(F.lit(1)).alias("_n_kept"),
         )
     )
-    out = df.join(
-        rebuilt, df[id_col] == rebuilt["_rid"], "left"
-    )
     n_orig = F.size(F.split(F.col(text_col), "\n"))
-    return (
-        out.withColumn(
-            "n_lines_removed",
-            F.when(
-                F.col(text_col).isNull(), F.lit(0)
-            ).otherwise(n_orig - F.coalesce(F.col("_n_kept"), F.lit(0))),
-        )
-        .withColumn(
-            text_col,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("_new_text"), F.lit(""))),
-        )
-        .drop("_rid", "_new_text", "_n_kept")
+    return _rebuild_documents(
+        df, rebuilt, id_col, text_col, n_orig, "n_lines_removed"
     )
 
 
@@ -159,14 +173,22 @@ def dedup_spans(
     Documents with fewer than ``span`` sentences are untouched; NULL
     text passes through.  Appends ``n_sentences_removed``.
 
-    Scale shape mirrors :func:`dedup_lines`: spans come from a
-    pure-Catalyst ``transform(sequence)`` over the split array (no
-    per-doc Python); the winner per span is a skew-safe
-    ``groupBy(span).min(struct)`` with map-side combine; losing
-    occurrences explode to (id, sentence-pos) longs and survivors
-    rebuild with one groupBy(id).  Span text shuffles once for the
-    winner aggregation — grouping on the text itself (not a digest)
-    keeps the operator exact."""
+    Scale shape: spans come from a pure-Catalyst
+    ``transform(sequence)`` over the split array (no per-doc Python);
+    the winner per span is a skew-safe ``groupBy(span).min(struct)``
+    with map-side combine; losing occurrences are found with a
+    LEFT-ANTI join on the COMPOSITE (span, id, pos) key — near-unique,
+    so a boilerplate span repeated 10^9 times still spreads across
+    tasks instead of serializing one join partition the way a
+    text-only key would.  Losers explode to (id, sentence-pos) longs
+    and survivors rebuild with one groupBy(id).  Span text shuffles
+    once for the aggregation and once for the anti-join — grouping on
+    the text itself (not a digest) keeps the operator exact."""
+    if span < 2:
+        raise ValueError(
+            "dedup_spans: span must be >= 2 (span=1 is dedup_lines; "
+            "span<=0 would match every document on the empty span)"
+        )
     import re as _re
 
     lit = _re.escape(delim)
@@ -181,33 +203,35 @@ def dedup_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<_spos:int,_stext:string>>"))
-    spans = df.select(
+    spans = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.explode(spans_col).alias("_s")
     ).select("_id", F.col("_s._spos").alias("_spos"),
              F.col("_s._stext").alias("_stext"))
     winners = spans.groupBy("_stext").agg(
         F.min(F.struct(F.col("_id"), F.col("_spos"))).alias("_w")
     )
-    losers = (
-        spans.join(winners, "_stext")
-        .filter(
-            (F.col("_id") != F.col("_w._id"))
-            | (F.col("_spos") != F.col("_w._spos"))
-        )
-        .select("_id", "_spos")
+    winner_rows = winners.select(
+        "_stext",
+        F.col("_w._id").alias("_id"),
+        F.col("_w._spos").alias("_spos"),
     )
+    # anti-join on the composite key: the hot span's occurrences have
+    # distinct (id, pos), so the join hash-partitions evenly
+    losers = spans.join(
+        winner_rows, ["_stext", "_id", "_spos"], "left_anti"
+    ).select("_id", "_spos")
     removed = losers.select(
         "_id",
         F.explode(
             F.sequence(F.col("_spos"), F.col("_spos") + F.lit(span - 1))
         ).alias("_pos"),
     ).distinct()
-    sents = df.select(
+    sents = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.posexplode(arr).alias("_pos", "_sent"),
     )
     kept = sents.join(removed, ["_id", "_pos"], "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
+    rebuilt = kept.groupBy(F.col("_id").alias("_rid")).agg(
         F.concat_ws(
             delim,
             F.transform(
@@ -217,21 +241,9 @@ def dedup_spans(
         ).alias("_new_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    out = df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
     n_orig = F.size(F.split(F.col(text_col), lit))
-    return (
-        out.withColumn(
-            "n_sentences_removed",
-            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
-                n_orig - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ),
-        )
-        .withColumn(
-            text_col,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("_new_text"), F.lit(""))),
-        )
-        .drop("_id", "_new_text", "_n_kept")
+    return _rebuild_documents(
+        df, rebuilt, id_col, text_col, n_orig, "n_sentences_removed"
     )
 
 
