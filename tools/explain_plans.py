@@ -386,6 +386,21 @@ def main():
         "  groupBy(id) ordered concat, no verify join; the only joins are\n"
         "  the final id-keyed reattach to the untouched columns.",
     ))
+    from top_secret_spark.operators.dedup import dedup_spans
+
+    sections.append((
+        "C4 span dedup (composite-key anti-join for losers)",
+        explain_str(dedup_spans(docs_small)),
+        "- Spans are a codegen'd transform(sequence) over the split\n"
+        "  array — no explode-then-window, no per-doc Python.\n"
+        "- Winner per span: groupBy(span).min(struct) with partial_min\n"
+        "  map-side (hot spans combine locally); losers come from a\n"
+        "  LEFT-ANTI join on the composite (span, id, pos) key, which is\n"
+        "  near-unique — a boilerplate span repeated 10^9 times spreads\n"
+        "  across join tasks instead of serializing one partition.\n"
+        "- Removal explodes to (id, pos) longs; the rebuild is one\n"
+        "  groupBy(id) ordered concat + the id-keyed reattach join.",
+    ))
     bench_df = docs_small.limit(3).select("text")
     sections.append((
         "Benchmark decontamination (broadcast n-gram probe)",
