@@ -8,6 +8,8 @@ from top_secret_spark.operators.sampling import (
     deterministic_sample,
     sample_u_col,
     stratified_sample,
+    temperature_fractions,
+    temperature_sample,
     with_split,
 )
 
@@ -132,3 +134,53 @@ def test_null_keys_are_kept_not_dropped(spark):
     splits = {r["text"]: r["split"]
               for r in with_split(df, 0.5, seed=3).collect()}
     assert splits["nullkey"] == splits["t0"]
+
+
+def test_temperature_fractions_invariants():
+    counts = {"en": 800, "de": 200, "fr": 50}
+    # alpha=1 -> identity (no rebalance)
+    assert temperature_fractions(counts, 1.0) == {"en": 1.0, "de": 1.0, "fr": 1.0}
+    # alpha<1 flattens: smallest stratum kept whole, head downsampled,
+    # rates ordered opposite to counts
+    r = temperature_fractions(counts, 0.5)
+    assert r["fr"] == 1.0 and r["de"] == 0.5 and r["en"] == 0.25
+    # alpha=0 -> expected post-sample counts uniform: n_i * rate_i const
+    r0 = temperature_fractions(counts, 0.0)
+    sizes = {k: counts[k] * v for k, v in r0.items()}
+    assert max(sizes.values()) / min(sizes.values()) < 1.0001
+    # alpha>1 sharpens: LARGEST stratum kept whole
+    r2 = temperature_fractions(counts, 2.0)
+    assert r2["en"] == 1.0 and r2["fr"] == pytest.approx(50 / 800)
+    with pytest.raises(ValueError):
+        temperature_fractions(counts, -0.5)
+    with pytest.raises(ValueError):
+        temperature_fractions({"en": 0}, 0.5)
+
+
+def test_temperature_sample_flattens_and_is_deterministic(spark):
+    rows = [(i, "en" if i % 10 < 8 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    samp = temperature_sample(df, "lang", alpha=0.5, key_col="doc_id")
+    got = {r["lang"]: r["n"] for r in
+           samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # fr (smallest) kept whole; en downsampled toward sqrt scaling
+    assert got["fr"] == 400
+    assert got["en"] < 1600 * 0.6  # rate = (1600/400)^-0.5 = 0.5
+    # same rows every run regardless of partitioning
+    again = temperature_sample(df.repartition(13), "lang", alpha=0.5)
+    assert sorted(r["doc_id"] for r in samp.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_temperature_sample_null_strata_and_max_strata(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, "en"), (3, "en"), (4, "en"), (5, "en")],
+        "doc_id long, lang string",
+    )
+    # NULL is its own (smallest) stratum: kept whole at alpha<1, never
+    # silently dropped
+    samp = temperature_sample(df, "lang", alpha=0.5)
+    assert samp.filter(F.col("lang").isNull()).count() == 2
+    with pytest.raises(ValueError, match="max_strata"):
+        temperature_sample(df, "doc_id", alpha=0.5, max_strata=3)

@@ -1,0 +1,177 @@
+"""Frequency-domain feature kernel + operator tests (kernel/spectral.py,
+operators/audio.py with_spectral_features).
+
+Strategy mirrors the other audio kernels: (a) batched == scalar twin over
+randomized clip layouts (hypothesis, including zero-length and
+shorter-than-frame clips at every position), (b) block-size invariance of
+the memory-bounding FFT chunking, (c) physics pins — a pure tone reads
+its own frequency, white noise reads high flatness — and (d) the Spark
+operator over mixed codecs with poison rows.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from top_secret_spark.kernel.audio import encode
+from top_secret_spark.kernel.spectral import batch_spectral, spectral_features
+
+SR = 16000
+
+
+def _random_clip(rng, n):
+    return np.clip(0.3 * rng.standard_normal(n), -1.0, 1.0)
+
+
+@given(
+    st.lists(st.integers(0, 1400), min_size=1, max_size=12),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_matches_scalar_over_random_layouts(lens, seed):
+    rng = np.random.default_rng(seed)
+    clips = [_random_clip(rng, n) for n in lens]
+    samples = np.concatenate(clips) if clips else np.empty(0)
+    c, f, k = batch_spectral(samples, np.array(lens, dtype=np.int64), SR)
+    # pocketfft vectorizes ACROSS transforms, so rounding differs with
+    # batch shape: equivalence is tight-float, not bit-identical
+    for i, clip in enumerate(clips):
+        cs, fs, ks = spectral_features(clip, SR)
+        assert cs == pytest.approx(float(c[i]), rel=1e-5, abs=1e-3)
+        assert fs == pytest.approx(float(f[i]), rel=1e-5, abs=1e-6)
+        assert ks == int(k[i])
+
+
+def test_block_size_does_not_change_results():
+    rng = np.random.default_rng(11)
+    lens = np.array([900, 0, 512, 2100, 100, 4800], dtype=np.int64)
+    samples = np.concatenate([_random_clip(rng, n) for n in lens])
+    ref = batch_spectral(samples, lens, SR)
+    for block in (1, 2, 7, 64):
+        got = batch_spectral(samples, lens, SR, block_frames=block)
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(got[2], ref[2])
+
+
+def test_pure_tone_reads_its_frequency_and_low_flatness():
+    t = np.arange(4800) / SR
+    for f_hz in (500, 1000, 2500):
+        pcm = 0.4 * np.sin(2 * np.pi * f_hz * t)
+        c, fl, k = spectral_features(pcm, SR)
+        assert abs(c - f_hz) < 10.0
+        assert fl < 0.01
+        assert k > 0
+
+
+def test_noise_reads_high_flatness_and_silence_reads_one():
+    rng = np.random.default_rng(3)
+    c, fl, _ = spectral_features(0.2 * rng.standard_normal(4800), SR)
+    assert fl > 0.3
+    assert abs(c - SR / 4) < SR / 16  # white noise centroid ~ sr/4
+    c0, fl0, k0 = spectral_features(np.zeros(4000), SR)
+    assert (c0, fl0) == (0.0, 1.0)
+    assert k0 > 0
+    # shorter than one frame / empty -> zero frames, noise-like defaults
+    for clip in (np.ones(10) * 0.1, np.empty(0)):
+        c1, fl1, k1 = spectral_features(clip, SR)
+        assert (c1, fl1, k1) == (0.0, 1.0, 0)
+
+
+def test_trailing_empty_and_short_clips_in_batch():
+    # the segmented_features ADVICE trap: empty clip LAST in the batch
+    lens = np.array([4800, 0], dtype=np.int64)
+    t = np.arange(4800) / SR
+    samples = 0.4 * np.sin(2 * np.pi * 1000 * t)
+    c, f, k = batch_spectral(samples, lens, SR)
+    assert abs(c[0] - 1000) < 10 and k[1] == 0 and f[1] == 1.0
+
+
+def test_nonpositive_sample_rate_is_defaults_not_crash():
+    c, f, k = batch_spectral(np.ones(100), np.array([100]), 0)
+    assert (c[0], f[0], k[0]) == (0.0, 1.0, 0)
+
+
+def test_with_spectral_features_mixed_codecs_and_poison_rows(spark):
+    from top_secret_spark.operators.audio import with_spectral_features
+
+    t = np.arange(4800) / SR
+    tone = (0.4 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["a", "b", "c", "d", "e", "f"],
+            "bytes": [
+                encode(tone, "pcm16"),
+                encode(tone, "ulaw"),
+                encode(tone, "alaw"),
+                None,  # NULL payload
+                b"\x00\x01\x02",  # odd-length pcm16 (poison)
+                b"\x00\x01\x02\x03",  # unknown codec
+            ],
+            "sr_hz": pd.array([SR] * 6, dtype="int32"),
+            "dur_ms": pd.array([300] * 6, dtype="int32"),
+            "codec": ["pcm16", "ulaw", "alaw", "pcm16", "pcm16", "opus"],
+            "transcript": ["t"] * 6,
+        }
+    )
+    out = (
+        with_spectral_features(spark.createDataFrame(rows))
+        .orderBy("clip_id")
+        .collect()
+    )
+    assert "bytes" not in out[0].asDict()
+    for r in out[:3]:
+        assert r.spectral_ok
+        assert abs(r.spectral_centroid_hz - 1000) < 15
+        assert r.spectral_flatness < 0.01
+    for r in out[3:]:
+        assert not r.spectral_ok
+        assert (r.spectral_centroid_hz, r.spectral_flatness) == (0.0, 1.0)
+        assert r.n_frames == 0
+
+
+def test_with_spectral_features_keep_bytes_and_mixed_sr(spark):
+    from top_secret_spark.operators.audio import with_spectral_features
+
+    # same tone frequency at two sample rates in ONE batch: the per-sr
+    # split must hand each group its own frame length
+    clips = []
+    for sr in (8000, 16000):
+        t = np.arange(sr // 2) / sr
+        clips.append((0.4 * np.sin(2 * np.pi * 800 * t)).astype(np.float32))
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["lo", "hi"],
+            "bytes": [encode(c, "pcm16") for c in clips],
+            "sr_hz": pd.array([8000, 16000], dtype="int32"),
+            "dur_ms": pd.array([500, 500], dtype="int32"),
+            "codec": ["pcm16", "pcm16"],
+            "transcript": ["t", "t"],
+        }
+    )
+    out = (
+        with_spectral_features(spark.createDataFrame(rows), keep_bytes=True)
+        .orderBy("clip_id")
+        .collect()
+    )
+    assert all(r.bytes is not None for r in out)
+    for r in out:
+        assert abs(r.spectral_centroid_hz - 800) < 15
+
+
+def test_spectral_drop_reason_priority(spark):
+    from top_secret_spark.operators.audio import spectral_drop_reason_col
+
+    df = spark.createDataFrame(
+        [
+            (False, 0.0, 1.0),  # undecodable wins over everything
+            (True, 4000.0, 0.6),  # broadband noise
+            (True, 90.0, 0.01),  # hum
+            (True, 1000.0, 0.01),  # clean -> NULL
+        ],
+        "spectral_ok boolean, spectral_centroid_hz double, spectral_flatness double",
+    )
+    got = [r[0] for r in df.select(spectral_drop_reason_col()).collect()]
+    assert got == ["decode_error", "spectral_noise", "spectral_hum", None]

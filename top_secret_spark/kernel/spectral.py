@@ -1,0 +1,141 @@
+"""Frequency-domain audio quality features — batched FFT, zero per-clip loops.
+
+Time-domain gates (RMS / ZCR / silence / clipping, ``kernel.audio``) cannot
+separate speech-like audio from wideband noise or a tonal hum: a noise burst
+and an utterance can share RMS and duration exactly.  The two classic cheap
+discriminators are
+
+- **spectral flatness** (Wiener entropy): geometric / arithmetic mean of the
+  power spectrum.  ~1.0 for white noise, ~0 for tonal content; speech sits
+  well below broadband noise.  The standard "is this channel just noise?"
+  feature (ITU-T P.56 era onward).
+- **spectral centroid**: power-weighted mean frequency.  A mains hum or DC
+  rumble reads as a very low centroid; band-limited chirps/tones read at
+  their frequency.
+
+Both are per-frame statistics over Hann-windowed STFT frames, pooled per
+clip.  The batched kernel gathers ALL frames of ALL clips in an Arrow batch
+into one (n_frames, frame_len) matrix and runs ONE ``np.fft.rfft`` per
+memory-bounded block — the same concat + ``reduceat`` shape as
+``kernel.audio.segmented_features``, so a 20k-clip batch costs a handful of
+numpy calls, not 20k Python iterations.
+
+Reference parity note: thoughtbot/top_secret has no audio surface at all
+(it is a text-scrubbing gem); this module is part of the driver-mandated
+audio quality-filter tier (north rule: heuristic keep/drop over clip +
+transcript rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .audio import _concat_aranges
+
+# Floor added inside log/ratio so an all-zero (silent) frame is defined,
+# not NaN: its flatness evaluates to exactly 1.0 — "indistinguishable from
+# noise" — which is the conservative answer for a gate (the silence rule
+# fires on such clips before any spectral rule is consulted anyway).
+SPECTRAL_EPS = 1e-20
+
+# Frames per FFT block: bounds the peak size of the gathered frame matrix
+# (block x frame_len float32) regardless of how large the Arrow batch is —
+# 32768 x 512 x 4 B = 64 MiB.  Scale knob, not a semantics knob: each frame
+# is independent, so blocking changes results only at float rounding level
+# (pocketfft vectorizes ACROSS transforms — same-frame output is tight-float
+# reproducible, not bit-identical, under different batch shapes; the gate
+# thresholds carry orders-of-magnitude margin over that).
+SPECTRAL_BLOCK_FRAMES = 32768
+
+
+def spectral_features(
+    pcm: np.ndarray, sr_hz: int, frame_ms: int = 32, hop_ms: int = 16
+) -> tuple[float, float, int]:
+    """Scalar reference twin of ``batch_spectral`` for ONE clip.
+
+    Returns (centroid_hz, flatness, n_frames); a clip shorter than one
+    frame (or an empty clip) returns (0.0, 1.0, 0).
+    """
+    c, f, k = batch_spectral(
+        np.asarray(pcm),
+        np.array([len(pcm)], dtype=np.int64),
+        sr_hz,
+        frame_ms=frame_ms,
+        hop_ms=hop_ms,
+    )
+    return float(c[0]), float(f[0]), int(k[0])
+
+
+def batch_spectral(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    sr_hz: int,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    block_frames: int = SPECTRAL_BLOCK_FRAMES,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-clip (centroid_hz, flatness, n_frames) over a concatenated
+    same-sample-rate buffer.
+
+    ``samples`` is the concatenation of every clip's decoded PCM (as
+    produced by ``batch_decode``); ``lengths[i]`` is clip i's sample
+    count.  All clips share ``sr_hz`` — the caller groups per
+    (codec, sr_hz), mirroring the per-codec grouping in
+    ``operators.audio.with_audio_features`` (frame length is an
+    sr-derived constant, so mixing rates in one call is a type error).
+
+    Pooling: centroid is energy-weighted across ALL of a clip's frames
+    (sum of per-frame numerators / sum of denominators — equivalent to
+    one centroid over the clip's pooled spectrum), flatness is the
+    unweighted mean of per-frame flatness (the conventional clip-level
+    Wiener entropy).  Clips with zero frames get (0.0, 1.0, 0).
+    """
+    n = len(lengths)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    centroid = np.zeros(n, dtype=np.float64)
+    flatness = np.ones(n, dtype=np.float64)
+    if sr_hz <= 0 or n == 0:
+        return centroid, flatness, np.zeros(n, dtype=np.int64)
+    frame = max(2, int(sr_hz * frame_ms / 1000))
+    hop = max(1, int(sr_hz * hop_ms / 1000))
+    n_frames = np.where(lengths >= frame, 1 + (lengths - frame) // hop, 0)
+    total = int(n_frames.sum())
+    if total == 0:
+        return centroid, flatness, n_frames
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    # absolute start sample of every frame, all clips at once
+    clip_of = np.repeat(np.arange(n, dtype=np.int64), n_frames)
+    starts = offsets[clip_of] + hop * _concat_aranges(n_frames)
+    # periodic Hann (DSP convention for STFT analysis)
+    window = (
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
+    ).astype(np.float32)
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr_hz)
+    col = np.arange(frame, dtype=np.int64)[None, :]
+    fr_num = np.empty(total, dtype=np.float64)
+    fr_den = np.empty(total, dtype=np.float64)
+    fr_flat = np.empty(total, dtype=np.float64)
+    for lo in range(0, total, max(1, block_frames)):
+        hi = min(lo + max(1, block_frames), total)
+        frames = samples[starts[lo:hi, None] + col].astype(np.float32)
+        frames *= window
+        # rfft on float32 -> complex64; accumulate statistics in float64
+        power = np.abs(np.fft.rfft(frames, axis=1)).astype(np.float64) ** 2
+        fr_num[lo:hi] = power @ freqs
+        fr_den[lo:hi] = power.sum(axis=1)
+        # flatness is mathematically <= 1 (AM-GM); clamp the eps
+        # arithmetic so a silent frame reads exactly 1.0
+        fr_flat[lo:hi] = np.minimum(
+            np.exp(np.mean(np.log(power + SPECTRAL_EPS), axis=1))
+            / (power.mean(axis=1) + SPECTRAL_EPS),
+            1.0,
+        )
+    has = n_frames > 0
+    fstarts = (np.cumsum(n_frames) - n_frames)[has]
+    num = np.add.reduceat(fr_num, fstarts)
+    den = np.add.reduceat(fr_den, fstarts)
+    np.divide(num, den, out=num, where=den > 0)
+    centroid[has] = np.where(den > 0, num, 0.0)
+    flatness[has] = np.add.reduceat(fr_flat, fstarts) / n_frames[has]
+    return centroid, flatness, n_frames

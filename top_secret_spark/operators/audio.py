@@ -100,6 +100,113 @@ def with_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+_SPECTRAL_SCHEMA_SUFFIX = (
+    "spectral_ok boolean, spectral_centroid_hz double, "
+    "spectral_flatness double, n_frames long"
+)
+
+
+def with_spectral_features(
+    df: DataFrame,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append frequency-domain quality features (``kernel.spectral``):
+    spectral_ok / spectral_centroid_hz / spectral_flatness / n_frames.
+
+    Same batching discipline as ``with_audio_features`` — one
+    concatenated decode + ONE blocked FFT per (codec, sr_hz) group in
+    the Arrow batch, never a per-clip Python loop.  Frame length is an
+    sr-derived constant, hence the extra sr split inside each codec.
+
+    Undecodable / odd-pcm16 / NULL-payload rows get spectral_ok=false
+    with centroid 0.0 and flatness 1.0 ("indistinguishable from noise")
+    rather than failing the stage — a poison row must not kill a
+    1000-executor job.  ``bytes`` is dropped unless ``keep_bytes`` (the
+    ``with_audio_features`` convention: don't re-serialize multi-KB
+    blobs through every downstream stage); pass keep_bytes=True to
+    chain further payload transforms after this one.
+    """
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += ", " + _SPECTRAL_SCHEMA_SUFFIX
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            batch_decode,
+            pcm16_aligned_indices,
+        )
+        from ..kernel.spectral import batch_spectral
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            cents = np.zeros(n, dtype=np.float64)
+            flats = np.ones(n, dtype=np.float64)
+            nfs = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy()
+            for codec in SUPPORTED_CODECS:
+                cidx = np.flatnonzero(
+                    (codecs == codec)
+                    & np.array([d is not None for d in datas])
+                )
+                if codec == "pcm16":
+                    cidx = pcm16_aligned_indices(datas, cidx)
+                if not len(cidx):
+                    continue
+                # frame length depends on sr: one kernel call per rate
+                for sr in np.unique(srs[cidx]):
+                    idx = cidx[srs[cidx] == sr]
+                    samples, lengths = batch_decode(
+                        [bytes(datas[i]) for i in idx], codec
+                    )
+                    c, fl, nf = batch_spectral(
+                        samples, lengths, int(sr),
+                        frame_ms=frame_ms, hop_ms=hop_ms,
+                    )
+                    oks[idx] = True
+                    cents[idx] = c
+                    flats[idx] = fl
+                    nfs[idx] = nf
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["spectral_ok"] = oks
+            pdf["spectral_centroid_hz"] = cents
+            pdf["spectral_flatness"] = flats
+            pdf["n_frames"] = nfs
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def spectral_drop_reason_col(
+    max_flatness: float = 0.3,
+    min_centroid_hz: float = 150.0,
+    flatness_col: str = "spectral_flatness",
+    centroid_col: str = "spectral_centroid_hz",
+    ok_col: str = "spectral_ok",
+) -> Column:
+    """First-failing spectral rule as a reason string (NULL = keep) —
+    the frequency-domain extension of ``audio_drop_reason_col``:
+    undecodable → 'decode_error', broadband noise (flatness above
+    ``max_flatness``) → 'spectral_noise', low-frequency hum/rumble
+    (centroid below ``min_centroid_hz``) → 'spectral_hum'."""
+    return (
+        F.when(~F.col(ok_col), F.lit("decode_error"))
+        .when(F.col(flatness_col) > F.lit(max_flatness), F.lit("spectral_noise"))
+        .when(F.col(centroid_col) < F.lit(min_centroid_hz), F.lit("spectral_hum"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 @dataclass(frozen=True)
 class AudioGateThresholds:
     """Keep/drop rules over decoded-audio features — the audio twin of

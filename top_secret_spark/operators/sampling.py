@@ -22,6 +22,7 @@ LLM-training-data operator (SURVEY §2.7).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -87,6 +88,82 @@ def stratified_sample(
         thresh = F.when(F.col(strata_col) == F.lit(value), F.lit(fr)).otherwise(
             thresh
         )
+    return df.filter(sample_u_col(F.col(key_col), seed) < thresh)
+
+
+# Keep rates are floor-quantized to this grid so ANY engine recomputing
+# them (DuckDB oracle, an audit job in another stack) agrees on every
+# threshold comparison despite libm pow() ulp differences.  1e-6 is ~4e3
+# coarser than u's own grid (k / 2^32) and ~1e10 coarser than a double
+# ulp at 1.0 — quantization never moves a decision a user could see.
+RATE_QUANTUM = 1_000_000
+
+
+def temperature_fractions(counts: Mapping, alpha: float) -> dict:
+    """Per-stratum keep rates for temperature rebalancing — the
+    multilingual-LM alpha-sampling rule (XLM-R / mT5 style): after
+    sampling, stratum mass is proportional to p_i^alpha, flattening the
+    head (alpha < 1) or sharpening it (alpha > 1).
+
+    rate_i = (n_i / n_ref)^(alpha-1), n_ref chosen so the largest rate
+    is exactly 1.0 (the smallest stratum for alpha < 1, the largest for
+    alpha > 1) — pure downsampling rebalance, nothing is oversampled,
+    so a map-only hash filter implements it without row duplication.
+    """
+    if not (alpha >= 0.0):
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("stratum counts must be positive")
+    if not counts:
+        return {}
+    ref = min(counts.values()) if alpha <= 1.0 else max(counts.values())
+    return {
+        k: math.floor((n / ref) ** (alpha - 1.0) * RATE_QUANTUM) / RATE_QUANTUM
+        for k, n in counts.items()
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.7,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    max_strata: int = 100_000,
+) -> DataFrame:
+    """Rebalance a corpus so stratum mass ∝ p_i^alpha — ONE
+    groupBy(strata) count (a bounded shuffle of (stratum, long) pairs),
+    rates compiled into a plan-time CASE threshold, then the same
+    map-only deterministic key-hash filter as ``stratified_sample``.
+
+    The per-stratum counts are collected to the driver; that collect is
+    bounded by the number of DISTINCT strata, guarded by ``max_strata``
+    (the ``batch_scrub.max_global_values`` discipline: count first,
+    raise with guidance instead of OOMing the driver).  NULL strata are
+    matched null-safely so null-keyed rows get their own computed rate
+    instead of silently vanishing through a ``==`` comparison.
+    """
+    cnt = df.groupBy(strata_col).count().limit(max_strata + 1).collect()
+    if len(cnt) > max_strata:
+        raise ValueError(
+            f"temperature_sample: more than {max_strata} distinct "
+            f"{strata_col!r} strata — a stratum column this granular is "
+            "a key, not a class; pick a coarser column or raise "
+            "max_strata explicitly"
+        )
+    rates = temperature_fractions({r[0]: r["count"] for r in cnt}, alpha)
+    if not rates:
+        return df
+    thresh = F.lit(0.0)
+    for value, fr in sorted(
+        rates.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+    ):
+        cond = (
+            F.col(strata_col).isNull()
+            if value is None
+            else F.col(strata_col) == F.lit(value)
+        )
+        thresh = F.when(cond, F.lit(fr)).otherwise(thresh)
     return df.filter(sample_u_col(F.col(key_col), seed) < thresh)
 
 

@@ -1645,6 +1645,45 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_temperature_rebalance(spark, sf_dir):
+    """[training-data] temperature rebalancing (multilingual-LM
+    alpha-sampling, XLM-R/mT5 style): per-language keep rates computed
+    FROM the observed distribution so post-sample mass ∝ p_i^alpha —
+    here alpha=0.5 flattens the English-heavy head.  The oracle
+    recomputes the whole chain — counts → (n_i/n_min)^(alpha-1) rates
+    floor-quantized to 1e-6 → the identical xor-fold + Knuth-multiply
+    key hash — so per-language MEMBERSHIP (sum of sampled ids/chars) is
+    gated bit-for-bit, not just counts."""
+    from .operators.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    samp = temperature_sample(docs, "lang", alpha=0.5, key_col="doc_id")
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+Q_TEMPERATURE_REBALANCE_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+ref AS (SELECT min(n) AS n_ref FROM c),
+r AS (SELECT c.lang AS lang,
+             FLOOR(POWER(CAST(c.n AS DOUBLE) / ref.n_ref, 0.5 - 1.0)
+                   * 1000000) / 1000000 AS rate
+      FROM c CROSS JOIN ref)
+SELECT d.lang,
+       cast(count(*) AS BIGINT) AS n_sampled,
+       cast(sum(d.doc_id) AS BIGINT) AS sum_ids,
+       cast(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+WHERE (((xor(COALESCE(d.doc_id, 0) >> 31, COALESCE(d.doc_id, 0))
+         & 2147483647) * 2654435761)
+       % 4294967296) / 4294967296.0 < r.rate
+GROUP BY d.lang
+"""
+
+
 Q_STRATIFIED_SAMPLE_SQL = """
 SELECT lang,
        cast(count(*) AS BIGINT) AS n_sampled,
@@ -2026,6 +2065,63 @@ SELECT CASE r % 3 WHEN 0 THEN 'quiet' WHEN 1 THEN 'loud' ELSE 'silent' END
            AS n_at_target,
        CAST(sum(CASE WHEN r % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_silent
+FROM (SELECT unnest(range(0, 120)) AS r)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_spectral_gate(spark, sf_dir):
+    """[tier: quality_filter × audio] frequency-domain quality gate —
+    spectral flatness + centroid over Hann-windowed STFT frames, ONE
+    blocked rfft for every frame of every clip in an Arrow batch
+    (kernel/spectral.py, operators/audio.py with_spectral_features).
+    Planted spectral classes (sources.clips.spectral_rows_for_range,
+    class in the transcript, r in the clip_id): tones must read their
+    planted frequency within 60 Hz with flatness < 0.1, white noise
+    must read flatness > 0.3 (→ 'spectral_noise'), an 80 Hz hum must
+    read centroid < 150 Hz (→ 'spectral_hum') — per-class decision
+    counts the oracle recomputes from r % 4."""
+    _prep(spark)
+    from .operators.audio import (
+        spectral_drop_reason_col,
+        with_spectral_features,
+    )
+    from .sources.clips import SPECTRAL_TONE_FREQS, spectral_clips_df
+
+    clips = spectral_clips_df(spark, 120, partitions=8)
+    feats = with_spectral_features(clips)
+    r = F.substring("clip_id", 4, 8).cast("long")
+    exp_f = F.element_at(
+        F.array(*[F.lit(float(f)) for f in SPECTRAL_TONE_FREQS]),
+        (r % 5 + 1).cast("int"),
+    )
+    reason = spectral_drop_reason_col()
+    passed = (
+        F.when(
+            F.col("transcript") == "tone",
+            (F.abs(F.col("spectral_centroid_hz") - exp_f) <= 60.0)
+            & (F.col("spectral_flatness") < 0.1)
+            & reason.isNull(),
+        )
+        .when(F.col("transcript") == "noise", reason == "spectral_noise")
+        .otherwise(reason == "spectral_hum")
+    )
+    return (
+        feats.groupBy(F.col("transcript").alias("spectral_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(passed, 1)).alias("n_expected"),
+        )
+        .orderBy("spectral_class")
+    )
+
+
+Q_SPECTRAL_GATE_SQL = """
+SELECT CASE r % 4 WHEN 2 THEN 'noise' WHEN 3 THEN 'hum' ELSE 'tone' END
+           AS spectral_class,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_expected
 FROM (SELECT unnest(range(0, 120)) AS r)
 GROUP BY 1
 ORDER BY 1
@@ -2767,4 +2863,9 @@ QUERIES = {
     "q56_audio_prep_pipeline": (q_audio_prep_pipeline, Q_AUDIO_PREP_SQL),
     "q57_speed_perturb": (q_speed_perturb, Q_SPEED_PERTURB_SQL),
     "q58_dedup_spans": (q_dedup_spans, Q_DEDUP_SPANS_SQL),
+    "q59_spectral_gate": (q_spectral_gate, Q_SPECTRAL_GATE_SQL),
+    "q60_temperature_rebalance": (
+        q_temperature_rebalance,
+        Q_TEMPERATURE_REBALANCE_SQL,
+    ),
 }

@@ -564,6 +564,66 @@ def loudness_clips_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
+SPECTRAL_CLASSES = ("tone", "tone", "noise", "hum")  # r % 4 -> class
+SPECTRAL_TONE_FREQS = (500, 1000, 1500, 2000, 2500)  # tone f = FREQS[r % 5]
+SPECTRAL_HUM_HZ = 80  # mains-rumble stand-in: centroid must read < 150 Hz
+
+
+def spectral_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted SPECTRAL classes for the frequency-domain gate
+    (q59), keyed by ``r % 4`` (class name rides in the transcript):
+    tone = 0.4x sine at ``SPECTRAL_TONE_FREQS[r % 5]`` (centroid must
+    read within 60 Hz of the planted frequency, flatness ~0), noise =
+    0.15x white Gaussian (flatness must read > 0.3), hum = 0.4x 80 Hz
+    sine (centroid must read < 150 Hz).  All pcm16/16 kHz/4800 samples —
+    decisions a SQL oracle recomputes from the row index alone."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 16000
+    n = 4800
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    for r in range(start, end):
+        cls = SPECTRAL_CLASSES[r % 4]
+        if cls == "tone":
+            f = SPECTRAL_TONE_FREQS[r % 5]
+            pcm = (0.4 * np.sin(2.0 * np.pi * f * t)).astype(np.float32)
+        elif cls == "noise":
+            rng = np.random.default_rng(SEED * 29_000_039 + r)
+            pcm = np.clip(
+                0.15 * rng.standard_normal(n), -1.0, 1.0
+            ).astype(np.float32)
+        else:
+            pcm = (
+                0.4 * np.sin(2.0 * np.pi * SPECTRAL_HUM_HZ * t)
+            ).astype(np.float32)
+        out["clip_id"].append(f"sp-{r:08d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(300)
+        out["codec"].append("pcm16")
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def spectral_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted spectral-class clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield spectral_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 def write_clips_parquet(path: str, n_rows: int, with_audio: bool = True,
                         rows_per_file: int = 20_000) -> None:
     """Driverless (pyarrow) writer for tests/small scales."""
