@@ -309,3 +309,37 @@ def test_pipeline_with_audio_gate(spark):
             assert row["drop_reason"] == exp_reason, (fused, cid)
             # text columns are untouched by the fold
             assert row["scrubbed"] == t["scrubbed"], (fused, cid)
+
+
+def test_quality_rule_audit_cofiring_and_column_gating(spark):
+    """Every rule fires INDEPENDENTLY (no first-failing short-circuit):
+    a row violating several rules lists all of them, in priority order;
+    clean rows group under ''; model-gated rules appear only when their
+    feature columns exist."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.quality import (
+        quality_rule_audit,
+        rule_conditions,
+    )
+
+    rows = [
+        # short AND few-words AND digit-heavy: all three must be listed
+        (0, "12 34"),
+        (1, "a perfectly ordinary sentence about gardens and weather today."),
+        (2, "$$$ %% ## !! ^^ && ** (( )) @@"),  # symbols + short-ish
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, transcript string")
+    got = {r["rules_fired"]: (r["n_rules"], r["n"])
+           for r in quality_rule_audit(df).collect()}
+    assert got["too_short,too_few_words,digit_ratio"] == (3, 1)
+    assert got[""] == (0, 1)
+    assert any("symbol_ratio" in k for k in got)
+    # model-gated rules excluded without their columns, included with
+    names = [nm for nm, _ in rule_conditions(available={"n_chars"})]
+    assert "lang" not in names and "perplexity" not in names
+    names_full = [nm for nm, _ in rule_conditions(
+        available={"n_chars", "top_bigram_frac", "lang", "lang_conf", "ppl"})]
+    assert names_full.index("repetition") < names_full.index("toxicity")
+    # the audit's total mass equals the row count (partition of the frame)
+    assert sum(n for _, n in got.values()) == 3

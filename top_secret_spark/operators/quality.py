@@ -108,3 +108,76 @@ def with_keep_drop(
     return df.withColumn("drop_reason", drop_reason_col(th)).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
+
+
+def rule_conditions(
+    th: QualityThresholds = DEFAULT_THRESHOLDS,
+    available: set | None = None,
+) -> list:
+    """(rule_name, fired_condition) pairs in kernel priority order —
+    each rule evaluated INDEPENDENTLY (no first-failing short-circuit).
+
+    The model-gated rules (repetition / lang / lang_conf / perplexity)
+    are included only when their feature columns are ``available`` —
+    the audit composes with or without the features stage."""
+    conds = [
+        ("too_short", F.col("n_chars") < th.min_chars),
+        ("too_long", F.col("n_chars") > th.max_chars),
+        ("too_few_words", F.col("n_words") < th.min_words),
+        ("symbol_ratio", F.col("symbol_ratio") > th.max_symbol_ratio),
+        ("digit_ratio", F.col("digit_ratio") > th.max_digit_ratio),
+        ("dup_lines", F.col("dup_line_frac") > th.max_dup_line_frac),
+        ("repetition", F.col("top_bigram_frac") > th.max_top_bigram_frac),
+        ("toxicity", F.col("toxicity") > th.max_toxicity),
+        ("lang", ~F.col("lang").isin(*th.allowed_langs)),
+        ("lang_conf", F.col("lang_conf") < th.min_lang_conf),
+        ("perplexity", F.col("ppl") > th.max_ppl),
+    ]
+    needs = {
+        "repetition": "top_bigram_frac",
+        "lang": "lang",
+        "lang_conf": "lang_conf",
+        "perplexity": "ppl",
+    }
+    if available is not None:
+        conds = [
+            (nm, c) for nm, c in conds
+            if needs.get(nm, "n_chars") in available
+        ]
+    return conds
+
+
+def quality_rule_audit(
+    df: DataFrame,
+    th: QualityThresholds = DEFAULT_THRESHOLDS,
+    text_col: str = "transcript",
+) -> DataFrame:
+    """Per-rule firing AUDIT: how many rows each rule set catches.
+
+    ``drop_reason`` reports only the FIRST failing rule, which is what
+    production filtering needs but exactly what threshold tuning cannot
+    use: a rule that only ever fires together with earlier rules is
+    dead weight, and one that fires alone at high volume deserves a
+    second look before it deletes corpus mass.  Here every rule is
+    evaluated independently and rows are grouped by the full fired SET.
+
+    Output: (rules_fired: comma-joined names in priority order, '' =
+    clean row; n_rules; n) — one row per observed combination.  Scale
+    shape: the signals are pure codegen'd Catalyst; the only shuffle is
+    a groupBy on a short string whose cardinality is bounded by 2^n_rules
+    (in practice a handful), with map-side partial aggregation.
+    """
+    sig = with_quality_signals(df, text_col=text_col)
+    conds = rule_conditions(th, available=set(sig.columns))
+    fired = F.concat_ws(
+        ",", *[F.when(c, F.lit(nm)) for nm, c in conds]
+    )
+    out = sig.groupBy(fired.alias("rules_fired")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_rules = F.when(F.col("rules_fired") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("rules_fired"), ","))
+    )
+    return out.select(
+        "rules_fired", n_rules.cast("int").alias("n_rules"), "n"
+    )

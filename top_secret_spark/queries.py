@@ -355,6 +355,56 @@ SELECT drop_reason, count(*) AS n FROM reasons GROUP BY drop_reason
 """
 
 
+def q_rule_audit(spark, sf_dir):
+    """[training-data] quality-rule firing AUDIT: every heuristic rule
+    evaluated INDEPENDENTLY (no first-failing short-circuit) and rows
+    grouped by the full fired set — the observability a threshold-tuning
+    pass needs (a rule that only co-fires with earlier rules is dead
+    weight; one firing alone at volume deserves review before it deletes
+    corpus mass).  Pure codegen'd Catalyst signals; the only shuffle is
+    a groupBy on the short combination string.  The oracle recomputes
+    every independent rule and the combination grouping."""
+    _prep(spark)
+    from .operators.quality import quality_rule_audit
+
+    docs = _derived(spark, sf_dir)
+    return quality_rule_audit(docs, SQL_ONLY_THRESHOLDS)
+
+
+Q_RULE_AUDIT_SQL = f"""
+{DERIVED_CTE},
+sig AS (
+  SELECT doc_id, transcript AS tr,
+    length(transcript) AS n_chars,
+    CASE WHEN trim(transcript) = '' THEN 0
+         ELSE len(string_split_regex(trim(transcript), '\\s+')) END AS n_words,
+    CASE WHEN length(transcript) = 0 THEN 0.0
+         ELSE (length(transcript) - len(regexp_extract_all(transcript, '[A-Za-z0-9\\s]'))) * 1.0 / length(transcript) END AS symbol_ratio,
+    CASE WHEN length(transcript) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(transcript, '[0-9]')) * 1.0 / length(transcript) END AS digit_ratio,
+    list_filter(string_split(transcript, chr(10)), x -> trim(x) <> '') AS lines
+  FROM t
+),
+fired AS (
+  SELECT concat_ws(',',
+    CASE WHEN n_chars < 20 THEN 'too_short' END,
+    CASE WHEN n_chars > 100000 THEN 'too_long' END,
+    CASE WHEN n_words < 4 THEN 'too_few_words' END,
+    CASE WHEN symbol_ratio > 0.30 THEN 'symbol_ratio' END,
+    CASE WHEN digit_ratio > 0.30 THEN 'digit_ratio' END,
+    CASE WHEN len(lines) >= 2 AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) > 0.40 THEN 'dup_lines' END,
+    CASE WHEN len(regexp_extract_all(lower(tr), '{TOX_SQL}')) * 1.0 / greatest(n_words, 1) > 0.08 THEN 'toxicity' END
+  ) AS rules_fired
+  FROM sig
+)
+SELECT rules_fired,
+       CAST(CASE WHEN rules_fired = '' THEN 0
+            ELSE len(string_split(rules_fired, ',')) END AS INTEGER) AS n_rules,
+       count(*) AS n
+FROM fired GROUP BY rules_fired
+"""
+
+
 def q_quality_signals(spark, sf_dir):
     """[north-rule] per-doc Catalyst quality signals (ppm-int encoded)."""
     _prep(spark)
@@ -2868,4 +2918,5 @@ QUERIES = {
         q_temperature_rebalance,
         Q_TEMPERATURE_REBALANCE_SQL,
     ),
+    "q61_rule_audit": (q_rule_audit, Q_RULE_AUDIT_SQL),
 }
