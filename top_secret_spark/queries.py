@@ -2521,6 +2521,60 @@ ORDER BY grp
 """
 
 
+def q_shard_by_size(spark, sf_dir):
+    """[training-data] WebDataset-style size-balanced sharding — rows
+    concatenate in id order and a new output shard starts every 4 KiB
+    of cumulative payload (operators/packing.py shard_by_size): trainers
+    read equal-SIZE shards, not equal-COUNT ones, so a corpus of mixed
+    ten-second and one-hour clips still feeds every reader at the same
+    rate.  Built on the same two-phase distributed prefix sum as q53 —
+    no single-partition global window.  The oracle recomputes the
+    exclusive cumulative sum + exact integer div/mod, gating per-shard
+    MEMBERSHIP (sum of ids), sizes, and boundary offsets bit-for-bit."""
+    _prep(spark)
+    from .operators.packing import shard_by_size
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shard_by_size(
+        docs, shard_bytes=4096, order_col="doc_id", size_col="n_chars"
+    )
+    return (
+        sh.groupBy((F.col("shard_id") % 8).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("shard_id").alias("n_shards"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("shard_offset").cast("bigint").alias("sum_offsets"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_SHARD_BY_SIZE_SQL = """
+WITH o AS (
+  SELECT doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, cum // 4096 AS shard_id, cum % 4096 AS shard_offset
+  FROM o
+)
+SELECT CAST(shard_id % 8 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT shard_id) AS BIGINT) AS n_shards,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(shard_offset) AS BIGINT) AS sum_offsets
+FROM s
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 def q_clean_text(spark, sf_dir):
     """[training-data] Unicode canonicalization → dedup composition
     (operators/text_analysis.py with_clean_text): CRLF→LF, control-char
@@ -2919,4 +2973,5 @@ QUERIES = {
         Q_TEMPERATURE_REBALANCE_SQL,
     ),
     "q61_rule_audit": (q_rule_audit, Q_RULE_AUDIT_SQL),
+    "q62_shard_by_size": (q_shard_by_size, Q_SHARD_BY_SIZE_SQL),
 }
