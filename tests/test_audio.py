@@ -982,3 +982,82 @@ def test_speed_perturbed_clips(spark):
     assert bytes(ident["a"]["bytes"]) == bytes(rows[0]["bytes"])
     with _pytest.raises(ValueError, match="factor"):
         speed_perturbed_clips(df, factor=0)
+
+
+def test_time_masked_clips_byte_splice(spark):
+    """Masking is a pure byte splice: output equals the independent
+    bytes-level expectation for every codec, poison rows pass through
+    unchanged, payload length and codec never change, and the plan has
+    no Python eval and no Exchange."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.kernel.audio import encode
+    from top_secret_spark.operators.audio import time_masked_clips
+
+    sr = 8000
+    t = np.arange(800) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    rows = pd.DataFrame({
+        "clip_id": ["a", "b", "c", "d", "e", "f"],
+        "bytes": [encode(tone, "pcm16"), encode(tone, "ulaw"), None,
+                  b"\x01\x02\x03",  # misaligned pcm16: 1 sample + odd tail
+                  encode(tone, "alaw"), b""],
+        "sr_hz": pd.array([sr] * 6, dtype="int32"),
+        "dur_ms": pd.array([100] * 6, dtype="int32"),
+        "codec": ["pcm16", "ulaw", "pcm16", "pcm16", "opus", "alaw"],
+        "transcript": ["x"] * 6,
+    })
+    df = spark.createDataFrame(rows)
+    out = {r.clip_id: r.bytes for r in
+           time_masked_clips(df, mask_ms=25, start_key=F.lit(12345)).collect()}
+
+    def expected(data, bps, zero, n_mask, key=12345):
+        n = len(data) // bps
+        m = min(n_mask, n)
+        start = key % (n - m + 1)
+        return data[:start * bps] + zero * m + data[(start + m) * bps:]
+
+    assert out["a"] == expected(encode(tone, "pcm16"), 2, b"\x00\x00", 200)
+    assert out["b"] == expected(encode(tone, "ulaw"), 1, b"\x80", 200)
+    assert out["c"] is None                      # NULL payload passthrough
+    assert out["d"] == b"\x00\x00\x03"           # full mask, odd tail kept
+    assert out["e"] == encode(tone, "alaw")      # unknown codec passthrough
+    assert out["f"] == b""                       # empty clip passthrough
+    assert len(out["a"]) == len(encode(tone, "pcm16"))
+    plan = (time_masked_clips(df, 25)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "EvalPython" not in plan and "Exchange" not in plan
+    with _pytest.raises(ValueError, match="mask_ms"):
+        time_masked_clips(df, 0)
+
+
+def test_time_masked_clips_default_key_deterministic(spark):
+    import numpy as np
+    import pandas as pd
+
+    from top_secret_spark.kernel.audio import encode
+    from top_secret_spark.operators.audio import time_masked_clips
+
+    tone = (0.3 * np.ones(400)).astype(np.float32)
+    rows = pd.DataFrame({
+        "clip_id": ["k1", "k2"],
+        "bytes": [encode(tone, "pcm16")] * 2,
+        "sr_hz": pd.array([8000] * 2, dtype="int32"),
+        "dur_ms": pd.array([50] * 2, dtype="int32"),
+        "codec": ["pcm16"] * 2,
+        "transcript": ["x"] * 2,
+    })
+    df = spark.createDataFrame(rows)
+    one = {r.clip_id: bytes(r.bytes)
+           for r in time_masked_clips(df, mask_ms=10).collect()}
+    two = {r.clip_id: bytes(r.bytes)
+           for r in time_masked_clips(df.repartition(5), mask_ms=10).collect()}
+    assert one == two                      # placement is a row property
+    assert one["k1"] != one["k2"]          # different ids, different mask
+    # different seed moves the mask
+    three = {r.clip_id: bytes(r.bytes)
+             for r in time_masked_clips(df, mask_ms=10, seed=7).collect()}
+    assert three["k1"] != one["k1"]

@@ -746,6 +746,74 @@ def split_clips_on_silence(
     return df.mapInPandas(run, schema=schema)
 
 
+def time_masked_clips(
+    df: DataFrame,
+    mask_ms: int = 100,
+    start_key: Column | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """SpecAugment-style time masking as a PURE-CATALYST byte splice —
+    zero decode, zero Python, zero Exchange (the `chunked_clips`
+    discipline): ``mask_ms`` of samples are overwritten with the codec's
+    digital-zero code (pcm16 ``0x0000``, G.711 u-law/A-law ``0x80``), so
+    the masked payload stays valid in its ORIGINAL codec and byte length.
+
+    Mask start (in samples) = ``pmod(start_key, n_samples - mask + 1)``
+    — deterministic augmentation, reproducible across runs and engines.
+    ``start_key`` defaults to ``xxhash64(clip_id, seed)``; pass an
+    explicit bigint column when an external oracle must replay the
+    placement (the q63 pattern).
+
+    Passthrough (payload unchanged) for NULL payloads, unknown codecs,
+    non-positive sample rates, empty clips, and masks that quantize to
+    zero samples — an augmentation must never poison rows it cannot
+    process.  Clips shorter than ``mask_ms`` are fully masked.  A
+    trailing odd byte on a misaligned pcm16 payload rides along
+    untouched (the tail slice keeps everything after the mask).
+    """
+    if mask_ms <= 0:
+        raise ValueError(f"time_masked_clips: mask_ms must be positive, got {mask_ms}")
+    key = (
+        start_key
+        if start_key is not None
+        else F.xxhash64(F.col("clip_id"), F.lit(seed))
+    )
+    b = F.col("bytes")
+    bps = (
+        F.when(F.col("codec") == "pcm16", F.lit(2))
+        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
+    )
+    # per-SAMPLE zero code as hex text: repeat()'s string output turns
+    # binary concat into string corruption, but unhex(repeat(hex, m))
+    # stays binary end to end
+    zero_hex = F.when(F.col("codec") == "pcm16", F.lit("0000")).otherwise(
+        F.lit("80")
+    )
+    n = F.floor(F.length(b).cast("bigint") / bps).cast("bigint")
+    m = F.least(
+        F.floor(
+            F.col("sr_hz").cast("bigint") * F.lit(int(mask_ms)) / F.lit(1000)
+        ).cast("bigint"),
+        n,
+    )
+    start = F.pmod(key, n - m + F.lit(1))
+    masked = F.concat(
+        b.substr(F.lit(1), (start * bps).cast("int")),
+        F.unhex(F.repeat(zero_hex, m.cast("int"))),
+        b.substr(((start + m) * bps + 1).cast("int"), F.lit(2147483647)),
+    )
+    applicable = (
+        b.isNotNull()
+        & bps.isNotNull()
+        & (F.col("sr_hz") > 0)
+        & (n > 0)
+        & (m > 0)
+    )
+    return df.withColumn(
+        "bytes", F.when(applicable, masked).otherwise(b)
+    )
+
+
 def frame_energy_df(
     df: DataFrame, frame_ms: int = 25, hop_ms: int = 10
 ) -> DataFrame:

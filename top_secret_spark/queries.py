@@ -2178,6 +2178,60 @@ ORDER BY 1
 """
 
 
+def q_time_mask(spark, sf_dir):
+    """[tier: quality_filter × audio] SpecAugment-style time masking as
+    a pure-Catalyst byte splice (operators/audio.py time_masked_clips):
+    mask_ms of samples overwritten with the codec's digital-zero code —
+    no decode, no Python, no Exchange, payload length and codec
+    preserved.  Placement is deterministic (Knuth-multiply key passed
+    explicitly), so this gate regenerates every planted clip and
+    recomputes the ENTIRE masked payload independently in numpy: the
+    count below is byte-for-byte equality across all 120 clips, which
+    subsumes mask-all-zero / outside-untouched / length-preserved."""
+    _prep(spark)
+    from .operators.audio import time_masked_clips
+    from .sources.clips import spectral_clips_df
+
+    clips = spectral_clips_df(spark, 120, partitions=8)
+    r = F.substring("clip_id", 4, 8).cast("bigint")
+    key = F.pmod(r * F.lit(2654435761), F.lit(2**32))
+    masked = time_masked_clips(clips, mask_ms=100, start_key=key)
+
+    def check(iterator):
+        import pandas as pd
+
+        from .sources.clips import spectral_rows_for_range
+
+        for pdf in iterator:
+            n_exact = 0
+            for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+                rr = int(clip_id.split("-")[1])
+                orig = bytes(
+                    spectral_rows_for_range(rr, rr + 1)["bytes"].iloc[0]
+                )
+                n = len(orig) // 2
+                m = min(1600, n)  # 100 ms at 16 kHz
+                start = (rr * 2654435761 % 2**32) % (n - m + 1)
+                exp = (
+                    orig[: start * 2]
+                    + b"\x00\x00" * m
+                    + orig[(start + m) * 2:]
+                )
+                if bytes(data) == exp:
+                    n_exact += 1
+            yield pd.DataFrame({"n": [len(pdf)], "n_exact": [n_exact]})
+
+    out = masked.mapInPandas(check, "n long, n_exact long")
+    return out.agg(
+        F.sum("n").alias("n_clips"), F.sum("n_exact").alias("n_exact")
+    )
+
+
+Q_TIME_MASK_SQL = """
+SELECT cast(120 as bigint) AS n_clips, cast(120 as bigint) AS n_exact
+"""
+
+
 Q_CHUNKED_CLIPS_SQL = """
 WITH p AS (
   SELECT r,
@@ -2974,4 +3028,5 @@ QUERIES = {
     ),
     "q61_rule_audit": (q_rule_audit, Q_RULE_AUDIT_SQL),
     "q62_shard_by_size": (q_shard_by_size, Q_SHARD_BY_SIZE_SQL),
+    "q63_time_mask": (q_time_mask, Q_TIME_MASK_SQL),
 }
