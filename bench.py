@@ -198,6 +198,40 @@ def main():
         na / max(min(prep_times), 1e-9), 1)
     extras["audio_prep_segments"] = n_segs
 
+    # NON-headline extra: frequency-domain features (blocked batch FFT)
+    # and the pure-Catalyst time-mask splice over the same audio corpus.
+    # Same best-of-2 warm protocol as audio_prep — both are map-only.
+    from top_secret_spark.operators.audio import (
+        time_masked_clips,
+        with_spectral_features,
+    )
+
+    spec = lambda: with_spectral_features(aclips).agg(
+        F.count(F.when(F.col("spectral_ok"), 1)),
+        F.avg("spectral_flatness"),
+    ).collect()
+    spec()
+    spec_times = []
+    for _ in range(2):
+        t0 = time.time()
+        spec()
+        spec_times.append(time.time() - t0)
+    extras["spectral_sec"] = round(min(spec_times), 3)
+    extras["spectral_clips_per_sec"] = round(na / max(min(spec_times), 1e-9), 1)
+
+    mask = lambda: time_masked_clips(aclips, mask_ms=200).agg(
+        F.sum(F.length("bytes"))
+    ).collect()
+    mask()
+    mask_times = []
+    for _ in range(2):
+        t0 = time.time()
+        mask()
+        mask_times.append(time.time() - t0)
+    extras["time_mask_sec"] = round(min(mask_times), 3)
+    extras["time_mask_clips_per_sec"] = round(
+        na / max(min(mask_times), 1e-9), 1)
+
     # untimed stats pass: candidate-pair volume is THE cost driver at web
     # scale — surfaced for dashboards, but never billed to the arm
     dd_stats: dict = {}
