@@ -414,6 +414,68 @@ def main():
         "  on 8-byte ids.",
     ))
 
+    from top_secret_spark.operators.audio import (
+        time_masked_clips,
+        with_spectral_features,
+    )
+    from top_secret_spark.operators.packing import shard_by_size
+    from top_secret_spark.operators.quality import quality_rule_audit
+    from top_secret_spark.operators.sampling import temperature_sample
+    from top_secret_spark.sources.clips import clips_df
+
+    aclips = clips_df(spark, 200, with_audio=True, partitions=4)
+    sections.append((
+        "Spectral features (blocked batch FFT)",
+        explain_str(with_spectral_features(aclips)),
+        "- Scan -> ONE ArrowEvalPython -> project: zero exchanges; the\n"
+        "  `bytes` column dies inside the stage (not re-serialized to\n"
+        "  downstream operators).\n"
+        "- Inside the UDF: per-(codec, sr) concatenated decode, every\n"
+        "  frame of every clip gathered into one matrix, one\n"
+        "  np.fft.rfft per 64 MiB block, reduceat pooling — the FFT\n"
+        "  cost is a handful of numpy calls per Arrow batch regardless\n"
+        "  of clip count.",
+    ))
+    sections.append((
+        "Time masking (pure-Catalyst byte splice)",
+        explain_str(time_masked_clips(aclips, mask_ms=200)),
+        "- NO EvalPython, NO Exchange in the OPERATOR: the MapInPandas\n"
+        "  below is the synthetic clip GENERATOR (a parquet scan in\n"
+        "  production); the mask itself is the codegen'd Project above\n"
+        "  it — substring + unhex(repeat(hex)) + concat, so masking\n"
+        "  10^12 clips runs at scan speed and pipelines into any\n"
+        "  downstream stage.\n"
+        "- Placement is pmod(key, positions) on a key column — a row\n"
+        "  property, reproducible on any partitioning.",
+    ))
+    sections.append((
+        "Size-balanced sharding (two-phase prefix sum)",
+        explain_str(shard_by_size(docs_small, 4096, order_col="doc_id",
+                                  size_col="n_chars")),
+        "- One range exchange (the ordering requirement), per-partition\n"
+        "  window, then a BroadcastHashJoin adding the per-partition base\n"
+        "  offsets — never a single-partition global window.\n"
+        "- Driver traffic is one row per partition (the totals), bounded\n"
+        "  by the partition count, not the data.",
+    ))
+    sections.append((
+        "Temperature rebalancing (map-only hash filter)",
+        explain_str(temperature_sample(docs_small, "lang", alpha=0.5)),
+        "- After the one bounded (stratum, count) aggregation at plan\n"
+        "  time, the sample itself is Filter-above-Scan: the CASE\n"
+        "  threshold and the xor-fold/Knuth hash are codegen'd, zero\n"
+        "  exchanges, decisions independent of layout.",
+    ))
+    sections.append((
+        "Quality-rule firing audit",
+        explain_str(quality_rule_audit(docs_small.select(
+            F.col("doc_id"), F.col("text").alias("transcript")))),
+        "- All rule signals are codegen'd Catalyst expressions computed\n"
+        "  once per row; the ONLY exchange is the groupBy on the short\n"
+        "  fired-combination string (cardinality <= 2^n_rules) with\n"
+        "  map-side partial aggregation.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
