@@ -1061,3 +1061,97 @@ def test_time_masked_clips_default_key_deterministic(spark):
     three = {r.clip_id: bytes(r.bytes)
              for r in time_masked_clips(df, mask_ms=10, seed=7).collect()}
     assert three["k1"] != one["k1"]
+
+
+def test_batch_mix_noise_snr_silence_and_batch_independence():
+    import numpy as np
+
+    from top_secret_spark.kernel.audio import (
+        batch_mix_noise,
+        snr_db,
+        synth_pcm,
+    )
+
+    sr = 16000
+    clips = [synth_pcm(7 + i, 4800, sr) for i in range(3)]
+    clips += [np.zeros(1000), np.zeros(0)]  # silent + empty (trailing)
+    lengths = np.array([len(c) for c in clips])
+    samples = np.concatenate(clips)
+    keys = np.arange(5, dtype=np.uint64) * 987654321
+    mixed = batch_mix_noise(samples, lengths, keys, 20.0)
+    off = 0
+    for i, c in enumerate(clips):
+        m = mixed[off:off + len(c)]
+        off += len(c)
+        if len(c) == 0:
+            continue
+        if not c.any():
+            assert (m == 0).all()  # silence stays silence
+        else:
+            assert 19.5 <= snr_db(c.astype(np.float64), m) <= 20.5
+    # noise is a row property: first two clips alone give identical bytes
+    sub = batch_mix_noise(
+        np.concatenate(clips[:2]), lengths[:2], keys[:2], 20.0
+    )
+    assert np.array_equal(sub, mixed[: lengths[:2].sum()])
+    # different keys give different noise
+    other = batch_mix_noise(samples, lengths, keys + 1, 20.0)
+    assert not np.array_equal(other, mixed)
+
+
+def test_noise_mixed_clips_operator(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from top_secret_spark.kernel.audio import decode, encode, snr_db
+    from top_secret_spark.operators.audio import noise_mixed_clips
+
+    sr = 8000
+    t = np.arange(2400) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    rows = pd.DataFrame({
+        "clip_id": ["p", "u", "s"],
+        "bytes": [encode(tone, "pcm16"), encode(tone, "ulaw"),
+                  encode(np.zeros(2400, dtype=np.float32), "alaw")],
+        "sr_hz": pd.array([sr] * 3, dtype="int32"),
+        "dur_ms": pd.array([300] * 3, dtype="int32"),
+        "codec": ["pcm16", "ulaw", "alaw"],
+        "transcript": ["x"] * 3,
+    })
+    df = spark.createDataFrame(rows)
+    out = {r.clip_id: r for r in noise_mixed_clips(df, snr_db=15.0).collect()}
+    # output codec pcm16, 2 bytes/sample regardless of input codec
+    for cid in ("p", "u", "s"):
+        assert out[cid].codec == "pcm16"
+        assert len(out[cid].bytes) == 2400 * 2
+    for cid, codec in (("p", "pcm16"), ("u", "ulaw")):
+        orig = decode(bytes(rows.loc[rows.clip_id == cid, "bytes"].iloc[0]),
+                      codec).astype(np.float64)
+        got = snr_db(orig, decode(bytes(out[cid].bytes), "pcm16"))
+        assert 14.0 <= got <= 16.0, (cid, got)
+    # companded "silence" decodes to the nonzero G.711 zero-code
+    # reconstruction (~2.4e-4), so it gets noise 15 dB below THAT —
+    # the result must still read silent to the gate (< SILENCE_EPS)
+    from top_secret_spark.kernel.audio import SILENCE_EPS
+
+    assert np.abs(decode(bytes(out["s"].bytes), "pcm16")).max() < SILENCE_EPS
+    # true digital silence (pcm16 zeros) passes through byte-identical
+    dz = pd.DataFrame({
+        "clip_id": ["z"], "bytes": [b"\x00" * 4800],
+        "sr_hz": pd.array([sr], dtype="int32"),
+        "dur_ms": pd.array([300], dtype="int32"),
+        "codec": ["pcm16"], "transcript": ["x"],
+    })
+    zout = noise_mixed_clips(spark.createDataFrame(dz)).first()
+    assert bytes(zout.bytes) == b"\x00" * 4800
+    # determinism across partitionings (noise keyed on the row)
+    again = {r.clip_id: bytes(r.bytes) for r in
+             noise_mixed_clips(df.repartition(5), snr_db=15.0).collect()}
+    assert again == {k: bytes(v.bytes) for k, v in out.items()}
+    # undecodable payload raises loudly (transform, not a gate)
+    from pyspark.sql import functions as sf
+
+    bad = df.withColumn("codec", sf.lit("opus"))
+    with _pytest.raises(Exception):
+        noise_mixed_clips(bad).collect()

@@ -611,3 +611,65 @@ def batch_pair_snr(
             np.maximum(p_sig, 1e-300) / np.maximum(p_noise, 1e-300)
         )
     return out
+
+
+# --- deterministic noise injection (counter-based RNG) -------------------------
+
+# splitmix64 constants (Steele et al., "Fast Splittable Pseudorandom
+# Number Generators", OOPSLA 2014) — the standard stateless mixer.
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized stateless splitmix64 finalizer over uint64 counters."""
+    x = (x + _SM_GAMMA).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * _SM_M1
+    x = (x ^ (x >> np.uint64(27))) * _SM_M2
+    return x ^ (x >> np.uint64(31))
+
+
+def batch_mix_noise(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    keys: np.ndarray,
+    snr_db: float,
+) -> np.ndarray:
+    """Add white Gaussian noise at ``snr_db`` below each clip's measured
+    signal power — the standard robustness augmentation — with noise
+    that is a PURE FUNCTION of (clip key, sample index): counter-based
+    splitmix64 → Box-Muller, no RNG state, so the result is identical
+    under any batching, partitioning, or re-run (a noise overlay an
+    auditor can regenerate exactly).
+
+    ``keys[i]`` is clip i's 64-bit noise key (hash of its id + seed).
+    Digital-silent clips pass through unchanged: "noise at X dB below
+    zero signal" is undefined, and silence should stay silence for the
+    silence gate to name.  Output is clipped to [-1, 1].
+    """
+    n = len(lengths)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if n == 0 or len(samples) == 0:
+        return samples.astype(np.float64)
+    out = samples.astype(np.float64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    nonempty = lengths > 0
+    power = np.zeros(n, dtype=np.float64)
+    sums = np.add.reduceat(out**2, offsets[nonempty])
+    power[nonempty] = sums / lengths[nonempty]
+    # per-clip noise std for the target SNR; silent clips -> 0 (passthrough)
+    std = np.sqrt(power / (10.0 ** (snr_db / 10.0)))
+    # counters: per-clip splitmix'd key base + within-clip index, mixed
+    # again -> independent streams per clip, stateless per sample
+    base = _splitmix64(np.asarray(keys, dtype=np.uint64))
+    ctr = np.repeat(base, lengths) + _concat_aranges(lengths).astype(np.uint64)
+    h1 = _splitmix64(ctr)
+    h2 = _splitmix64(h1)
+    # (0, 1] uniforms from the top 53 bits (u1 > 0 keeps log finite)
+    u1 = ((h1 >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+    u2 = (h2 >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    out += np.repeat(std, lengths) * z
+    return np.clip(out, -1.0, 1.0)

@@ -352,6 +352,59 @@ def normalized_clips(
     return df.mapInPandas(run, schema=schema)
 
 
+def noise_mixed_clips(
+    df: DataFrame, snr_db: float = 20.0, seed: int = 0
+) -> DataFrame:
+    """Add white Gaussian noise ``snr_db`` below each clip's measured
+    signal power — the standard robustness augmentation — with a
+    DETERMINISTIC noise overlay: counter-based splitmix64 → Box-Muller
+    keyed on (xxhash64(clip_id, seed), sample index), so the same row
+    gets the same noise under any batching, partitioning, or re-run,
+    and an auditor can regenerate the overlay exactly
+    (``kernel.audio.batch_mix_noise``).
+
+    Same batching/contract as :func:`normalized_clips`: one
+    concatenated kernel pass per codec per Arrow batch, undecodable
+    payloads raise loudly (transform, not a gate), digital-silent clips
+    (all-zero DECODED signal) pass through unchanged — noise at X dB
+    below zero signal is undefined.  A G.711 "silent" clip decodes to
+    the nonzero companded-zero reconstruction (~1e-4), so it gets noise
+    that far below — still under SILENCE_EPS, still nameable by the
+    silence gate.  Output codec is pcm16, sample rate unchanged."""
+    keyed = df.withColumn(
+        "_noise_key", F.xxhash64(F.col("clip_id"), F.lit(int(seed)))
+    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_decode, batch_mix_noise
+
+        for pdf in iterator:
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            # int64 -> uint64 reinterpret: same 64 bits, numpy-safe
+            keys = pdf["_noise_key"].to_numpy(dtype=np.int64).view(np.uint64)
+            out_bytes = [None] * len(pdf)
+            for codec in sorted(set(codecs.tolist()), key=str):
+                idx = np.flatnonzero(codecs == codec)
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                mixed = batch_mix_noise(samples, lengths, keys[idx], snr_db)
+                for k, payload in enumerate(
+                    _pcm16_payloads(mixed, lengths)
+                ):
+                    out_bytes[idx[k]] = payload
+            pdf = pdf.drop(columns=["_noise_key"]).copy()
+            pdf["bytes"] = out_bytes
+            pdf["codec"] = "pcm16"
+            yield pdf
+
+    return keyed.mapInPandas(run, schema=schema)
+
+
 _BYTES_PER_SAMPLE = {"pcm16": 2, "ulaw": 1, "alaw": 1}
 
 

@@ -2232,6 +2232,67 @@ SELECT cast(120 as bigint) AS n_clips, cast(120 as bigint) AS n_exact
 """
 
 
+def q_noise_mix(spark, sf_dir):
+    """[tier: quality_filter × audio] additive-noise augmentation at a
+    target SNR (operators/audio.py noise_mixed_clips): deterministic
+    counter-based splitmix64 → Box-Muller noise keyed on (clip id,
+    sample index) — regenerable by an auditor, identical under any
+    partitioning.  Gate: every planted clip's measured SNR (regenerated
+    original vs decoded mixed payload) lands within ±1 dB of the 20 dB
+    target, and a re-run produces the byte-identical payload
+    (determinism observed twice under the same gate)."""
+    _prep(spark)
+    from .operators.audio import noise_mixed_clips
+    from .sources.clips import spectral_clips_df
+
+    clips = spectral_clips_df(spark, 120, partitions=8)
+    mixed = noise_mixed_clips(clips, snr_db=20.0)
+    again = noise_mixed_clips(spectral_clips_df(spark, 120, partitions=5),
+                              snr_db=20.0).select(
+        "clip_id", F.col("bytes").alias("bytes2"))
+
+    def check(iterator):
+        import pandas as pd
+
+        from .kernel.audio import decode, snr_db
+        from .sources.clips import spectral_rows_for_range
+
+        for pdf in iterator:
+            n_band = 0
+            n_same = 0
+            for clip_id, data, data2 in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["bytes2"]
+            ):
+                rr = int(clip_id.split("-")[1])
+                orig = decode(
+                    bytes(
+                        spectral_rows_for_range(rr, rr + 1)["bytes"].iloc[0]
+                    ),
+                    "pcm16",
+                ).astype("float64")
+                got = snr_db(orig, decode(bytes(data), "pcm16"))
+                if 19.0 <= got <= 21.0:
+                    n_band += 1
+                if bytes(data) == bytes(data2):
+                    n_same += 1
+            yield pd.DataFrame({"n": [len(pdf)], "n_band": [n_band],
+                                "n_same": [n_same]})
+
+    joined = mixed.join(again, "clip_id")
+    out = joined.mapInPandas(check, "n long, n_band long, n_same long")
+    return out.agg(
+        F.sum("n").alias("n_clips"),
+        F.sum("n_band").alias("n_in_band"),
+        F.sum("n_same").alias("n_deterministic"),
+    )
+
+
+Q_NOISE_MIX_SQL = """
+SELECT cast(120 as bigint) AS n_clips, cast(120 as bigint) AS n_in_band,
+       cast(120 as bigint) AS n_deterministic
+"""
+
+
 Q_CHUNKED_CLIPS_SQL = """
 WITH p AS (
   SELECT r,
@@ -3029,4 +3090,5 @@ QUERIES = {
     "q61_rule_audit": (q_rule_audit, Q_RULE_AUDIT_SQL),
     "q62_shard_by_size": (q_shard_by_size, Q_SHARD_BY_SIZE_SQL),
     "q63_time_mask": (q_time_mask, Q_TIME_MASK_SQL),
+    "q64_noise_mix": (q_noise_mix, Q_NOISE_MIX_SQL),
 }
