@@ -1155,3 +1155,56 @@ def test_noise_mixed_clips_operator(spark):
     bad = df.withColumn("codec", sf.lit("opus"))
     with _pytest.raises(Exception):
         noise_mixed_clips(bad).collect()
+
+
+def test_time_masked_clips_null_start_key_is_passthrough(spark):
+    """A NULL in a user-supplied start_key column must pass the payload
+    through unchanged, never NULL it out through the splice."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as sf
+
+    from top_secret_spark.kernel.audio import encode
+    from top_secret_spark.operators.audio import time_masked_clips
+
+    tone = (0.3 * np.ones(400)).astype(np.float32)
+    rows = pd.DataFrame({
+        "clip_id": ["a", "b"],
+        "bytes": [encode(tone, "pcm16")] * 2,
+        "sr_hz": pd.array([8000] * 2, dtype="int32"),
+        "dur_ms": pd.array([50] * 2, dtype="int32"),
+        "codec": ["pcm16"] * 2,
+        "transcript": ["x"] * 2,
+        "key": pd.array([None, 5], dtype="Int64"),
+    })
+    df = spark.createDataFrame(rows)
+    out = {r.clip_id: bytes(r.bytes) for r in
+           time_masked_clips(df, mask_ms=10,
+                             start_key=sf.col("key")).collect()}
+    assert out["a"] == bytes(encode(tone, "pcm16"))  # passthrough
+    assert out["b"] != bytes(encode(tone, "pcm16"))  # masked
+
+
+def test_with_spectral_features_null_sr_is_poison_not_crash(spark):
+    import numpy as np
+    import pandas as pd
+
+    from top_secret_spark.kernel.audio import encode
+    from top_secret_spark.operators.audio import with_spectral_features
+
+    tone = (0.4 * np.sin(2 * np.pi * 1000 * np.arange(4800) / 16000)
+            ).astype(np.float32)
+    rows = pd.DataFrame({
+        "clip_id": ["ok", "nosr"],
+        "bytes": [encode(tone, "pcm16")] * 2,
+        "sr_hz": pd.array([16000, None], dtype="Int32"),
+        "dur_ms": pd.array([300] * 2, dtype="int32"),
+        "codec": ["pcm16"] * 2,
+        "transcript": ["x"] * 2,
+    })
+    out = {r.clip_id: r for r in
+           with_spectral_features(spark.createDataFrame(rows)).collect()}
+    assert out["ok"].spectral_ok and abs(
+        out["ok"].spectral_centroid_hz - 1000) < 15
+    assert not out["nosr"].spectral_ok
+    assert out["nosr"].spectral_flatness == 1.0

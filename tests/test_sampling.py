@@ -184,3 +184,22 @@ def test_temperature_sample_null_strata_and_max_strata(spark):
     assert samp.filter(F.col("lang").isNull()).count() == 2
     with pytest.raises(ValueError, match="max_strata"):
         temperature_sample(df, "doc_id", alpha=0.5, max_strata=3)
+
+
+def test_temperature_sample_broadcast_path_equals_case_path(spark, monkeypatch):
+    """Above CASE_STRATA_MAX the rates become a broadcast join instead
+    of a nested CASE (depth-N CaseWhen would overflow Catalyst tree
+    traversal) — decisions must be identical, including NULL strata and
+    non-string stratum types."""
+    import top_secret_spark.operators.sampling as samp_mod
+
+    rows = [(i, None if i % 11 == 0 else i % 7) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, grp int")
+    a = sorted(r.doc_id for r in
+               temperature_sample(df, "grp", alpha=0.5).collect())
+    monkeypatch.setattr(samp_mod, "CASE_STRATA_MAX", 2)
+    b = sorted(r.doc_id for r in
+               temperature_sample(df, "grp", alpha=0.5).collect())
+    assert a == b
+    out = temperature_sample(df, "grp", alpha=0.5)
+    assert set(out.columns) == {"doc_id", "grp"}  # helper cols dropped

@@ -38,13 +38,17 @@ from .audio import _concat_aranges
 # fires on such clips before any spectral rule is consulted anyway).
 SPECTRAL_EPS = 1e-20
 
-# Frames per FFT block: bounds the peak size of the gathered frame matrix
-# (block x frame_len float32) regardless of how large the Arrow batch is —
-# 32768 x 512 x 4 B = 64 MiB.  Scale knob, not a semantics knob: each frame
-# is independent, so blocking changes results only at float rounding level
-# (pocketfft vectorizes ACROSS transforms — same-frame output is tight-float
-# reproducible, not bit-identical, under different batch shapes; the gate
-# thresholds carry orders-of-magnitude margin over that).
+# Frames per FFT block: bounds peak working memory regardless of Arrow
+# batch size.  Honest accounting at frame=512 / block=32768: the frame
+# gather (rows of a zero-copy sliding-window VIEW, so no index matrix is
+# ever materialized) is 64 MiB float32, the windowed copy reuses it in
+# place, rfft output is 32768 x 257 complex64 = 64 MiB, and the float64
+# power matrix is 128 MiB — ~0.25 GiB peak per concurrent task, ~4x the
+# gather alone.  Scale knob, not a semantics knob: each frame is
+# independent, so blocking changes results only at float rounding level
+# (pocketfft vectorizes ACROSS transforms — same-frame output is
+# tight-float reproducible, not bit-identical, under different batch
+# shapes; the gate thresholds carry orders-of-magnitude margin).
 SPECTRAL_BLOCK_FRAMES = 32768
 
 
@@ -112,13 +116,17 @@ def batch_spectral(
         0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
     ).astype(np.float32)
     freqs = np.fft.rfftfreq(frame, 1.0 / sr_hz)
-    col = np.arange(frame, dtype=np.int64)[None, :]
+    # zero-copy view of every length-`frame` window in the buffer; row
+    # gathers below copy only the frames they select — no (block x
+    # frame) int64 index matrix is ever materialized.  Safe: total > 0
+    # implies some clip has >= frame samples, so len(samples) >= frame.
+    windows_view = np.lib.stride_tricks.sliding_window_view(samples, frame)
     fr_num = np.empty(total, dtype=np.float64)
     fr_den = np.empty(total, dtype=np.float64)
     fr_flat = np.empty(total, dtype=np.float64)
     for lo in range(0, total, max(1, block_frames)):
         hi = min(lo + max(1, block_frames), total)
-        frames = samples[starts[lo:hi, None] + col].astype(np.float32)
+        frames = windows_view[starts[lo:hi]].astype(np.float32)
         frames *= window
         # rfft on float32 -> complex64; accumulate statistics in float64
         power = np.abs(np.fft.rfft(frames, axis=1)).astype(np.float64) ** 2

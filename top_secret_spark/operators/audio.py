@@ -152,10 +152,15 @@ def with_spectral_features(
             nfs = np.zeros(n, dtype=np.int64)
             datas = pdf["bytes"].tolist()
             codecs = pdf["codec"].to_numpy()
-            srs = pdf["sr_hz"].to_numpy()
+            # NULL sr_hz arrives as NaN (Arrow nullable int32 -> float64
+            # pandas column); such rows must stay spectral_ok=false, not
+            # crash int(sr) below — poison rows never kill the stage
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            sr_ok = np.isfinite(srs)
             for codec in SUPPORTED_CODECS:
                 cidx = np.flatnonzero(
                     (codecs == codec)
+                    & sr_ok
                     & np.array([d is not None for d in datas])
                 )
                 if codec == "pcm16":
@@ -830,7 +835,10 @@ def time_masked_clips(
         start_key
         if start_key is not None
         else F.xxhash64(F.col("clip_id"), F.lit(seed))
-    )
+    # try_cast: a float key column carrying NaN (e.g. pandas NA through
+    # a non-Arrow conversion) must become NULL -> passthrough, not an
+    # ANSI CAST_OVERFLOW that kills the job
+    ).try_cast("bigint")
     b = F.col("bytes")
     bps = (
         F.when(F.col("codec") == "pcm16", F.lit(2))
@@ -858,6 +866,9 @@ def time_masked_clips(
     applicable = (
         b.isNotNull()
         & bps.isNotNull()
+        # a NULL key would NULL the whole splice through pmod/substr —
+        # passthrough, never payload destruction
+        & key.isNotNull()
         & (F.col("sr_hz") > 0)
         & (n > 0)
         & (m > 0)

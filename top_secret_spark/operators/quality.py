@@ -84,21 +84,17 @@ def with_quality_signals(df: DataFrame, text_col: str = "transcript") -> DataFra
 def drop_reason_col(th: QualityThresholds = DEFAULT_THRESHOLDS) -> Column:
     """First failing rule in kernel priority order (quality.py REASONS).
 
+    Derived from :func:`rule_conditions` — ONE rule table drives both
+    production filtering (first-failing here) and the independent-firing
+    audit (:func:`quality_rule_audit`), so the two can never drift.
+
     Expects columns: n_chars, n_words, symbol_ratio, digit_ratio,
     dup_line_frac, top_bigram_frac, toxicity, lang, lang_conf, ppl."""
-    return (
-        F.when(F.col("n_chars") < th.min_chars, "too_short")
-        .when(F.col("n_chars") > th.max_chars, "too_long")
-        .when(F.col("n_words") < th.min_words, "too_few_words")
-        .when(F.col("symbol_ratio") > th.max_symbol_ratio, "symbol_ratio")
-        .when(F.col("digit_ratio") > th.max_digit_ratio, "digit_ratio")
-        .when(F.col("dup_line_frac") > th.max_dup_line_frac, "dup_lines")
-        .when(F.col("top_bigram_frac") > th.max_top_bigram_frac, "repetition")
-        .when(F.col("toxicity") > th.max_toxicity, "toxicity")
-        .when(~F.col("lang").isin(*th.allowed_langs), "lang")
-        .when(F.col("lang_conf") < th.min_lang_conf, "lang_conf")
-        .when(F.col("ppl") > th.max_ppl, "perplexity")
-    )
+    conds = rule_conditions(th)
+    expr = F.when(conds[0][1], conds[0][0])
+    for nm, c in conds[1:]:
+        expr = expr.when(c, nm)
+    return expr
 
 
 def with_keep_drop(

@@ -91,12 +91,23 @@ def stratified_sample(
     return df.filter(sample_u_col(F.col(key_col), seed) < thresh)
 
 
-# Keep rates are floor-quantized to this grid so ANY engine recomputing
-# them (DuckDB oracle, an audit job in another stack) agrees on every
-# threshold comparison despite libm pow() ulp differences.  1e-6 is ~4e3
-# coarser than u's own grid (k / 2^32) and ~1e10 coarser than a double
-# ulp at 1.0 — quantization never moves a decision a user could see.
+# Keep rates are floor-quantized to this grid so an engine recomputing
+# them (DuckDB oracle, an audit job in another stack) agrees on the
+# threshold comparison in the overwhelmingly common case where two
+# libm pow() implementations differ by a few ulp: both floors collapse
+# to the same 1e-6 multiple unless pow() lands WITHIN those few ulp of
+# a quantum boundary (probability ~1e-10 per stratum) — quantization
+# shrinks the cross-engine disagreement surface by ~10 orders of
+# magnitude; it does not make it exactly zero.
 RATE_QUANTUM = 1_000_000
+
+# Above this many strata the per-stratum rates stop being a plan-time
+# CASE chain (whose nested-CaseWhen depth would stack-overflow Catalyst
+# tree traversal somewhere in the thousands) and become a broadcast
+# join against the tiny rates table — same decisions, one
+# BroadcastExchange of the rates instead of a deeper expression tree,
+# still zero shuffles of the corpus.
+CASE_STRATA_MAX = 128
 
 
 def temperature_fractions(counts: Mapping, alpha: float) -> dict:
@@ -133,8 +144,11 @@ def temperature_sample(
 ) -> DataFrame:
     """Rebalance a corpus so stratum mass ∝ p_i^alpha — ONE
     groupBy(strata) count (a bounded shuffle of (stratum, long) pairs),
-    rates compiled into a plan-time CASE threshold, then the same
-    map-only deterministic key-hash filter as ``stratified_sample``.
+    then the same deterministic key-hash decision as
+    ``stratified_sample``.  Rates compile to a plan-time CASE threshold
+    (pure Filter-above-Scan) up to ``CASE_STRATA_MAX`` strata, and to a
+    broadcast join against the tiny rates table beyond that — the
+    corpus never shuffles either way.
 
     The per-stratum counts are collected to the driver; that collect is
     bounded by the number of DISTINCT strata, guarded by ``max_strata``
@@ -154,17 +168,41 @@ def temperature_sample(
     rates = temperature_fractions({r[0]: r["count"] for r in cnt}, alpha)
     if not rates:
         return df
-    thresh = F.lit(0.0)
-    for value, fr in sorted(
-        rates.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
-    ):
-        cond = (
-            F.col(strata_col).isNull()
-            if value is None
-            else F.col(strata_col) == F.lit(value)
+    u = sample_u_col(F.col(key_col), seed)
+    if len(rates) <= CASE_STRATA_MAX:
+        # small stratum sets (languages, codecs): plan-time CASE keeps
+        # the sample a pure Filter-above-Scan, zero exchanges
+        thresh = F.lit(0.0)
+        for value, fr in sorted(
+            rates.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+        ):
+            cond = (
+                F.col(strata_col).isNull()
+                if value is None
+                else F.col(strata_col) == F.lit(value)
+            )
+            thresh = F.when(cond, F.lit(fr)).otherwise(thresh)
+        return df.filter(u < thresh)
+    # large stratum sets: a depth-N nested CaseWhen would overflow the
+    # Catalyst analyzer stack; broadcast-join the rates instead (null
+    # strata matched null-safely; every observed stratum has a rate)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rates_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in rates.items()],
+            StructType([
+                StructField("_stratum", df.schema[strata_col].dataType, True),
+                StructField("_rate", DoubleType(), False),
+            ]),
         )
-        thresh = F.when(cond, F.lit(fr)).otherwise(thresh)
-    return df.filter(sample_u_col(F.col(key_col), seed) < thresh)
+    )
+    joined = df.join(
+        rates_df, F.col(strata_col).eqNullSafe(F.col("_stratum")), "left"
+    )
+    return joined.filter(u < F.coalesce(F.col("_rate"), F.lit(0.0))).drop(
+        "_stratum", "_rate"
+    )
 
 
 def with_split(
