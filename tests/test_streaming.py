@@ -423,3 +423,52 @@ def test_dedup_stream_explicit_fp_col_drops_stale_column(spark, tmp_path):
     rows = spark.sql("select * from stale_fp").collect()
     assert len(rows) == 1          # deduped on the real key
     assert rows[0]["fingerprint"] == 7
+
+
+def test_augmentation_transforms_stream(spark, tmp_path):
+    """noise_mixed_clips and time_masked_clips are stateless map-only
+    transforms keyed on row properties, so the streamed noise→mask
+    chain must equal the batch run BYTE-FOR-BYTE — augmentation in a
+    streaming ingest pipeline is reproducible against a batch audit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from top_secret_spark.operators.audio import (
+        noise_mixed_clips,
+        time_masked_clips,
+    )
+    from top_secret_spark.sources.clips import (
+        spectral_clips_df,
+        spectral_rows_for_range,
+    )
+
+    src = str(tmp_path / "aug_in")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pandas(spectral_rows_for_range(0, 24)),
+        os.path.join(src, "part-0.parquet"),
+    )
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = time_masked_clips(
+        noise_mixed_clips(stream, snr_db=20.0), mask_ms=50
+    ).select("clip_id", F.xxhash64("bytes").alias("h"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("aug_stream")
+        .option("checkpointLocation", str(tmp_path / "aug_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["clip_id"]: r["h"]
+           for r in spark.sql("select * from aug_stream").collect()}
+    exp = {r["clip_id"]: r["h"]
+           for r in time_masked_clips(
+               noise_mixed_clips(spectral_clips_df(spark, 24), snr_db=20.0),
+               mask_ms=50,
+           ).select("clip_id", F.xxhash64("bytes").alias("h")).collect()}
+    assert len(got) == 24
+    assert got == exp
