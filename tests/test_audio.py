@@ -1208,3 +1208,49 @@ def test_with_spectral_features_null_sr_is_poison_not_crash(spark):
         out["ok"].spectral_centroid_hz - 1000) < 15
     assert not out["nosr"].spectral_ok
     assert out["nosr"].spectral_flatness == 1.0
+
+
+def test_merge_segments_semantics(spark):
+    """Offset-based packing: a 40ms segment starting below the boundary
+    joins the group (overflow < one segment); oversized single segments
+    keep their own group; payload bytes are conserved and concatenate
+    in seg order; merge never crosses a clip boundary."""
+    import collections
+
+    import pytest as _pytest
+    from pyspark.sql import functions as sf
+
+    from top_secret_spark.operators.audio import (
+        merge_segments,
+        split_clips_on_silence,
+    )
+    from top_secret_spark.sources.clips import (
+        SEGMENT_CLASSES,
+        segment_clips_df,
+    )
+
+    segs = split_clips_on_silence(segment_clips_df(spark, 48),
+                                  min_gap_ms=25).cache()
+    # big window: every clip merges to ONE row; two_utterances rows
+    # carry n_segments=2 and the concat of both segments' bytes
+    m1 = merge_segments(segs, 1000)
+    rows = m1.collect()
+    assert len(rows) == 48
+    assert all(r.n_segments == 2 for r in rows
+               if r.transcript == "two_utterances")
+    sb = segs.agg(sf.sum(sf.length("bytes"))).first()[0]
+    assert m1.agg(sf.sum(sf.length("bytes"))).first()[0] == sb
+    # 30ms window: two 40-48ms utterances cannot share a group
+    cnt = collections.Counter()
+    for r in merge_segments(segs, 30).collect():
+        cnt[r.clip_id] += 1
+    for i in range(48):
+        exp = 2 if SEGMENT_CLASSES[i % 4] == "two_utterances" else 1
+        assert cnt[f"sg-{i:08d}"] == exp, i
+    # 50ms window: second 40ms segment STARTS below the boundary ->
+    # same group (offset-based assignment, overflow < one segment)
+    assert all(n == 1 for n in collections.Counter(
+        r.clip_id for r in merge_segments(segs, 50).collect()).values())
+    with _pytest.raises(ValueError, match="max_dur_ms"):
+        merge_segments(segs, 0)
+    segs.unpersist()

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _FEATURES_SCHEMA_SUFFIX = (
@@ -355,6 +355,72 @@ def normalized_clips(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def merge_segments(
+    df: DataFrame,
+    max_dur_ms: int,
+    clip_col: str = "clip_id",
+    order_col: str = "seg_idx",
+) -> DataFrame:
+    """Pack consecutive voiced segments of the SAME clip into training
+    windows of at most ``max_dur_ms`` — the inverse of
+    :func:`chunked_clips`: split gives one row per utterance, merge
+    rebuilds examples near the model's context size without ever
+    crossing a clip boundary.
+
+    Assignment is offset-based (``pack_sequences`` semantics at
+    per-clip scope): a segment joins group ``floor(exclusive_cum_dur /
+    max_dur_ms)``, so a segment longer than ``max_dur_ms`` keeps its
+    own group — merging NEVER splits a segment.  Payloads concatenate
+    in ``order_col`` order as a pure-Catalyst aggregate (sorted struct
+    array → ``aggregate`` binary concat, no Python); a NULL payload
+    contributes zero bytes but its duration and row mass stay counted.
+    Transcript is carried by max() — the split contract puts it on
+    segment 0 only, so each clip has at most one non-null.
+
+    Scale shape: one window + one groupBy, both keyed by (clip, group)
+    — per-key work is bounded by segments-per-clip (never a global
+    window), and only segment rows shuffle.  Output: one row per
+    (clip, group) with ``merged_id``, summed ``dur_ms``, segment count,
+    and the parent metadata.
+    """
+    if max_dur_ms <= 0:
+        raise ValueError(
+            f"merge_segments: max_dur_ms must be positive, got {max_dur_ms}"
+        )
+    w = Window.partitionBy(clip_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = F.coalesce(
+        F.sum(F.col("dur_ms").cast("bigint")).over(w), F.lit(0)
+    )
+    # `div`, not `/`: exact bigint group ids (pack_sequences precedent)
+    grouped = df.withColumn("_cum", cum).withColumn(
+        "_grp", F.expr(f"_cum div {int(max_dur_ms)}")
+    ).drop("_cum")
+    merged = (
+        grouped.groupBy(clip_col, "_grp")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                f"struct({order_col}, bytes))), s -> coalesce(s.bytes, "
+                "cast('' as binary))), cast('' as binary), "
+                "(acc, x) -> concat(acc, x))"
+            ).alias("bytes"),
+            F.sum(F.col("dur_ms").cast("bigint")).alias("dur_ms"),
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.min("sr_hz").alias("sr_hz"),
+            F.min("codec").alias("codec"),
+            F.max("transcript").alias("transcript"),
+        )
+        .withColumn(
+            "merged_id",
+            F.concat(F.col(clip_col), F.lit("#m"), F.col("_grp").cast("string")),
+        )
+        .drop("_grp")
+    )
+    return merged
 
 
 def noise_mixed_clips(

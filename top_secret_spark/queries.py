@@ -2293,6 +2293,85 @@ SELECT cast(120 as bigint) AS n_clips, cast(120 as bigint) AS n_in_band,
 """
 
 
+def q_merge_segments(spark, sf_dir):
+    """[tier: quality_filter × audio] segment merging — the inverse of
+    chunking: VAD segments pack into training windows of at most
+    max_dur_ms, never crossing a clip boundary, never splitting a
+    segment (operators/audio.py merge_segments; offset-based group
+    assignment, pack_sequences semantics at per-clip scope).  Two arms
+    over the planted utterance corpus: w30 forces two_utterances clips
+    into TWO windows (each block is 40-48 ms > 30), w1000 merges them
+    back into ONE window whose payload is the byte-concat of both
+    segments — counts, durations, segment counts, and byte sums per
+    class recomputed closed-form by the oracle from r % 4 / r % 5 /
+    (r div 4) % 3."""
+    _prep(spark)
+    from .operators.audio import merge_segments, split_clips_on_silence
+    from .sources.clips import SEGMENT_CLASSES, segment_clips_df
+
+    segs = split_clips_on_silence(
+        segment_clips_df(spark, 120, partitions=8), min_gap_ms=25
+    )
+    arms = [("w30", 30), ("w1000", 1000)]
+    outs = []
+    for arm, max_dur in arms:
+        m = merge_segments(segs, max_dur).withColumn("arm", F.lit(arm))
+        outs.append(m)
+    merged = outs[0].unionByName(outs[1])
+    r = F.substring("clip_id", 4, 8).cast("long")
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in SEGMENT_CLASSES]), (r % 4 + 1).cast("int")
+    )
+    return (
+        merged.groupBy("arm", cls.alias("seg_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_merged"),
+            F.count_distinct("clip_id").alias("n_clips"),
+            F.sum("dur_ms").alias("sum_dur"),
+            F.sum("n_segments").alias("sum_segments"),
+            F.sum(F.length("bytes")).alias("sum_bytes"),
+        )
+        .orderBy("arm", "seg_class")
+    )
+
+
+Q_MERGE_SEGMENTS_SQL = """
+WITH p AS (
+  SELECT r,
+         CASE r % 4 WHEN 0 THEN 'single' WHEN 1 THEN 'two_utterances'
+                    WHEN 2 THEN 'short_gap' ELSE 'silent' END AS seg_class,
+         320 + 16 * (r % 5) AS n,
+         CASE WHEN (r // 4) % 3 = 0 THEN 2 ELSE 1 END AS bps
+  FROM (SELECT unnest(range(0, 120)) AS r)
+),
+arms AS (SELECT unnest(['w30', 'w1000']) AS arm),
+rows_ AS (
+  SELECT arm, seg_class,
+         CASE WHEN seg_class = 'two_utterances' AND arm = 'w30'
+              THEN 2 ELSE 1 END AS n_merged,
+         CASE seg_class WHEN 'two_utterances' THEN 2 ELSE 1 END AS n_segs,
+         CASE seg_class WHEN 'single' THEN n // 8
+                        WHEN 'two_utterances' THEN 2 * (n // 8)
+                        WHEN 'short_gap' THEN (2 * n + 104) // 8
+                        ELSE 0 END AS dur,
+         CASE seg_class WHEN 'single' THEN n * bps
+                        WHEN 'two_utterances' THEN 2 * n * bps
+                        WHEN 'short_gap' THEN (2 * n + 104) * bps
+                        ELSE 0 END AS nbytes
+  FROM p CROSS JOIN arms
+)
+SELECT arm, seg_class,
+       CAST(sum(n_merged) AS BIGINT) AS n_merged,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(dur) AS BIGINT) AS sum_dur,
+       CAST(sum(n_segs) AS BIGINT) AS sum_segments,
+       CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+FROM rows_
+GROUP BY arm, seg_class
+ORDER BY arm, seg_class
+"""
+
+
 Q_CHUNKED_CLIPS_SQL = """
 WITH p AS (
   SELECT r,
@@ -3091,4 +3170,5 @@ QUERIES = {
     "q62_shard_by_size": (q_shard_by_size, Q_SHARD_BY_SIZE_SQL),
     "q63_time_mask": (q_time_mask, Q_TIME_MASK_SQL),
     "q64_noise_mix": (q_noise_mix, Q_NOISE_MIX_SQL),
+    "q65_merge_segments": (q_merge_segments, Q_MERGE_SEGMENTS_SQL),
 }
