@@ -1254,3 +1254,30 @@ def test_merge_segments_semantics(spark):
     with _pytest.raises(ValueError, match="max_dur_ms"):
         merge_segments(segs, 0)
     segs.unpersist()
+
+
+def test_batch_mix_noise_block_invariance():
+    """Clip-aligned blocking is a memory-traffic knob, not a semantics
+    knob: any MIX_NOISE_BLOCK_SAMPLES must give bit-identical output
+    (noise is a pure function of key + within-clip index)."""
+    import numpy as np
+
+    import top_secret_spark.kernel.audio as ka
+    from top_secret_spark.kernel.audio import batch_mix_noise, synth_pcm
+
+    clips = [synth_pcm(5 + i, 700 + 61 * i, 8000) for i in range(20)]
+    clips.insert(3, np.zeros(0))
+    clips.append(np.zeros(0))
+    samples = np.concatenate(clips)
+    lengths = np.array([len(c) for c in clips], dtype=np.int64)
+    keys = np.arange(len(clips), dtype=np.uint64) * 37
+    ref = batch_mix_noise(samples, lengths, keys, 18.0)
+    old = ka.MIX_NOISE_BLOCK_SAMPLES
+    try:
+        for block in (1, 100, 1 << 30):
+            ka.MIX_NOISE_BLOCK_SAMPLES = block
+            np.testing.assert_array_equal(
+                batch_mix_noise(samples, lengths, keys, 18.0), ref
+            )
+    finally:
+        ka.MIX_NOISE_BLOCK_SAMPLES = old

@@ -297,6 +297,52 @@ def main():
     seg_loop()
     sg_loop_sec = time.perf_counter() - t0
 
+    # spectral: blocked multi-clip FFT vs per-clip kernel calls
+    from top_secret_spark.kernel.spectral import batch_spectral
+
+    sp_clips = [synth_pcm(31 + i, 2000 + (i * 17) % 3000, 16000)
+                for i in range(1000)]
+    sp_samples = np.concatenate(sp_clips)
+    sp_lengths = np.array([len(c) for c in sp_clips], dtype=np.int64)
+
+    def spectral_batched():
+        batch_spectral(sp_samples, sp_lengths, 16000)
+
+    def spectral_loop():
+        for c in sp_clips:
+            batch_spectral(c, np.array([len(c)]), 16000)
+
+    spectral_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        spectral_batched()
+    sp_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    spectral_loop()
+    sp_loop_sec = time.perf_counter() - t0
+
+    # noise mix: one counter-based RNG pass vs per-clip kernel calls
+    from top_secret_spark.kernel.audio import batch_mix_noise
+
+    nm_keys = np.arange(len(sp_clips), dtype=np.uint64) * 2654435761
+
+    def mix_batched():
+        batch_mix_noise(sp_samples, sp_lengths, nm_keys, 20.0)
+
+    def mix_loop():
+        off = 0
+        for i, c in enumerate(sp_clips):
+            batch_mix_noise(c, np.array([len(c)]), nm_keys[i:i + 1], 20.0)
+
+    mix_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        mix_batched()
+    nm_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    mix_loop()
+    nm_loop_sec = time.perf_counter() - t0
+
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
     # avg individual / avg batch, both per whole message set
@@ -339,6 +385,16 @@ def main():
         "segments_loop_clips_per_sec": round(
             len(tb_clips) / sg_loop_sec, 1),
         "segments_batched_speedup": round(sg_loop_sec / sg_vec_sec, 2),
+        "spectral_batched_clips_per_sec": round(
+            len(sp_clips) / sp_vec_sec, 1),
+        "spectral_loop_clips_per_sec": round(
+            len(sp_clips) / sp_loop_sec, 1),
+        "spectral_batched_speedup": round(sp_loop_sec / sp_vec_sec, 2),
+        "mix_noise_batched_clips_per_sec": round(
+            len(sp_clips) / nm_vec_sec, 1),
+        "mix_noise_loop_clips_per_sec": round(
+            len(sp_clips) / nm_loop_sec, 1),
+        "mix_noise_batched_speedup": round(nm_loop_sec / nm_vec_sec, 2),
         "iterations": ITERATIONS,
         "host_probe_sec": round(host_probe_sec, 3),
         # self-describing validity: per BENCH/BASELINE.md, a probe in the
