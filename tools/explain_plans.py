@@ -476,6 +476,33 @@ def main():
         "  map-side partial aggregation.",
     ))
 
+    from top_secret_spark.operators.audio import (
+        merge_segments,
+        noise_mixed_clips,
+        split_clips_on_silence,
+    )
+
+    sections.append((
+        "Noise mixing (deterministic augmentation)",
+        explain_str(noise_mixed_clips(aclips, snr_db=20.0)),
+        "- One ArrowEvalPython stage; the xxhash64 noise key is computed\n"
+        "  JVM-side below it, so the Python worker never sees ids twice.\n"
+        "- Inside the UDF: per-codec concatenated decode, reduceat power,\n"
+        "  counter-based splitmix64 noise in clip-aligned cache-sized\n"
+        "  blocks — noise is a row property, identical on any layout.",
+    ))
+    sections.append((
+        "Segment merging (per-clip window + Catalyst concat)",
+        explain_str(merge_segments(
+            split_clips_on_silence(aclips, min_gap_ms=200), 2000)),
+        "- Window partitioned BY CLIP (bounded per-key work, never a\n"
+        "  global orderBy window), then one hash aggregate on\n"
+        "  (clip, group); the payload merge is aggregate()/transform()\n"
+        "  over the sorted struct array — codegen'd, no Python.\n"
+        "- Only segment rows shuffle; assignment is offset-based, so a\n"
+        "  segment longer than the window keeps its own group.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
