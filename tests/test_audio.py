@@ -1281,3 +1281,64 @@ def test_batch_mix_noise_block_invariance():
             )
     finally:
         ka.MIX_NOISE_BLOCK_SAMPLES = old
+
+
+def test_transcode_clips_matches_scalar_and_passes_through(spark):
+    """transcode_clips must emit byte-identical payloads to the scalar
+    decode→encode chain for every codec pair, pass same-codec rows
+    through byte-identical, rewrite the codec column, and preserve
+    sr/duration/transcript."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.kernel.audio import decode
+    from top_secret_spark.operators.audio import transcode_clips
+
+    specs = [("pcm16", 777), ("ulaw", 1201), ("alaw", 800),
+             ("ulaw", 0), ("pcm16", 1)]
+    rows, src = [], {}
+    for i, (codec, n) in enumerate(specs):
+        pcm = (synth_pcm(900 + i, n, 8000) if n
+               else np.empty(0, dtype=np.float32))
+        data = encode(pcm, codec)
+        cid = f"c{i}"
+        src[cid] = (codec, data)
+        rows.append(Row(clip_id=cid, bytes=bytearray(data), sr_hz=8000,
+                        dur_ms=int(1000 * n / 8000), codec=codec,
+                        transcript=f"t{i}"))
+    df = spark.createDataFrame(rows).repartition(1)
+    for target in ("pcm16", "ulaw", "alaw"):
+        got = {r["clip_id"]: r for r in transcode_clips(df, target).collect()}
+        for cid, (codec, data) in src.items():
+            want = (data if codec == target
+                    else encode(decode(data, codec), target))
+            assert bytes(got[cid]["bytes"]) == want, (cid, target)
+            assert got[cid]["codec"] == target
+            assert got[cid]["sr_hz"] == 8000
+            assert got[cid]["transcript"] == f"t{cid[1:]}"
+
+
+def test_transcode_clips_snr_invariant_and_bad_codec(spark):
+    """Every supported codec pair holds SNR >= 30 dB vs the source
+    decode (north-rule invariant; G.711 floor ~35 dB measured), and an
+    unsupported target codec raises NotImplementedError at plan time."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from top_secret_spark.kernel.audio import decode, snr_db
+    from top_secret_spark.operators.audio import transcode_clips
+
+    rows, src = [], {}
+    for i, codec in enumerate(("pcm16", "ulaw", "alaw")):
+        pcm = synth_pcm(40 + i, 1500, 8000)
+        data = encode(pcm, codec)
+        src[f"c{i}"] = (codec, data)
+        rows.append(Row(clip_id=f"c{i}", bytes=bytearray(data), sr_hz=8000,
+                        dur_ms=187, codec=codec, transcript=""))
+    df = spark.createDataFrame(rows)
+    for target in ("pcm16", "ulaw", "alaw"):
+        for r in transcode_clips(df, target).collect():
+            codec, data = src[r["clip_id"]]
+            s = snr_db(decode(data, codec), decode(bytes(r["bytes"]), target))
+            assert s >= 30.0, (codec, target, s)
+    with _pytest.raises(NotImplementedError, match="opus"):
+        transcode_clips(df, "opus")

@@ -898,3 +898,101 @@ def test_dedup_lines_and_spans_null_id_passthrough(spark):
     assert got2[9]["text"] == "a\nb\nc"
     with _pytest.raises(ValueError, match="span"):
         dedup_spans(sp, span=1)
+
+
+def test_collapse_repeated_lines_semantics(spark):
+    """Within-doc first occurrence of each line survives in order;
+    blank-line runs collapse; NULL passes through; no cross-doc effect
+    (doc 1 and 2 share lines, both keep their own first copy)."""
+    from top_secret_spark.operators.text_analysis import (
+        collapse_repeated_lines,
+    )
+
+    rows = [
+        (1, "nav\nbody one\nnav\nbody two\nnav", "a"),
+        (2, "nav\nnav\n\n\nnav\ntail", "b"),
+        (3, "single line no newline", "c"),
+        (4, None, "d"),
+        (5, "", "e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    got = {r["doc_id"]: r for r in collapse_repeated_lines(df).collect()}
+    assert got[1]["text"] == "nav\nbody one\nbody two"
+    assert got[2]["text"] == "nav\n\ntail"
+    assert got[3]["text"] == "single line no newline"
+    assert got[4]["text"] is None
+    assert got[5]["text"] == ""
+    assert got[1]["tag"] == "a" and len(got) == 5
+    out = {r["doc_id"]: r for r in
+           collapse_repeated_lines(df, out_col="collapsed").collect()}
+    assert out[1]["text"].count("nav") == 3  # original kept
+    assert out[1]["collapsed"] == "nav\nbody one\nbody two"
+
+
+def test_collapse_repeated_lines_matches_python_reference(spark):
+    """Random repeat layouts: operator output equals the scalar
+    first-seen scan, independent of partitioning."""
+    import random
+
+    from top_secret_spark.operators.text_analysis import (
+        collapse_repeated_lines,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(60):
+        lines = [f"l{rng.randrange(6)}" for _ in range(rng.randrange(0, 12))]
+        rows.append((i, "\n".join(lines)))
+
+    def ref(text):
+        seen, out = set(), []
+        for ln in text.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                out.append(ln)
+        return "\n".join(out)
+
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text"]
+               for r in collapse_repeated_lines(df.repartition(parts)).collect()}
+        for i, text in rows:
+            assert got[i] == ref(text), (i, text)
+
+
+def test_top_terms_matches_counter(spark):
+    """top_terms equals a Counter over the same tokenization for uni-
+    and bigrams, ties broken (count desc, term asc), short docs yield
+    no n-grams, and results are partition-independent."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from top_secret_spark.operators.text_analysis import top_terms
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate   the\tcanary",
+        "a cat a mat a hat",
+        "one",
+        "",
+        "  ",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def ref(n, k):
+        cnt = Counter()
+        for _, t in rows:
+            words = [w for w in t.lower().split() if w]
+            cnt.update(
+                " ".join(words[j:j + n]) for j in range(len(words) - n + 1)
+            )
+        return sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+        for n in (1, 2, 3):
+            got = [(r["term"], r["n"]) for r in top_terms(df, k=8, n=n).collect()]
+            assert got == ref(n, 8), (n, parts)
+    with _pytest.raises(ValueError, match="n must be"):
+        top_terms(spark.createDataFrame(rows, "doc_id long, text string"), n=0)

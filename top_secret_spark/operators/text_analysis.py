@@ -149,6 +149,81 @@ def with_clean_text(
     return df.withColumn(out_col, _clean(F.col(text_col)))
 
 
+def collapse_repeated_lines(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Within-document repetition removal — drop every line after its
+    first occurrence in the SAME document (MassiveText/Gopher-style
+    preprocessing: boilerplate nav bars, cookie banners, and scraper
+    echo repeat verbatim inside one page and would otherwise dominate
+    the n-gram mass of the kept text).  Line order is preserved; the
+    kept text is the first-seen subsequence re-joined with ``\\n``.
+
+    Pure Catalyst, zero Python, zero shuffle: split on newline, then a
+    higher-order ``filter((x, i) -> array_position(slice(lines, 1, i),
+    x) == 0)`` keeps index i only when no earlier line equals it.  The
+    per-document cost is O(lines²) comparisons inside whole-stage
+    codegen — trivial for web documents (10²-10³ lines); a corpus of
+    pathological million-line rows should split first
+    (cross-document line dedup at that scale is ``dedup_lines``, the
+    shuffle-based operator).  NULL text passes through NULL; empty
+    lines dedup like any other line (a run of blank lines collapses to
+    one).  Map-only → runs at scan speed at any corpus size."""
+    out_col = out_col or text_col
+    lines = F.split(F.col(text_col), "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(F.slice(lines, F.lit(1), i), x) == 0,
+    )
+    return df.withColumn(out_col, F.array_join(kept, "\n"))
+
+
+def ngram_terms_col(text, n: int = 1) -> Column:
+    """Array of word-level n-grams (lowercased, whitespace-tokenized,
+    space-joined) — pure Catalyst: split → filter empties → a
+    higher-order ``transform`` that joins each length-n window.  Docs
+    with fewer than n words yield an empty array."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+", -1),
+        lambda x: x != F.lit(""),
+    )
+    if n == 1:
+        return words
+    starts = F.slice(
+        words, 1, F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    )
+    return F.transform(
+        starts, lambda x, i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+
+
+def top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 100, n: int = 1
+) -> DataFrame:
+    """Corpus-wide top-k n-gram vocabulary → (term, n) — the frequency
+    table a BPE/vocab-training or stopword-induction step starts from.
+
+    The scale path is exactly what Catalyst picks for this plan: the
+    n-gram explode is map-side; ``groupBy(term).count()`` does partial
+    (map-side combine) aggregation so the shuffle carries one
+    (term, partial-count) per term per mapper, never token instances;
+    and ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    a per-partition heap of k rows merged on the driver, NO global
+    sort materialization.  Ties are total-ordered (count desc, term
+    asc) so the result is deterministic at any partitioning."""
+    terms = ngram_terms_col(text_col, n)
+    return (
+        df.select(F.explode(terms).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {

@@ -2372,6 +2372,188 @@ ORDER BY arm, seg_class
 """
 
 
+def q_transcode(spark, sf_dir):
+    """[tier: quality_filter × audio] codec normalization — transcode a
+    mixed-codec corpus (pcm16 / ulaw / alaw by ``r % 3``) to one target
+    codec (operators/audio.py transcode_clips: one concatenated decode +
+    one whole-buffer companding encode per source codec per Arrow
+    batch; same-codec rows pass through byte-identical with zero
+    decode).  The north-rule 30 dB invariant is gated FOR REAL: the
+    output joins back to the source payloads on clip_id and
+    ``kernel.audio.batch_pair_snr`` scores every (source, transcoded)
+    pair — all must clear 30 dB (G.711 companding floor is ~35 dB,
+    measured; passthrough pairs are byte-identical → ~300 dB).  The
+    oracle recomputes per source codec: clip count, TOTAL output payload
+    bytes (1 byte/sample at the ulaw target — the payload itself is
+    gated), transcript char sum (row alignment), and the SNR-pass count
+    (= n_clips by the invariant)."""
+    _prep(spark)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.audio import transcode_clips
+    from .sources.clips import transcode_clips_df
+
+    clips = transcode_clips_df(spark, 180, partitions=8)
+    out = transcode_clips(
+        clips.withColumn("codec_orig", F.col("codec")), "ulaw"
+    )
+    orig = clips.select(
+        F.col("clip_id"),
+        F.col("bytes").alias("bytes_src"),
+        F.col("codec").alias("codec_src"),
+    )
+
+    @pandas_udf("double")
+    def pair_snr(ba, bb, ca, cb):
+        from .kernel.audio import batch_pair_snr
+
+        return pd.Series(
+            batch_pair_snr(
+                ba.tolist(), bb.tolist(), ca.tolist(), cb.tolist()
+            )
+        )
+
+    joined = out.join(orig, "clip_id").withColumn(
+        "snr_db",
+        pair_snr(
+            F.col("bytes_src"), F.col("bytes"),
+            F.col("codec_src"), F.col("codec"),
+        ),
+    )
+    return (
+        joined.groupBy("codec_orig")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.length("bytes")).alias("out_bytes"),
+            F.sum(F.length("transcript")).alias("transcript_chars"),
+            F.sum((F.col("snr_db") >= 30.0).cast("long")).alias("n_snr_ge_30"),
+        )
+        .orderBy("codec_orig")
+    )
+
+
+Q_TRANSCODE_SQL = """
+WITH p AS (
+  SELECT r,
+         CASE r % 3 WHEN 0 THEN 'pcm16' WHEN 1 THEN 'ulaw' ELSE 'alaw'
+         END AS codec_orig,
+         400 + 37 * r AS n
+  FROM (SELECT unnest(range(0, 180)) AS r)
+)
+SELECT codec_orig,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(n) AS BIGINT) AS out_bytes,
+       CAST(sum(16 + length(CAST(r AS VARCHAR))) AS BIGINT) AS transcript_chars,
+       CAST(count(*) AS BIGINT) AS n_snr_ge_30
+FROM p
+GROUP BY codec_orig
+ORDER BY codec_orig
+"""
+
+
+def q_collapse_lines(spark, sf_dir):
+    """[training-data] within-document repetition removal
+    (operators/text_analysis.py collapse_repeated_lines): planted
+    multi-line docs where every line's content and repeat layout is
+    pure row arithmetic — even rows interleave three lines as
+    A,B,A,C,B,A (collapse → A,B,C), odd rows repeat one line around
+    blanks as A,A,'',A,'' (collapse → A,'') — so the oracle recomputes
+    the ENTIRE collapsed text per row, not just counts.  The operator
+    is pure Catalyst (split → higher-order filter on first occurrence →
+    array_join): map-only, zero Python, zero shuffle."""
+    base = spark.range(0, 400).select(F.col("id").alias("doc_r"))
+    a = F.concat(F.lit("alpha "), (F.col("doc_r") % 7).cast("string"))
+    b = F.concat(F.lit("beta "), (F.col("doc_r") % 5).cast("string"))
+    c = F.concat(F.lit("gamma "), (F.col("doc_r") % 3).cast("string"))
+    text = F.when(
+        F.col("doc_r") % 2 == 0, F.concat_ws("\n", a, b, a, c, b, a)
+    ).otherwise(F.concat_ws("\n", a, a, F.lit(""), a, F.lit("")))
+    docs = base.withColumn("text", text).withColumn(
+        "n_lines_in", F.size(F.split(F.col("text"), "\n", -1))
+    )
+    from .operators.text_analysis import collapse_repeated_lines
+
+    out = collapse_repeated_lines(docs, "text", out_col="collapsed")
+    return out.select(
+        "doc_r",
+        "collapsed",
+        "n_lines_in",
+        F.size(F.split(F.col("collapsed"), "\n", -1)).alias("n_lines_out"),
+    )
+
+
+Q_COLLAPSE_LINES_SQL = """
+WITH p AS (
+  SELECT r,
+         'alpha ' || CAST(r % 7 AS VARCHAR) AS a,
+         'beta ' || CAST(r % 5 AS VARCHAR) AS b,
+         'gamma ' || CAST(r % 3 AS VARCHAR) AS c
+  FROM (SELECT unnest(range(0, 400)) AS r)
+)
+SELECT CAST(r AS BIGINT) AS doc_r,
+       CASE WHEN r % 2 = 0
+            THEN a || chr(10) || b || chr(10) || c
+            ELSE a || chr(10) END AS collapsed,
+       CASE WHEN r % 2 = 0 THEN 6 ELSE 5 END AS n_lines_in,
+       CASE WHEN r % 2 = 0 THEN 3 ELSE 2 END AS n_lines_out
+FROM p
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    """[training-data] corpus vocabulary: top-10 unigrams and top-10
+    bigrams over the REAL documents table (operators/text_analysis.py
+    top_terms) — the frequency table BPE/vocab training starts from.
+    Plan shape is the one to want at 100 TB: map-side n-gram explode,
+    partial-aggregated groupBy (shuffle carries per-mapper term counts,
+    not token instances), and orderBy+limit compiling to
+    TakeOrderedAndProject (per-partition top-k heaps, no global sort).
+    Ties total-ordered (count desc, term asc) in both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .operators.text_analysis import top_terms
+
+    uni = top_terms(docs, "text", k=10, n=1).withColumn(
+        "gram", F.lit(1)
+    )
+    bi = top_terms(docs, "text", k=10, n=2).withColumn(
+        "gram", F.lit(2)
+    )
+    return uni.unionByName(bi).select("gram", "term", "n")
+
+
+Q_TOP_TERMS_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(wl) AS word,
+         generate_subscripts(wl, 1) AS ord
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS wl
+    FROM documents
+  )
+),
+uni AS (
+  SELECT 1 AS gram, word AS term, count(*) AS n
+  FROM w GROUP BY word
+  ORDER BY n DESC, term ASC LIMIT 10
+),
+bi AS (
+  SELECT 2 AS gram, term, count(*) AS n FROM (
+    SELECT word || ' ' ||
+           lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS term
+    FROM w
+  ) WHERE term IS NOT NULL
+  GROUP BY term
+  ORDER BY n DESC, term ASC LIMIT 10
+)
+SELECT CAST(gram AS INTEGER) AS gram, term, CAST(n AS BIGINT) AS n FROM uni
+UNION ALL
+SELECT CAST(gram AS INTEGER) AS gram, term, CAST(n AS BIGINT) AS n FROM bi
+"""
+
+
 Q_CHUNKED_CLIPS_SQL = """
 WITH p AS (
   SELECT r,
@@ -3171,4 +3353,7 @@ QUERIES = {
     "q63_time_mask": (q_time_mask, Q_TIME_MASK_SQL),
     "q64_noise_mix": (q_noise_mix, Q_NOISE_MIX_SQL),
     "q65_merge_segments": (q_merge_segments, Q_MERGE_SEGMENTS_SQL),
+    "q66_transcode": (q_transcode, Q_TRANSCODE_SQL),
+    "q67_collapse_lines": (q_collapse_lines, Q_COLLAPSE_LINES_SQL),
+    "q68_top_terms": (q_top_terms, Q_TOP_TERMS_SQL),
 }

@@ -382,6 +382,52 @@ def resample_clips_df(spark, n_rows: int, partitions: int | None = None):
     )
 
 
+TRANSCODE_CODECS = ("pcm16", "ulaw", "alaw")  # r % 3 picks the source codec
+
+
+def transcode_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Mixed-codec clips for the codec-normalization gate (q66):
+    ``r % 3`` picks the source codec from ``TRANSCODE_CODECS`` and
+    ``n_samples = 400 + 37*r`` — pure row arithmetic, so a SQL oracle
+    recomputes every clip's expected payload size at the target codec
+    (1 byte/sample G.711, 2 bytes/sample pcm16) without decoding."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(start, end):
+        codec = TRANSCODE_CODECS[r % 3]
+        n = 400 + 37 * r
+        sr_hz = 8000
+        pcm = synth_pcm(SEED * 23_000_057 + r, n, sr_hz)
+        out["clip_id"].append(f"tc-{r:08d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(int(1000 * n / sr_hz))
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcode probe {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def transcode_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed mixed-codec clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield transcode_rows_for_range(
+                    int(ids.min()), int(ids.max()) + 1
+                )
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
 TRIM_CLASSES = ("clean", "padded", "silent")  # r % 3 picks the class
 
 
