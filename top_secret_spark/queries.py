@@ -2554,6 +2554,66 @@ SELECT CAST(gram AS INTEGER) AS gram, term, CAST(n AS BIGINT) AS n FROM bi
 """
 
 
+def q_importance_weight(spark, sf_dir):
+    """[training-data] DSIR-style importance weighting
+    (operators/importance.py, Xie et al. NeurIPS 2023): planted
+    two-vocabulary corpus — even rows speak target vocabulary
+    (apple/banana/cherry), odd rows an off-distribution one
+    (xylophone/zebra/quartz) — with the target model fit on the even
+    rows only.  Signs are then EXACT, not statistical: a target-vocab
+    bucket has equal counts in both models, so its weight is
+    ln((R+αd)/(T+αd)) > 0 (R > T strictly); an off-vocab bucket is
+    unseen in target → strongly negative.  The oracle recomputes per
+    class: doc count and positive-score count (all of A, none of B).
+    Everything is Catalyst: hashing (xxhash64→pmod), model fit
+    (≤ dim-row aggregations), broadcast scoring join."""
+    from .operators.importance import importance_weights, with_importance_weight
+
+    base = spark.range(0, 240).select(F.col("id").alias("doc_r"))
+    a_words = F.concat(
+        F.lit("apple banana "),
+        F.element_at(
+            F.array(F.lit("cherry"), F.lit("banana"), F.lit("apple")),
+            (F.col("doc_r") % 3 + 1).cast("int"),
+        ),
+        F.lit(" cherry"),
+    )
+    b_words = F.concat(
+        F.lit("xylophone zebra "),
+        F.element_at(
+            F.array(F.lit("quartz"), F.lit("zebra"), F.lit("xylophone")),
+            (F.col("doc_r") % 3 + 1).cast("int"),
+        ),
+    )
+    docs = base.withColumn(
+        "text", F.when(F.col("doc_r") % 2 == 0, a_words).otherwise(b_words)
+    )
+    target = docs.filter(F.col("doc_r") % 2 == 0)
+    w = importance_weights(target, docs, dim=4096)
+    scored = with_importance_weight(docs, w, id_col="doc_r", dim=4096)
+    return (
+        scored.groupBy(
+            F.when(F.col("doc_r") % 2 == 0, F.lit("target_like"))
+            .otherwise(F.lit("off_distribution"))
+            .alias("cls")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("importance") > 0).cast("long")).alias("n_positive"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_IMPORTANCE_SQL = """
+SELECT cls, CAST(120 AS BIGINT) AS n_docs,
+       CAST(CASE cls WHEN 'target_like' THEN 120 ELSE 0 END AS BIGINT)
+         AS n_positive
+FROM (SELECT unnest(['off_distribution', 'target_like']) AS cls)
+ORDER BY cls
+"""
+
+
 Q_CHUNKED_CLIPS_SQL = """
 WITH p AS (
   SELECT r,
@@ -3356,4 +3416,5 @@ QUERIES = {
     "q66_transcode": (q_transcode, Q_TRANSCODE_SQL),
     "q67_collapse_lines": (q_collapse_lines, Q_COLLAPSE_LINES_SQL),
     "q68_top_terms": (q_top_terms, Q_TOP_TERMS_SQL),
+    "q69_importance_weight": (q_importance_weight, Q_IMPORTANCE_SQL),
 }
