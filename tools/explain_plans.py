@@ -503,6 +503,57 @@ def main():
         "  segment longer than the window keeps its own group.",
     ))
 
+    from top_secret_spark.operators.audio import transcode_clips
+    from top_secret_spark.operators.importance import (
+        importance_weights,
+        with_importance_weight,
+    )
+    from top_secret_spark.operators.text_analysis import (
+        collapse_repeated_lines,
+        top_terms,
+    )
+
+    sections.append((
+        "Codec transcoding (batched decode → whole-buffer encode)",
+        explain_str(transcode_clips(aclips, "ulaw")),
+        "- One ArrowEvalPython stage, zero exchanges: map-only transform\n"
+        "  that pipelines into any downstream stage at any scale.\n"
+        "- Inside the UDF: one concatenated decode per SOURCE codec per\n"
+        "  Arrow batch + ONE companding transform over the whole buffer;\n"
+        "  rows already in the target codec never decode at all.",
+    ))
+    sections.append((
+        "Within-doc repetition removal (pure-Catalyst first-seen filter)",
+        explain_str(collapse_repeated_lines(docs_small)),
+        "- NO EvalPython, NO Exchange: split → higher-order filter\n"
+        "  (array_position over the line's prefix) → array_join, all\n"
+        "  inside the codegen'd Project — the operator runs at scan\n"
+        "  speed on 10^12 docs.\n"
+        "- Per-doc cost is O(lines²) codegen'd comparisons — bounded by\n"
+        "  document size, not corpus size; no state leaves the row.",
+    ))
+    sections.append((
+        "Top-k n-gram vocabulary (partial agg + TakeOrderedAndProject)",
+        explain_str(top_terms(docs_small, k=10, n=2)),
+        "- Explode is map-side; HashAggregate runs partial_count BEFORE\n"
+        "  the exchange, so the shuffle carries one (term, count) per\n"
+        "  term per mapper — never token instances.\n"
+        "- orderBy+limit compiles to TakeOrderedAndProject: per-partition\n"
+        "  k-row heaps merged on the driver, NO global sort of the\n"
+        "  vocabulary at any corpus size.",
+    ))
+    imp_w = importance_weights(docs_small.limit(50), docs_small, dim=512)
+    sections.append((
+        "DSIR importance scoring (broadcast weights, id-bucket shuffle)",
+        explain_str(with_importance_weight(docs_small, imp_w, dim=512)),
+        "- The fitted log-ratio table (<= dim rows) BROADCASTS into the\n"
+        "  scoring join; the exploded side carries only (id, bucket)\n"
+        "  pairs — text never reaches an exchange.\n"
+        "- groupBy(id) aggregates partially map-side; the final\n"
+        "  co-partitioned id join rebuilds the original columns (same\n"
+        "  rebuild shape as dedup_lines).",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
