@@ -232,6 +232,37 @@ def main():
     extras["time_mask_clips_per_sec"] = round(
         na / max(min(mask_times), 1e-9), 1)
 
+    # NON-headline extra: codec normalization (transcode to ulaw) over
+    # the same audio corpus, and the top-k bigram vocabulary over the
+    # documents table.  Same best-of-2 warm protocol — transcode is
+    # map-only; vocab's one exchange carries per-mapper term counts.
+    from top_secret_spark.operators.audio import transcode_clips
+    from top_secret_spark.operators.text_analysis import top_terms
+
+    tcode = lambda: transcode_clips(aclips, "ulaw").agg(
+        F.sum(F.length("bytes"))
+    ).collect()
+    tcode()
+    tcode_times = []
+    for _ in range(2):
+        t0 = time.time()
+        tcode()
+        tcode_times.append(time.time() - t0)
+    extras["transcode_sec"] = round(min(tcode_times), 3)
+    extras["transcode_clips_per_sec"] = round(
+        na / max(min(tcode_times), 1e-9), 1)
+
+    vocab = lambda: top_terms(docs, k=100, n=2).count()
+    vocab()
+    vocab_times = []
+    for _ in range(2):
+        t0 = time.time()
+        vocab()
+        vocab_times.append(time.time() - t0)
+    extras["vocab_topk_sec"] = round(min(vocab_times), 3)
+    extras["vocab_docs_per_sec"] = round(
+        docs.count() / max(min(vocab_times), 1e-9), 1)
+
     # untimed stats pass: candidate-pair volume is THE cost driver at web
     # scale — surfaced for dashboards, but never billed to the arm
     dd_stats: dict = {}

@@ -1342,3 +1342,30 @@ def test_transcode_clips_snr_invariant_and_bad_codec(spark):
             assert s >= 30.0, (codec, target, s)
     with _pytest.raises(NotImplementedError, match="opus"):
         transcode_clips(df, "opus")
+
+
+def test_transcode_clips_null_payload_passthrough(spark):
+    """NULL bytes pass through NULL (nothing to transcode) for both the
+    passthrough and the re-encode codec path; codec column still
+    rewritten uniformly."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import transcode_clips
+
+    rows = [
+        Row(clip_id="n0", bytes=None, sr_hz=8000, dur_ms=0,
+            codec="pcm16", transcript="x"),
+        Row(clip_id="n1", bytes=None, sr_hz=8000, dur_ms=0,
+            codec="ulaw", transcript="y"),
+        Row(clip_id="s0", bytes=bytearray(encode(synth_pcm(3, 100, 8000),
+                                                 "pcm16")),
+            sr_hz=8000, dur_ms=12, codec="pcm16", transcript="z"),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    got = {r["clip_id"]: r for r in
+           transcode_clips(spark.createDataFrame(rows, schema),
+                           "ulaw").collect()}
+    assert got["n0"]["bytes"] is None and got["n0"]["codec"] == "ulaw"
+    assert got["n1"]["bytes"] is None and got["n1"]["codec"] == "ulaw"
+    assert len(bytes(got["s0"]["bytes"])) == 100

@@ -203,3 +203,69 @@ def test_temperature_sample_broadcast_path_equals_case_path(spark, monkeypatch):
     assert a == b
     out = temperature_sample(df, "grp", alpha=0.5)
     assert set(out.columns) == {"doc_id", "grp"}  # helper cols dropped
+
+
+def test_mixture_fractions_math():
+    """Binding stratum keeps rate 1.0; kept masses hit the target
+    ratios exactly (pre-quantization); ratio invariance to weight
+    scale; budget caps total output; infeasible/invalid inputs raise."""
+    import pytest as _pytest
+
+    from top_secret_spark.operators.sampling import mixture_fractions
+
+    counts = {"web": 1000, "code": 200, "books": 100}
+    r = mixture_fractions(counts, {"web": 0.5, "code": 0.3, "books": 0.2})
+    # binding stratum: min(1000/.5, 200/.3, 100/.2) = 500 -> books rate 1.0
+    assert r["books"] == 1.0
+    # kept masses 250/150/100 -> ratios 0.5/0.3/0.2 of 500
+    assert r["web"] == _pytest.approx(0.25, abs=1e-6)
+    assert r["code"] == _pytest.approx(0.75, abs=1e-6)
+    # weight scale invariance
+    r2 = mixture_fractions(counts, {"web": 5, "code": 3, "books": 2})
+    assert r2 == r
+    # budget (total rows, normalized by sum(p)=1): 250 -> B=250
+    rb = mixture_fractions(
+        counts, {"web": 0.5, "code": 0.3, "books": 0.2}, budget_rows=250
+    )
+    assert rb["web"] == _pytest.approx(0.125, abs=1e-6)
+    assert rb["books"] == _pytest.approx(0.5, abs=1e-6)
+    # out-of-recipe stratum dropped
+    r3 = mixture_fractions({"web": 10, "junk": 99}, {"web": 1.0})
+    assert r3["junk"] == 0.0 and r3["web"] == 1.0
+    with _pytest.raises(ValueError, match="infeasible"):
+        mixture_fractions({"web": 10}, {"web": 0.5, "missing": 0.5})
+    with _pytest.raises(ValueError, match="must be >= 0"):
+        mixture_fractions({"web": 10}, {"web": -0.1})
+    with _pytest.raises(ValueError, match="positive"):
+        mixture_fractions({"web": 10}, {"web": 0.0})
+    with _pytest.raises(ValueError, match="budget_rows"):
+        mixture_fractions({"web": 10}, {"web": 1.0}, budget_rows=0)
+
+
+def test_mixture_sample_end_to_end(spark):
+    """Achieved mix approximates the recipe, out-of-recipe strata drop
+    entirely, decisions are layout-independent, binding stratum is kept
+    whole."""
+    from top_secret_spark.operators.sampling import mixture_sample
+
+    rows = [(i, ["web", "code", "books", "junk"][
+        0 if i % 10 < 6 else 1 if i % 10 < 8 else 2 if i % 10 < 9 else 3])
+        for i in range(20000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_sample(
+        df, "src", {"web": 0.5, "code": 0.3, "books": 0.2},
+        key_col="doc_id",
+    )
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert "junk" not in got
+    # books binds: 2000 rows / 0.2 -> B = 10000; expect ~5000/3000/2000
+    assert got["books"] == 2000                      # rate 1.0 — exact
+    assert abs(got["web"] - 5000) / 5000 < 0.05      # hash sampling ±5%
+    assert abs(got["code"] - 3000) / 3000 < 0.05
+    a = {r["doc_id"] for r in mixture_sample(
+        df.repartition(1), "src", {"web": 1, "code": 1},
+        key_col="doc_id").collect()}
+    b = {r["doc_id"] for r in mixture_sample(
+        df.repartition(17), "src", {"web": 1, "code": 1},
+        key_col="doc_id").collect()}
+    assert a == b

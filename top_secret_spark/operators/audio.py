@@ -530,7 +530,8 @@ def transcode_clips(df: DataFrame, target_codec: str = "pcm16") -> DataFrame:
     the north-rule 30 dB invariant.  Same batching/contract as
     :func:`resampled_clips`: one concatenated kernel pass per source
     codec per Arrow batch, undecodable payloads raise loudly (transform,
-    not a gate)."""
+    not a gate).  NULL payloads pass through NULL (there is nothing to
+    transcode), matching ``time_masked_clips``/``chunked_clips``."""
     if target_codec not in _BYTES_PER_SAMPLE:
         raise NotImplementedError(
             f"codec '{target_codec}' requires an external encoder not "
@@ -548,10 +549,13 @@ def transcode_clips(df: DataFrame, target_codec: str = "pcm16") -> DataFrame:
             datas = pdf["bytes"].tolist()
             codecs = pdf["codec"].to_numpy()
             out_bytes = list(datas)  # same-codec rows pass through
+            nonnull = np.fromiter(
+                (d is not None for d in datas), dtype=bool, count=len(datas)
+            )
             for codec in sorted(set(codecs.tolist()), key=str):
                 if codec == target_codec:
                     continue
-                idx = np.flatnonzero(codecs == codec)
+                idx = np.flatnonzero((codecs == codec) & nonnull)
                 samples, lengths = batch_decode(
                     [bytes(datas[i]) for i in idx], codec
                 )

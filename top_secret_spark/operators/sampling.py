@@ -166,6 +166,21 @@ def temperature_sample(
             "max_strata explicitly"
         )
     rates = temperature_fractions({r[0]: r["count"] for r in cnt}, alpha)
+    return _rate_threshold_sample(df, strata_col, rates, key_col, seed)
+
+
+def _rate_threshold_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping,
+    key_col: str,
+    seed: int,
+) -> DataFrame:
+    """Shared tail of every per-stratum-rate sampler: compile the rates
+    into a plan-time CASE threshold (pure Filter-above-Scan, zero
+    exchanges) up to ``CASE_STRATA_MAX`` strata, or a broadcast join
+    against the tiny rates table beyond that — the corpus never
+    shuffles either way.  NULL strata are matched null-safely."""
     if not rates:
         return df
     u = sample_u_col(F.col(key_col), seed)
@@ -203,6 +218,89 @@ def temperature_sample(
     return joined.filter(u < F.coalesce(F.col("_rate"), F.lit(0.0))).drop(
         "_stratum", "_rate"
     )
+
+
+def mixture_fractions(
+    counts: Mapping,
+    proportions: Mapping,
+    budget_rows: int | None = None,
+) -> dict:
+    """Per-stratum keep rates that downsample a corpus to an EXPLICIT
+    target mixture (the "50% web / 30% code / 20% books" step of a
+    training-data recipe), as large as pure downsampling allows.
+
+    With observed masses m_i and target weights p_i, the largest
+    feasible output with mass_i ∝ p_i is B* = min over p_i>0 of
+    m_i / p_i (the binding stratum keeps rate 1.0); rate_i =
+    p_i · B / m_i with B = min(B*, budget_rows / Σp) when a budget is
+    given.  Only weight RATIOS matter (B scales inversely with any
+    common factor), so weights need not sum to 1 — except for the
+    budget, which is interpreted as total output rows and therefore
+    normalized by Σp.  Strata absent from ``proportions`` get rate 0.0
+    (dropped); a stratum with positive weight but NO rows makes the
+    mixture infeasible and raises.  Rates floor-quantize to the
+    ``RATE_QUANTUM`` grid for cross-engine agreement (see
+    ``temperature_fractions``)."""
+    if not proportions:
+        raise ValueError("proportions must name at least one stratum")
+    for k, p in proportions.items():
+        if not (p >= 0.0):
+            raise ValueError(f"proportions[{k!r}] must be >= 0, got {p}")
+    p_sum = float(sum(proportions.values()))
+    if p_sum <= 0.0:
+        raise ValueError("at least one proportion must be positive")
+    missing = [
+        k for k, p in proportions.items() if p > 0 and not counts.get(k)
+    ]
+    if missing:
+        raise ValueError(
+            f"mixture infeasible: strata {missing!r} have positive target "
+            "weight but no rows in the corpus"
+        )
+    b = min(
+        counts[k] / p for k, p in proportions.items() if p > 0
+    )
+    if budget_rows is not None:
+        if budget_rows <= 0:
+            raise ValueError(f"budget_rows must be > 0, got {budget_rows}")
+        b = min(b, budget_rows / p_sum)
+    rates = {k: 0.0 for k in counts}
+    for k, p in proportions.items():
+        if p > 0 and k in counts:
+            rates[k] = (
+                math.floor(p * b / counts[k] * RATE_QUANTUM) / RATE_QUANTUM
+            )
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    proportions: Mapping,
+    key_col: str = "doc_id",
+    budget_rows: int | None = None,
+    seed: int = 0,
+    max_strata: int = 100_000,
+) -> DataFrame:
+    """Downsample to an explicit target mixture over ``strata_col`` —
+    the dataset-recipe twin of ``temperature_sample`` (that one flattens
+    the observed distribution; this one hits stated proportions).  Same
+    scale shape: ONE bounded (stratum, count) shuffle, driver collect
+    guarded by ``max_strata``, rates compiled into a plan-time CASE (or
+    broadcast rates join past ``CASE_STRATA_MAX``), then the map-only
+    deterministic key-hash filter — the corpus never shuffles and the
+    kept set is independent of physical layout."""
+    cnt = df.groupBy(strata_col).count().limit(max_strata + 1).collect()
+    if len(cnt) > max_strata:
+        raise ValueError(
+            f"mixture_sample: more than {max_strata} distinct "
+            f"{strata_col!r} strata — pick a coarser column or raise "
+            "max_strata explicitly"
+        )
+    rates = mixture_fractions(
+        {r[0]: r["count"] for r in cnt}, proportions, budget_rows
+    )
+    return _rate_threshold_sample(df, strata_col, rates, key_col, seed)
 
 
 def with_split(

@@ -170,26 +170,40 @@ def collapse_repeated_lines(
     lines dedup like any other line (a run of blank lines collapses to
     one).  Map-only → runs at scan speed at any corpus size."""
     out_col = out_col or text_col
-    lines = F.split(F.col(text_col), "\n", -1)
+    # materialize the split ONCE: a higher-order lambda re-evaluates
+    # captured sub-expressions per element, so inlining the split here
+    # would re-tokenize the document O(lines) times (O(lines³) total)
+    tmp = "_crl_lines"
+    lines = F.col(tmp)
     kept = F.filter(
         lines,
         lambda x, i: F.array_position(F.slice(lines, F.lit(1), i), x) == 0,
     )
-    return df.withColumn(out_col, F.array_join(kept, "\n"))
+    return (
+        df.withColumn(tmp, F.split(F.col(text_col), "\n", -1))
+        .withColumn(out_col, F.array_join(kept, "\n"))
+        .drop(tmp)
+    )
 
 
-def ngram_terms_col(text, n: int = 1) -> Column:
-    """Array of word-level n-grams (lowercased, whitespace-tokenized,
-    space-joined) — pure Catalyst: split → filter empties → a
-    higher-order ``transform`` that joins each length-n window.  Docs
-    with fewer than n words yield an empty array."""
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
+def words_col(text) -> Column:
+    """Lowercased whitespace tokens as an array (empties filtered)."""
     c = F.col(text) if isinstance(text, str) else text
-    words = F.filter(
+    return F.filter(
         F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+", -1),
         lambda x: x != F.lit(""),
     )
+
+
+def ngrams_from_words(words: Column, n: int = 1) -> Column:
+    """Word n-grams (space-joined) from an ALREADY-MATERIALIZED words
+    array column.  Pass an attribute reference (a projected column),
+    not a raw expression: a Catalyst higher-order lambda re-evaluates
+    every sub-expression it captures once PER ELEMENT, so an inlined
+    split would re-tokenize the document O(words) times — materializing
+    the array first makes that a single evaluation per row."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     if n == 1:
         return words
     starts = F.slice(
@@ -200,6 +214,15 @@ def ngram_terms_col(text, n: int = 1) -> Column:
     )
 
 
+def ngram_terms_col(text, n: int = 1) -> Column:
+    """Array of word-level n-grams straight from a text column — the
+    composable one-expression form.  For n > 1 prefer projecting
+    ``words_col`` first and calling ``ngrams_from_words`` on the
+    attribute (see that docstring); this form inlines the tokenizer
+    into the lambda and re-splits per element."""
+    return ngrams_from_words(words_col(text), n)
+
+
 def top_terms(
     df: DataFrame, text_col: str = "text", k: int = 100, n: int = 1
 ) -> DataFrame:
@@ -207,16 +230,23 @@ def top_terms(
     table a BPE/vocab-training or stopword-induction step starts from.
 
     The scale path is exactly what Catalyst picks for this plan: the
-    n-gram explode is map-side; ``groupBy(term).count()`` does partial
-    (map-side combine) aggregation so the shuffle carries one
-    (term, partial-count) per term per mapper, never token instances;
-    and ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
-    a per-partition heap of k rows merged on the driver, NO global
-    sort materialization.  Ties are total-ordered (count desc, term
-    asc) so the result is deterministic at any partitioning."""
-    terms = ngram_terms_col(text_col, n)
+    words array is materialized ONCE per row (higher-order lambdas
+    re-evaluate captured expressions per element, so the tokenizer must
+    not ride inside them); the n-gram explode is map-side;
+    ``groupBy(term).count()`` does partial (map-side combine)
+    aggregation so the shuffle carries one (term, partial-count) per
+    term per mapper, never token instances; and ``orderBy(...).limit(k)``
+    compiles to TakeOrderedAndProject — a per-partition heap of k rows
+    merged on the driver, NO global sort materialization.  Ties are
+    total-ordered (count desc, term asc) so the result is deterministic
+    at any partitioning."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = df.select(words_col(text_col).alias("_words"))
     return (
-        df.select(F.explode(terms).alias("term"))
+        words.select(
+            F.explode(ngrams_from_words(F.col("_words"), n)).alias("term")
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("term").asc())

@@ -1755,6 +1755,53 @@ GROUP BY lang
 """
 
 
+def q_mixture_sample(spark, sf_dir):
+    """[training-data] explicit-proportion corpus mixing
+    (operators/sampling.py mixture_sample): downsample the documents
+    corpus to a stated 50/30/20 en/de/fr recipe — the dataset-mixture
+    step of a training run — at the largest size pure downsampling
+    allows (binding stratum keeps rate 1.0).  Strata outside the recipe
+    (es, zh) drop entirely.  The oracle recomputes the whole chain in
+    SQL: per-lang counts → B* = min(n_i/p_i) → floor-quantized rates →
+    the SAME xor-fold/Knuth hash membership — per-row decisions gated
+    bit-for-bit (counts, id sums, char sums per kept lang)."""
+    from .operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(
+        docs, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+Q_MIXTURE_SAMPLE_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+p AS (SELECT * FROM (VALUES
+        ('en', CAST(0.5 AS DOUBLE)),
+        ('de', CAST(0.3 AS DOUBLE)),
+        ('fr', CAST(0.2 AS DOUBLE))) AS t(lang, w)),
+b AS (SELECT min(CAST(c.n AS DOUBLE) / p.w) AS b
+      FROM c JOIN p ON c.lang = p.lang),
+r AS (SELECT c.lang AS lang,
+             FLOOR(p.w * b.b / CAST(c.n AS DOUBLE) * 1000000) / 1000000
+               AS rate
+      FROM c JOIN p ON c.lang = p.lang CROSS JOIN b)
+SELECT d.lang,
+       cast(count(*) AS BIGINT) AS n_sampled,
+       cast(sum(d.doc_id) AS BIGINT) AS sum_ids,
+       cast(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE (((xor(COALESCE(d.doc_id, 0) >> 31, COALESCE(d.doc_id, 0))
+         & 2147483647) * 2654435761)
+       % 4294967296) / 4294967296.0 < r.rate
+GROUP BY d.lang
+"""
+
+
 def q_corpus_profile(spark, sf_dir):
     """[training-data] corpus profiling/audit: per-(lang, source) counts,
     char totals, extremes, and p50/p95 length quantiles via
@@ -3417,4 +3464,5 @@ QUERIES = {
     "q67_collapse_lines": (q_collapse_lines, Q_COLLAPSE_LINES_SQL),
     "q68_top_terms": (q_top_terms, Q_TOP_TERMS_SQL),
     "q69_importance_weight": (q_importance_weight, Q_IMPORTANCE_SQL),
+    "q70_mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
 }
