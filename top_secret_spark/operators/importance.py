@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text_analysis import ngram_terms_col
+from .text_analysis import ngrams_from_words, words_col
 
 
 def hashed_bucket_col(term: Column, dim: int) -> Column:
@@ -44,9 +44,11 @@ def hashed_term_counts(
 ) -> DataFrame:
     """(bucket, count) over the hashed word n-grams of ``text_col`` —
     at most ``dim`` output rows whatever the corpus size."""
-    terms = ngram_terms_col(text_col, n)
+    words = df.select(words_col(text_col).alias("_words"))
     return (
-        df.select(F.explode(terms).alias("term"))
+        words.select(
+            F.explode(ngrams_from_words(F.col("_words"), n)).alias("term")
+        )
         .select(hashed_bucket_col(F.col("term"), dim).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -108,9 +110,14 @@ def with_importance_weight(
     with one co-partitioned id join (the same rebuild shape as
     ``dedup_lines``); callers that only need (id, score) can aggregate
     the exploded side themselves and skip that join."""
-    terms = ngram_terms_col(text_col, n)
+    words = df.select(F.col(id_col), words_col(text_col).alias("_words"))
     scored = (
-        df.select(F.col(id_col), F.explode_outer(terms).alias("term"))
+        words.select(
+            F.col(id_col),
+            F.explode_outer(ngrams_from_words(F.col("_words"), n)).alias(
+                "term"
+            ),
+        )
         .select(
             F.col(id_col),
             hashed_bucket_col(F.col("term"), dim).alias("bucket"),
