@@ -175,3 +175,82 @@ def test_spectral_drop_reason_priority(spark):
     )
     got = [r[0] for r in df.select(spectral_drop_reason_col()).collect()]
     assert got == ["decode_error", "spectral_noise", "spectral_hum", None]
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=2000),
+                  min_size=1, max_size=8),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=20, deadline=None)
+def test_log_mel_batch_matches_scalar_over_random_layouts(lens, seed):
+    from top_secret_spark.kernel.audio import synth_pcm
+    from top_secret_spark.kernel.spectral import batch_log_mel, log_mel_features
+
+    clips = [synth_pcm(seed + i, ln, 16000) if ln else
+             np.empty(0, dtype=np.float32) for i, ln in enumerate(lens)]
+    samples = (np.concatenate(clips) if any(lens)
+               else np.empty(0, dtype=np.float32))
+    lengths = np.array(lens, dtype=np.int64)
+    mel, nf = batch_log_mel(samples, lengths, 16000)
+    off = 0
+    for i, c in enumerate(clips):
+        ref = log_mel_features(c, 16000)
+        assert nf[i] == len(ref)
+        got = mel[off:off + nf[i]]
+        off += nf[i]
+        if len(ref):
+            np.testing.assert_allclose(got, ref, atol=1e-3)
+    assert off == len(mel)
+
+
+def test_mel_filterbank_structure():
+    from top_secret_spark.kernel.spectral import mel_filterbank
+
+    fb, centers = mel_filterbank(16000, 512, 40)
+    assert fb.shape == (40, 257)
+    assert (fb >= 0).all()
+    assert (fb.sum(axis=1) > 0).all()          # no dead filter
+    assert (np.diff(centers) > 0).all()        # centers strictly increase
+    assert centers[0] > 0 and centers[-1] < 8000
+    with pytest.raises(ValueError, match="n_mels"):
+        mel_filterbank(16000, 512, 0)
+
+
+def test_with_log_mel_operator_planted_and_poison(spark):
+    """Tone clips read their planted frequency at the time-mean mel
+    peak; matrix shape is (n_mel_frames, n_mels); poison rows (odd
+    pcm16, NULL payload, NULL sr) get mel_ok=false + empty matrix;
+    bytes dropped by default."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.kernel.audio import synth_pcm
+    from top_secret_spark.operators.audio import with_log_mel
+
+    t = np.arange(4800) / 16000.0
+    tone = (0.4 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    rows = [
+        Row(clip_id="tone", bytes=bytearray(encode(tone, "pcm16")),
+            sr_hz=16000, dur_ms=300, codec="pcm16", transcript=""),
+        Row(clip_id="ulaw", bytes=bytearray(encode(
+            synth_pcm(5, 2000, 8000), "ulaw")),
+            sr_hz=8000, dur_ms=250, codec="ulaw", transcript=""),
+        Row(clip_id="odd", bytes=bytearray(b"\x01\x02\x03"),
+            sr_hz=16000, dur_ms=0, codec="pcm16", transcript=""),
+        Row(clip_id="nullb", bytes=None, sr_hz=16000, dur_ms=0,
+            codec="pcm16", transcript=""),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    out = with_log_mel(spark.createDataFrame(rows, schema), n_mels=40)
+    assert "bytes" not in out.columns
+    got = {r["clip_id"]: r for r in out.collect()}
+    g = got["tone"]
+    assert g["mel_ok"] and g["n_mel_frames"] == 17
+    assert len(g["log_mel"]) == 17 and len(g["log_mel"][0]) == 40
+    assert abs(g["mel_argmax_hz"] - 1000.0) <= 120.0
+    assert got["ulaw"]["mel_ok"] and got["ulaw"]["n_mel_frames"] > 0
+    for bad in ("odd", "nullb"):
+        assert not got[bad]["mel_ok"]
+        assert got[bad]["log_mel"] == [] and got[bad]["n_mel_frames"] == 0
+        assert got[bad]["mel_argmax_hz"] == 0.0

@@ -472,3 +472,47 @@ def test_augmentation_transforms_stream(spark, tmp_path):
            ).select("clip_id", F.xxhash64("bytes").alias("h")).collect()}
     assert len(got) == 24
     assert got == exp
+
+
+def test_transcode_transforms_stream(spark, tmp_path):
+    """transcode_clips is a stateless map-only transform, so the
+    streamed codec-normalization (mixed pcm16/ulaw/alaw → ulaw) must
+    equal the batch run BYTE-FOR-BYTE — a streaming ingest can
+    normalize codecs with the same audit story as a batch job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from top_secret_spark.operators.audio import transcode_clips
+    from top_secret_spark.sources.clips import (
+        transcode_clips_df,
+        transcode_rows_for_range,
+    )
+
+    src = str(tmp_path / "tc_in")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pandas(transcode_rows_for_range(0, 30)),
+        os.path.join(src, "part-0.parquet"),
+    )
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = transcode_clips(stream, "ulaw").select(
+        "clip_id", "codec", F.xxhash64("bytes").alias("h")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tc_stream")
+        .option("checkpointLocation", str(tmp_path / "tc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    rows = spark.sql("select * from tc_stream").collect()
+    assert len(rows) == 30 and all(r["codec"] == "ulaw" for r in rows)
+    got = {r["clip_id"]: r["h"] for r in rows}
+    exp = {r["clip_id"]: r["h"]
+           for r in transcode_clips(transcode_clips_df(spark, 30), "ulaw")
+           .select("clip_id", F.xxhash64("bytes").alias("h")).collect()}
+    assert got == exp

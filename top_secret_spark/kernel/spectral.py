@@ -147,3 +147,114 @@ def batch_spectral(
     centroid[has] = np.where(den > 0, num, 0.0)
     flatness[has] = np.add.reduceat(fr_flat, fstarts) / n_frames[has]
     return centroid, flatness, n_frames
+
+
+# --- log-mel filterbank features (the ASR training input) ---------------------
+
+# HTK mel scale: mel(f) = 2595 log10(1 + f/700) — the convention every
+# mainstream feature front-end (Kaldi/HTK-style fbank, librosa htk=True)
+# documents; deterministic closed form, no tables.
+def hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    sr_hz: int, frame: int, n_mels: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Triangular mel filterbank → (weights [n_mels, frame//2+1],
+    center_hz [n_mels]).  n_mels+2 mel-equidistant edge points between
+    0 Hz and Nyquist; filter i rises over (edge[i], edge[i+1]) and
+    falls over (edge[i+1], edge[i+2]).  Pure function of
+    (sr_hz, frame, n_mels) — identical on every worker and every run."""
+    if n_mels < 1:
+        raise ValueError(f"n_mels must be >= 1, got {n_mels}")
+    n_bins = frame // 2 + 1
+    edges_hz = mel_to_hz(
+        np.linspace(0.0, hz_to_mel(sr_hz / 2.0), n_mels + 2)
+    )
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr_hz)
+    lo = edges_hz[:-2, None]
+    mid = edges_hz[1:-1, None]
+    hi = edges_hz[2:, None]
+    up = (freqs[None, :] - lo) / np.maximum(mid - lo, 1e-12)
+    down = (hi - freqs[None, :]) / np.maximum(hi - mid, 1e-12)
+    fb = np.clip(np.minimum(up, down), 0.0, None)
+    assert fb.shape == (n_mels, n_bins)
+    return fb.astype(np.float64), edges_hz[1:-1].copy()
+
+
+def batch_log_mel(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    sr_hz: int,
+    n_mels: int = 40,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    block_frames: int = SPECTRAL_BLOCK_FRAMES,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame log-mel energies over a concatenated same-rate buffer →
+    (mel [total_frames, n_mels] float32, n_frames [n_clips]).
+
+    Same concat + blocked-FFT shape as ``batch_spectral`` (one
+    ``np.fft.rfft`` per memory-bounded block, zero per-clip Python);
+    the mel projection is one (block × bins) @ (bins × n_mels) matmul
+    per block.  log is natural-log of (energy + eps) — silent frames
+    read the floor, never NaN.  Clip i's frames are rows
+    [cumsum(n_frames)[i-1] : cumsum(n_frames)[i]] in input order."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    if sr_hz <= 0 or n == 0:
+        return (np.zeros((0, n_mels), dtype=np.float32),
+                np.zeros(n, dtype=np.int64))
+    frame = max(2, int(sr_hz * frame_ms / 1000))
+    hop = max(1, int(sr_hz * hop_ms / 1000))
+    n_frames = np.where(lengths >= frame, 1 + (lengths - frame) // hop, 0)
+    total = int(n_frames.sum())
+    if total == 0:
+        return (np.zeros((0, n_mels), dtype=np.float32), n_frames)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    clip_of = np.repeat(np.arange(n, dtype=np.int64), n_frames)
+    starts = offsets[clip_of] + hop * _concat_aranges(n_frames)
+    window = (
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
+    ).astype(np.float32)
+    fb_t = mel_filterbank(sr_hz, frame, n_mels)[0].T  # (bins, n_mels)
+    windows_view = np.lib.stride_tricks.sliding_window_view(samples, frame)
+    out = np.empty((total, n_mels), dtype=np.float32)
+    for lo in range(0, total, max(1, block_frames)):
+        hi = min(lo + max(1, block_frames), total)
+        frames = windows_view[starts[lo:hi]].astype(np.float32)
+        frames *= window
+        power = np.abs(np.fft.rfft(frames, axis=1)).astype(np.float64) ** 2
+        out[lo:hi] = np.log(power @ fb_t + SPECTRAL_EPS).astype(np.float32)
+    return out, n_frames
+
+
+def log_mel_features(
+    pcm: np.ndarray,
+    sr_hz: int,
+    n_mels: int = 40,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+) -> np.ndarray:
+    """Scalar reference twin of ``batch_log_mel`` for ONE clip —
+    per-frame loop, used by property tests to pin the batched kernel."""
+    frame = max(2, int(sr_hz * frame_ms / 1000))
+    hop = max(1, int(sr_hz * hop_ms / 1000))
+    if sr_hz <= 0 or len(pcm) < frame:
+        return np.zeros((0, n_mels), dtype=np.float32)
+    window = (
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
+    ).astype(np.float32)
+    fb_t = mel_filterbank(sr_hz, frame, n_mels)[0].T
+    rows = []
+    for s in range(0, len(pcm) - frame + 1, hop):
+        fr = pcm[s:s + frame].astype(np.float32) * window
+        power = np.abs(np.fft.rfft(fr)).astype(np.float64) ** 2
+        rows.append(np.log(power @ fb_t + SPECTRAL_EPS).astype(np.float32))
+    return np.stack(rows)

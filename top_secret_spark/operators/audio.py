@@ -192,6 +192,97 @@ def with_spectral_features(
     return df.mapInPandas(run, schema=schema)
 
 
+def with_log_mel(
+    df: DataFrame,
+    n_mels: int = 40,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append per-frame log-mel filterbank features — the actual input
+    matrix an ASR/audio-LM training run consumes (``kernel.spectral.
+    batch_log_mel``): ``log_mel`` as array<array<float>> (n_frames ×
+    n_mels, frame order = time order), ``n_mel_frames``, and
+    ``mel_argmax_hz`` (center frequency of the time-mean mel peak — the
+    cheap tonality probe the oracle gates).
+
+    Same batching discipline as ``with_spectral_features``: one
+    concatenated decode + ONE blocked FFT + one matmul per (codec,
+    sr_hz) group per Arrow batch.  Poison rows (undecodable payload,
+    NULL sr) get mel_ok=false with an empty matrix — never a stage
+    kill.  ``bytes`` is dropped unless ``keep_bytes`` (payloads are
+    already multi-KB; the mel matrix REPLACES the waveform downstream,
+    which is the point of feature extraction)."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += (", mel_ok boolean, log_mel array<array<float>>, "
+               "n_mel_frames int, mel_argmax_hz double")
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            batch_decode,
+            pcm16_aligned_indices,
+        )
+        from ..kernel.spectral import batch_log_mel, mel_filterbank
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            mels = [[] for _ in range(n)]
+            nfs = np.zeros(n, dtype=np.int64)
+            amhz = np.zeros(n, dtype=np.float64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            sr_ok = np.isfinite(srs) & (srs > 0)
+            for codec in SUPPORTED_CODECS:
+                cidx = np.flatnonzero(
+                    (codecs == codec)
+                    & sr_ok
+                    & np.array([d is not None for d in datas])
+                )
+                if codec == "pcm16":
+                    cidx = pcm16_aligned_indices(datas, cidx)
+                if not len(cidx):
+                    continue
+                for sr in np.unique(srs[cidx]):
+                    idx = cidx[srs[cidx] == sr]
+                    samples, lengths = batch_decode(
+                        [bytes(datas[i]) for i in idx], codec
+                    )
+                    mel, nf = batch_log_mel(
+                        samples, lengths, int(sr), n_mels=n_mels,
+                        frame_ms=frame_ms, hop_ms=hop_ms,
+                    )
+                    frame = max(2, int(int(sr) * frame_ms / 1000))
+                    centers = mel_filterbank(int(sr), frame, n_mels)[1]
+                    off = 0
+                    for k, i in enumerate(idx):
+                        rows = mel[off:off + int(nf[k])]
+                        off += int(nf[k])
+                        mels[i] = rows.tolist()  # one C-level conversion
+                        nfs[i] = int(nf[k])
+                        if len(rows):
+                            amhz[i] = float(
+                                centers[int(np.argmax(rows.mean(axis=0)))]
+                            )
+                        oks[i] = True
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["mel_ok"] = oks
+            pdf["log_mel"] = mels
+            pdf["n_mel_frames"] = nfs
+            pdf["mel_argmax_hz"] = amhz
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def spectral_drop_reason_col(
     max_flatness: float = 0.3,
     min_centroid_hz: float = 150.0,

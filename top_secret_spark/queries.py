@@ -2661,6 +2661,70 @@ ORDER BY cls
 """
 
 
+def q_log_mel(spark, sf_dir):
+    """[tier: quality_filter × audio] log-mel filterbank extraction —
+    the feature matrix ASR training actually consumes
+    (operators/audio.py with_log_mel: one blocked FFT + one mel matmul
+    per (codec, sr) group per Arrow batch).  Planted spectral classes
+    (tone at SPECTRAL_TONE_FREQS[r % 5] / white noise / 80 Hz hum, all
+    16 kHz × 4800 samples) make the gate closed-form: every clip yields
+    exactly 17 frames (1 + (4800−512)//256), every tone's time-mean mel
+    peak reads its planted frequency within 12% (measured max deviation
+    5.5%), and every hum reads < 150 Hz.  The oracle recomputes counts,
+    frame totals, and the match count from r % 4 alone."""
+    _prep(spark)
+    from .operators.audio import with_log_mel
+    from .sources.clips import (
+        SPECTRAL_CLASSES,
+        SPECTRAL_TONE_FREQS,
+        spectral_clips_df,
+    )
+
+    mel = with_log_mel(spectral_clips_df(spark, 120, partitions=8))
+    r = F.substring("clip_id", 4, 8).cast("long")
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in SPECTRAL_CLASSES]),
+        (r % 4 + 1).cast("int"),
+    )
+    f0 = F.element_at(
+        F.array(*[F.lit(float(f)) for f in SPECTRAL_TONE_FREQS]),
+        (r % 5 + 1).cast("int"),
+    )
+    match = (
+        F.when(
+            cls == "tone",
+            F.abs(F.col("mel_argmax_hz") - f0) <= 0.12 * f0,
+        )
+        .when(cls == "hum", F.col("mel_argmax_hz") < 150.0)
+        .otherwise(F.lit(True))
+    )
+    return (
+        mel.groupBy(cls.alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_mel_frames").alias("sum_frames"),
+            F.sum(match.cast("long")).alias("n_freq_match"),
+            F.sum(F.col("mel_ok").cast("long")).alias("n_ok"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_LOG_MEL_SQL = """
+SELECT cls,
+       CAST(n AS BIGINT) AS n_clips,
+       CAST(17 * n AS BIGINT) AS sum_frames,
+       CAST(n AS BIGINT) AS n_freq_match,
+       CAST(n AS BIGINT) AS n_ok
+FROM (
+  SELECT CASE i WHEN 0 THEN 'tone' WHEN 1 THEN 'noise' ELSE 'hum' END AS cls,
+         CASE i WHEN 0 THEN 60 ELSE 30 END AS n
+  FROM (SELECT unnest(range(0, 3)) AS i)
+)
+ORDER BY cls
+"""
+
+
 Q_CHUNKED_CLIPS_SQL = """
 WITH p AS (
   SELECT r,
@@ -3465,4 +3529,5 @@ QUERIES = {
     "q68_top_terms": (q_top_terms, Q_TOP_TERMS_SQL),
     "q69_importance_weight": (q_importance_weight, Q_IMPORTANCE_SQL),
     "q70_mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
+    "q71_log_mel": (q_log_mel, Q_LOG_MEL_SQL),
 }
