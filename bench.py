@@ -219,6 +219,25 @@ def main():
     extras["spectral_sec"] = round(min(spec_times), 3)
     extras["spectral_clips_per_sec"] = round(na / max(min(spec_times), 1e-9), 1)
 
+    # NON-headline extra: log-mel filterbank extraction — the heaviest
+    # per-clip compute in the suite (FFT + mel matmul per frame); the
+    # agg keeps the matrices on the executors, only frame counts return.
+    from top_secret_spark.operators.audio import with_log_mel
+
+    lmel = lambda: with_log_mel(aclips).agg(
+        F.sum("n_mel_frames"),
+        F.count(F.when(F.col("mel_ok"), 1)),
+    ).collect()
+    lmel()
+    lmel_times = []
+    for _ in range(2):
+        t0 = time.time()
+        lmel()
+        lmel_times.append(time.time() - t0)
+    extras["log_mel_sec"] = round(min(lmel_times), 3)
+    extras["log_mel_clips_per_sec"] = round(
+        na / max(min(lmel_times), 1e-9), 1)
+
     mask = lambda: time_masked_clips(aclips, mask_ms=200).agg(
         F.sum(F.length("bytes"))
     ).collect()

@@ -554,6 +554,25 @@ def main():
         "  rebuild shape as dedup_lines).",
     ))
 
+    from top_secret_spark.operators.audio import with_log_mel
+    from top_secret_spark.sources.clips import spectral_clips_df
+
+    sections.append((
+        "Log-mel filterbank extraction (map-only feature front-end)",
+        explain_str(
+            with_log_mel(spectral_clips_df(spark, 64, partitions=4))
+            .select("clip_id", "n_mel_frames", "mel_argmax_hz")
+        ),
+        "- ONE `MapInPandas` node and ZERO Exchanges — feature extraction\n"
+        "  is embarrassingly parallel; throughput scales with cores.\n"
+        "- `bytes` is dropped inside the operator (the mel matrix REPLACES\n"
+        "  the waveform downstream), so the stage's output width shrinks\n"
+        "  rather than doubling — no write amplification at the sink.\n"
+        "- The FFT work is one blocked `rfft` + one mel matmul per\n"
+        "  (codec, sr) group per Arrow batch; the filterbank is a pure\n"
+        "  function of (sr, frame, n_mels) — no broadcast, no state.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
