@@ -2725,6 +2725,131 @@ ORDER BY cls
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """[training-data] Gopher/MassiveText repetition signals
+    (operators/repetition.py with_repetition_signals): per-document
+    duplicate-line fractions, top n-gram (n=2..4) and duplicate n-gram
+    (n=5..10) character fractions, plus the published-threshold drop
+    reason — over the REAL documents table, every value gated
+    bit-for-bit (each fraction is ONE double division of longs both
+    engines compute identically).  The Spark side is pure Catalyst
+    (array_sort + one aggregate run-length scan per n, zero shuffle);
+    the oracle recomputes each signal relationally (unnest → group →
+    mass sums)."""
+    _prep(spark)
+    from .operators.repetition import (
+        repetition_drop_reason_col,
+        with_repetition_signals,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = with_repetition_signals(docs)
+    cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "top_ngram_char_frac_2", "top_ngram_char_frac_3",
+        "top_ngram_char_frac_4",
+        "dup_ngram_char_frac_5", "dup_ngram_char_frac_10",
+    ]
+    from .operators.repetition import GOPHER_THRESHOLDS
+
+    gated = {k: GOPHER_THRESHOLDS[k] for k in cols}  # same firing order
+    return sig.select(
+        "doc_id", *cols,
+        repetition_drop_reason_col(gated).alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
+def _rep_gram_cte(n: int) -> str:
+    return f"""g{n} AS (
+  SELECT doc_id,
+         max(cnt * length(g)) AS top_mass,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup_mass
+  FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(wl) - {n} + 2, 1)),
+               i -> array_to_string(wl[i:i + {n} - 1], ' '))) AS g
+      FROM base
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)"""
+
+
+Q_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS text,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\\s+'), x -> x <> '') AS wl
+  FROM documents
+),
+tot AS (
+  SELECT doc_id, length(array_to_string(wl, ' ')) AS content_chars
+  FROM base
+),
+lstat AS (
+  SELECT doc_id,
+         sum(cnt) AS tot_lines,
+         sum(cnt * length(line)) AS tot_lchars,
+         sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS dup_lcnt,
+         sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(line)
+             ELSE 0 END) AS dup_lchars
+  FROM (
+    SELECT doc_id, line, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base
+    ) GROUP BY doc_id, line
+  ) GROUP BY doc_id
+),
+{_rep_gram_cte(2)}, {_rep_gram_cte(3)}, {_rep_gram_cte(4)},
+{_rep_gram_cte(5)}, {_rep_gram_cte(10)},
+sig AS (
+  SELECT b.doc_id,
+    CASE WHEN l.tot_lines > 0
+         THEN CAST(l.dup_lcnt AS DOUBLE) / l.tot_lines
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN l.tot_lchars > 0
+         THEN CAST(l.dup_lchars AS DOUBLE) / l.tot_lchars
+         ELSE 0.0 END AS dup_line_char_frac,
+    CASE WHEN t.content_chars > 0
+         THEN CAST(coalesce(g2.top_mass, 0) AS DOUBLE) / t.content_chars
+         ELSE 0.0 END AS top_ngram_char_frac_2,
+    CASE WHEN t.content_chars > 0
+         THEN CAST(coalesce(g3.top_mass, 0) AS DOUBLE) / t.content_chars
+         ELSE 0.0 END AS top_ngram_char_frac_3,
+    CASE WHEN t.content_chars > 0
+         THEN CAST(coalesce(g4.top_mass, 0) AS DOUBLE) / t.content_chars
+         ELSE 0.0 END AS top_ngram_char_frac_4,
+    CASE WHEN t.content_chars > 0
+         THEN CAST(coalesce(g5.dup_mass, 0) AS DOUBLE) / t.content_chars
+         ELSE 0.0 END AS dup_ngram_char_frac_5,
+    CASE WHEN t.content_chars > 0
+         THEN CAST(coalesce(g10.dup_mass, 0) AS DOUBLE) / t.content_chars
+         ELSE 0.0 END AS dup_ngram_char_frac_10
+  FROM base b
+  JOIN tot t USING (doc_id)
+  JOIN lstat l USING (doc_id)
+  LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+  LEFT JOIN g4 USING (doc_id) LEFT JOIN g5 USING (doc_id)
+  LEFT JOIN g10 USING (doc_id)
+)
+SELECT *,
+  CASE
+    WHEN dup_line_frac > 0.30 THEN 'repetition_dup_line_frac'
+    WHEN dup_line_char_frac > 0.20 THEN 'repetition_dup_line_char_frac'
+    WHEN top_ngram_char_frac_2 > 0.20 THEN 'repetition_top_ngram_char_frac_2'
+    WHEN top_ngram_char_frac_3 > 0.18 THEN 'repetition_top_ngram_char_frac_3'
+    WHEN top_ngram_char_frac_4 > 0.16 THEN 'repetition_top_ngram_char_frac_4'
+    WHEN dup_ngram_char_frac_5 > 0.15 THEN 'repetition_dup_ngram_char_frac_5'
+    WHEN dup_ngram_char_frac_10 > 0.10
+         THEN 'repetition_dup_ngram_char_frac_10'
+    ELSE NULL
+  END AS drop_reason
+FROM sig
+ORDER BY doc_id
+"""
+
+
 Q_CHUNKED_CLIPS_SQL = """
 WITH p AS (
   SELECT r,
@@ -3530,4 +3655,5 @@ QUERIES = {
     "q69_importance_weight": (q_importance_weight, Q_IMPORTANCE_SQL),
     "q70_mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
     "q71_log_mel": (q_log_mel, Q_LOG_MEL_SQL),
+    "q72_repetition_signals": (q_repetition_signals, Q_REPETITION_SQL),
 }
