@@ -4,6 +4,8 @@ decoded-PCM passthrough invariant: allclose at SNR >= 30 dB
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from top_secret_spark.kernel.audio import (
     alaw_decode,
@@ -1369,3 +1371,71 @@ def test_transcode_clips_null_payload_passthrough(spark):
     assert got["n0"]["bytes"] is None and got["n0"]["codec"] == "ulaw"
     assert got["n1"]["bytes"] is None and got["n1"]["codec"] == "ulaw"
     assert len(bytes(got["s0"]["bytes"])) == 100
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=4000),
+                  min_size=1, max_size=8),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=20, deadline=None)
+def test_batch_snr_estimate_matches_scalar(lens, seed):
+    from top_secret_spark.kernel.audio import batch_snr_estimate, snr_estimate
+
+    clips = [synth_pcm(seed + i, ln, 16000) if ln else
+             np.empty(0, dtype=np.float32) for i, ln in enumerate(lens)]
+    samples = (np.concatenate(clips) if any(lens)
+               else np.empty(0, dtype=np.float32))
+    s, nf = batch_snr_estimate(samples, np.array(lens, dtype=np.int64), 16000)
+    for i, c in enumerate(clips):
+        es, en = snr_estimate(c, 16000)
+        assert nf[i] == en
+        assert s[i] == pytest.approx(es, abs=1e-9)
+
+
+def test_snr_estimate_planted_bands():
+    """The planted q73 classes read their documented bands: bursts over
+    a quiet floor HIGH, bursts over noise mid, gapless noise ~0 dB."""
+    from top_secret_spark.kernel.audio import batch_decode, batch_snr_estimate
+    from top_secret_spark.sources.clips import snr_rows_for_range
+
+    pdf = snr_rows_for_range(0, 30)
+    samples, lengths = batch_decode(
+        [bytes(b) for b in pdf["bytes"]], "pcm16")
+    snr, nf = batch_snr_estimate(samples, lengths, 16000)
+    assert set(nf) == {30}
+    cls = pdf["transcript"].to_numpy()
+    assert snr[cls == "gapped_clean"].min() > 30.0
+    mid = snr[cls == "gapped_noisy"]
+    assert mid.min() > 3.0 and mid.max() < 15.0
+    assert snr[cls == "steady_noise"].max() < 3.0
+
+
+def test_with_snr_estimate_poison_rows(spark):
+    """Undecodable payload / NULL sr / unknown codec → snr_ok=false,
+    0.0 dB, 0 frames — never a stage kill; bytes dropped by default."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import with_snr_estimate
+
+    rows = [
+        Row(clip_id="good", bytes=bytearray(encode(
+            synth_pcm(3, 3200, 16000), "pcm16")),
+            sr_hz=16000, dur_ms=200, codec="pcm16", transcript=""),
+        Row(clip_id="odd", bytes=bytearray(b"\x01"), sr_hz=16000,
+            dur_ms=0, codec="pcm16", transcript=""),
+        Row(clip_id="nullsr", bytes=bytearray(b"\x00\x00"), sr_hz=None,
+            dur_ms=0, codec="pcm16", transcript=""),
+        Row(clip_id="badcodec", bytes=bytearray(b"\x00\x00"), sr_hz=8000,
+            dur_ms=0, codec="opus", transcript=""),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    out = with_snr_estimate(spark.createDataFrame(rows, schema))
+    assert "bytes" not in out.columns
+    got = {r["clip_id"]: r for r in out.collect()}
+    assert got["good"]["snr_ok"] and got["good"]["snr_n_frames"] == 10
+    for bad in ("odd", "nullsr", "badcodec"):
+        assert not got[bad]["snr_ok"]
+        assert got[bad]["snr_est_db"] == 0.0
+        assert got[bad]["snr_n_frames"] == 0

@@ -1339,3 +1339,77 @@ def with_rate_consistency(
     return df.withColumn("chars_per_sec", cps).withColumn(
         "rate_drop_reason", rate_drop_reason_col(min_cps, max_cps)
     )
+
+
+def with_snr_estimate(
+    df: DataFrame,
+    frame_ms: int = 20,
+    noise_q: float = 0.1,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append the frame-energy SNR estimate (``kernel.audio.
+    batch_snr_estimate``): ``snr_est_db`` (NIST-STNR-style — quietest
+    ``noise_q`` of 20 ms frames = noise floor, loudest half = signal;
+    needs quiet gaps, so a gapless signal reads ~0 dB by design),
+    ``snr_n_frames``, and ``snr_ok``.
+
+    Same batching discipline as ``with_log_mel``: one concatenated
+    decode + one vectorized estimate per (codec, sr_hz) group per Arrow
+    batch — frame length is sr-derived, hence the sr split.  Poison
+    rows (undecodable, NULL sr) get snr_ok=false / 0.0 / 0 frames,
+    never a stage kill.  ``bytes`` dropped unless ``keep_bytes``."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += ", snr_ok boolean, snr_est_db double, snr_n_frames int"
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            batch_decode,
+            batch_snr_estimate,
+            pcm16_aligned_indices,
+        )
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            snrs = np.zeros(n, dtype=np.float64)
+            nfs = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            sr_ok = np.isfinite(srs) & (srs > 0)
+            for codec in SUPPORTED_CODECS:
+                cidx = np.flatnonzero(
+                    (codecs == codec)
+                    & sr_ok
+                    & np.array([d is not None for d in datas])
+                )
+                if codec == "pcm16":
+                    cidx = pcm16_aligned_indices(datas, cidx)
+                if not len(cidx):
+                    continue
+                for sr in np.unique(srs[cidx]):
+                    idx = cidx[srs[cidx] == sr]
+                    samples, lengths = batch_decode(
+                        [bytes(datas[i]) for i in idx], codec
+                    )
+                    s, nf = batch_snr_estimate(
+                        samples, lengths, int(sr),
+                        frame_ms=frame_ms, noise_q=noise_q,
+                    )
+                    snrs[idx] = s
+                    nfs[idx] = nf
+                    oks[idx] = True
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["snr_ok"] = oks
+            pdf["snr_est_db"] = snrs
+            pdf["snr_n_frames"] = nfs
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -2725,6 +2725,58 @@ ORDER BY cls
 """
 
 
+def q_snr_estimate(spark, sf_dir):
+    """[tier: quality_filter × audio] frame-energy SNR estimation —
+    the noise-floor screen a speech-corpus quality filter runs before
+    transcription (operators/audio.py with_snr_estimate; NIST-STNR
+    style: quietest 10% of 20 ms frames = noise, loudest half =
+    signal).  Planted classes (sources/clips.py snr_rows_for_range,
+    r % 3): tone bursts over a 1e-4 floor read HIGH (measured ~69 dB,
+    gate > 30), the same bursts over 0.1 noise read the mid band
+    (~10 dB, gate 3–15), and gapless noise reads ~0 dB (< 3) — the
+    estimator's documented no-gaps limit.  Every clip yields exactly 30
+    frames; the oracle recomputes counts and the band matches from
+    r % 3 alone."""
+    _prep(spark)
+    from .operators.audio import with_snr_estimate
+    from .sources.clips import SNR_CLASSES, snr_clips_df
+
+    est = with_snr_estimate(snr_clips_df(spark, 120, partitions=8))
+    r = F.substring("clip_id", 4, 8).cast("long")
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in SNR_CLASSES]), (r % 3 + 1).cast("int")
+    )
+    band = (
+        F.when(cls == "gapped_clean", F.col("snr_est_db") > 30.0)
+        .when(cls == "gapped_noisy",
+              (F.col("snr_est_db") > 3.0) & (F.col("snr_est_db") < 15.0))
+        .otherwise(F.col("snr_est_db") < 3.0)
+    )
+    return (
+        est.groupBy(cls.alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("snr_n_frames").alias("sum_frames"),
+            F.sum(band.cast("long")).alias("n_band_match"),
+            F.sum(F.col("snr_ok").cast("long")).alias("n_ok"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_SNR_ESTIMATE_SQL = """
+SELECT cls,
+       CAST(40 AS BIGINT) AS n_clips,
+       CAST(30 * 40 AS BIGINT) AS sum_frames,
+       CAST(40 AS BIGINT) AS n_band_match,
+       CAST(40 AS BIGINT) AS n_ok
+FROM (
+  SELECT unnest(['gapped_clean', 'gapped_noisy', 'steady_noise']) AS cls
+)
+ORDER BY cls
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """[training-data] Gopher/MassiveText repetition signals
     (operators/repetition.py with_repetition_signals): per-document
@@ -3656,4 +3708,5 @@ QUERIES = {
     "q70_mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
     "q71_log_mel": (q_log_mel, Q_LOG_MEL_SQL),
     "q72_repetition_signals": (q_repetition_signals, Q_REPETITION_SQL),
+    "q73_snr_estimate": (q_snr_estimate, Q_SNR_ESTIMATE_SQL),
 }

@@ -685,3 +685,60 @@ def write_clips_parquet(path: str, n_rows: int, with_audio: bool = True,
         table = pa.Table.from_pandas(rows_for_range(start, end, with_audio))
         pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
         part += 1
+
+
+SNR_CLASSES = ("gapped_clean", "gapped_noisy", "steady_noise")  # r % 3
+SNR_NOISE_AMPS = (1e-4, 0.1, 0.2)  # per-class additive-noise amplitude
+
+
+def snr_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted SNR-ESTIMATE classes for the frame-energy
+    noise-floor gate (q73), keyed by ``r % 3`` (class in transcript).
+    All 16 kHz pcm16 × 9600 samples (600 ms → 30 × 20 ms frames):
+
+    - gapped_clean: 1 kHz tone bursts (40 ms on / 40 ms off, amp 0.4)
+      over a 1e-4 noise floor — quiet gaps expose the floor, estimate
+      reads HIGH (> 30 dB).
+    - gapped_noisy: same bursts over 0.1 Gaussian noise — estimate
+      reads the planted mid band (3–15 dB).
+    - steady_noise: 0.2 Gaussian noise, no gaps — a gapless signal
+      correctly reads ~0 dB (< 3), the estimator's documented limit.
+    """
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz, n = 16000, 9600
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    burst = 0.4 * np.sin(2.0 * np.pi * 1000.0 * t)
+    burst *= ((np.arange(n) // 640) % 2 == 0).astype(np.float64)
+    for r in range(start, end):
+        cls = SNR_CLASSES[r % 3]
+        rng = np.random.default_rng(SEED * 31_000_027 + r)
+        noise = SNR_NOISE_AMPS[r % 3] * rng.standard_normal(n)
+        pcm = noise if cls == "steady_noise" else burst + noise
+        pcm = np.clip(pcm, -1.0, 1.0).astype(np.float32)
+        out["clip_id"].append(f"sn-{r:08d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(600)
+        out["codec"].append("pcm16")
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def snr_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted SNR-class clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield snr_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
