@@ -2777,6 +2777,59 @@ ORDER BY cls
 """
 
 
+def q_webdataset_manifest(spark, sf_dir):
+    """[training-data sink] WebDataset tar-shard export
+    (sinks/webdataset.py write_webdataset): the curated corpus leaves
+    the cluster as size-balanced, byte-reproducible tar shards — one
+    task per shard, manifest row per shard, never a whole-corpus
+    collect.  Gate: the manifest's per-shard item counts and payload
+    byte sums over the transcode clip table (payload sizes are pure
+    row arithmetic: (400+37r) × bytes-per-sample by codec) must equal
+    the oracle's cumsum → div recomputation of ``shard_by_size``.
+    Tar determinism (sha256-identical re-runs, sorted members, pinned
+    headers) and the read-back roundtrip are pytest-gated
+    (tests/test_webdataset.py) — hashes aren't SQL-expressible."""
+    import tempfile
+
+    _prep(spark)
+    from .sinks.webdataset import write_webdataset
+    from .sources.clips import transcode_clips_df
+
+    out = tempfile.mkdtemp(prefix="wds_q74_")
+    man = write_webdataset(
+        transcode_clips_df(spark, 120, partitions=8), out,
+        shard_bytes=30_000,
+    )
+    return man.select(
+        "shard_id",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("data_bytes").cast("long").alias("data_bytes"),
+    ).orderBy("shard_id")
+
+
+Q_WEBDATASET_SQL = """
+WITH r AS (SELECT unnest(range(0, 120)) AS r),
+sz AS (
+  SELECT r,
+         (400 + 37 * r) * (CASE WHEN r % 3 = 0 THEN 2 ELSE 1 END) AS sz
+  FROM r
+),
+o AS (
+  SELECT r, sz,
+         COALESCE(sum(sz) OVER (ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum
+  FROM sz
+)
+SELECT CAST(cum // 30000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(sz) AS BIGINT) AS data_bytes
+FROM o
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """[training-data] Gopher/MassiveText repetition signals
     (operators/repetition.py with_repetition_signals): per-document
@@ -3709,4 +3762,5 @@ QUERIES = {
     "q71_log_mel": (q_log_mel, Q_LOG_MEL_SQL),
     "q72_repetition_signals": (q_repetition_signals, Q_REPETITION_SQL),
     "q73_snr_estimate": (q_snr_estimate, Q_SNR_ESTIMATE_SQL),
+    "q74_webdataset_manifest": (q_webdataset_manifest, Q_WEBDATASET_SQL),
 }
