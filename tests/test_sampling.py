@@ -269,3 +269,60 @@ def test_mixture_sample_end_to_end(spark):
         df.repartition(17), "src", {"web": 1, "code": 1},
         key_col="doc_id").collect()}
     assert a == b
+
+
+def test_select_until_budget_exact_and_edges(spark):
+    from top_secret_spark.operators.sampling import select_until_budget
+
+    df = spark.createDataFrame(
+        [(i, i % 5, 10 + (i % 3)) for i in range(100)],
+        "doc_id long, prio long, toks long",
+    )
+    sel = select_until_budget(
+        df, budget=250, value_col="toks",
+        priority_cols=["prio", "doc_id"],
+    ).collect()
+    rows = sorted(((r["prio"], r["doc_id"]) for r in sel))
+    # python reference: same total order, whole-row fit
+    ref, cum = [], 0
+    for p, i, t in sorted((i % 5, i, 10 + (i % 3)) for i in range(100)):
+        if cum + t <= 250:
+            ref.append((p, i))
+            cum += t
+    assert rows == ref
+    cums = {r["doc_id"]: r["budget_cum"] for r in sel}
+    # exclusive offsets: first selected row starts at 0
+    first = min(ref)
+    assert cums[first[1]] == 0
+    # budget honored with NO straddling row
+    assert max(r["budget_cum"] + (10 + (r["doc_id"] % 3)) for r in sel) <= 250
+
+
+def test_select_until_budget_validation_and_zero(spark):
+    import pytest as _pytest
+
+    from top_secret_spark.operators.sampling import select_until_budget
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, toks long")
+    with _pytest.raises(ValueError, match="budget"):
+        select_until_budget(df, -1, "toks", ["doc_id"])
+    with _pytest.raises(ValueError, match="priority_cols"):
+        select_until_budget(df, 10, "toks", [])
+    assert select_until_budget(df, 0, "toks", ["doc_id"]).count() == 0
+    # a row that doesn't fit whole is dropped, not truncated
+    assert select_until_budget(df, 4, "toks", ["doc_id"]).count() == 0
+    assert select_until_budget(df, 5, "toks", ["doc_id"]).count() == 1
+
+
+def test_select_until_budget_partition_invariant(spark):
+    from top_secret_spark.operators.sampling import select_until_budget
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11, 3 + (i % 7)) for i in range(200)],
+        "doc_id long, prio long, toks long",
+    )
+    a = {(r["doc_id"], r["budget_cum"]) for r in select_until_budget(
+        df.repartition(1), 300, "toks", ["prio", "doc_id"]).collect()}
+    b = {(r["doc_id"], r["budget_cum"]) for r in select_until_budget(
+        df.repartition(16), 300, "toks", ["prio", "doc_id"]).collect()}
+    assert a == b and len(a) > 0

@@ -322,3 +322,45 @@ def with_split(
             F.lit("train")
         ),
     )
+
+
+def select_until_budget(
+    df: DataFrame,
+    budget: int,
+    value_col: str,
+    priority_cols: list,
+    out_col: str = "budget_cum",
+) -> DataFrame:
+    """Select the highest-priority rows whose cumulative ``value_col``
+    fits a hard ``budget`` — the "best docs under a token budget" step
+    every fixed-compute training run ends curation with.
+
+    Rows are ordered ASCENDING by ``priority_cols`` (list of column
+    names or Columns — e.g. ``[F.col("symbol_ppm"), "doc_id"]`` selects
+    the cleanest docs first; for a DESCENDING priority negate the
+    expression, e.g. ``[-F.col("importance"), "doc_id"]`` — sort-order
+    modifiers like ``.desc()`` are not orderable inside the struct key;
+    the combined order MUST be total/unique or the cumsum is
+    nondeterministic), and a row is kept iff it fits
+    WHOLE: exclusive-cumsum(value) + value <= budget.  No straddling
+    row — a hard budget is hard.  Appends ``out_col`` (the exclusive
+    cumulative value before the row) to the survivors.
+
+    Scale: the ordering rides the same two-phase distributed prefix sum
+    as ``pack_sequences`` (range partition by the priority struct →
+    per-partition window → per-partition totals broadcast) — no global
+    single-partition window, no driver collect of data rows.  The
+    selection itself is then one Catalyst filter.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not priority_cols:
+        raise ValueError("priority_cols must name at least one column")
+    from .packing import with_global_offset
+
+    ordc = "_sel_ord"
+    cols = [F.col(c) if isinstance(c, str) else c for c in priority_cols]
+    d = df.withColumn(ordc, F.struct(*cols))
+    d = with_global_offset(d, ordc, value_col, out_col=out_col)
+    val = F.coalesce(F.col(value_col), F.lit(0)).cast("bigint")
+    return d.where(F.col(out_col) + val <= F.lit(int(budget))).drop(ordc)

@@ -2777,6 +2777,62 @@ ORDER BY cls
 """
 
 
+def q_budget_select(spark, sf_dir):
+    """[training-data] hard-token-budget data selection
+    (operators/sampling.py select_until_budget): keep the cleanest
+    documents (lowest symbol ppm, doc_id tiebreak) whose cumulative
+    whitespace-token count fits a 10k budget — the "best docs under a
+    fixed compute budget" step a curation run ends with.  Rides the
+    two-phase distributed prefix sum (no single-partition window); a
+    row is kept only if it fits WHOLE.  The oracle recomputes the
+    ordered cumulative sum with a SQL window — membership, per-row
+    exclusive offsets, and totals gated bit-for-bit."""
+    _prep(spark)
+    from .operators.quality import with_quality_signals
+    from .operators.sampling import select_until_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = with_quality_signals(docs, "text").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        _ppm(F.col("symbol_ratio")).alias("symbol_ppm"),
+    )
+    sel = select_until_budget(
+        sig, budget=10_000, value_col="n_words",
+        priority_cols=["symbol_ppm", "doc_id"],
+    )
+    return sel.select(
+        "doc_id", "n_words", "symbol_ppm", "budget_cum"
+    ).orderBy("doc_id")
+
+
+Q_BUDGET_SELECT_SQL = """
+WITH sig AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+        AS n_words,
+    CAST(CASE WHEN length(text) = 0 THEN 0
+         ELSE floor((length(text) -
+                     len(regexp_extract_all(text, '[A-Za-z0-9\\s]')))
+                    * 1000000.0 / length(text) + 0.5) END AS BIGINT)
+        AS symbol_ppm
+  FROM documents
+),
+o AS (
+  SELECT *,
+         COALESCE(sum(n_words) OVER (ORDER BY symbol_ppm, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS budget_cum
+  FROM sig
+)
+SELECT doc_id, n_words, symbol_ppm, CAST(budget_cum AS BIGINT) AS budget_cum
+FROM o
+WHERE budget_cum + n_words <= 10000
+ORDER BY doc_id
+"""
+
+
 def q_webdataset_manifest(spark, sf_dir):
     """[training-data sink] WebDataset tar-shard export
     (sinks/webdataset.py write_webdataset): the curated corpus leaves
@@ -3763,4 +3819,5 @@ QUERIES = {
     "q72_repetition_signals": (q_repetition_signals, Q_REPETITION_SQL),
     "q73_snr_estimate": (q_snr_estimate, Q_SNR_ESTIMATE_SQL),
     "q74_webdataset_manifest": (q_webdataset_manifest, Q_WEBDATASET_SQL),
+    "q75_budget_select": (q_budget_select, Q_BUDGET_SELECT_SQL),
 }
