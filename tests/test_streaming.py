@@ -516,3 +516,83 @@ def test_transcode_transforms_stream(spark, tmp_path):
            for r in transcode_clips(transcode_clips_df(spark, 30), "ulaw")
            .select("clip_id", F.xxhash64("bytes").alias("h")).collect()}
     assert got == exp
+
+
+def test_keep_drop_counters_watermark_drops_late_rows(spark, tmp_path):
+    """EXECUTED watermark semantics, not just the plan: four files
+    processed one per micro-batch (mtime-ordered).  File 1 fills window
+    W1; file 2 jumps 5 min ahead (advancing the watermark past W1 + 2
+    min); file 3 lets the advanced watermark take effect (W1 evicts and
+    append mode emits it); file 4 carries a LATE row back inside W1 —
+    beyond the watermark with the window state gone, it must be dropped
+    (numRowsDroppedByWatermark = 1) and excluded from W1's finalized
+    counts.  (A late row arriving in the SAME batch that evicts its
+    window still merges — the one-batch watermark lag is documented
+    Structured Streaming behavior — hence the dedicated batch.)"""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from top_secret_spark.streaming import keep_drop_counters
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = str(tmp_path / "wm_in")
+    _os.makedirs(src)
+
+    def write(name, rows, mtime):
+        t = pa.Table.from_pydict({
+            "ts": pa.array([r[0] for r in rows],
+                           type=pa.timestamp("us")),
+            "drop_reason": pa.array([r[1] for r in rows],
+                                    type=pa.string()),
+        })
+        fp = _os.path.join(src, name)
+        pq.write_table(t, fp)
+        _os.utime(fp, (mtime, mtime))
+
+    now = _time.time()
+    w1 = [(base + dt.timedelta(seconds=s), None) for s in (0, 5, 10, 20, 30)]
+    w1 += [(base + dt.timedelta(seconds=40), "too_short"),
+           (base + dt.timedelta(seconds=50), "toxicity")]
+    write("f1.parquet", w1, now - 40)
+    write("f2.parquet",
+          [(base + dt.timedelta(minutes=5), None)], now - 30)
+    write("f3.parquet",
+          [(base + dt.timedelta(minutes=5, seconds=10), None)], now - 20)
+    # late row back inside W1, its own batch, AFTER W1's state evicted
+    write("f4.parquet",
+          [(base + dt.timedelta(seconds=15), None)], now - 10)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, drop_reason string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        keep_drop_counters(stream)
+        .writeStream.format("memory")
+        .queryName("wm_counters")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress for so in p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the late W1 row
+    got = {
+        (r["window_start"], r["drop_reason"]): r["n"]
+        for r in spark.sql("select * from wm_counters").collect()
+        if r["window_start"] == base
+    }
+    # finalized W1: 5 on-time keeps (late 6th EXCLUDED), 1 + 1 drops
+    assert got[(base, "keep")] == 5
+    assert got[(base, "too_short")] == 1
+    assert got[(base, "toxicity")] == 1
