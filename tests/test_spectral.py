@@ -254,3 +254,68 @@ def test_with_log_mel_operator_planted_and_poison(spark):
         assert not got[bad]["mel_ok"]
         assert got[bad]["log_mel"] == [] and got[bad]["n_mel_frames"] == 0
         assert got[bad]["mel_argmax_hz"] == 0.0
+
+
+def test_dct_matrix_orthonormal_and_validation():
+    from top_secret_spark.kernel.spectral import dct_matrix
+
+    d = dct_matrix(40, 40)
+    np.testing.assert_allclose(d @ d.T, np.eye(40), atol=1e-12)
+    assert dct_matrix(40, 13).shape == (13, 40)
+    with pytest.raises(ValueError, match="n_out"):
+        dct_matrix(40, 0)
+    with pytest.raises(ValueError, match="n_out"):
+        dct_matrix(40, 41)
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=2000),
+                  min_size=1, max_size=6),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=15, deadline=None)
+def test_mfcc_batch_matches_scalar_over_random_layouts(lens, seed):
+    from top_secret_spark.kernel.audio import synth_pcm
+    from top_secret_spark.kernel.spectral import batch_mfcc, mfcc_features
+
+    clips = [synth_pcm(seed + i, ln, 16000) if ln else
+             np.empty(0, dtype=np.float32) for i, ln in enumerate(lens)]
+    samples = (np.concatenate(clips) if any(lens)
+               else np.empty(0, dtype=np.float32))
+    mf, nf = batch_mfcc(samples, np.array(lens, dtype=np.int64), 16000)
+    off = 0
+    for i, c in enumerate(clips):
+        ref = mfcc_features(c, 16000)
+        assert nf[i] == len(ref)
+        if len(ref):
+            np.testing.assert_allclose(mf[off:off + nf[i]], ref, atol=2e-3)
+        off += nf[i]
+    assert off == len(mf)
+
+
+def test_with_mfcc_operator_classes_and_poison(spark):
+    """Planted classes separate in (c0, c1); matrix shape is
+    (n_frames, n_mfcc); poison rows get mfcc_ok=false."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import with_mfcc
+    from top_secret_spark.sources.clips import spectral_clips_df
+
+    out = with_mfcc(spectral_clips_df(spark, 24, partitions=2))
+    got = out.collect()
+    assert all(r["n_mfcc_frames"] == 17 and len(r["mfcc"]) == 17
+               and len(r["mfcc"][0]) == 13 for r in got)
+    for r in got:
+        if r["transcript"] == "tone":
+            assert r["mfcc_c0_mean"] < -100.0
+        elif r["transcript"] == "noise":
+            assert r["mfcc_c0_mean"] > 0.0
+        else:
+            assert -100.0 < r["mfcc_c0_mean"] < -50.0
+            assert r["mfcc_c1_mean"] > 10.0
+    rows = [Row(clip_id="bad", bytes=bytearray(b"\x01"), sr_hz=16000,
+                dur_ms=0, codec="pcm16", transcript="")]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    p = with_mfcc(spark.createDataFrame(rows, schema)).collect()[0]
+    assert not p["mfcc_ok"] and p["mfcc"] == [] and p["n_mfcc_frames"] == 0

@@ -258,3 +258,58 @@ def log_mel_features(
         power = np.abs(np.fft.rfft(fr)).astype(np.float64) ** 2
         rows.append(np.log(power @ fb_t + SPECTRAL_EPS).astype(np.float32))
     return np.stack(rows)
+
+
+def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n_out × n_in) — the log-mel → cepstrum
+    projection (HTK/Kaldi convention).  Pure function of its shape:
+    identical on every worker, no tables, no scipy."""
+    if n_out < 1 or n_out > n_in:
+        raise ValueError(f"need 1 <= n_out <= n_in, got {n_out} > {n_in}")
+    m = np.arange(n_in, dtype=np.float64)
+    k = np.arange(n_out, dtype=np.float64)[:, None]
+    d = np.cos(np.pi * k * (2.0 * m + 1.0) / (2.0 * n_in))
+    d *= np.sqrt(2.0 / n_in)
+    d[0] *= np.sqrt(0.5)  # orthonormal c0 scaling
+    return d
+
+
+def batch_mfcc(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    sr_hz: int,
+    n_mfcc: int = 13,
+    n_mels: int = 40,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    block_frames: int = SPECTRAL_BLOCK_FRAMES,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame MFCCs over a concatenated same-rate buffer →
+    (mfcc [total_frames, n_mfcc] float32, n_frames [n_clips]): ONE
+    extra (frames × n_mels) @ (n_mels × n_mfcc) matmul on top of
+    ``batch_log_mel`` — same blocked-FFT batching, zero per-clip
+    Python.  Frame layout identical to ``batch_log_mel``."""
+    mel, n_frames = batch_log_mel(
+        samples, lengths, sr_hz, n_mels=n_mels,
+        frame_ms=frame_ms, hop_ms=hop_ms, block_frames=block_frames,
+    )
+    d_t = dct_matrix(n_mels, n_mfcc).T.astype(np.float32)
+    return (mel @ d_t).astype(np.float32), n_frames
+
+
+def mfcc_features(
+    pcm: np.ndarray,
+    sr_hz: int,
+    n_mfcc: int = 13,
+    n_mels: int = 40,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+) -> np.ndarray:
+    """Scalar reference twin of ``batch_mfcc`` for ONE clip (property
+    tests pin the batched kernel to this)."""
+    mel = log_mel_features(pcm, sr_hz, n_mels=n_mels,
+                           frame_ms=frame_ms, hop_ms=hop_ms)
+    d_t = dct_matrix(n_mels, n_mfcc).T.astype(np.float32)
+    if not len(mel):
+        return np.zeros((0, n_mfcc), dtype=np.float32)
+    return (mel @ d_t).astype(np.float32)

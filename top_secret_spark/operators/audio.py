@@ -1413,3 +1413,93 @@ def with_snr_estimate(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def with_mfcc(
+    df: DataFrame,
+    n_mfcc: int = 13,
+    n_mels: int = 40,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append per-frame MFCCs (``kernel.spectral.batch_mfcc`` — DCT-II
+    over the log-mel matrix, the classic compact ASR front-end):
+    ``mfcc`` as array<array<float>> (n_frames × n_mfcc), ``n_mfcc_frames``,
+    and the time-mean first two cepstra ``mfcc_c0_mean`` (overall
+    log-energy spread — broadband noise reads HIGH, narrowband tones
+    read very low because most mel bands sit on the log floor) and
+    ``mfcc_c1_mean`` (spectral tilt — low-frequency hum reads high
+    positive).  Same per-(codec, sr) batching as ``with_log_mel``;
+    poison rows → mfcc_ok=false; ``bytes`` dropped unless
+    ``keep_bytes``."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += (", mfcc_ok boolean, mfcc array<array<float>>, "
+               "n_mfcc_frames int, mfcc_c0_mean double, "
+               "mfcc_c1_mean double")
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            batch_decode,
+            pcm16_aligned_indices,
+        )
+        from ..kernel.spectral import batch_mfcc
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            mats = [[] for _ in range(n)]
+            nfs = np.zeros(n, dtype=np.int64)
+            c0m = np.zeros(n, dtype=np.float64)
+            c1m = np.zeros(n, dtype=np.float64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            sr_ok = np.isfinite(srs) & (srs > 0)
+            for codec in SUPPORTED_CODECS:
+                cidx = np.flatnonzero(
+                    (codecs == codec)
+                    & sr_ok
+                    & np.array([d is not None for d in datas])
+                )
+                if codec == "pcm16":
+                    cidx = pcm16_aligned_indices(datas, cidx)
+                if not len(cidx):
+                    continue
+                for sr in np.unique(srs[cidx]):
+                    idx = cidx[srs[cidx] == sr]
+                    samples, lengths = batch_decode(
+                        [bytes(datas[i]) for i in idx], codec
+                    )
+                    mf, nf = batch_mfcc(
+                        samples, lengths, int(sr), n_mfcc=n_mfcc,
+                        n_mels=n_mels, frame_ms=frame_ms, hop_ms=hop_ms,
+                    )
+                    off = 0
+                    for k, i in enumerate(idx):
+                        rows = mf[off:off + int(nf[k])]
+                        off += int(nf[k])
+                        mats[i] = rows.tolist()
+                        nfs[i] = int(nf[k])
+                        if len(rows):
+                            m = rows.mean(axis=0)
+                            c0m[i] = float(m[0])
+                            if n_mfcc > 1:
+                                c1m[i] = float(m[1])
+                        oks[i] = True
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["mfcc_ok"] = oks
+            pdf["mfcc"] = mats
+            pdf["n_mfcc_frames"] = nfs
+            pdf["mfcc_c0_mean"] = c0m
+            pdf["mfcc_c1_mean"] = c1m
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -2725,6 +2725,60 @@ ORDER BY cls
 """
 
 
+def q_mfcc(spark, sf_dir):
+    """[tier: quality_filter × audio] MFCC extraction — DCT-II over the
+    log-mel matrix, the compact cepstral front-end (operators/audio.py
+    with_mfcc; one extra n_mels × n_mfcc matmul on top of q71's
+    pipeline).  The planted spectral classes separate cleanly in the
+    first two time-mean cepstra (measured: tone c0 ≤ −151 — narrowband
+    energy leaves most mel bands on the log floor; noise c0 ≈ +18 —
+    every band lit; hum c0 ≈ −76 with strong positive tilt c1 ≈ +29.5)
+    so the gates carry wide margins: tone c0 < −100, noise c0 > 0, hum
+    −100 < c0 < −50 AND c1 > 10.  Frame counts are exact (17 per clip);
+    the oracle recomputes everything from r % 4."""
+    _prep(spark)
+    from .operators.audio import with_mfcc
+    from .sources.clips import SPECTRAL_CLASSES, spectral_clips_df
+
+    mf = with_mfcc(spectral_clips_df(spark, 120, partitions=8))
+    r = F.substring("clip_id", 4, 8).cast("long")
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in SPECTRAL_CLASSES]),
+        (r % 4 + 1).cast("int"),
+    )
+    c0, c1 = F.col("mfcc_c0_mean"), F.col("mfcc_c1_mean")
+    match = (
+        F.when(cls == "tone", c0 < -100.0)
+        .when(cls == "noise", c0 > 0.0)
+        .otherwise((c0 > -100.0) & (c0 < -50.0) & (c1 > 10.0))
+    )
+    return (
+        mf.groupBy(cls.alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_mfcc_frames").alias("sum_frames"),
+            F.sum(match.cast("long")).alias("n_cep_match"),
+            F.sum(F.col("mfcc_ok").cast("long")).alias("n_ok"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_MFCC_SQL = """
+SELECT cls,
+       CAST(n AS BIGINT) AS n_clips,
+       CAST(17 * n AS BIGINT) AS sum_frames,
+       CAST(n AS BIGINT) AS n_cep_match,
+       CAST(n AS BIGINT) AS n_ok
+FROM (
+  SELECT CASE i WHEN 0 THEN 'tone' WHEN 1 THEN 'noise' ELSE 'hum' END AS cls,
+         CASE i WHEN 0 THEN 60 ELSE 30 END AS n
+  FROM (SELECT unnest(range(0, 3)) AS i)
+)
+ORDER BY cls
+"""
+
+
 def q_snr_estimate(spark, sf_dir):
     """[tier: quality_filter × audio] frame-energy SNR estimation —
     the noise-floor screen a speech-corpus quality filter runs before
@@ -3820,4 +3874,5 @@ QUERIES = {
     "q73_snr_estimate": (q_snr_estimate, Q_SNR_ESTIMATE_SQL),
     "q74_webdataset_manifest": (q_webdataset_manifest, Q_WEBDATASET_SQL),
     "q75_budget_select": (q_budget_select, Q_BUDGET_SELECT_SQL),
+    "q76_mfcc": (q_mfcc, Q_MFCC_SQL),
 }
