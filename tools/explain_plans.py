@@ -573,6 +573,52 @@ def main():
         "  function of (sr, frame, n_mels) — no broadcast, no state.",
     ))
 
+    from top_secret_spark.operators.repetition import (
+        repetition_drop_reason_col,
+        with_repetition_signals,
+    )
+
+    sections.append((
+        "Gopher repetition signals (zero-shuffle Catalyst scans)",
+        explain_str(
+            with_repetition_signals(docs).withColumn(
+                "reason", repetition_drop_reason_col()
+            ).select("doc_id", "dup_line_frac", "top_ngram_char_frac_2",
+                     "dup_ngram_char_frac_5", "reason")
+        ),
+        "- Per-document signals never leave the row: array_sort + ONE\n"
+        "  Catalyst `aggregate` run-length scan per n — Projects over the\n"
+        "  scan only, ZERO Exchange, zero Python at any corpus size.\n"
+        "- The explode -> groupBy(doc, term) alternative would shuffle\n"
+        "  every token instance of a 100 TB corpus to compute a\n"
+        "  row-local number; this plan shuffles nothing.",
+    ))
+
+    from top_secret_spark.operators.sampling import select_until_budget
+    from top_secret_spark.operators.text_analysis import (
+        whitespace_token_count,
+    )
+
+    sections.append((
+        "Token-budget selection (two-phase prefix sum, no global window)",
+        explain_str(
+            select_until_budget(
+                docs.withColumn(
+                    "toks", whitespace_token_count("text").cast("long")
+                ),
+                budget=10_000, value_col="toks",
+                priority_cols=["n_chars", "doc_id"],
+            )
+        ),
+        "- The cumulative sum is the pack_sequences two-phase prefix sum:\n"
+        "  range partition by the priority struct -> per-PARTITION window\n"
+        "  -> one-row-per-partition totals join.  `Window` appears only\n"
+        "  partitioned by `_pid` — there is NO empty-partitionBy window\n"
+        "  dragging the corpus through one task.\n"
+        "- Selection itself is a codegen'd Filter; the budget is enforced\n"
+        "  with exact bigint arithmetic.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
