@@ -321,6 +321,53 @@ def main():
     spectral_loop()
     sp_loop_sec = time.perf_counter() - t0
 
+    # log-mel / MFCC: one blocked FFT + matmul vs per-clip kernel calls
+    from top_secret_spark.kernel.spectral import batch_log_mel, batch_mfcc
+
+    def logmel_batched():
+        batch_log_mel(sp_samples, sp_lengths, 16000)
+
+    def logmel_loop():
+        for c in sp_clips:
+            batch_log_mel(c, np.array([len(c)]), 16000)
+
+    logmel_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        logmel_batched()
+    lm_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    logmel_loop()
+    lm_loop_sec = time.perf_counter() - t0
+
+    def mfcc_batched():
+        batch_mfcc(sp_samples, sp_lengths, 16000)
+
+    mfcc_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        mfcc_batched()
+    mc_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+
+    # SNR estimate: one lexsort/prefix-sum pass vs per-clip kernel calls
+    from top_secret_spark.kernel.audio import batch_snr_estimate
+
+    def snrest_batched():
+        batch_snr_estimate(sp_samples, sp_lengths, 16000)
+
+    def snrest_loop():
+        for c in sp_clips:
+            batch_snr_estimate(c, np.array([len(c)]), 16000)
+
+    snrest_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        snrest_batched()
+    se_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    snrest_loop()
+    se_loop_sec = time.perf_counter() - t0
+
     # noise mix: one counter-based RNG pass vs per-clip kernel calls
     from top_secret_spark.kernel.audio import batch_mix_noise
 
@@ -390,6 +437,17 @@ def main():
         "spectral_loop_clips_per_sec": round(
             len(sp_clips) / sp_loop_sec, 1),
         "spectral_batched_speedup": round(sp_loop_sec / sp_vec_sec, 2),
+        "log_mel_batched_clips_per_sec": round(
+            len(sp_clips) / lm_vec_sec, 1),
+        "log_mel_loop_clips_per_sec": round(
+            len(sp_clips) / lm_loop_sec, 1),
+        "log_mel_batched_speedup": round(lm_loop_sec / lm_vec_sec, 2),
+        "mfcc_batched_clips_per_sec": round(len(sp_clips) / mc_vec_sec, 1),
+        "snr_est_batched_clips_per_sec": round(
+            len(sp_clips) / se_vec_sec, 1),
+        "snr_est_loop_clips_per_sec": round(
+            len(sp_clips) / se_loop_sec, 1),
+        "snr_est_batched_speedup": round(se_loop_sec / se_vec_sec, 2),
         "mix_noise_batched_clips_per_sec": round(
             len(sp_clips) / nm_vec_sec, 1),
         "mix_noise_loop_clips_per_sec": round(
