@@ -996,3 +996,27 @@ def test_top_terms_matches_counter(spark):
             assert got == ref(n, 8), (n, parts)
     with _pytest.raises(ValueError, match="n must be"):
         top_terms(spark.createDataFrame(rows, "doc_id long, text string"), n=0)
+
+
+def test_dedup_lines_paragraph_separator(spark):
+    """sep='\\n\\n' removes a multi-line boilerplate PARAGRAPH whole
+    (line-level would strip it line-by-line and could leave fragments
+    when only some lines repeat); regex-special separators are
+    rejected at plan time."""
+    from top_secret_spark.operators.dedup import dedup_lines
+
+    boiler = "follow us\non social media"
+    rows = [
+        (0, boiler + "\n\nunique zero"),
+        (1, boiler + "\n\nunique one"),
+        (2, boiler),  # boiler-only doc dedups to EMPTY
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_removed"])
+           for r in dedup_lines(df, sep="\n\n").collect()}
+    assert got[0] == (boiler + "\n\nunique zero", 0)
+    assert got[1] == ("unique one", 1)
+    assert got[2] == ("", 1)
+
+    with pytest.raises(ValueError, match="literal separator"):
+        dedup_lines(df, sep=".*")

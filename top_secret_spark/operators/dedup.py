@@ -90,7 +90,10 @@ def _rebuild_documents(df, rebuilt, id_col, text_col, n_orig, counter_col):
 
 
 def dedup_lines(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
     """Cross-corpus LINE dedup (the C4-style boilerplate strip): every
     distinct line keeps exactly its globally-first occurrence — ordered
@@ -120,10 +123,20 @@ def dedup_lines(
          ``groupBy(id)`` + ordered concat — no verify join back.
 
     The rebuilt text joins back to ``df`` on the 8-byte id to reattach
-    untouched columns."""
+    untouched columns.
+
+    ``sep`` sets the dedup unit (regex for the split, literal for the
+    rejoin): the default "\n" is C4-style LINE dedup; "\n\n" gives
+    MassiveText-style PARAGRAPH dedup with the identical scale shape.
+    """
+    import re as _re
+
+    if _re.escape(sep) != sep and sep not in ("\n", "\n\n"):
+        raise ValueError(
+            f"sep must be a literal separator, got regex-special {sep!r}")
     lines = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
     )
     winners = lines.groupBy("_line").agg(
         F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")
@@ -137,7 +150,7 @@ def dedup_lines(
         .groupBy("_rid")
         .agg(
             F.concat_ws(
-                "\n",
+                sep,
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
                     lambda s: s["_line"],
@@ -146,7 +159,7 @@ def dedup_lines(
             F.count(F.lit(1)).alias("_n_kept"),
         )
     )
-    n_orig = F.size(F.split(F.col(text_col), "\n"))
+    n_orig = F.size(F.split(F.col(text_col), sep))
     return _rebuild_documents(
         df, rebuilt, id_col, text_col, n_orig, "n_lines_removed"
     )

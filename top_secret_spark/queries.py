@@ -2725,6 +2725,82 @@ ORDER BY cls
 """
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """[training-data] cross-corpus PARAGRAPH dedup — MassiveText's
+    unit (Rae et al. 2021), via dedup_lines(sep="\\n\\n"): identical
+    scale shape to q50's line dedup (skew-safe groupBy(unit).min
+    winners, no verify join), but the dedup unit is a blank-line-
+    separated paragraph, so multi-line boilerplate blocks (social
+    footers, nav stacks) are removed WHOLE instead of line-by-line.
+    Planted corpus from pure row arithmetic (180 docs: a 2-line
+    boilerplate paragraph all docs share, a 2-line section header
+    shared by r % 6, one unique body paragraph; every 30th doc has no
+    body and must dedup to EMPTY): the oracle rebuilds every kept text
+    from the same literals and gates char sums, changed-doc counts,
+    and removed-paragraph totals per id group."""
+    _prep(spark)
+    from .operators.dedup import dedup_lines
+
+    boiler = F.lit("follow us\non social media")
+    header = F.format_string(
+        "section %d\nintro text %d", F.col("id") % 6, F.col("id") % 6
+    )
+    uniq = F.format_string(
+        "body text %d alpha\nbody text %d beta", F.col("id"), F.col("id")
+    )
+    corpus = spark.range(0, 180).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 30 == 29, F.concat_ws("\n\n", boiler, header)
+        ).otherwise(F.concat_ws("\n\n", boiler, header, uniq)).alias("text"),
+    )
+    out = dedup_lines(corpus, sep="\n\n")
+    return (
+        out.groupBy((F.col("doc_id") % 5).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_lines_removed") > 0, 1)).alias(
+                "n_docs_changed"
+            ),
+            F.sum(F.length("text")).cast("bigint").alias("chars_kept"),
+            F.sum("n_lines_removed").cast("bigint").alias("paras_removed"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_DEDUP_PARAGRAPHS_SQL = """
+WITH p AS (
+  SELECT r,
+         'follow us' || chr(10) || 'on social media' AS boiler,
+         'section ' || (r % 6) || chr(10) || 'intro text ' || (r % 6)
+             AS header,
+         'body text ' || r || ' alpha' || chr(10) ||
+             'body text ' || r || ' beta' AS uniq,
+         (r % 30 = 29) AS short
+  FROM (SELECT unnest(range(0, 180)) AS r)
+),
+k AS (
+  SELECT r,
+         (CASE WHEN r = 0 THEN [boiler] ELSE [] END)
+         || (CASE WHEN r < 6 THEN [header] ELSE [] END)
+         || (CASE WHEN NOT short THEN [uniq] ELSE [] END) AS kept,
+         CASE WHEN short THEN 2 ELSE 3 END AS n_paras
+  FROM p
+)
+SELECT CAST(r % 5 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_paras > len(kept) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_changed,
+       CAST(sum(length(array_to_string(kept, chr(10) || chr(10))))
+            AS BIGINT) AS chars_kept,
+       CAST(sum(n_paras - len(kept)) AS BIGINT) AS paras_removed
+FROM k
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 def q_mfcc(spark, sf_dir):
     """[tier: quality_filter × audio] MFCC extraction — DCT-II over the
     log-mel matrix, the compact cepstral front-end (operators/audio.py
@@ -3875,4 +3951,5 @@ QUERIES = {
     "q74_webdataset_manifest": (q_webdataset_manifest, Q_WEBDATASET_SQL),
     "q75_budget_select": (q_budget_select, Q_BUDGET_SELECT_SQL),
     "q76_mfcc": (q_mfcc, Q_MFCC_SQL),
+    "q77_dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
 }
