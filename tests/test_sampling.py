@@ -326,3 +326,57 @@ def test_select_until_budget_partition_invariant(spark):
     b = {(r["doc_id"], r["budget_cum"]) for r in select_until_budget(
         df.repartition(16), 300, "toks", ["prio", "doc_id"]).collect()}
     assert a == b and len(a) > 0
+
+
+def test_repeat_epochs_counts_and_determinism(spark):
+    from top_secret_spark.operators.sampling import (
+        repeat_epochs,
+        sample_u_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id long, src string",
+    )
+    out = repeat_epochs(df, {"a": 2.5, "b": 0.0}, strata_col="src")
+    rows = out.collect()
+    # stratum b (epochs 0) vanishes entirely
+    assert all(r["src"] == "a" for r in rows)
+    us = {r["doc_id"]: r["u"] for r in df.filter("src = 'a'").select(
+        "doc_id", sample_u_col(F.col("doc_id")).alias("u")).collect()}
+    from collections import Counter
+    per_doc = Counter(r["doc_id"] for r in rows)
+    for i, u in us.items():
+        assert per_doc[i] == 2 + (1 if u < 0.5 else 0), i
+    # epoch indices are exactly 0..n-1 per doc
+    eps = {}
+    for r in rows:
+        eps.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == list(range(len(v))) for v in eps.values())
+    # partitioning-invariant
+    again = Counter(r["doc_id"] for r in repeat_epochs(
+        df.repartition(16), {"a": 2.5, "b": 0.0}, strata_col="src"
+    ).collect())
+    assert again == per_doc
+
+
+def test_repeat_epochs_scalar_default_and_validation(spark):
+    import pytest as _pytest
+
+    from top_secret_spark.operators.sampling import repeat_epochs
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, src string"
+    )
+    # scalar 2.0: exactly two copies of everything
+    assert repeat_epochs(df, 2.0).count() == 100
+    # unmapped stratum takes default_epochs
+    assert repeat_epochs(
+        df, {"other": 3.0}, strata_col="src", default_epochs=2.0
+    ).count() == 100
+    with _pytest.raises(ValueError, match="strata_col"):
+        repeat_epochs(df, {"x": 2.0})
+    with _pytest.raises(ValueError, match=">= 0"):
+        repeat_epochs(df, -1.0)
+    with _pytest.raises(ValueError, match=">= 0"):
+        repeat_epochs(df, {"x": -0.5}, strata_col="src")

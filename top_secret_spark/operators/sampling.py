@@ -364,3 +364,62 @@ def select_until_budget(
     d = with_global_offset(d, ordc, value_col, out_col=out_col)
     val = F.coalesce(F.col(value_col), F.lit(0)).cast("bigint")
     return d.where(F.col(out_col) + val <= F.lit(int(budget))).drop(ordc)
+
+
+def repeat_epochs(
+    df: DataFrame,
+    epochs,
+    strata_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_epochs: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a dataset recipe's REPEAT factors: each row is
+    emitted ``floor(e)`` times plus one more with probability
+    ``frac(e)`` — so a source marked 3.5 epochs contributes every doc 3
+    times and half the docs (deterministically chosen) a 4th time,
+    while 0.25 downsamples to a quarter.  This is the upsampling twin
+    of ``mixture_sample`` (which can only keep/drop); together they
+    express any published data-mixture table (e.g. the Llama/GPT-3
+    per-source epoch columns).
+
+    ``epochs`` is a single float, or a ``{stratum: epochs}`` mapping
+    applied via ``strata_col`` (unmapped strata get
+    ``default_epochs``).  The fractional coin is the same xor-fold +
+    Knuth-multiply hash as every sampler here (``sample_u_col`` on
+    ``key_col``) — per-row decisions are deterministic, partitioning-
+    independent, and recomputable by an auditor or a SQL oracle.
+    Appends ``epoch_col`` (0-based copy index) so downstream sharding
+    can tell copies apart; (key, epoch) is unique.
+
+    Scale: map-only — one Catalyst ``explode(sequence(...))``, ZERO
+    shuffle, no Python; output size is exactly the recipe's blow-up
+    factor and nothing else."""
+    if isinstance(epochs, Mapping):
+        if strata_col is None:
+            raise ValueError(
+                "repeat_epochs: a per-stratum mapping needs strata_col")
+        for k, v in epochs.items():
+            if float(v) < 0:
+                raise ValueError(f"epochs must be >= 0, got {k}={v}")
+        if float(default_epochs) < 0:
+            raise ValueError("default_epochs must be >= 0")
+        m = F.create_map(
+            *[x for k, v in sorted(epochs.items())
+              for x in (F.lit(k), F.lit(float(v)))]
+        )
+        ep = F.coalesce(
+            m.getItem(F.col(strata_col)), F.lit(float(default_epochs))
+        )
+    else:
+        if float(epochs) < 0:
+            raise ValueError(f"epochs must be >= 0, got {epochs}")
+        ep = F.lit(float(epochs))
+    flo = F.floor(ep).cast("long")
+    u = sample_u_col(F.col(key_col), seed)
+    n = flo + (u < (ep - flo)).cast("long")
+    copies = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), n - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(epoch_col, F.explode(copies))

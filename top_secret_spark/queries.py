@@ -2725,6 +2725,62 @@ ORDER BY cls
 """
 
 
+def q_repeat_epochs(spark, sf_dir):
+    """[training-data] dataset-recipe REPEAT factors
+    (operators/sampling.py repeat_epochs): en×2.5, de×1.0, fr×0.25,
+    everything else ×1.0 — the upsampling twin of q70's
+    mixture_sample; together they express any published per-source
+    epoch table.  floor(e) copies per row plus one more when the
+    xor-fold/Knuth hash coin (the q41/q70 hash, recomputed verbatim in
+    the oracle) lands under frac(e); map-only explode, zero shuffle.
+    Gate per lang: output row counts, id mass (sum of doc_id over all
+    copies), and the epoch-index mass Σ n(n−1)/2 — which is only right
+    if every doc got EXACTLY its 0..n−1 copy indices."""
+    _prep(spark)
+    from .operators.sampling import repeat_epochs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = repeat_epochs(
+        docs, {"en": 2.5, "de": 1.0, "fr": 0.25},
+        strata_col="lang", key_col="doc_id",
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum("epoch").cast("bigint").alias("sum_epoch"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_REPEAT_EPOCHS_SQL = """
+WITH c AS (
+  SELECT lang, doc_id,
+         CAST(floor(ep) AS BIGINT)
+         + CASE WHEN (((xor(COALESCE(doc_id, 0) >> 31,
+                            COALESCE(doc_id, 0))
+                        & 2147483647) * 2654435761)
+                      % 4294967296) / 4294967296.0 < ep - floor(ep)
+                THEN 1 ELSE 0 END AS n
+  FROM (
+    SELECT lang, doc_id,
+           CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+                     WHEN 'fr' THEN 0.25 ELSE 1.0 END AS ep
+    FROM documents)
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_out,
+       CAST(sum(doc_id * n) AS BIGINT) AS sum_ids,
+       CAST(sum(n * (n - 1) / 2) AS BIGINT) AS sum_epoch
+FROM c
+WHERE n > 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_dedup_paragraphs(spark, sf_dir):
     """[training-data] cross-corpus PARAGRAPH dedup — MassiveText's
     unit (Rae et al. 2021), via dedup_lines(sep="\\n\\n"): identical
@@ -3952,4 +4008,5 @@ QUERIES = {
     "q75_budget_select": (q_budget_select, Q_BUDGET_SELECT_SQL),
     "q76_mfcc": (q_mfcc, Q_MFCC_SQL),
     "q77_dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
+    "q78_repeat_epochs": (q_repeat_epochs, Q_REPEAT_EPOCHS_SQL),
 }
