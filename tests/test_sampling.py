@@ -380,3 +380,26 @@ def test_repeat_epochs_scalar_default_and_validation(spark):
         repeat_epochs(df, -1.0)
     with _pytest.raises(ValueError, match=">= 0"):
         repeat_epochs(df, {"x": -0.5}, strata_col="src")
+
+
+def test_cap_per_key_equals_plain_window_under_skew(spark):
+    from pyspark.sql import Window
+
+    from top_secret_spark.operators.sampling import cap_per_key
+
+    # one hot key carrying 80% of rows — the regime salting exists for
+    rows = [(i, "hot" if i % 5 != 4 else f"cold{i % 17}", (i * 13) % 101)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, score long")
+    got = {(r["doc_id"], r["rank"]) for r in cap_per_key(
+        df, ["domain"], 7, [F.desc("score"), "doc_id"]).collect()}
+    w = Window.partitionBy("domain").orderBy(F.desc("score"), "doc_id")
+    exp = {(r["doc_id"], r["rank"]) for r in df.withColumn(
+        "rank", F.row_number().over(w)).filter("rank <= 7").collect()}
+    assert got == exp and len(got) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must be"):
+        cap_per_key(df, ["domain"], 0, ["doc_id"])
+    with _pytest.raises(ValueError, match="required"):
+        cap_per_key(df, [], 3, ["doc_id"])

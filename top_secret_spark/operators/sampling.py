@@ -423,3 +423,48 @@ def repeat_epochs(
         n > 0, F.sequence(F.lit(0).cast("long"), n - 1)
     ).otherwise(F.array().cast("array<long>"))
     return df.withColumn(epoch_col, F.explode(copies))
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols,
+    n: int,
+    order_cols,
+    id_col: str = "doc_id",
+    salt_mod: int = 16,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key — the C4/RefinedWeb-style domain
+    cap (no single host may dominate the corpus), generalized from the
+    pipeline's ``per_codec_top_k``.
+
+    ``key_cols`` is a list of column names; ``order_cols`` a list of
+    column names or Columns (e.g. ``[F.desc("n_chars"), "doc_id"]``)
+    whose combined order must be total — include a unique tiebreak or
+    the survivors are nondeterministic.  Appends ``rank`` (1..n).
+
+    SKEW-SAFE two-phase: a plain ``Window.partitionBy(key)`` funnels
+    every row of a hot key (one domain with 10^9 pages) through ONE
+    task.  Phase 1 ranks within (key, salt-of-id) — the hot key splits
+    across ``salt_mod`` window tasks, each keeping n — so phase 2 ranks
+    only ≤ salt_mod·n survivors per key.  Result is EXACTLY the
+    unsalted window's."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"cap_per_key: n must be >= 1, got {n}")
+    if not key_cols or not order_cols:
+        raise ValueError("cap_per_key: key_cols and order_cols required")
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_mod))
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= n)
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n)
+    )

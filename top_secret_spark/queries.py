@@ -2725,6 +2725,48 @@ ORDER BY cls
 """
 
 
+def q_cap_per_key(spark, sf_dir):
+    """[training-data] per-domain document cap
+    (operators/sampling.py cap_per_key): keep at most 5 docs per
+    (lang, source) — the C4/RefinedWeb rule that no single host may
+    dominate the corpus.  SKEW-SAFE two-phase: rank within
+    (key, salt-of-id) first so a 10^9-page domain splits across
+    salt_mod window tasks, then rank the ≤ salt_mod·n survivors — the
+    result is EXACTLY the unsalted window's, which is precisely what
+    the oracle computes (one plain ROW_NUMBER window; DuckDB is
+    single-node so the skew-prone form is fine THERE).  Gate: every
+    surviving (doc_id, rank) pair bit-for-bit, ordered by the same
+    total (n_chars desc, doc_id) order."""
+    _prep(spark)
+    from .operators.sampling import cap_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = cap_per_key(
+        docs, ["lang", "source"], 5,
+        [F.desc("n_chars"), "doc_id"],
+    )
+    return capped.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("doc_id")
+
+
+Q_CAP_PER_KEY_SQL = """
+SELECT doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+WHERE rank <= 5
+ORDER BY doc_id
+"""
+
+
 def q_repeat_epochs(spark, sf_dir):
     """[training-data] dataset-recipe REPEAT factors
     (operators/sampling.py repeat_epochs): en×2.5, de×1.0, fr×0.25,
@@ -4009,4 +4051,5 @@ QUERIES = {
     "q76_mfcc": (q_mfcc, Q_MFCC_SQL),
     "q77_dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     "q78_repeat_epochs": (q_repeat_epochs, Q_REPEAT_EPOCHS_SQL),
+    "q79_cap_per_key": (q_cap_per_key, Q_CAP_PER_KEY_SQL),
 }
