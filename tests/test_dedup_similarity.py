@@ -1020,3 +1020,32 @@ def test_dedup_lines_paragraph_separator(spark):
 
     with pytest.raises(ValueError, match="literal separator"):
         dedup_lines(df, sep=".*")
+
+
+def test_flag_contaminated_fuzzy_paraphrase_and_verbatim(spark):
+    """The fuzzy probe catches a lightly-EDITED eval leak the exact
+    n-gram probe would need luck for: a one-token-appended copy of a
+    long benchmark doc still estimates high Jaccard.  Unrelated docs
+    never flag; threshold is validated."""
+    from top_secret_spark.operators.dedup import flag_contaminated_fuzzy
+
+    base = ("the quick brown fox jumps over the lazy dog and runs "
+            "into the quiet green forest before the sun sets ") * 15
+    other = ("entirely different material about distributed query "
+             "engines shuffling partitions and pruning scans ") * 15
+    corpus = spark.createDataFrame(
+        [(0, base), (1, base + " trailing edit"), (2, other), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(base,)], ["text"])
+    got = {r["doc_id"]: (r["contaminated_fuzzy"], r["n_bench_near"])
+           for r in flag_contaminated_fuzzy(
+               corpus, bench, threshold=0.8).collect()}
+    assert got[0] == (True, 1)     # verbatim leak
+    assert got[1][0] is True       # paraphrased leak still flags
+    assert got[2] == (False, 0)
+    assert got[3] == (False, 0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        flag_contaminated_fuzzy(corpus, bench, threshold=0.0)

@@ -1135,3 +1135,70 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
+
+
+def flag_contaminated_fuzzy(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int | None = None,
+) -> DataFrame:
+    """Paraphrase-robust eval decontamination: flag corpus docs whose
+    MinHash-estimated Jaccard vs ANY benchmark doc reaches
+    ``threshold`` — the fuzzy twin of :func:`flag_contaminated` (exact
+    n-gram hits), catching lightly-edited eval leaks the exact probe
+    misses.  Appends ``contaminated_fuzzy`` and ``n_bench_near``.
+
+    Scale shape — the corpus NEVER self-joins and its text never
+    shuffles: both sides get signatures (one Arrow pass each), the
+    BENCHMARK side's banded rows and signatures are BROADCAST (eval
+    sets are small by definition — thousands of rows, not billions),
+    candidates come from a corpus-banded × bench-banded bucket join,
+    and the verify step compares signatures only.  Per corpus doc the
+    output is a boolean + count via one groupBy on the 8-byte id."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    btc = bench_text_col or text_col
+    b = bands or _auto_bands(num_hashes, threshold)
+    mk = make_minhash_udf(num_hashes, shingle_k)
+    corpus_sig = df.select(
+        F.col(id_col), mk(F.col(text_col)).alias("minhash")
+    )
+    bench_sig = benchmark.select(
+        F.monotonically_increasing_id().alias("_bid"),
+        mk(F.col(btc)).alias("_bsig"),
+    ).localCheckpoint(eager=True)  # freeze nondeterministic ids — the
+    # bench side is small by contract, so the eager materialization is
+    # cheap and both downstream uses (banding + verify) see ONE id set
+    cband = _banded(corpus_sig, id_col, "minhash", b)
+    bband = _banded(bench_sig, "_bid", "_bsig", b)
+    cands = (
+        cband.join(
+            F.broadcast(bband.withColumnRenamed("_bid", "_b")),
+            ["band", "bucket"],
+        )
+        .select(F.col(id_col), F.col("_b").alias("_bid"))
+        .distinct()
+    )
+    verified = (
+        cands.join(corpus_sig, id_col)
+        .join(F.broadcast(bench_sig), "_bid")
+        .filter(
+            minhash_similarity_col(F.col("minhash"), F.col("_bsig"))
+            >= F.lit(threshold)
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bench_near"))
+    )
+    return (
+        df.join(verified, id_col, "left")
+        .withColumn(
+            "n_bench_near", F.coalesce(F.col("n_bench_near"), F.lit(0))
+        )
+        .withColumn("contaminated_fuzzy", F.col("n_bench_near") > 0)
+    )

@@ -2725,6 +2725,55 @@ ORDER BY cls
 """
 
 
+def q_fuzzy_decontamination(spark, sf_dir):
+    """[training-data] paraphrase-robust eval decontamination
+    (operators/dedup.py flag_contaminated_fuzzy): 12-doc benchmark = 6
+    VERBATIM copies of corpus docs (MinHash est-Jaccard exactly 1.0 —
+    deterministically over any threshold) + 6 unrelated synthetic
+    texts (no bucket collision at 64 hashes/fixed seed —
+    deterministically unflagged).  The corpus never self-joins and its
+    text never shuffles: bench bands + signatures BROADCAST, verify on
+    signatures only.  The oracle flags every corpus doc whose TEXT
+    equals a benched text (so corpus-internal exact dups of a leaked
+    doc flag too, which is the correct semantics) and counts the
+    matching bench rows."""
+    _prep(spark)
+    from .operators.dedup import flag_contaminated_fuzzy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    leak_ids = [3, 50, 97, 144, 191, 238]
+    bench = docs.where(F.col("doc_id").isin(leak_ids)).select("text").union(
+        spark.range(6).select(
+            F.format_string(
+                "wholly synthetic benchmark prompt %d with tokens "
+                "qqx%d zzy%d vvk%d that appear nowhere in the corpus",
+                F.col("id"), F.col("id") * 7, F.col("id") * 13,
+                F.col("id") * 29,
+            ).alias("text")
+        )
+    )
+    out = flag_contaminated_fuzzy(docs, bench, threshold=0.9)
+    return out.select(
+        "doc_id",
+        "contaminated_fuzzy",
+        F.col("n_bench_near").cast("long").alias("n_bench_near"),
+    ).orderBy("doc_id")
+
+
+Q_FUZZY_DECON_SQL = """
+WITH leaked AS (
+  SELECT text FROM documents WHERE doc_id IN (3, 50, 97, 144, 191, 238)
+)
+SELECT d.doc_id,
+       (SELECT count(*) FROM leaked l WHERE l.text = d.text) > 0
+           AS contaminated_fuzzy,
+       CAST((SELECT count(*) FROM leaked l WHERE l.text = d.text)
+            AS BIGINT) AS n_bench_near
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
 def q_cap_per_key(spark, sf_dir):
     """[training-data] per-domain document cap
     (operators/sampling.py cap_per_key): keep at most 5 docs per
@@ -4052,4 +4101,5 @@ QUERIES = {
     "q77_dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     "q78_repeat_epochs": (q_repeat_epochs, Q_REPEAT_EPOCHS_SQL),
     "q79_cap_per_key": (q_cap_per_key, Q_CAP_PER_KEY_SQL),
+    "q80_fuzzy_decontamination": (q_fuzzy_decontamination, Q_FUZZY_DECON_SQL),
 }
