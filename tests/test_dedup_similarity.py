@@ -1049,3 +1049,24 @@ def test_flag_contaminated_fuzzy_paraphrase_and_verbatim(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="threshold"):
         flag_contaminated_fuzzy(corpus, bench, threshold=0.0)
+
+
+def test_corpus_diff_statuses_and_normalized_identity(spark):
+    from top_secret_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (3, "  gamma  "), (5, "new doc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed",
+                   3: "unchanged",  # whitespace-only → same fingerprint
+                   4: "removed", 5: "added"}
+    # fingerprints ride along for downstream joins
+    row = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}[4]
+    assert row["old_fingerprint"] is not None
+    assert row["new_fingerprint"] is None

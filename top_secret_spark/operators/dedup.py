@@ -1202,3 +1202,48 @@ def flag_contaminated_fuzzy(
         )
         .withColumn("contaminated_fuzzy", F.col("n_bench_near") > 0)
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Audit diff between two corpus snapshots → one row per id with
+    ``status`` ∈ {'added', 'removed', 'changed', 'unchanged'} plus both
+    content fingerprints — the "what moved between yesterday's and
+    today's crawl" question every lineage review asks.
+
+    'changed' means the id exists on both sides with a DIFFERENT
+    normalized-content fingerprint (``fingerprint_col`` — whitespace /
+    case variants compare equal, matching exact dedup's identity).
+
+    Scale: ONE full-outer join co-partitioned on the 8-byte id;
+    payloads never shuffle — each side projects (id, fingerprint)
+    before the exchange.  Output carries ids + 8-byte hashes only;
+    aggregate it or anti-join it back as needed."""
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        fingerprint_col(text_col).alias("old_fingerprint"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        fingerprint_col(text_col).alias("new_fingerprint"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint") == F.col("new_fingerprint"),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        "old_fingerprint",
+        "new_fingerprint",
+        status.alias("status"),
+    )

@@ -2725,6 +2725,71 @@ ORDER BY cls
 """
 
 
+def q_corpus_diff(spark, sf_dir):
+    """[training-data audit] corpus snapshot diff
+    (operators/dedup.py corpus_diff): old = documents; new = documents
+    minus ids %41==0 (removed), with ' rev2 edit' appended to surviving
+    ids %37==0 (changed), plus 25 brand-new ids ≥ 100000 (added);
+    everything else unchanged.  ONE id-co-partitioned full-outer join
+    of (id, fingerprint) projections — payloads never shuffle.  The
+    oracle recomputes every status from the same id arithmetic (a
+    text-only '  trailing-space' edit planted on ids %39==0 must read
+    UNCHANGED — fingerprints normalize whitespace, matching exact
+    dedup's identity)."""
+    _prep(spark)
+    from .operators.dedup import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    survived = docs.where(F.col("doc_id") % 41 != 0)
+    new = survived.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 37 == 0,
+               F.concat(F.col("text"), F.lit(" rev2 edit")))
+        .when(F.col("doc_id") % 39 == 0,
+              F.concat(F.col("text"), F.lit("  ")))  # whitespace-only
+        .otherwise(F.col("text")),
+    ).unionByName(
+        spark.range(25).select(
+            (F.col("id") + 100000).alias("doc_id"),
+            F.format_string("fresh crawl document %d", F.col("id"))
+            .alias("text"),
+            F.lit("xx").alias("lang"), F.lit("crawl").alias("source"),
+            F.lit(0).cast("long").alias("n_chars"),
+        )
+    )
+    d = corpus_diff(docs, new)
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("status")
+    )
+
+
+Q_CORPUS_DIFF_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 41 = 0 THEN 'removed'
+           WHEN doc_id % 37 = 0 THEN 'changed'
+           ELSE 'unchanged'   -- %39 whitespace-only edit normalizes away
+         END AS status
+  FROM documents
+  UNION ALL
+  SELECT 100000 + i AS doc_id, 'added' AS status
+  FROM (SELECT unnest(range(0, 25)) AS i)
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM s
+GROUP BY status
+ORDER BY status
+"""
+
+
 def q_fuzzy_decontamination(spark, sf_dir):
     """[training-data] paraphrase-robust eval decontamination
     (operators/dedup.py flag_contaminated_fuzzy): 12-doc benchmark = 6
@@ -4102,4 +4167,5 @@ QUERIES = {
     "q78_repeat_epochs": (q_repeat_epochs, Q_REPEAT_EPOCHS_SQL),
     "q79_cap_per_key": (q_cap_per_key, Q_CAP_PER_KEY_SQL),
     "q80_fuzzy_decontamination": (q_fuzzy_decontamination, Q_FUZZY_DECON_SQL),
+    "q81_corpus_diff": (q_corpus_diff, Q_CORPUS_DIFF_SQL),
 }
