@@ -91,3 +91,45 @@ def test_shard_size_bound_and_validation(spark, tmp_path):
     assert len(man) > 1
     with pytest.raises(ValueError, match="no .tar shards"):
         read_webdataset(spark, str(tmp_path / "empty_missing"))
+
+
+def test_streaming_export_via_foreachbatch(spark, tmp_path):
+    """Streaming ingest → WebDataset export: each micro-batch exports
+    through foreachBatch(write_webdataset) into its own subdirectory
+    (batch-id-keyed so retries overwrite idempotently), and the union
+    of all shards roundtrips to exactly the streamed input."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    clips = transcode_clips_df(spark, 40)
+    clips.write.mode("overwrite").parquet(src)
+
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def export(batch_df, batch_id):
+        d = os.path.join(out, f"batch-{batch_id:05d}")
+        os.makedirs(d, exist_ok=True)
+        write_webdataset(batch_df, d, shard_bytes=100_000).collect()
+
+    q = (
+        stream.writeStream.foreachBatch(export)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    batches = sorted(os.listdir(out))
+    assert batches
+    got = {}
+    for b in batches:
+        for r in read_webdataset(spark, os.path.join(out, b)).collect():
+            got[r["clip_id"]] = r
+    exp = {r["clip_id"]: r for r in clips.collect()}
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert bytes(got[k]["bytes"]) == bytes(exp[k]["bytes"])
+        assert got[k]["transcript"] == exp[k]["transcript"]
