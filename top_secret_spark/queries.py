@@ -2725,6 +2725,55 @@ ORDER BY cls
 """
 
 
+def q_audio_export_pipeline(spark, sf_dir):
+    """[tier end-to-end] the full audio curation → trainer-artifact
+    chain under ONE oracle: planted-defect clips (q40's closed-form
+    classes) → audio quality gate (keeps only r%6 ∈ {4,5}: silent /
+    clipped / too-short / undecodable all drop) → codec normalization
+    to μ-law (every kept clip becomes exactly 8000 bytes — 1000 ms at
+    8 kHz, 1 byte/sample) → size-balanced WebDataset tar export.  The
+    gate drops bytes with its features (by design), so the kept ids
+    join back to the raw clips on the 8-byte id before transcoding.
+    The oracle recomputes the kept sequence, the 8000·i cumsum, and
+    the 100 kB shard split in closed form — any stage breaking its
+    contract shifts every manifest row."""
+    import tempfile
+
+    _prep(spark)
+    from .operators.audio import transcode_clips, with_audio_keep_drop
+    from .sinks.webdataset import write_webdataset
+    from .sources.clips import gate_clips_df
+
+    clips = gate_clips_df(spark, 180, partitions=8)
+    kept_ids = (
+        with_audio_keep_drop(clips).where("audio_keep").select("clip_id")
+    )
+    kept = clips.join(kept_ids, "clip_id")
+    norm = transcode_clips(kept, "ulaw")
+    out = tempfile.mkdtemp(prefix="wds_q82_")
+    man = write_webdataset(norm, out, shard_bytes=100_000)
+    return man.select(
+        "shard_id",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("data_bytes").cast("long").alias("data_bytes"),
+    ).orderBy("shard_id")
+
+
+Q_AUDIO_EXPORT_SQL = """
+WITH kept AS (
+  SELECT row_number() OVER (ORDER BY r) - 1 AS i
+  FROM (SELECT unnest(range(0, 180)) AS r)
+  WHERE r % 6 IN (4, 5)
+)
+SELECT CAST((8000 * i) // 100000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(*) * 8000 AS BIGINT) AS data_bytes
+FROM kept
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 def q_corpus_diff(spark, sf_dir):
     """[training-data audit] corpus snapshot diff
     (operators/dedup.py corpus_diff): old = documents; new = documents
@@ -4168,4 +4217,5 @@ QUERIES = {
     "q79_cap_per_key": (q_cap_per_key, Q_CAP_PER_KEY_SQL),
     "q80_fuzzy_decontamination": (q_fuzzy_decontamination, Q_FUZZY_DECON_SQL),
     "q81_corpus_diff": (q_corpus_diff, Q_CORPUS_DIFF_SQL),
+    "q82_audio_export_pipeline": (q_audio_export_pipeline, Q_AUDIO_EXPORT_SQL),
 }
