@@ -1428,6 +1428,11 @@ def test_with_snr_estimate_poison_rows(spark):
             dur_ms=0, codec="pcm16", transcript=""),
         Row(clip_id="badcodec", bytes=bytearray(b"\x00\x00"), sr_hz=8000,
             dur_ms=0, codec="opus", transcript=""),
+        # decodes fine but is SHORTER than one 20 ms frame: nothing was
+        # measured, so it must read snr_ok=false, not an authoritative 0 dB
+        Row(clip_id="short", bytes=bytearray(encode(
+            synth_pcm(9, 240, 16000), "pcm16")),
+            sr_hz=16000, dur_ms=15, codec="pcm16", transcript=""),
     ]
     schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
               "codec string, transcript string")
@@ -1435,7 +1440,7 @@ def test_with_snr_estimate_poison_rows(spark):
     assert "bytes" not in out.columns
     got = {r["clip_id"]: r for r in out.collect()}
     assert got["good"]["snr_ok"] and got["good"]["snr_n_frames"] == 10
-    for bad in ("odd", "nullsr", "badcodec"):
+    for bad in ("odd", "nullsr", "badcodec", "short"):
         assert not got[bad]["snr_ok"]
         assert got[bad]["snr_est_db"] == 0.0
         assert got[bad]["snr_n_frames"] == 0

@@ -1018,8 +1018,16 @@ def test_dedup_lines_paragraph_separator(spark):
     assert got[1] == ("unique one", 1)
     assert got[2] == ("", 1)
 
-    with pytest.raises(ValueError, match="literal separator"):
-        dedup_lines(df, sep=".*")
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup_lines(df, sep="")
+    # regex-special characters are treated as LITERALS (escaped for the
+    # split): '.' must not match every character
+    dotted = spark.createDataFrame(
+        [(0, "a.b"), (1, "a.c")], "doc_id long, text string"
+    )
+    got_dots = {r["doc_id"]: r["text"]
+                for r in dedup_lines(dotted, sep=".").collect()}
+    assert got_dots == {0: "a.b", 1: "c"}  # 'a' deduped, not chars
 
 
 def test_flag_contaminated_fuzzy_paraphrase_and_verbatim(spark):

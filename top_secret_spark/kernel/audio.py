@@ -786,3 +786,33 @@ def batch_snr_estimate(
     sig = (prefix[hi] - prefix[hi - k_sig]) / k_sig
     snr[has] = 10.0 * np.log10((sig + SNR_EST_EPS) / (noise + SNR_EST_EPS))
     return snr, nfs
+
+
+def decode_sr_groups(datas: list, codecs, srs):
+    """Yield ``(idx, samples, lengths, sr)`` for every decodable
+    (codec, sample-rate) group of an Arrow batch — the ONE shared
+    scaffold behind every sr-dependent feature operator (log-mel, MFCC,
+    SNR estimate): supported-codec split, NULL-payload / NULL-or-
+    nonpositive-sr exclusion, the pcm16 odd-length poison guard, and
+    one concatenated decode per group.  Rows never yielded are the
+    caller's poison rows (leave them at their ok=false defaults).
+
+    ``datas`` is the raw payload list; ``codecs`` a string array;
+    ``srs`` a float64 array with NaN for NULL rates."""
+    srs = np.asarray(srs, dtype=np.float64)
+    sr_ok = np.isfinite(srs) & (srs > 0)
+    has_data = np.fromiter(
+        (d is not None for d in datas), dtype=bool, count=len(datas)
+    )
+    for codec in SUPPORTED_CODECS:
+        cidx = np.flatnonzero((codecs == codec) & sr_ok & has_data)
+        if codec == "pcm16":
+            cidx = pcm16_aligned_indices(datas, cidx)
+        if not len(cidx):
+            continue
+        for sr in np.unique(srs[cidx]):
+            idx = cidx[srs[cidx] == sr]
+            samples, lengths = batch_decode(
+                [bytes(datas[i]) for i in idx], codec
+            )
+            yield idx, samples, lengths, int(sr)

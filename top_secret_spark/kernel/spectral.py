@@ -265,7 +265,8 @@ def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
     projection (HTK/Kaldi convention).  Pure function of its shape:
     identical on every worker, no tables, no scipy."""
     if n_out < 1 or n_out > n_in:
-        raise ValueError(f"need 1 <= n_out <= n_in, got {n_out} > {n_in}")
+        raise ValueError(
+            f"need 1 <= n_out <= n_in, got n_out={n_out}, n_in={n_in}")
     m = np.arange(n_in, dtype=np.float64)
     k = np.arange(n_out, dtype=np.float64)[:, None]
     d = np.cos(np.pi * k * (2.0 * m + 1.0) / (2.0 * n_in))

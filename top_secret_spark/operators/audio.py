@@ -223,11 +223,7 @@ def with_log_mel(
     def run(iterator):
         import numpy as np
 
-        from ..kernel.audio import (
-            SUPPORTED_CODECS,
-            batch_decode,
-            pcm16_aligned_indices,
-        )
+        from ..kernel.audio import decode_sr_groups
         from ..kernel.spectral import batch_log_mel, mel_filterbank
 
         for pdf in iterator:
@@ -239,39 +235,26 @@ def with_log_mel(
             datas = pdf["bytes"].tolist()
             codecs = pdf["codec"].to_numpy()
             srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
-            sr_ok = np.isfinite(srs) & (srs > 0)
-            for codec in SUPPORTED_CODECS:
-                cidx = np.flatnonzero(
-                    (codecs == codec)
-                    & sr_ok
-                    & np.array([d is not None for d in datas])
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                mel, nf = batch_log_mel(
+                    samples, lengths, sr, n_mels=n_mels,
+                    frame_ms=frame_ms, hop_ms=hop_ms,
                 )
-                if codec == "pcm16":
-                    cidx = pcm16_aligned_indices(datas, cidx)
-                if not len(cidx):
-                    continue
-                for sr in np.unique(srs[cidx]):
-                    idx = cidx[srs[cidx] == sr]
-                    samples, lengths = batch_decode(
-                        [bytes(datas[i]) for i in idx], codec
-                    )
-                    mel, nf = batch_log_mel(
-                        samples, lengths, int(sr), n_mels=n_mels,
-                        frame_ms=frame_ms, hop_ms=hop_ms,
-                    )
-                    frame = max(2, int(int(sr) * frame_ms / 1000))
-                    centers = mel_filterbank(int(sr), frame, n_mels)[1]
-                    off = 0
-                    for k, i in enumerate(idx):
-                        rows = mel[off:off + int(nf[k])]
-                        off += int(nf[k])
-                        mels[i] = rows.tolist()  # one C-level conversion
-                        nfs[i] = int(nf[k])
-                        if len(rows):
-                            amhz[i] = float(
-                                centers[int(np.argmax(rows.mean(axis=0)))]
-                            )
-                        oks[i] = True
+                frame = max(2, int(sr * frame_ms / 1000))
+                centers = mel_filterbank(sr, frame, n_mels)[1]
+                off = 0
+                for k, i in enumerate(idx):
+                    rows = mel[off:off + int(nf[k])]
+                    off += int(nf[k])
+                    mels[i] = rows.tolist()  # one C-level conversion
+                    nfs[i] = int(nf[k])
+                    if len(rows):
+                        amhz[i] = float(
+                            centers[int(np.argmax(rows.mean(axis=0)))]
+                        )
+                    oks[i] = True
             if not keep_bytes:
                 pdf = pdf.drop(columns=["bytes"])
             pdf["mel_ok"] = oks
@@ -1356,7 +1339,8 @@ def with_snr_estimate(
     Same batching discipline as ``with_log_mel``: one concatenated
     decode + one vectorized estimate per (codec, sr_hz) group per Arrow
     batch — frame length is sr-derived, hence the sr split.  Poison
-    rows (undecodable, NULL sr) get snr_ok=false / 0.0 / 0 frames,
+    rows (undecodable, NULL sr) AND decodable clips shorter than one
+    frame (nothing measurable) get snr_ok=false / 0.0 / 0 frames,
     never a stage kill.  ``bytes`` dropped unless ``keep_bytes``."""
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
@@ -1367,12 +1351,7 @@ def with_snr_estimate(
     def run(iterator):
         import numpy as np
 
-        from ..kernel.audio import (
-            SUPPORTED_CODECS,
-            batch_decode,
-            batch_snr_estimate,
-            pcm16_aligned_indices,
-        )
+        from ..kernel.audio import batch_snr_estimate, decode_sr_groups
 
         for pdf in iterator:
             n = len(pdf)
@@ -1382,29 +1361,19 @@ def with_snr_estimate(
             datas = pdf["bytes"].tolist()
             codecs = pdf["codec"].to_numpy()
             srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
-            sr_ok = np.isfinite(srs) & (srs > 0)
-            for codec in SUPPORTED_CODECS:
-                cidx = np.flatnonzero(
-                    (codecs == codec)
-                    & sr_ok
-                    & np.array([d is not None for d in datas])
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                s, nf = batch_snr_estimate(
+                    samples, lengths, sr,
+                    frame_ms=frame_ms, noise_q=noise_q,
                 )
-                if codec == "pcm16":
-                    cidx = pcm16_aligned_indices(datas, cidx)
-                if not len(cidx):
-                    continue
-                for sr in np.unique(srs[cidx]):
-                    idx = cidx[srs[cidx] == sr]
-                    samples, lengths = batch_decode(
-                        [bytes(datas[i]) for i in idx], codec
-                    )
-                    s, nf = batch_snr_estimate(
-                        samples, lengths, int(sr),
-                        frame_ms=frame_ms, noise_q=noise_q,
-                    )
-                    snrs[idx] = s
-                    nfs[idx] = nf
-                    oks[idx] = True
+                snrs[idx] = s
+                nfs[idx] = nf
+                # a decodable clip SHORTER than one frame measured
+                # nothing — snr_ok=false, or a downstream gate would
+                # read an authoritative-looking 0.0 dB
+                oks[idx] = nf > 0
             if not keep_bytes:
                 pdf = pdf.drop(columns=["bytes"])
             pdf["snr_ok"] = oks
@@ -1444,11 +1413,7 @@ def with_mfcc(
     def run(iterator):
         import numpy as np
 
-        from ..kernel.audio import (
-            SUPPORTED_CODECS,
-            batch_decode,
-            pcm16_aligned_indices,
-        )
+        from ..kernel.audio import decode_sr_groups
         from ..kernel.spectral import batch_mfcc
 
         for pdf in iterator:
@@ -1461,38 +1426,25 @@ def with_mfcc(
             datas = pdf["bytes"].tolist()
             codecs = pdf["codec"].to_numpy()
             srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
-            sr_ok = np.isfinite(srs) & (srs > 0)
-            for codec in SUPPORTED_CODECS:
-                cidx = np.flatnonzero(
-                    (codecs == codec)
-                    & sr_ok
-                    & np.array([d is not None for d in datas])
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                mf, nf = batch_mfcc(
+                    samples, lengths, sr, n_mfcc=n_mfcc,
+                    n_mels=n_mels, frame_ms=frame_ms, hop_ms=hop_ms,
                 )
-                if codec == "pcm16":
-                    cidx = pcm16_aligned_indices(datas, cidx)
-                if not len(cidx):
-                    continue
-                for sr in np.unique(srs[cidx]):
-                    idx = cidx[srs[cidx] == sr]
-                    samples, lengths = batch_decode(
-                        [bytes(datas[i]) for i in idx], codec
-                    )
-                    mf, nf = batch_mfcc(
-                        samples, lengths, int(sr), n_mfcc=n_mfcc,
-                        n_mels=n_mels, frame_ms=frame_ms, hop_ms=hop_ms,
-                    )
-                    off = 0
-                    for k, i in enumerate(idx):
-                        rows = mf[off:off + int(nf[k])]
-                        off += int(nf[k])
-                        mats[i] = rows.tolist()
-                        nfs[i] = int(nf[k])
-                        if len(rows):
-                            m = rows.mean(axis=0)
-                            c0m[i] = float(m[0])
-                            if n_mfcc > 1:
-                                c1m[i] = float(m[1])
-                        oks[i] = True
+                off = 0
+                for k, i in enumerate(idx):
+                    rows = mf[off:off + int(nf[k])]
+                    off += int(nf[k])
+                    mats[i] = rows.tolist()
+                    nfs[i] = int(nf[k])
+                    if len(rows):
+                        m = rows.mean(axis=0)
+                        c0m[i] = float(m[0])
+                        if n_mfcc > 1:
+                            c1m[i] = float(m[1])
+                    oks[i] = True
             if not keep_bytes:
                 pdf = pdf.drop(columns=["bytes"])
             pdf["mfcc_ok"] = oks

@@ -125,18 +125,20 @@ def dedup_lines(
     The rebuilt text joins back to ``df`` on the 8-byte id to reattach
     untouched columns.
 
-    ``sep`` sets the dedup unit (regex for the split, literal for the
-    rejoin): the default "\n" is C4-style LINE dedup; "\n\n" gives
-    MassiveText-style PARAGRAPH dedup with the identical scale shape.
+    ``sep`` sets the dedup unit, taken as a LITERAL separator (escaped
+    for the regex split, used verbatim for the rejoin): the default
+    "\n" is C4-style LINE dedup; "\n\n" gives MassiveText-style
+    PARAGRAPH dedup with the identical scale shape; any literal string
+    ("\t", "---") works.
     """
     import re as _re
 
-    if _re.escape(sep) != sep and sep not in ("\n", "\n\n"):
-        raise ValueError(
-            f"sep must be a literal separator, got regex-special {sep!r}")
+    if not sep:
+        raise ValueError("sep must be a non-empty literal separator")
+    sep_re = _re.escape(sep)
     lines = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("_pos", "_line"),
     )
     winners = lines.groupBy("_line").agg(
         F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")
@@ -159,7 +161,7 @@ def dedup_lines(
             F.count(F.lit(1)).alias("_n_kept"),
         )
     )
-    n_orig = F.size(F.split(F.col(text_col), sep))
+    n_orig = F.size(F.split(F.col(text_col), sep_re))
     return _rebuild_documents(
         df, rebuilt, id_col, text_col, n_orig, "n_lines_removed"
     )
@@ -1166,9 +1168,13 @@ def flag_contaminated_fuzzy(
     btc = bench_text_col or text_col
     b = bands or _auto_bands(num_hashes, threshold)
     mk = make_minhash_udf(num_hashes, shingle_k)
+    # persist: the signature UDF (the dominant cost — full corpus scan +
+    # shingling + num_hashes mins per doc) feeds BOTH the banding pass
+    # and the verify join; without the persist one action evaluates it
+    # twice (same reasoning as near_duplicates_minhash's all_sigs)
     corpus_sig = df.select(
         F.col(id_col), mk(F.col(text_col)).alias("minhash")
-    )
+    ).persist()
     bench_sig = benchmark.select(
         F.monotonically_increasing_id().alias("_bid"),
         mk(F.col(btc)).alias("_bsig"),

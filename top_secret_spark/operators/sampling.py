@@ -329,6 +329,7 @@ def select_until_budget(
     budget: int,
     value_col: str,
     priority_cols: list,
+    id_col: str = "doc_id",
     out_col: str = "budget_cum",
 ) -> DataFrame:
     """Select the highest-priority rows whose cumulative ``value_col``
@@ -358,12 +359,22 @@ def select_until_budget(
         raise ValueError("priority_cols must name at least one column")
     from .packing import with_global_offset
 
+    # The prefix sum needs only (order, value, id): project NARROW
+    # before the range shuffle + eager localCheckpoint inside
+    # with_global_offset, then join offsets back on the 8-byte id —
+    # document payloads must never ride a shuffle (or a checkpoint) to
+    # compute a bigint.  ``id_col`` must be unique (it is the join key).
     ordc = "_sel_ord"
     cols = [F.col(c) if isinstance(c, str) else c for c in priority_cols]
-    d = df.withColumn(ordc, F.struct(*cols))
-    d = with_global_offset(d, ordc, value_col, out_col=out_col)
+    narrow = df.select(
+        F.col(id_col), F.col(value_col), F.struct(*cols).alias(ordc)
+    )
+    offs = with_global_offset(narrow, ordc, value_col, out_col=out_col)
     val = F.coalesce(F.col(value_col), F.lit(0)).cast("bigint")
-    return d.where(F.col(out_col) + val <= F.lit(int(budget))).drop(ordc)
+    kept = offs.where(F.col(out_col) + val <= F.lit(int(budget))).select(
+        id_col, out_col
+    )
+    return df.join(kept, id_col)
 
 
 def repeat_epochs(

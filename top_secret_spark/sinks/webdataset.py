@@ -50,6 +50,31 @@ MANIFEST_SCHEMA = (
 CODEC_EXT = {"pcm16": "pcm16", "ulaw": "ulaw", "alaw": "alaw"}
 
 
+class _HashingWriter:
+    """File wrapper that sha256-hashes and counts every byte written —
+    lets the tar stream straight to disk while the manifest hash
+    accumulates (no second pass, no in-memory blob)."""
+
+    def __init__(self, f):
+        self._f = f
+        self._h = hashlib.sha256()
+        self.n_written = 0
+
+    def write(self, b):
+        self._h.update(b)
+        self.n_written += len(b)
+        return self._f.write(b)
+
+    def tell(self):
+        return self.n_written
+
+    def close(self):  # tarfile closes the fileobj only if it opened it
+        pass
+
+    def sha256(self) -> str:
+        return self._h.hexdigest()
+
+
 def _add_member(tar: tarfile.TarFile, name: str, payload: bytes) -> None:
     info = tarfile.TarInfo(name=name)
     info.size = len(payload)
@@ -112,8 +137,14 @@ def write_webdataset(
         final = os.path.join(path, fname)
         tmp = final + ".tmp"
         data_bytes = 0
-        buf = io.BytesIO()
         meta_series = [pdf[c] for c in present_meta]
+        # STREAM the tar to disk through a hashing wrapper — never hold
+        # the whole shard blob in memory next to its payload rows (at
+        # the default 1 GiB shard_bytes an in-memory BytesIO would
+        # double per-task peak memory); sha256 and tar_bytes accumulate
+        # as bytes flow.
+        out_f = open(tmp, "wb")
+        buf = _HashingWriter(out_f)
         with tarfile.open(fileobj=buf, mode="w",
                           format=tarfile.USTAR_FORMAT) as tar:
             for key, payload, text, *metas in zip(
@@ -134,17 +165,15 @@ def write_webdataset(
                     meta, sort_keys=True, separators=(",", ":"),
                 ).encode("utf-8")
                 _add_member(tar, f"{key}.json", meta_b)
-        blob = buf.getvalue()
-        with open(tmp, "wb") as f:
-            f.write(blob)
+        out_f.close()
         os.replace(tmp, final)
         return pd.DataFrame([{
             "shard_id": shard_id,
             "path": final,
             "n_items": len(pdf),
             "data_bytes": data_bytes,
-            "tar_bytes": len(blob),
-            "sha256": hashlib.sha256(blob).hexdigest(),
+            "tar_bytes": buf.n_written,
+            "sha256": buf.sha256(),
         }])
 
     return sharded.groupBy("shard_id").applyInPandas(
