@@ -2725,6 +2725,97 @@ ORDER BY cls
 """
 
 
+def q_data_card(spark, sf_dir):
+    """[training-data reporting] per-language corpus DATA CARD — the
+    per-source summary a dataset release ships with, composed from two
+    independent signal families in ONE map-only plan: quality signals
+    (operators/quality.py) + Gopher repetition signals
+    (operators/repetition.py), aggregated per lang.  All gated values
+    are exact integers (counts, word sums, and per-doc ppm-quantized
+    fractions summed as longs — never a float sum, whose order-
+    dependent rounding would break cross-engine hashing)."""
+    _prep(spark)
+    from .operators.quality import with_quality_signals
+    from .operators.repetition import with_repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = with_repetition_signals(with_quality_signals(docs, "text"))
+    return (
+        sig.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_words").cast("long")).alias("sum_words"),
+            F.sum(_ppm(F.col("symbol_ratio"))).alias("sum_symbol_ppm"),
+            F.sum(_ppm(F.col("dup_line_frac"))).alias("sum_dup_line_ppm"),
+            F.sum(_ppm(F.col("top_ngram_char_frac_2"))).alias(
+                "sum_top2_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_DATA_CARD_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, coalesce(text, '') AS text,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\\s+'), x -> x <> '') AS wl
+  FROM documents
+),
+lstat AS (
+  SELECT doc_id,
+         sum(cnt) AS tot_lines,
+         sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS dup_lcnt
+  FROM (
+    SELECT doc_id, line, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base
+    ) GROUP BY doc_id, line
+  ) GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, max(cnt * length(g)) AS top_mass
+  FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(wl) - 2 + 2, 1)),
+               i -> array_to_string(wl[i:i + 1], ' '))) AS g
+      FROM base
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+per_doc AS (
+  SELECT b.lang,
+    CASE WHEN trim(b.text) = '' THEN 0
+         ELSE len(string_split_regex(trim(b.text), '\\s+')) END AS n_words,
+    CAST(CASE WHEN length(b.text) = 0 THEN 0
+         ELSE floor((length(b.text) -
+                     len(regexp_extract_all(b.text, '[A-Za-z0-9\\s]')))
+                    * 1000000.0 / length(b.text) + 0.5) END AS BIGINT)
+        AS symbol_ppm,
+    CAST(floor(CASE WHEN l.tot_lines > 0
+               THEN CAST(l.dup_lcnt AS DOUBLE) / l.tot_lines
+               ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS dup_line_ppm,
+    CAST(floor(CASE WHEN length(array_to_string(b.wl, ' ')) > 0
+               THEN CAST(coalesce(g2.top_mass, 0) AS DOUBLE)
+                    / length(array_to_string(b.wl, ' '))
+               ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS top2_ppm
+  FROM base b
+  JOIN lstat l USING (doc_id)
+  LEFT JOIN g2 USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(symbol_ppm) AS BIGINT) AS sum_symbol_ppm,
+       CAST(sum(dup_line_ppm) AS BIGINT) AS sum_dup_line_ppm,
+       CAST(sum(top2_ppm) AS BIGINT) AS sum_top2_ppm
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_audio_export_pipeline(spark, sf_dir):
     """[tier end-to-end] the full audio curation → trainer-artifact
     chain under ONE oracle: planted-defect clips (q40's closed-form
@@ -4218,4 +4309,5 @@ QUERIES = {
     "q80_fuzzy_decontamination": (q_fuzzy_decontamination, Q_FUZZY_DECON_SQL),
     "q81_corpus_diff": (q_corpus_diff, Q_CORPUS_DIFF_SQL),
     "q82_audio_export_pipeline": (q_audio_export_pipeline, Q_AUDIO_EXPORT_SQL),
+    "q83_data_card": (q_data_card, Q_DATA_CARD_SQL),
 }
