@@ -2932,23 +2932,35 @@ ORDER BY status
 
 def q_fuzzy_decontamination(spark, sf_dir):
     """[training-data] paraphrase-robust eval decontamination
-    (operators/dedup.py flag_contaminated_fuzzy): 12-doc benchmark = 6
-    VERBATIM copies of corpus docs (MinHash est-Jaccard exactly 1.0 —
-    deterministically over any threshold) + 6 unrelated synthetic
-    texts (no bucket collision at 64 hashes/fixed seed —
-    deterministically unflagged).  The corpus never self-joins and its
-    text never shuffles: bench bands + signatures BROADCAST, verify on
-    signatures only.  The oracle flags every corpus doc whose TEXT
-    equals a benched text (so corpus-internal exact dups of a leaked
-    doc flag too, which is the correct semantics) and counts the
-    matching bench rows."""
+    (operators/dedup.py flag_contaminated_fuzzy) on a PLANTED corpus —
+    the real documents table contains organic near-duplicates whose
+    est-Jaccard crosses any threshold unpredictably for a SQL oracle
+    (the operator correctly flags them; the oracle can't recompute
+    MinHash), so the gate plants 300 token-unique docs where the ONLY
+    possible matches are the 3 verbatim leaks (est-Jaccard exactly 1.0,
+    deterministically over threshold 0.9) and 3 unrelated synthetic
+    prompts (token-disjoint — no est anywhere near 0.9).  The corpus
+    never self-joins; bench bands + signatures broadcast.  The
+    paraphrase (near-miss) regime is pytest-gated
+    (tests/test_dedup_similarity.py)."""
     _prep(spark)
     from .operators.dedup import flag_contaminated_fuzzy
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    leak_ids = [3, 50, 97, 144, 191, 238]
+    words = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.format_string(
+                "tok%da%d", F.col("doc_id"), i * 7
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), words.alias("text")
+    )
+    leak_ids = [10, 40, 70]
     bench = docs.where(F.col("doc_id").isin(leak_ids)).select("text").union(
-        spark.range(6).select(
+        spark.range(3).select(
             F.format_string(
                 "wholly synthetic benchmark prompt %d with tokens "
                 "qqx%d zzy%d vvk%d that appear nowhere in the corpus",
@@ -2966,16 +2978,12 @@ def q_fuzzy_decontamination(spark, sf_dir):
 
 
 Q_FUZZY_DECON_SQL = """
-WITH leaked AS (
-  SELECT text FROM documents WHERE doc_id IN (3, 50, 97, 144, 191, 238)
-)
-SELECT d.doc_id,
-       (SELECT count(*) FROM leaked l WHERE l.text = d.text) > 0
-           AS contaminated_fuzzy,
-       CAST((SELECT count(*) FROM leaked l WHERE l.text = d.text)
-            AS BIGINT) AS n_bench_near
-FROM documents d
-ORDER BY d.doc_id
+SELECT r AS doc_id,
+       r IN (10, 40, 70) AS contaminated_fuzzy,
+       CAST(CASE WHEN r IN (10, 40, 70) THEN 1 ELSE 0 END AS BIGINT)
+           AS n_bench_near
+FROM (SELECT unnest(range(0, 300)) AS r)
+ORDER BY doc_id
 """
 
 
