@@ -319,3 +319,53 @@ def test_with_mfcc_operator_classes_and_poison(spark):
               "codec string, transcript string")
     p = with_mfcc(spark.createDataFrame(rows, schema)).collect()[0]
     assert not p["mfcc_ok"] and p["mfcc"] == [] and p["n_mfcc_frames"] == 0
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=3000),
+                  min_size=1, max_size=6),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=15, deadline=None)
+def test_rolloff_batch_matches_scalar_over_random_layouts(lens, seed):
+    from top_secret_spark.kernel.audio import synth_pcm
+    from top_secret_spark.kernel.spectral import (
+        batch_rolloff,
+        rolloff_features,
+    )
+
+    clips = [synth_pcm(seed + i, ln, 16000) if ln else
+             np.empty(0, dtype=np.float32) for i, ln in enumerate(lens)]
+    samples = (np.concatenate(clips) if any(lens)
+               else np.empty(0, dtype=np.float32))
+    r, nf = batch_rolloff(samples, np.array(lens, dtype=np.int64), 16000)
+    for i, c in enumerate(clips):
+        er, en = rolloff_features(c, 16000)
+        assert nf[i] == en
+        assert r[i] == pytest.approx(er, abs=1e-9)
+
+
+def test_with_bandwidth_planted_classes_and_poison(spark):
+    """Upsampled-from-8k clips flag; genuine wideband and honest
+    native-8k do not; poison rows read bw_ok=false and never flag."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import with_bandwidth
+    from top_secret_spark.sources.clips import bw_clips_df
+
+    got = with_bandwidth(bw_clips_df(spark, 30, partitions=2)).collect()
+    for r in got:
+        assert r["bw_ok"] and r["bw_n_frames"] == 36
+        assert r["upsampled_suspect"] == (r["transcript"] == "upsampled"), r
+        frac = r["rolloff_hz"] / r["sr_hz"]
+        if r["transcript"] == "upsampled":
+            assert frac < 0.30
+        else:
+            assert frac > 0.40
+    rows = [Row(clip_id="bad", bytes=bytearray(b"\x01"), sr_hz=16000,
+                dur_ms=0, codec="pcm16", transcript="")]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    p = with_bandwidth(spark.createDataFrame(rows, schema)).collect()[0]
+    assert not p["bw_ok"] and not p["upsampled_suspect"]
+    assert p["rolloff_hz"] == 0.0 and p["bw_n_frames"] == 0

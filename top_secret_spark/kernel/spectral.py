@@ -314,3 +314,96 @@ def mfcc_features(
     if not len(mel):
         return np.zeros((0, n_mfcc), dtype=np.float32)
     return (mel @ d_t).astype(np.float32)
+
+
+def rolloff_features(
+    pcm: np.ndarray,
+    sr_hz: int,
+    q: float = 0.95,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+) -> tuple[float, int]:
+    """Scalar twin of ``batch_rolloff`` for ONE clip → (rolloff_hz,
+    n_frames): the frequency below which fraction ``q`` of the clip's
+    POOLED spectral energy lies — the effective-bandwidth probe.
+    Genuine wideband speech rolls off near Nyquist; audio UPSAMPLED
+    from a lower rate has (almost) no energy above the source Nyquist,
+    so a 16 kHz clip whose rolloff sits under ~4.2 kHz was born 8 kHz
+    no matter what its metadata claims."""
+    frame = max(2, int(sr_hz * frame_ms / 1000))
+    hop = max(1, int(sr_hz * hop_ms / 1000))
+    if sr_hz <= 0 or len(pcm) < frame:
+        return 0.0, 0
+    window = (
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
+    ).astype(np.float32)
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr_hz)
+    pooled = np.zeros(len(freqs), dtype=np.float64)
+    nf = 0
+    for s in range(0, len(pcm) - frame + 1, hop):
+        fr = pcm[s:s + frame].astype(np.float32) * window
+        pooled += np.abs(np.fft.rfft(fr)).astype(np.float64) ** 2
+        nf += 1
+    tot = pooled.sum()
+    if tot <= 0:
+        return 0.0, nf
+    k = int(np.searchsorted(np.cumsum(pooled), q * tot))
+    return float(freqs[min(k, len(freqs) - 1)]), nf
+
+
+def batch_rolloff(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    sr_hz: int,
+    q: float = 0.95,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    block_frames: int = SPECTRAL_BLOCK_FRAMES,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-clip spectral rolloff over a concatenated same-rate buffer →
+    (rolloff_hz [n], n_frames [n]); definition in ``rolloff_features``.
+
+    Same blocked-FFT shape as ``batch_spectral``; the per-clip pooled
+    spectrum is ONE ``np.add.reduceat`` over the frame-power matrix
+    (rows grouped by clip), and the q-quantile bin is one vectorized
+    cumsum + argmax per clip — no per-clip Python."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    roll = np.zeros(n, dtype=np.float64)
+    if sr_hz <= 0 or n == 0:
+        return roll, np.zeros(n, dtype=np.int64)
+    frame = max(2, int(sr_hz * frame_ms / 1000))
+    hop = max(1, int(sr_hz * hop_ms / 1000))
+    n_frames = np.where(lengths >= frame, 1 + (lengths - frame) // hop, 0)
+    total = int(n_frames.sum())
+    if total == 0:
+        return roll, n_frames
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    clip_of = np.repeat(np.arange(n, dtype=np.int64), n_frames)
+    starts = offsets[clip_of] + hop * _concat_aranges(n_frames)
+    window = (
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
+    ).astype(np.float32)
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr_hz)
+    windows_view = np.lib.stride_tricks.sliding_window_view(samples, frame)
+    n_bins = len(freqs)
+    fr_pow = np.empty((total, n_bins), dtype=np.float64)
+    for lo in range(0, total, max(1, block_frames)):
+        hi = min(lo + max(1, block_frames), total)
+        frames = windows_view[starts[lo:hi]].astype(np.float32)
+        frames *= window
+        fr_pow[lo:hi] = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    has = n_frames > 0
+    fstarts = (np.cumsum(n_frames) - n_frames)[has]
+    pooled = np.add.reduceat(fr_pow, fstarts, axis=0)  # [n_has, bins]
+    csum = np.cumsum(pooled, axis=1)
+    tot = csum[:, -1]
+    ok = tot > 0
+    # first bin where cumulative energy reaches q*total (vectorized
+    # searchsorted via argmax on the boolean crossing)
+    kidx = np.argmax(csum >= (q * tot)[:, None], axis=1)
+    r = np.zeros(len(fstarts), dtype=np.float64)
+    r[ok] = freqs[kidx[ok]]
+    roll[has] = r
+    return roll, n_frames

@@ -1455,3 +1455,76 @@ def with_mfcc(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def with_bandwidth(
+    df: DataFrame,
+    q: float = 0.95,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    suspect_frac: float = 0.30,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append the effective-bandwidth probe (``kernel.spectral.
+    batch_rolloff``): ``rolloff_hz`` (frequency below which fraction
+    ``q`` of pooled spectral energy lies), ``bw_n_frames``, ``bw_ok``,
+    and ``upsampled_suspect`` — true when the rolloff sits under
+    ``suspect_frac`` × the CLAIMED sample rate.  Audio upsampled from a
+    lower rate has no energy above the source Nyquist, so a 16 kHz
+    clip rolling off below ~0.3 × sr was born 8 kHz no matter what its
+    metadata says — a real speech-corpus defect no time-domain gate can
+    see.  Honest narrowband audio LABELED at its true rate reads
+    ~0.47 × sr and does not flag.
+
+    Scope note: the probe measures CONTENT bandwidth, so it also flags
+    genuinely band-limited content carried at a wideband rate (muffled
+    or telephony-band recordings relabeled upward) — which is exactly
+    what a wideband-corpus curator wants excluded, whatever the cause.
+    The repo's harmonic ``synth_pcm`` clips are narrowband content and
+    therefore flag at 16 kHz: expected, not a false positive.
+
+    Same shared batching as the other sr-dependent features
+    (``decode_sr_groups``); poison rows and sub-frame clips → bw_ok =
+    false, never flagged, never a stage kill."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += (", bw_ok boolean, rolloff_hz double, bw_n_frames int, "
+               "upsampled_suspect boolean")
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import decode_sr_groups
+        from ..kernel.spectral import batch_rolloff
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            rolls = np.zeros(n, dtype=np.float64)
+            nfs = np.zeros(n, dtype=np.int64)
+            sus = np.zeros(n, dtype=bool)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                r, nf = batch_rolloff(
+                    samples, lengths, sr, q=q,
+                    frame_ms=frame_ms, hop_ms=hop_ms,
+                )
+                rolls[idx] = r
+                nfs[idx] = nf
+                oks[idx] = nf > 0
+                sus[idx] = (nf > 0) & (r < suspect_frac * sr)
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["bw_ok"] = oks
+            pdf["rolloff_hz"] = rolls
+            pdf["bw_n_frames"] = nfs
+            pdf["upsampled_suspect"] = sus
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -2725,6 +2725,56 @@ ORDER BY cls
 """
 
 
+def q_bandwidth_gate(spark, sf_dir):
+    """[tier: quality_filter × audio] effective-bandwidth / upsampling
+    detection (operators/audio.py with_bandwidth): audio upsampled from
+    a lower rate carries no energy above the source Nyquist, so its
+    0.95-energy rolloff sits far below the claimed Nyquist — the
+    metadata lies and the spectrum proves it.  Planted classes
+    (sources/clips.py bw_rows_for_range, r % 3): genuine 16 kHz
+    wideband noise reads ~0.47 × sr, 8 kHz-born noise relabeled 16 kHz
+    reads ~0.27 × sr (flagged at < 0.30 × sr), and HONEST native-8 kHz
+    noise reads ~0.47 × its own rate and must NOT flag.  The oracle
+    recomputes counts, frame totals (16k clips: 36 frames of 512/256;
+    8k clips: 36 of 256/128), and the flag from r % 3 alone."""
+    _prep(spark)
+    from .operators.audio import with_bandwidth
+    from .sources.clips import BW_CLASSES, bw_clips_df
+
+    bw = with_bandwidth(bw_clips_df(spark, 120, partitions=8))
+    r = F.substring("clip_id", 4, 8).cast("long")
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in BW_CLASSES]), (r % 3 + 1).cast("int")
+    )
+    band = (
+        F.when(cls == "upsampled", F.col("upsampled_suspect"))
+        .otherwise(~F.col("upsampled_suspect"))
+    )
+    return (
+        bw.groupBy(cls.alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("bw_n_frames").alias("sum_frames"),
+            F.sum(band.cast("long")).alias("n_flag_match"),
+            F.sum(F.col("bw_ok").cast("long")).alias("n_ok"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_BANDWIDTH_SQL = """
+SELECT cls,
+       CAST(40 AS BIGINT) AS n_clips,
+       CAST(36 * 40 AS BIGINT) AS sum_frames,
+       CAST(40 AS BIGINT) AS n_flag_match,
+       CAST(40 AS BIGINT) AS n_ok
+FROM (
+  SELECT unnest(['native8k', 'upsampled', 'wideband']) AS cls
+)
+ORDER BY cls
+"""
+
+
 def q_data_card(spark, sf_dir):
     """[training-data reporting] per-language corpus DATA CARD — the
     per-source summary a dataset release ships with, composed from two
@@ -4318,4 +4368,5 @@ QUERIES = {
     "q81_corpus_diff": (q_corpus_diff, Q_CORPUS_DIFF_SQL),
     "q82_audio_export_pipeline": (q_audio_export_pipeline, Q_AUDIO_EXPORT_SQL),
     "q83_data_card": (q_data_card, Q_DATA_CARD_SQL),
+    "q84_bandwidth_gate": (q_bandwidth_gate, Q_BANDWIDTH_SQL),
 }

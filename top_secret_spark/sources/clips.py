@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..kernel.audio import encode, synth_pcm
+from ..kernel.audio import encode, resample, synth_pcm
 
 SEED = 42
 
@@ -737,6 +737,68 @@ def snr_clips_df(spark, n_rows: int, partitions: int | None = None):
             ids = pdf["id"].to_numpy()
             if len(ids):
                 yield snr_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
+BW_CLASSES = ("wideband", "upsampled", "native8k")  # r % 3
+
+
+def bw_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted BANDWIDTH classes for the effective-bandwidth
+    gate (q84), keyed by ``r % 3`` (class in transcript):
+
+    - wideband: 0.2 Gaussian noise born at 16 kHz — rolloff(0.95)
+      reads ~0.47 × sr (> 0.40).
+    - upsampled: the same noise born at 8 kHz, linearly resampled to
+      16 kHz and RELABELED sr=16000 — no energy above the source
+      Nyquist, rolloff reads ~0.27 × sr (< 0.30): the metadata lies
+      and the spectrum proves it.
+    - native8k: noise born and labeled 8 kHz — rolloff ~0.47 × its own
+      sr; honest narrowband audio must NOT flag.
+    All pcm16, 600 ms."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(start, end):
+        cls = BW_CLASSES[r % 3]
+        rng = np.random.default_rng(SEED * 37_000_013 + r)
+        if cls == "wideband":
+            sr, n = 16000, 9600
+            pcm = np.clip(0.2 * rng.standard_normal(n), -1, 1)
+        elif cls == "upsampled":
+            sr = 16000
+            born = np.clip(
+                0.2 * rng.standard_normal(4800), -1, 1
+            ).astype(np.float32)
+            pcm = resample(born, 8000, 16000)
+        else:
+            sr, n = 8000, 4800
+            pcm = np.clip(0.2 * rng.standard_normal(n), -1, 1)
+        pcm = pcm.astype(np.float32)
+        out["clip_id"].append(f"bw-{r:08d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(sr)
+        out["dur_ms"].append(600)
+        out["codec"].append("pcm16")
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def bw_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted bandwidth-class clips (same no-shuffle range
+    → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield bw_rows_for_range(int(ids.min()), int(ids.max()) + 1)
 
     return (
         spark.range(0, n_rows, numPartitions=parts)
