@@ -619,6 +619,41 @@ def main():
         "  with exact bigint arithmetic.",
     ))
 
+    from top_secret_spark.operators.audio import with_bandwidth
+    from top_secret_spark.operators.dedup import flag_contaminated_fuzzy
+    from top_secret_spark.sources.clips import bw_clips_df
+
+    sections.append((
+        "Effective-bandwidth probe (map-only, shared decode scaffold)",
+        explain_str(
+            with_bandwidth(bw_clips_df(spark, 64, partitions=4))
+            .select("clip_id", "rolloff_hz", "upsampled_suspect")
+        ),
+        "- ONE `MapInPandas`, ZERO Exchanges — the upsampling detector\n"
+        "  rides the same per-(codec, sr) batched-decode scaffold as\n"
+        "  log-mel/MFCC/SNR (kernel.audio.decode_sr_groups), so the four\n"
+        "  feature operators share one audited code path.\n"
+        "- The per-clip pooled spectrum is one axis-0 reduceat over the\n"
+        "  blocked frame-power matrix; the q-quantile bin is a vectorized\n"
+        "  cumsum + argmax — no per-clip Python anywhere.",
+    ))
+
+    bench_small = docs.limit(10).select("text")
+    sections.append((
+        "Fuzzy decontamination (corpus x benchmark LSH join)",
+        explain_str(
+            flag_contaminated_fuzzy(docs, bench_small, threshold=0.9)
+            .select("doc_id", "contaminated_fuzzy", "n_bench_near")
+        ),
+        "- The corpus NEVER self-joins and its text never rides an\n"
+        "  exchange: signatures are computed once (persisted — the UDF is\n"
+        "  the dominant cost), the BENCHMARK side's bands and signatures\n"
+        "  BROADCAST (eval sets are small by contract), and the verify\n"
+        "  step compares fixed-width signatures only.\n"
+        "- Output rows return to the caller via one groupBy + left join\n"
+        "  on the 8-byte id — per-doc flag + count, nothing wider.",
+    ))
+
     lines = [
         "# PLANS — physical-plan review of the flagship operators",
         "",
