@@ -1444,3 +1444,53 @@ def test_with_snr_estimate_poison_rows(spark):
         assert not got[bad]["snr_ok"]
         assert got[bad]["snr_est_db"] == 0.0
         assert got[bad]["snr_n_frames"] == 0
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=4000),
+                  min_size=1, max_size=6),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=15, deadline=None)
+def test_batch_remove_dc_matches_scalar(lens, seed):
+    from top_secret_spark.kernel.audio import batch_remove_dc, remove_dc
+
+    clips = [(synth_pcm(seed + i, ln, 16000) + 0.25).astype(np.float32)
+             if ln else np.empty(0, dtype=np.float32)
+             for i, ln in enumerate(lens)]
+    samples = (np.concatenate(clips) if any(lens)
+               else np.empty(0, dtype=np.float32))
+    out = batch_remove_dc(samples, np.array(lens, dtype=np.int64), 16000)
+    off = 0
+    for i, c in enumerate(clips):
+        ref = remove_dc(c, 16000)
+        np.testing.assert_allclose(out[off:off + lens[i]], ref, atol=1e-7)
+        off += lens[i]
+
+
+def test_dc_removed_clips_strips_offset_keeps_signal(spark):
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.audio import (
+        dc_removed_clips,
+        with_audio_features,
+    )
+    from top_secret_spark.sources.clips import dc_clips_df
+
+    clips = dc_clips_df(spark, 20, partitions=2)
+    out = with_audio_features(dc_removed_clips(clips))
+    got = {r["clip_id"]: r for r in out.collect()}
+    for cid, r in got.items():
+        # both classes converge on the tone's rms after the high-pass
+        assert 0.26 < r["rms"] < 0.30, (cid, r["rms"])
+        assert r["codec"] == "pcm16" and r["sr_hz"] == 16000
+    # NULL sr raises loudly (transform, not a gate)
+    from pyspark.sql import Row
+    bad = spark.createDataFrame(
+        [Row(clip_id="x", bytes=bytearray(b"\x00\x00"), sr_hz=None,
+             dur_ms=0, codec="pcm16", transcript="")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    with pytest.raises(Exception, match="sr_hz"):
+        dc_removed_clips(bad).collect()

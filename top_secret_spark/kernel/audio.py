@@ -816,3 +816,53 @@ def decode_sr_groups(datas: list, codecs, srs):
                 [bytes(datas[i]) for i in idx], codec
             )
             yield idx, samples, lengths, int(sr)
+
+
+def remove_dc(
+    pcm: np.ndarray, sr_hz: int, win_ms: int = 125
+) -> np.ndarray:
+    """Scalar twin of ``batch_remove_dc`` for ONE clip: subtract a
+    centered moving average (window clamped to clip bounds) — a zero-
+    phase FIR high-pass that strips DC offset and sub-hertz drift
+    (cheap mic/ADC defects) while leaving speech-band content intact.
+    Pure function; output float32, same length."""
+    n = len(pcm)
+    if n == 0 or sr_hz <= 0:
+        return pcm.astype(np.float32)
+    w = max(1, int(sr_hz * win_ms / 1000) // 2)
+    x = pcm.astype(np.float64)
+    csum = np.concatenate([[0.0], np.cumsum(x)])
+    pos = np.arange(n, dtype=np.int64)
+    lo = np.maximum(pos - w, 0)
+    hi = np.minimum(pos + w + 1, n)
+    mean = (csum[hi] - csum[lo]) / (hi - lo)
+    return (x - mean).astype(np.float32)
+
+
+def batch_remove_dc(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    sr_hz: int,
+    win_ms: int = 125,
+) -> np.ndarray:
+    """DC/drift removal over a concatenated same-rate buffer — the
+    vectorized twin of :func:`remove_dc` (equivalence pytest-gated):
+    ONE global cumsum, per-sample window bounds clamped to each clip's
+    own extent with pure index arithmetic (no per-clip Python, no
+    cross-clip bleed).  Returns float32 samples in the same layout."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    if n == 0 or len(samples) == 0 or sr_hz <= 0:
+        return samples.astype(np.float32)
+    w = max(1, int(sr_hz * win_ms / 1000) // 2)
+    x = samples.astype(np.float64)
+    csum = np.concatenate([[0.0], np.cumsum(x)])
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    starts = np.repeat(offsets, lengths)
+    ends = np.repeat(offsets + lengths, lengths)
+    pos = np.arange(len(samples), dtype=np.int64)
+    lo = np.maximum(pos - w, starts)
+    hi = np.minimum(pos + w + 1, ends)
+    mean = (csum[hi] - csum[lo]) / (hi - lo)
+    return (x - mean).astype(np.float32)

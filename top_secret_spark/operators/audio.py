@@ -1528,3 +1528,56 @@ def with_bandwidth(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def dc_removed_clips(df: DataFrame, win_ms: int = 125) -> DataFrame:
+    """Strip DC offset and sub-hertz drift from every clip (decode →
+    centered-moving-average high-pass → pcm16 re-encode) — the cheap
+    mic/ADC-defect repair that runs BEFORE level normalization and
+    feature extraction, since a constant offset inflates RMS and leaks
+    into every spectral frame's DC bin.  Speech-band content passes
+    unchanged (the ``win_ms`` window only attenuates ≲ 1/win
+    frequencies).
+
+    Same transform contract as :func:`normalized_clips`: one
+    concatenated kernel pass per (codec, sr) group per Arrow batch
+    (the window is sr-derived, hence the sr split), undecodable
+    payloads raise loudly (transform, not a gate).  Output codec is
+    pcm16, sample rate unchanged."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_decode, batch_remove_dc
+
+        for pdf in iterator:
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            out_bytes = [None] * len(pdf)
+            for codec in sorted(set(codecs.tolist()), key=str):
+                cidx = np.flatnonzero(codecs == codec)
+                for sr in np.unique(srs[cidx]):
+                    if not np.isfinite(sr) or sr <= 0:
+                        bad = pdf["clip_id"].iloc[int(cidx[0])]
+                        raise ValueError(
+                            f"dc_removed_clips: NULL/invalid sr_hz on "
+                            f"clip {bad!r} — repair metadata upstream"
+                        )
+                    idx = cidx[srs[cidx] == sr]
+                    samples, lengths = batch_decode(
+                        [bytes(datas[i]) for i in idx], codec
+                    )
+                    cleaned = batch_remove_dc(samples, lengths, int(sr),
+                                              win_ms=win_ms)
+                    for k, payload in enumerate(
+                        _pcm16_payloads(cleaned, lengths)
+                    ):
+                        out_bytes[idx[k]] = payload
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["codec"] = "pcm16"
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -2725,6 +2725,59 @@ ORDER BY cls
 """
 
 
+def q_dc_removal(spark, sf_dir):
+    """[tier: quality_filter × audio] DC-offset / drift removal
+    (operators/audio.py dc_removed_clips — centered-moving-average
+    high-pass, one global cumsum per (codec, sr) group): a constant
+    mic/ADC offset inflates RMS and pollutes every spectral frame's DC
+    bin, so the repair runs before level normalization.  Planted
+    classes (r % 2): 'offset' = 1 kHz tone + 0.3 DC (input rms ≈ 0.415),
+    'clean' = the tone alone (rms ≈ 0.283).  Gate: every input-offset
+    clip reads the inflated band BEFORE and the pure-tone band AFTER
+    (the lost power can only be the removed DC), and every clean clip
+    is (near-)untouched in the tone band on both sides."""
+    _prep(spark)
+    from .operators.audio import dc_removed_clips, with_audio_features
+    from .sources.clips import DC_CLASSES, dc_clips_df
+
+    clips = dc_clips_df(spark, 120, partitions=8)
+    r = F.substring("clip_id", 4, 8).cast("long")
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in DC_CLASSES]), (r % 2 + 1).cast("int")
+    )
+    tone_band = F.col("rms").between(0.26, 0.30)
+    infl_band = F.col("rms").between(0.40, 0.43)
+    before = (
+        with_audio_features(clips)
+        .select(cls.alias("cls"),
+                F.when(cls == "offset", infl_band)
+                .otherwise(tone_band).alias("band_ok"))
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("band_ok").cast("long")).alias("n_band"))
+        .withColumn("stage", F.lit("before"))
+    )
+    after = (
+        with_audio_features(dc_removed_clips(clips))
+        .select(cls.alias("cls"), tone_band.alias("band_ok"))
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("band_ok").cast("long")).alias("n_band"))
+        .withColumn("stage", F.lit("after"))
+    )
+    return before.unionByName(after).orderBy("stage", "cls")
+
+
+Q_DC_REMOVAL_SQL = """
+SELECT stage, cls,
+       CAST(60 AS BIGINT) AS n,
+       CAST(60 AS BIGINT) AS n_band
+FROM (SELECT unnest(['after', 'before']) AS stage)
+CROSS JOIN (SELECT unnest(['clean', 'offset']) AS cls)
+ORDER BY stage, cls
+"""
+
+
 def q_bandwidth_gate(spark, sf_dir):
     """[tier: quality_filter × audio] effective-bandwidth / upsampling
     detection (operators/audio.py with_bandwidth): audio upsampled from
@@ -4369,4 +4422,5 @@ QUERIES = {
     "q82_audio_export_pipeline": (q_audio_export_pipeline, Q_AUDIO_EXPORT_SQL),
     "q83_data_card": (q_data_card, Q_DATA_CARD_SQL),
     "q84_bandwidth_gate": (q_bandwidth_gate, Q_BANDWIDTH_SQL),
+    "q85_dc_removal": (q_dc_removal, Q_DC_REMOVAL_SQL),
 }

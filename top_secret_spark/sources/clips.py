@@ -804,3 +804,49 @@ def bw_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+DC_CLASSES = ("offset", "clean")  # r % 2
+
+
+def dc_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted DC-OFFSET classes for the drift-removal gate
+    (q85), keyed by ``r % 2``: both classes carry the same 1 kHz tone
+    (amp 0.4, rms ≈ 0.283); 'offset' adds a +0.3 DC bias (input rms ≈
+    0.415 — the inflated level a constant offset causes).  After
+    ``dc_removed_clips`` BOTH classes must read the tone's rms.  All
+    pcm16 / 16 kHz / 4800 samples."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz, n = 16000, 4800
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    tone = 0.4 * np.sin(2.0 * np.pi * 1000.0 * t)
+    for r in range(start, end):
+        cls = DC_CLASSES[r % 2]
+        pcm = (tone + 0.3 if cls == "offset" else tone).astype(np.float32)
+        out["clip_id"].append(f"dc-{r:08d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(300)
+        out["codec"].append("pcm16")
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def dc_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted DC-class clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield dc_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
