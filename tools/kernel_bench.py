@@ -368,6 +368,35 @@ def main():
     snrest_loop()
     se_loop_sec = time.perf_counter() - t0
 
+    # rolloff + DC removal: batched vs per-clip kernel calls
+    from top_secret_spark.kernel.audio import batch_remove_dc
+    from top_secret_spark.kernel.spectral import batch_rolloff
+
+    def rolloff_batched():
+        batch_rolloff(sp_samples, sp_lengths, 16000)
+
+    rolloff_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        rolloff_batched()
+    ro_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+
+    def dc_batched():
+        batch_remove_dc(sp_samples, sp_lengths, 16000)
+
+    def dc_loop():
+        for c in sp_clips:
+            batch_remove_dc(c, np.array([len(c)]), 16000)
+
+    dc_batched()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERATIONS):
+        dc_batched()
+    dcv_sec = (time.perf_counter() - t0) / ITERATIONS
+    t0 = time.perf_counter()
+    dc_loop()
+    dcl_sec = time.perf_counter() - t0
+
     # noise mix: one counter-based RNG pass vs per-clip kernel calls
     from top_secret_spark.kernel.audio import batch_mix_noise
 
@@ -448,6 +477,11 @@ def main():
         "snr_est_loop_clips_per_sec": round(
             len(sp_clips) / se_loop_sec, 1),
         "snr_est_batched_speedup": round(se_loop_sec / se_vec_sec, 2),
+        "rolloff_batched_clips_per_sec": round(
+            len(sp_clips) / ro_vec_sec, 1),
+        "remove_dc_batched_clips_per_sec": round(len(sp_clips) / dcv_sec, 1),
+        "remove_dc_loop_clips_per_sec": round(len(sp_clips) / dcl_sec, 1),
+        "remove_dc_batched_speedup": round(dcl_sec / dcv_sec, 2),
         "mix_noise_batched_clips_per_sec": round(
             len(sp_clips) / nm_vec_sec, 1),
         "mix_noise_loop_clips_per_sec": round(
