@@ -854,6 +854,23 @@ def batch_remove_dc(
     n = len(lengths)
     if n == 0 or len(samples) == 0 or sr_hz <= 0:
         return samples.astype(np.float32)
+    # REGIME-ADAPTIVE like batch_resample: the single-pass vectorized
+    # form materializes three full-length int64 temporaries (repeat'd
+    # clip bounds + positions) plus two csum gathers — ~7x faster than
+    # per-clip calls when clips are tiny (call overhead dominates), ~2x
+    # SLOWER when clips are long (memory traffic dominates; measured
+    # 0.15 s vs 0.08 s at ~3.5k-sample clips).  Long clips take
+    # per-clip remove_dc into one preallocated buffer; both paths are
+    # bit-identical (same per-sample arithmetic).
+    if lengths.mean() > BATCH_RESAMPLE_SHORT_CLIP:
+        out = np.empty(len(samples), dtype=np.float32)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        for o, ln in zip(offsets, lengths):
+            if ln:
+                out[o:o + ln] = remove_dc(
+                    samples[o:o + ln], sr_hz, win_ms=win_ms)
+        return out
     w = max(1, int(sr_hz * win_ms / 1000) // 2)
     x = samples.astype(np.float64)
     csum = np.concatenate([[0.0], np.cumsum(x)])

@@ -187,6 +187,14 @@ def mel_filterbank(
     return fb.astype(np.float64), edges_hz[1:-1].copy()
 
 
+# Log-mel blocks are much smaller than the spectral gate's: the mel
+# matmul re-reads the whole block's power matrix, so keeping the block
+# L2/L3-resident wins — measured ~1.8x faster at 2048 frames than at
+# 32768 on this host (the gate's scalar reductions don't re-read, so
+# its larger block stands).
+LOG_MEL_BLOCK_FRAMES = 2048
+
+
 def batch_log_mel(
     samples: np.ndarray,
     lengths: np.ndarray,
@@ -194,7 +202,7 @@ def batch_log_mel(
     n_mels: int = 40,
     frame_ms: int = 32,
     hop_ms: int = 16,
-    block_frames: int = SPECTRAL_BLOCK_FRAMES,
+    block_frames: int = LOG_MEL_BLOCK_FRAMES,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-frame log-mel energies over a concatenated same-rate buffer →
     (mel [total_frames, n_mels] float32, n_frames [n_clips]).
@@ -283,7 +291,7 @@ def batch_mfcc(
     n_mels: int = 40,
     frame_ms: int = 32,
     hop_ms: int = 16,
-    block_frames: int = SPECTRAL_BLOCK_FRAMES,
+    block_frames: int = LOG_MEL_BLOCK_FRAMES,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-frame MFCCs over a concatenated same-rate buffer →
     (mfcc [total_frames, n_mfcc] float32, n_frames [n_clips]): ONE
