@@ -56,6 +56,47 @@ def test_block_size_does_not_change_results():
         np.testing.assert_array_equal(got[2], ref[2])
 
 
+def test_rolloff_block_size_does_not_change_results():
+    """The per-block pooled accumulation (clips straddling block
+    boundaries get partial sums added) must match the one-shot result —
+    the memory-bounded path can't move the q-quantile bin."""
+    from top_secret_spark.kernel.spectral import batch_rolloff
+
+    rng = np.random.default_rng(13)
+    lens = np.array([900, 0, 512, 2100, 100, 4800, 3000], dtype=np.int64)
+    samples = np.concatenate([_random_clip(rng, n) for n in lens])
+    ref = batch_rolloff(samples, lens, SR)
+    for block in (1, 2, 7, 64):
+        got = batch_rolloff(samples, lens, SR, block_frames=block)
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(got[1], ref[1])
+
+
+def test_sub_frame_decodable_clip_is_not_ok_in_mel_and_mfcc(spark):
+    """A DECODABLE clip shorter than one frame must get mel_ok=false /
+    mfcc_ok=false — not ok=true with an authoritative-looking 0.0
+    mel_argmax_hz that a downstream hum gate (argmax < 150 Hz) would
+    silently match.  Matches with_snr_estimate / with_bandwidth's
+    ok = (n_frames > 0) convention."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import with_log_mel, with_mfcc
+
+    # 100 samples at 16 kHz < one 32 ms frame (512 samples) — decodable
+    tiny = (0.3 * np.ones(100, dtype=np.float32))
+    rows = [
+        Row(clip_id="tiny", bytes=bytearray(encode(tiny, "pcm16")),
+            sr_hz=16000, dur_ms=6, codec="pcm16", transcript=""),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    df = spark.createDataFrame(rows, schema)
+    m = with_log_mel(df).collect()[0]
+    assert not m["mel_ok"] and m["n_mel_frames"] == 0 and m["log_mel"] == []
+    c = with_mfcc(df).collect()[0]
+    assert not c["mfcc_ok"] and c["n_mfcc_frames"] == 0 and c["mfcc"] == []
+
+
 def test_pure_tone_reads_its_frequency_and_low_flatness():
     t = np.arange(4800) / SR
     for f_hz in (500, 1000, 2500):

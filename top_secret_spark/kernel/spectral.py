@@ -372,9 +372,14 @@ def batch_rolloff(
     (rolloff_hz [n], n_frames [n]); definition in ``rolloff_features``.
 
     Same blocked-FFT shape as ``batch_spectral``; the per-clip pooled
-    spectrum is ONE ``np.add.reduceat`` over the frame-power matrix
-    (rows grouped by clip), and the q-quantile bin is one vectorized
-    cumsum + argmax per clip — no per-clip Python."""
+    spectrum accumulates INSIDE the block loop (one ``np.add.reduceat``
+    per block over that block's frame-power rows, added into an
+    (n_clips × n_bins) buffer), and the q-quantile bin is one
+    vectorized cumsum + argmax per clip — no per-clip Python.  Peak
+    working memory is the block's power matrix plus the pooled buffer,
+    NOT a (total_frames × n_bins) matrix: a 10k-row Arrow batch of
+    600 ms 16 kHz clips would otherwise hold ~740 MB of frame powers
+    per task, defeating the blocked-FFT bound the sibling kernels keep."""
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
     roll = np.zeros(n, dtype=np.float64)
@@ -396,22 +401,25 @@ def batch_rolloff(
     freqs = np.fft.rfftfreq(frame, 1.0 / sr_hz)
     windows_view = np.lib.stride_tricks.sliding_window_view(samples, frame)
     n_bins = len(freqs)
-    fr_pow = np.empty((total, n_bins), dtype=np.float64)
+    pooled = np.zeros((n, n_bins), dtype=np.float64)
     for lo in range(0, total, max(1, block_frames)):
         hi = min(lo + max(1, block_frames), total)
         frames = windows_view[starts[lo:hi]].astype(np.float32)
         frames *= window
-        fr_pow[lo:hi] = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-    has = n_frames > 0
-    fstarts = (np.cumsum(n_frames) - n_frames)[has]
-    pooled = np.add.reduceat(fr_pow, fstarts, axis=0)  # [n_has, bins]
+        power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).astype(np.float64)
+        # frames are emitted in clip order, so each block's rows group
+        # into contiguous clip runs: one reduceat per block, added into
+        # the per-clip pooled buffer (a clip straddling blocks gets its
+        # partial sums added — float64 addition is associative enough
+        # for a q-quantile bin with orders-of-magnitude margins)
+        cb = clip_of[lo:hi]
+        bnd = np.flatnonzero(np.r_[True, cb[1:] != cb[:-1]])
+        pooled[cb[bnd]] += np.add.reduceat(power, bnd, axis=0)
     csum = np.cumsum(pooled, axis=1)
     tot = csum[:, -1]
     ok = tot > 0
     # first bin where cumulative energy reaches q*total (vectorized
     # searchsorted via argmax on the boolean crossing)
     kidx = np.argmax(csum >= (q * tot)[:, None], axis=1)
-    r = np.zeros(len(fstarts), dtype=np.float64)
-    r[ok] = freqs[kidx[ok]]
-    roll[has] = r
+    roll[ok] = freqs[kidx[ok]]
     return roll, n_frames

@@ -254,7 +254,12 @@ def with_log_mel(
                         amhz[i] = float(
                             centers[int(np.argmax(rows.mean(axis=0)))]
                         )
-                    oks[i] = True
+                    # ok only when the clip yielded >=1 frame: a decodable
+                    # clip shorter than one frame leaves mel_argmax_hz at an
+                    # authoritative-looking 0.0, which a downstream gate like
+                    # q71's hum check (argmax < 150 Hz) would silently match.
+                    # Matches the snr/bandwidth operators' ok convention.
+                    oks[i] = int(nf[k]) > 0
             if not keep_bytes:
                 pdf = pdf.drop(columns=["bytes"])
             pdf["mel_ok"] = oks
@@ -1444,7 +1449,10 @@ def with_mfcc(
                         c0m[i] = float(m[0])
                         if n_mfcc > 1:
                             c1m[i] = float(m[1])
-                    oks[i] = True
+                    # ok requires >=1 frame — same convention as with_log_mel
+                    # / with_snr_estimate: sub-frame clips must not publish a
+                    # legitimate-looking mfcc_c0_mean of 0.0.
+                    oks[i] = int(nf[k]) > 0
             if not keep_bytes:
                 pdf = pdf.drop(columns=["bytes"])
             pdf["mfcc_ok"] = oks

@@ -1200,7 +1200,14 @@ def flag_contaminated_fuzzy(
         )
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bench_near"))
+        # eager-materialize the verified counts (one narrow row per
+        # contaminated doc — bounded by the candidate set, tiny next to
+        # the corpus), then release the signature cache: without this
+        # the persist leaks cached signature blocks for the application
+        # lifetime (near_duplicates_minhash unpersists the same way)
+        .localCheckpoint(eager=True)
     )
+    corpus_sig.unpersist()
     return (
         df.join(verified, id_col, "left")
         .withColumn(

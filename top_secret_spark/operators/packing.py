@@ -130,21 +130,32 @@ def shard_by_size(
     The global running total comes from :func:`with_global_offset`
     (two-phase distributed prefix sum — no single-partition window);
     everything after is exact bigint Catalyst arithmetic.
+
+    The prefix sum runs on a NARROW (order, size) projection — the
+    payload column never rides the range shuffle and never lands in the
+    localCheckpoint that freezes the range partitioning; the multi-KB
+    payload crosses exactly one exchange, in the key-hash join that
+    brings ``shard_id`` back.  At 100 TB the difference is the whole
+    corpus materialized to executor disk vs a few GB of (key, size)
+    pairs.
     """
     if shard_bytes <= 0:
         raise ValueError("shard_by_size: shard_bytes must be positive")
     sz = "_shard_sz"
-    sized = df.withColumn(
-        sz,
-        F.col(size_col) if size_col is not None
-        else F.length(F.col(payload_col)),
+    sized = df.select(
+        F.col(order_col),
+        (F.col(size_col) if size_col is not None
+         else F.length(F.col(payload_col))).alias(sz),
     )
     out = with_global_offset(sized, order_col, sz, out_col="_shard_cum")
     # `div`, not `/`: double division loses bigint exactness past 2^52
     # cumulative bytes (~4.5 PB is out of range, but 2^52 B = 4.5 TB is
     # not) and would disagree with the exact `%` at shard boundaries
-    return (
+    assign = (
         out.withColumn("shard_id", F.expr(f"_shard_cum div {int(shard_bytes)}"))
         .withColumn("shard_offset", F.col("_shard_cum") % F.lit(int(shard_bytes)))
-        .drop(sz, "_shard_cum")
+        .select(order_col, "shard_id", "shard_offset")
+    )
+    return df.join(assign, order_col).select(
+        *df.columns, "shard_id", "shard_offset"
     )

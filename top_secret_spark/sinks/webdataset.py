@@ -14,11 +14,15 @@ corpus always produces byte-identical shards with the same sha256, and
 a re-run after a partial failure is an idempotent overwrite (tmp file +
 atomic rename), never a torn shard.
 
-Scale design: the only shuffle is the groupBy(shard_id) that routes
-each shard's rows to one task (bounded by ``shard_bytes``, so a task
-never holds more than one shard of payload + one straddling row); the
-manifest returned to the driver is one row per SHARD, not per clip.
-No whole-corpus collect anywhere.
+Scale design: the shard assignment's prefix sum runs on a narrow
+(key, size) projection (see ``shard_by_size``), so the payload column
+crosses exactly two exchanges — the key-hash join that attaches
+shard_id and the groupBy(shard_id) that routes each shard's rows to
+one task (bounded by ``shard_bytes``, so a task never holds more than
+one shard of payload + one straddling row) — and is never
+localCheckpointed to executor disk.  The manifest returned to the
+driver is one row per SHARD, not per clip.  No whole-corpus collect
+anywhere.
 
 Reference scope note: thoughtbot/top_secret is redaction-only (no
 sinks); this is part of the training-data-pipeline surface the task
@@ -135,7 +139,23 @@ def write_webdataset(
         pdf = pdf.sort_values("_key", kind="mergesort")
         fname = f"shard-{shard_id:06d}.tar"
         final = os.path.join(path, fname)
-        tmp = final + ".tmp"
+        # attempt-unique tmp name: a retried / speculatively-executed
+        # attempt racing a zombie first attempt must never interleave
+        # writes into one tmp file — each attempt writes its own and the
+        # os.replace stays atomic (last completed attempt wins with a
+        # complete tar, byte-identical across attempts by determinism)
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            attempt = ctx.taskAttemptId() if ctx is not None else None
+        except Exception:
+            attempt = None
+        if attempt is None:
+            import uuid
+
+            attempt = uuid.uuid4().hex
+        tmp = f"{final}.{attempt}.tmp"
         data_bytes = 0
         meta_series = [pdf[c] for c in present_meta]
         # STREAM the tar to disk through a hashing wrapper — never hold
@@ -145,28 +165,36 @@ def write_webdataset(
         # as bytes flow.
         out_f = open(tmp, "wb")
         buf = _HashingWriter(out_f)
-        with tarfile.open(fileobj=buf, mode="w",
-                          format=tarfile.USTAR_FORMAT) as tar:
-            for key, payload, text, *metas in zip(
-                pdf["_key"], pdf["_payload"], pdf["_text"], *meta_series
-            ):
-                key = str(key)
-                meta = {c: _py(v) for c, v in zip(present_meta, metas)}
-                if payload is not None:
-                    ext = CODEC_EXT.get(meta.get("codec"), "bin")
-                    b = bytes(payload)
-                    _add_member(tar, f"{key}.{ext}", b)
-                    data_bytes += len(b)
-                text = _py(text)
-                if text is not None:
-                    _add_member(tar, f"{key}.txt",
-                                str(text).encode("utf-8"))
-                meta_b = json.dumps(
-                    meta, sort_keys=True, separators=(",", ":"),
-                ).encode("utf-8")
-                _add_member(tar, f"{key}.json", meta_b)
-        out_f.close()
-        os.replace(tmp, final)
+        try:
+            with tarfile.open(fileobj=buf, mode="w",
+                              format=tarfile.USTAR_FORMAT) as tar:
+                for key, payload, text, *metas in zip(
+                    pdf["_key"], pdf["_payload"], pdf["_text"], *meta_series
+                ):
+                    key = str(key)
+                    meta = {c: _py(v) for c, v in zip(present_meta, metas)}
+                    if payload is not None:
+                        ext = CODEC_EXT.get(meta.get("codec"), "bin")
+                        b = bytes(payload)
+                        _add_member(tar, f"{key}.{ext}", b)
+                        data_bytes += len(b)
+                    text = _py(text)
+                    if text is not None:
+                        _add_member(tar, f"{key}.txt",
+                                    str(text).encode("utf-8"))
+                    meta_b = json.dumps(
+                        meta, sort_keys=True, separators=(",", ":"),
+                    ).encode("utf-8")
+                    _add_member(tar, f"{key}.json", meta_b)
+            out_f.close()
+            os.replace(tmp, final)
+        except BaseException:
+            out_f.close()
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         return pd.DataFrame([{
             "shard_id": shard_id,
             "path": final,
