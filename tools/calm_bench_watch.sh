@@ -31,9 +31,9 @@ print(f'{t1-t0:.3f}')")
     echo "[watch] running headline bench (best-of-4 interleaved)"
     if python bench.py > /tmp/bench_calm_raw.txt 2>/tmp/bench_calm.err \
        && tail -1 /tmp/bench_calm_raw.txt | python -c "import json,sys; json.loads(sys.stdin.read())" 2>/dev/null; then
-      tail -1 /tmp/bench_calm_raw.txt > BENCH/local_r3_calm.json
+      tail -1 /tmp/bench_calm_raw.txt > BENCH/local_r4_calm.json
       echo "[watch] bench done:"
-      cat BENCH/local_r3_calm.json
+      cat BENCH/local_r4_calm.json
       exit 0
     fi
     echo "[watch] BENCH FAILED — record NOT overwritten; see /tmp/bench_calm.err"

@@ -8,7 +8,16 @@
     (their batch path shares one model; our batch path amortizes plan
     compilation and the substitution machinery)
 
-Same protocol: 3 fixed messages, 1 warmup, 3 iterations.
+Protocol (symmetric by construction — the round-3 record's asymmetry,
+batched arms warmed+averaged vs loop arms run once cold, made every
+``*_speedup`` unreliable): EVERY arm, batched and loop alike, goes
+through ``_timeit`` — one untimed warmup call, then the best of
+``ITERATIONS`` timed runs.  Best-of, not mean-of: on a shared VM the
+minimum is the least-noise estimator of kernel cost (the mean absorbs
+neighbor interference; see BENCH/BASELINE.md's host-probe protocol).
+Arms of one comparison run back-to-back so a host-degradation window
+hits both or neither.
+
 Prints one JSON line.
 """
 
@@ -32,35 +41,34 @@ MESSAGES = [
     "Send receipts to carol@mail.example.net; card 4242424242424242 failed.",
 ]
 
-ITERATIONS = 3
+ITERATIONS = 5
+
+
+def _timeit(fn, iterations: int = ITERATIONS) -> float:
+    """Symmetric arm timer: one untimed warmup, then best-of-N timed
+    runs.  Both arms of every comparison use this — never warm one arm
+    and run the other cold."""
+    fn()  # warmup (pattern compilation, allocator, caches)
+    best = float("inf")
+    for _ in range(iterations):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
     from bench import _bandwidth_probe_sec
 
-    host_probe_sec = _bandwidth_probe_sec()
-    # warmup (compiles patterns, primes caches) — bin/benchmark:10
-    for m in MESSAGES:
-        filter_text(m)
-    filter_all_local(MESSAGES)
+    host_probe_before = _bandwidth_probe_sec()
 
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        results = [filter_text(m) for m in MESSAGES]
-    individual_sec = (time.perf_counter() - t0) / ITERATIONS
-
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        gmap, items = filter_all_local(MESSAGES)
-    batch_sec = (time.perf_counter() - t0) / ITERATIONS
-
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        restore_text(items[0][0], gmap)
-    restore_sec = (time.perf_counter() - t0) / ITERATIONS
+    individual_sec = _timeit(lambda: [filter_text(m) for m in MESSAGES])
+    batch_sec = _timeit(lambda: filter_all_local(MESSAGES))
+    gmap, items = filter_all_local(MESSAGES)
+    restore_sec = _timeit(lambda: restore_text(items[0][0], gmap))
 
     # pair-Jaccard verify kernel: vectorized batch pass vs the per-pair
-    # set loop it replaced (r2 'weak' item — this UDF sits on the
+    # set loop it replaced (this UDF sits on the
     # dedup_near(verify_exact=True) clustering path)
     import random
 
@@ -90,14 +98,8 @@ def main():
             out.append(len(sa & sb) / union if union else 1.0)
         return out
 
-    pair_jaccard(pa[:50], pb[:50])  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        pair_jaccard(pa, pb)
-    jac_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    jaccard_loop(pa, pb)
-    jac_loop_sec = time.perf_counter() - t0
+    jac_vec_sec = _timeit(lambda: pair_jaccard(pa, pb))
+    jac_loop_sec = _timeit(lambda: jaccard_loop(pa, pb), iterations=3)
 
     # audio feature kernel: one concatenated decode + segmented
     # reductions (the with_audio_features hot path, now including the
@@ -130,14 +132,8 @@ def main():
             audio_features(pcm, 8000)
             gate_ratios(pcm)
 
-    audio_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        audio_batched()
-    audio_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    audio_loop()
-    audio_loop_sec = time.perf_counter() - t0
+    audio_vec_sec = _timeit(audio_batched)
+    audio_loop_sec = _timeit(audio_loop)
 
     # pairwise-SNR verify kernel: grouped concatenated decode + cumsum
     # segment powers vs the naive per-pair decode loop
@@ -157,21 +153,12 @@ def main():
     ]
     ca, cb = ["pcm16"] * pair_n, ["ulaw"] * pair_n
 
-    def snr_batched():
-        batch_pair_snr(pairs_a, pairs_b, ca, cb)
-
     def snr_loop():
         for da, db in zip(pairs_a, pairs_b):
             snr_db(decode(da, "pcm16"), decode(db, "ulaw"))
 
-    snr_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        snr_batched()
-    snr_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    snr_loop()
-    snr_loop_sec = time.perf_counter() - t0
+    snr_vec_sec = _timeit(lambda: batch_pair_snr(pairs_a, pairs_b, ca, cb))
+    snr_loop_sec = _timeit(snr_loop)
 
     # uniform-rate resample kernel (resampled_clips hot path).  The
     # kernel is REGIME-ADAPTIVE (kernel/audio.py BATCH_RESAMPLE_SHORT_CLIP):
@@ -192,21 +179,13 @@ def main():
     rs_samples = np.concatenate(rs_clips)
     rs_lengths = np.array([len(c) for c in rs_clips], dtype=np.int64)
 
-    def resample_batched():
-        batch_resample(rs_samples, rs_lengths, rs_srs, 16000)
-
     def resample_loop():
         for c, sr in zip(rs_clips, rs_srs):
             resample(c, int(sr), 16000)
 
-    resample_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        resample_batched()
-    rs_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    resample_loop()
-    rs_loop_sec = time.perf_counter() - t0
+    rs_vec_sec = _timeit(
+        lambda: batch_resample(rs_samples, rs_lengths, rs_srs, 16000))
+    rs_loop_sec = _timeit(resample_loop)
 
     # loudness-normalize kernel: one reduceat + repeat-multiply pass
     # (normalized_clips hot path) vs a per-clip loop.  SHORT clips, like
@@ -224,21 +203,13 @@ def main():
     ng_samples = np.concatenate(ng_clips)
     ng_lengths = np.array([len(c) for c in ng_clips], dtype=np.int64)
 
-    def normalize_batched():
-        batch_normalize_gain(ng_samples, ng_lengths, 0.1, 100.0)
-
     def normalize_loop():
         for c in ng_clips:
             batch_normalize_gain(c, np.array([len(c)]), 0.1, 100.0)
 
-    normalize_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        normalize_batched()
-    ng_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    normalize_loop()
-    ng_loop_sec = time.perf_counter() - t0
+    ng_vec_sec = _timeit(
+        lambda: batch_normalize_gain(ng_samples, ng_lengths, 0.1, 100.0))
+    ng_loop_sec = _timeit(normalize_loop)
 
     # silence-trim + voiced-segment kernels: one flatnonzero/diff/
     # searchsorted pass over the concatenated buffer vs per-clip scans
@@ -265,37 +236,21 @@ def main():
     tb_samples = np.concatenate(tb_clips)
     tb_lengths = np.array([len(c) for c in tb_clips], dtype=np.int64)
 
-    def trim_batched():
-        batch_trim_bounds(tb_samples, tb_lengths, 0.01)
-
     def trim_loop():
         for c in tb_clips:
             batch_trim_bounds(c, np.array([len(c)]), 0.01)
 
-    trim_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        trim_batched()
-    tb_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    trim_loop()
-    tb_loop_sec = time.perf_counter() - t0
-
-    def seg_batched():
-        batch_voiced_segments(tb_samples, tb_lengths, 0.01, 200)
+    tb_vec_sec = _timeit(
+        lambda: batch_trim_bounds(tb_samples, tb_lengths, 0.01))
+    tb_loop_sec = _timeit(trim_loop)
 
     def seg_loop():
         for c in tb_clips:
             batch_voiced_segments(c, np.array([len(c)]), 0.01, 200)
 
-    seg_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        seg_batched()
-    sg_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    seg_loop()
-    sg_loop_sec = time.perf_counter() - t0
+    sg_vec_sec = _timeit(
+        lambda: batch_voiced_segments(tb_samples, tb_lengths, 0.01, 200))
+    sg_loop_sec = _timeit(seg_loop)
 
     # spectral: blocked multi-clip FFT vs per-clip kernel calls
     from top_secret_spark.kernel.spectral import batch_spectral
@@ -305,119 +260,64 @@ def main():
     sp_samples = np.concatenate(sp_clips)
     sp_lengths = np.array([len(c) for c in sp_clips], dtype=np.int64)
 
-    def spectral_batched():
-        batch_spectral(sp_samples, sp_lengths, 16000)
-
     def spectral_loop():
         for c in sp_clips:
             batch_spectral(c, np.array([len(c)]), 16000)
 
-    spectral_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        spectral_batched()
-    sp_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    spectral_loop()
-    sp_loop_sec = time.perf_counter() - t0
+    sp_vec_sec = _timeit(lambda: batch_spectral(sp_samples, sp_lengths, 16000))
+    sp_loop_sec = _timeit(spectral_loop)
 
     # log-mel / MFCC: one blocked FFT + matmul vs per-clip kernel calls
     from top_secret_spark.kernel.spectral import batch_log_mel, batch_mfcc
-
-    def logmel_batched():
-        batch_log_mel(sp_samples, sp_lengths, 16000)
 
     def logmel_loop():
         for c in sp_clips:
             batch_log_mel(c, np.array([len(c)]), 16000)
 
-    logmel_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        logmel_batched()
-    lm_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    logmel_loop()
-    lm_loop_sec = time.perf_counter() - t0
+    lm_vec_sec = _timeit(lambda: batch_log_mel(sp_samples, sp_lengths, 16000))
+    lm_loop_sec = _timeit(logmel_loop)
 
-    def mfcc_batched():
-        batch_mfcc(sp_samples, sp_lengths, 16000)
-
-    mfcc_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        mfcc_batched()
-    mc_vec_sec = (time.perf_counter() - t0) / ITERATIONS
+    mc_vec_sec = _timeit(lambda: batch_mfcc(sp_samples, sp_lengths, 16000))
 
     # SNR estimate: one lexsort/prefix-sum pass vs per-clip kernel calls
     from top_secret_spark.kernel.audio import batch_snr_estimate
-
-    def snrest_batched():
-        batch_snr_estimate(sp_samples, sp_lengths, 16000)
 
     def snrest_loop():
         for c in sp_clips:
             batch_snr_estimate(c, np.array([len(c)]), 16000)
 
-    snrest_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        snrest_batched()
-    se_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    snrest_loop()
-    se_loop_sec = time.perf_counter() - t0
+    se_vec_sec = _timeit(
+        lambda: batch_snr_estimate(sp_samples, sp_lengths, 16000))
+    se_loop_sec = _timeit(snrest_loop)
 
     # rolloff + DC removal: batched vs per-clip kernel calls
     from top_secret_spark.kernel.audio import batch_remove_dc
     from top_secret_spark.kernel.spectral import batch_rolloff
 
-    def rolloff_batched():
-        batch_rolloff(sp_samples, sp_lengths, 16000)
-
-    rolloff_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        rolloff_batched()
-    ro_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-
-    def dc_batched():
-        batch_remove_dc(sp_samples, sp_lengths, 16000)
+    ro_vec_sec = _timeit(lambda: batch_rolloff(sp_samples, sp_lengths, 16000))
 
     def dc_loop():
         for c in sp_clips:
             batch_remove_dc(c, np.array([len(c)]), 16000)
 
-    dc_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        dc_batched()
-    dcv_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    dc_loop()
-    dcl_sec = time.perf_counter() - t0
+    dcv_sec = _timeit(lambda: batch_remove_dc(sp_samples, sp_lengths, 16000))
+    dcl_sec = _timeit(dc_loop)
 
     # noise mix: one counter-based RNG pass vs per-clip kernel calls
     from top_secret_spark.kernel.audio import batch_mix_noise
 
     nm_keys = np.arange(len(sp_clips), dtype=np.uint64) * 2654435761
 
-    def mix_batched():
-        batch_mix_noise(sp_samples, sp_lengths, nm_keys, 20.0)
-
     def mix_loop():
-        off = 0
         for i, c in enumerate(sp_clips):
             batch_mix_noise(c, np.array([len(c)]), nm_keys[i:i + 1], 20.0)
 
-    mix_batched()  # warm
-    t0 = time.perf_counter()
-    for _ in range(ITERATIONS):
-        mix_batched()
-    nm_vec_sec = (time.perf_counter() - t0) / ITERATIONS
-    t0 = time.perf_counter()
-    mix_loop()
-    nm_loop_sec = time.perf_counter() - t0
+    nm_vec_sec = _timeit(
+        lambda: batch_mix_noise(sp_samples, sp_lengths, nm_keys, 20.0))
+    nm_loop_sec = _timeit(mix_loop)
+
+    host_probe_after = _bandwidth_probe_sec()
+    host_probe_sec = max(host_probe_before, host_probe_after)
 
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
@@ -488,6 +388,9 @@ def main():
             len(sp_clips) / nm_loop_sec, 1),
         "mix_noise_batched_speedup": round(nm_loop_sec / nm_vec_sec, 2),
         "iterations": ITERATIONS,
+        "protocol": "symmetric: both arms warmed once, best-of-iterations",
+        "host_probe_before_sec": round(host_probe_before, 3),
+        "host_probe_after_sec": round(host_probe_after, 3),
         "host_probe_sec": round(host_probe_sec, 3),
         # self-describing validity: per BENCH/BASELINE.md, a probe in the
         # seconds is measuring the neighbor VM, not the engine — treat

@@ -46,9 +46,20 @@ def ulaw_encode(x: np.ndarray) -> np.ndarray:
     return np.round((y + 1.0) * 127.5).astype(np.uint8)
 
 
-def ulaw_decode(code: np.ndarray) -> np.ndarray:
+def _ulaw_decode_formula(code: np.ndarray) -> np.ndarray:
     y = code.astype(np.float32) / 127.5 - 1.0
     return (np.sign(y) * ((1.0 + _MU) ** np.abs(y) - 1.0) / _MU).astype(np.float32)
+
+
+# 8-bit codes have 256 possible values: decode is a single LUT gather,
+# bit-identical to the formula (the table IS the formula, evaluated once
+# at import).  The formula version ran sign/pow per sample — ~15x the
+# cost of the gather and the dominant term of every decode boundary.
+_ULAW_DECODE_LUT = _ulaw_decode_formula(np.arange(256, dtype=np.uint8))
+
+
+def ulaw_decode(code: np.ndarray) -> np.ndarray:
+    return _ULAW_DECODE_LUT[code]
 
 
 # --- G.711 A-law (continuous companding form) --------------------------------
@@ -66,11 +77,19 @@ def alaw_encode(x: np.ndarray) -> np.ndarray:
     return np.round((y + 1.0) * 127.5).astype(np.uint8)
 
 
-def alaw_decode(code: np.ndarray) -> np.ndarray:
+def _alaw_decode_formula(code: np.ndarray) -> np.ndarray:
     y = code.astype(np.float32) / 127.5 - 1.0
     ay = np.abs(y) * (1.0 + _LN_A)
     out = np.where(ay < 1.0, ay / _A, np.exp(ay - 1.0) / _A)
     return (np.sign(y) * out).astype(np.float32)
+
+
+# same single-gather LUT as μ-law (see _ULAW_DECODE_LUT)
+_ALAW_DECODE_LUT = _alaw_decode_formula(np.arange(256, dtype=np.uint8))
+
+
+def alaw_decode(code: np.ndarray) -> np.ndarray:
+    return _ALAW_DECODE_LUT[code]
 
 
 # --- byte-level encode/decode -------------------------------------------------
@@ -338,44 +357,110 @@ def pcm16_aligned_indices(datas: list, idx: np.ndarray) -> np.ndarray:
     )]
 
 
+# Clip-aligned block size for the segmented reductions below.  The
+# full-buffer vectorization streamed several multi-ten-MB float64
+# temporaries (astype, square, signbit-diff, abs) through DRAM per Arrow
+# batch and LOST to the cache-resident per-clip loop (~1.7x in the r3
+# kernel record); clip-aligned ~64k-sample blocks keep every temporary
+# L2-resident while still amortizing numpy call overhead over hundreds
+# of clips.  Blocks split only on clip boundaries, so per-clip results
+# are bit-identical to the one-shot pass (no partial segments; a single
+# clip longer than the block is its own block).
+SEGMENT_BLOCK_SAMPLES = 1 << 16
+
+# Mean-clip-length regime threshold for the segmented reductions (the
+# batch_resample lesson, measured: at 2048-sample clips the vectorized
+# block pass still wins 1.35x; at 4096 the per-clip loop wins 1.2x and
+# the gap widens with length as per-call overhead amortizes while the
+# vectorized pass keeps paying its fixed masking/indexing traffic).
+# Above the threshold each clip is its own cache-resident numpy problem
+# and the kernel dispatches to a per-clip slice loop.
+SEGMENT_LONG_CLIP = 3000
+
+
+def _clip_blocks(lengths: np.ndarray, block_samples: int):
+    """Yield (clip_lo, clip_hi, samp_lo, samp_hi) covering whole clips,
+    each block's sample count <= block_samples where possible (a clip
+    larger than the block stands alone)."""
+    bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    n = len(lengths)
+    lo = 0
+    while lo < n:
+        # furthest clip whose END stays within the block budget
+        hi = int(np.searchsorted(bounds, bounds[lo] + block_samples,
+                                 side="right")) - 1
+        hi = max(hi, lo + 1)
+        yield lo, hi, int(bounds[lo]), int(bounds[hi])
+        lo = hi
+
+
 def segmented_features(
-    samples: np.ndarray, lengths: np.ndarray, srs: np.ndarray
+    samples: np.ndarray, lengths: np.ndarray, srs: np.ndarray,
+    block_samples: int = SEGMENT_BLOCK_SAMPLES,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-clip (rms, zcr, dur_ms) over a concatenated sample buffer —
-    the vectorized twin of ``audio_features``: segment sums via
-    ``add.reduceat`` instead of a per-clip Python loop.  Zero-crossing
-    diffs that straddle clip boundaries are masked out."""
+    the vectorized twin of ``audio_features``.
+
+    Regime-adaptive (``SEGMENT_LONG_CLIP``): short clips take segment
+    sums via ``add.reduceat`` over clip-aligned cache-sized blocks
+    (``SEGMENT_BLOCK_SAMPLES``) so the float64 temporaries never stream
+    through DRAM and per-clip call overhead amortizes; long clips take
+    a per-clip slice loop — each clip is its own L2-resident numpy
+    problem and the loop beats the vectorized pass's fixed masking /
+    boundary-indexing traffic.  Zero-crossing diffs that straddle clip
+    boundaries are masked out either way."""
     n = len(lengths)
     rms = np.zeros(n, dtype=np.float64)
     zcr = np.zeros(n, dtype=np.float64)
-    dur = np.zeros(n, dtype=np.int64)
+    dur_f = np.zeros(n, dtype=np.float64)
+    np.divide(1000.0 * lengths, srs, out=dur_f, where=np.asarray(srs) > 0)
+    dur = np.round(dur_f).astype(np.int64)
     if n == 0 or len(samples) == 0:
         return rms, zcr, dur
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=offsets[1:])
-    nonempty = lengths > 0
-    starts = offsets[nonempty]
-    sq = samples.astype(np.float64) ** 2
-    sums = np.add.reduceat(sq, starts)
-    rms[nonempty] = np.sqrt(sums / lengths[nonempty])
-    # zero crossings: |diff(signbit)| with cross-boundary diffs masked
-    sb = np.signbit(samples).astype(np.int8)
-    d = np.abs(np.diff(sb)).astype(np.int64)
-    if len(d):
-        boundary = offsets[1:] - 1  # diff positions straddling clips
-        d[boundary[boundary < len(d)]] = 0
-        csum = np.concatenate([[0], np.cumsum(d)])
-        # csum has len(d)+1 entries; clamp BOTH indices to len(d) — a
-        # zero-length clip at the END of the batch has offset == total
-        # samples, which would otherwise index past csum
-        hi = np.minimum(np.maximum(offsets + lengths - 1, offsets), len(d))
-        lo = np.minimum(offsets, len(d))
-        crossings = csum[hi] - csum[lo]
-        multi = lengths > 1
-        zcr[multi] = crossings[multi] / (lengths[multi] - 1)
-    dur_f = np.zeros(n, dtype=np.float64)
-    np.divide(1000.0 * lengths, srs, out=dur_f, where=srs > 0)
-    dur = np.round(dur_f).astype(np.int64)
+    if lengths.mean() > SEGMENT_LONG_CLIP:
+        offs = np.cumsum(lengths) - lengths
+        for i in range(n):
+            ln = int(lengths[i])
+            if ln == 0:
+                continue
+            pcm = samples[offs[i]:offs[i] + ln]
+            x = pcm.astype(np.float64)
+            rms[i] = np.sqrt(np.dot(x, x) / ln)
+            if ln > 1:
+                sb = np.signbit(pcm).astype(np.int8)
+                zcr[i] = np.abs(np.diff(sb)).sum(dtype=np.int64) / (ln - 1)
+        return rms, zcr, dur
+    for clo, chi, slo, shi in _clip_blocks(lengths, block_samples):
+        blens = lengths[clo:chi]
+        bsamp = samples[slo:shi]
+        offsets = np.zeros(chi - clo, dtype=np.int64)
+        np.cumsum(blens[:-1], out=offsets[1:])
+        nonempty = blens > 0
+        if nonempty.any() and len(bsamp):
+            sq = bsamp.astype(np.float64) ** 2
+            sums = np.add.reduceat(sq, offsets[nonempty])
+            rms[clo:chi][nonempty] = np.sqrt(sums / blens[nonempty])
+            # zero crossings: |diff(signbit)|, cross-boundary masked;
+            # d stays int8 and the cumsum widens via dtype= — never
+            # materialize an int64 copy of the diff array
+            sb = np.signbit(bsamp).astype(np.int8)
+            d = np.abs(np.diff(sb))
+            if len(d):
+                boundary = offsets[1:] - 1  # diffs straddling clips
+                d[boundary[boundary < len(d)]] = 0
+                csum = np.zeros(len(d) + 1, dtype=np.int64)
+                np.cumsum(d, dtype=np.int64, out=csum[1:])
+                # csum has len(d)+1 entries; clamp BOTH indices to
+                # len(d) — a zero-length clip at the END of the block
+                # has offset == block samples, which would otherwise
+                # index past csum
+                hi_i = np.minimum(
+                    np.maximum(offsets + blens - 1, offsets), len(d))
+                lo_i = np.minimum(offsets, len(d))
+                crossings = csum[hi_i] - csum[lo_i]
+                multi = blens > 1
+                zcr[clo:chi][multi] = crossings[multi] / (blens[multi] - 1)
     return rms, zcr, dur
 
 
@@ -412,25 +497,42 @@ def segmented_ratios(
     lengths: np.ndarray,
     silence_eps: float = SILENCE_EPS,
     clip_level: float = CLIP_LEVEL,
+    block_samples: int = SEGMENT_BLOCK_SAMPLES,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-clip (silence_ratio, clipping_ratio) over a concatenated
-    sample buffer — same segment layout as ``segmented_features``:
-    boolean masks summed per clip with ``add.reduceat``, no per-clip
-    Python loop.  Zero-length clips are defined as fully silent."""
+    sample buffer — same clip-aligned blocked layout as
+    ``segmented_features``: boolean masks summed per clip with
+    ``add.reduceat`` over cache-sized blocks, no per-clip Python loop.
+    Zero-length clips are defined as fully silent."""
     n = len(lengths)
     sil = np.ones(n, dtype=np.float64)
     clp = np.zeros(n, dtype=np.float64)
     if n == 0 or len(samples) == 0:
         return sil, clp
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=offsets[1:])
-    nonempty = lengths > 0
-    starts = offsets[nonempty]
-    ab = np.abs(samples.astype(np.float64))
-    sil_n = np.add.reduceat((ab < silence_eps).astype(np.int64), starts)
-    clp_n = np.add.reduceat((ab >= clip_level).astype(np.int64), starts)
-    sil[nonempty] = sil_n / lengths[nonempty]
-    clp[nonempty] = clp_n / lengths[nonempty]
+    if lengths.mean() > SEGMENT_LONG_CLIP:
+        offs = np.cumsum(lengths) - lengths
+        for i in range(n):
+            ln = int(lengths[i])
+            if ln == 0:
+                continue
+            ab = np.abs(samples[offs[i]:offs[i] + ln].astype(np.float64))
+            sil[i] = np.count_nonzero(ab < silence_eps) / ln
+            clp[i] = np.count_nonzero(ab >= clip_level) / ln
+        return sil, clp
+    for clo, chi, slo, shi in _clip_blocks(lengths, block_samples):
+        blens = lengths[clo:chi]
+        bsamp = samples[slo:shi]
+        nonempty = blens > 0
+        if not (nonempty.any() and len(bsamp)):
+            continue
+        offsets = np.zeros(chi - clo, dtype=np.int64)
+        np.cumsum(blens[:-1], out=offsets[1:])
+        starts = offsets[nonempty]
+        ab = np.abs(bsamp.astype(np.float64))
+        sil_n = np.add.reduceat((ab < silence_eps).astype(np.int64), starts)
+        clp_n = np.add.reduceat((ab >= clip_level).astype(np.int64), starts)
+        sil[clo:chi][nonempty] = sil_n / blens[nonempty]
+        clp[clo:chi][nonempty] = clp_n / blens[nonempty]
     return sil, clp
 
 
@@ -598,14 +700,39 @@ def batch_pair_snr(
             la, lb, idx = la[ok], lb[ok], idx[ok]
             if len(idx) == 0:
                 continue
-        sig = sa.astype(np.float64) ** 2
-        nse = (sa.astype(np.float64) - sb.astype(np.float64)) ** 2
-        cs = np.concatenate([[0.0], np.cumsum(sig)])
-        cn = np.concatenate([[0.0], np.cumsum(nse)])
-        ends = np.cumsum(la)
-        offs = ends - la
-        p_sig = cs[ends] - cs[offs]
-        p_noise = cn[ends] - cn[offs]
+        # regime-adaptive per-pair powers (the SEGMENT_LONG_CLIP
+        # lesson): the one-shot version streamed four multi-ten-MB
+        # float64 temporaries (two astypes, subtract, square) plus two
+        # cumsums through DRAM and LOST ~2.6x to the per-pair loop in
+        # the r3 kernel record.  Long pairs -> per-pair slice dots
+        # (each pair is an L2-resident numpy problem); short pairs ->
+        # cache-sized pair-aligned blocks.
+        m = len(la)
+        p_sig = np.empty(m, dtype=np.float64)
+        p_noise = np.empty(m, dtype=np.float64)
+        if la.size and la.mean() > SEGMENT_LONG_CLIP:
+            bounds = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(la, out=bounds[1:])
+            for j in range(m):
+                fa = sa[bounds[j]:bounds[j + 1]].astype(np.float64)
+                fb = sb[bounds[j]:bounds[j + 1]].astype(np.float64)
+                p_sig[j] = np.dot(fa, fa)
+                fb -= fa
+                p_noise[j] = np.dot(fb, fb)
+        else:
+            for plo, phi, slo, shi in _clip_blocks(la, SEGMENT_BLOCK_SAMPLES):
+                fa = sa[slo:shi].astype(np.float64)
+                fb = sb[slo:shi].astype(np.float64)
+                sig = fa * fa
+                fb -= fa
+                nse = fb * fb
+                cs = np.concatenate([[0.0], np.cumsum(sig)])
+                cn = np.concatenate([[0.0], np.cumsum(nse)])
+                bl = la[plo:phi]
+                ends = np.cumsum(bl)
+                offs = ends - bl
+                p_sig[plo:phi] = cs[ends] - cs[offs]
+                p_noise[plo:phi] = cn[ends] - cn[offs]
         # identical decodes → p_noise 0 → +300 dB; empty pairs → 0 dB
         out[idx] = 10.0 * np.log10(
             np.maximum(p_sig, 1e-300) / np.maximum(p_noise, 1e-300)
