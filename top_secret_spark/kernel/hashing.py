@@ -143,22 +143,54 @@ def pair_jaccard(
     inter = np.zeros(n, dtype=np.int64)
     tot = np.zeros(n, dtype=np.int64)
     if len(h):
-        # distinct shingles per doc (sort, drop adjacent repeats)
-        order = np.lexsort((h, doc_idx))
-        d_s, h_s = doc_idx[order], h[order]
-        keep = np.ones(len(h_s), dtype=bool)
-        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-        d_u, h_u = d_s[keep], h_s[keep]
-        # doc i is pair i's A side, doc n+i its B side
-        pair = d_u % n
-        # sort by (pair, shingle): after per-doc dedup a shingle occurs
-        # at most once per side, so a shingle on BOTH sides of a pair
-        # appears exactly twice, adjacently
-        order2 = np.lexsort((h_u, pair))
-        p2, h2 = pair[order2], h_u[order2]
-        both = (p2[1:] == p2[:-1]) & (h2[1:] == h2[:-1])
-        inter = np.bincount(p2[1:][both], minlength=n)
-        tot = np.bincount(p2, minlength=n)  # |A| + |B| per pair
+        # ONE single-key radix-friendly sort instead of the two 2-key
+        # lexsorts this replaced (each lexsort = two argsorts + three
+        # gathers; the pair was ~4x this whole function's useful work).
+        # Key = (pair, shingle, side) packed into uint64: a sorted run
+        # of equal (pair, shingle) then holds side-A entries first,
+        # side-B last, so per-side presence (the per-doc dedup) and the
+        # intersection both read off the run's first/last element.
+        hbits = int(buckets - 1).bit_length()
+        pbits = max(int(n - 1).bit_length(), 1)
+        if hbits + pbits + 1 <= 64:
+            # doc i is pair i's A side, doc n+i its B side
+            pair = doc_idx % n
+            side = (doc_idx >= n).astype(np.uint64)
+            key = (
+                (pair.astype(np.uint64) << np.uint64(hbits + 1))
+                | (h.astype(np.uint64) << np.uint64(1))
+                | side
+            )
+            key.sort()
+            ps = key >> np.uint64(1)  # (pair, shingle), side dropped
+            starts = np.ones(len(ps), dtype=bool)
+            starts[1:] = ps[1:] != ps[:-1]
+            run_start = np.flatnonzero(starts)
+            run_end = np.concatenate([run_start[1:], [len(ps)]]) - 1
+            run_pair = (ps[run_start] >> np.uint64(hbits)).astype(np.int64)
+            has_a = (key[run_start] & np.uint64(1)) == 0
+            has_b = (key[run_end] & np.uint64(1)) == 1
+            tot = np.bincount(
+                run_pair,
+                weights=has_a.astype(np.int64) + has_b.astype(np.int64),
+                minlength=n,
+            ).astype(np.int64)
+            inter = np.bincount(
+                run_pair[has_a & has_b], minlength=n
+            ).astype(np.int64)
+        else:
+            # key doesn't fit 64 bits (huge bucket space): lexsort path
+            order = np.lexsort((h, doc_idx))
+            d_s, h_s = doc_idx[order], h[order]
+            keep = np.ones(len(h_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            d_u, h_u = d_s[keep], h_s[keep]
+            pair = d_u % n
+            order2 = np.lexsort((h_u, pair))
+            p2, h2 = pair[order2], h_u[order2]
+            both = (p2[1:] == p2[:-1]) & (h2[1:] == h2[:-1])
+            inter = np.bincount(p2[1:][both], minlength=n)
+            tot = np.bincount(p2, minlength=n)  # |A| + |B| per pair
     union = tot - inter
     return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
