@@ -4334,6 +4334,190 @@ ORDER BY grp
 """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """[training-data × streaming] END-TO-END stateful streaming dedup
+    under the hard oracle gate (streaming.py dedup_stream /
+    ingest_dedup_stream — previously pytest-only, the one engine
+    surface without an oracle): a planted re-crawl of 60 transcript
+    classes × 3 copies lands as THREE micro-batches (file source,
+    maxFilesPerTrigger=1, availableNow), classes 0–19 are already in
+    the corpus fingerprint index (stream-static anti-join must drop
+    every copy), and batch 0 carries an extra within-batch duplicate of
+    class 7.  First-seen-wins: each NEW class emits exactly once, no
+    matter which copy or micro-batch carried it.  The output is
+    class-level (class id parsed back out of the transcript), because
+    WHICH duplicate row survives inside one micro-batch is
+    shuffle-race-dependent by design — the class-level emission count
+    is the deterministic invariant.  Oracle: classes 20–59, once each.
+    Reference analog: the only batch surface the reference exposes is
+    oracle-gated via q06 (ref:lib/top_secret/text.rb:94-96); this puts
+    the streaming twin under the same protocol."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    _prep(spark)
+    from .operators.dedup import with_fingerprint
+    from .streaming import ingest_dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="q86_stream_")
+    qn = f"q86_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(tmp, "src")
+        base = spark.range(0, 60).select(
+            F.col("id").alias("class_id"),
+            F.format_string(
+                "stream recrawl class %04d payload alpha beta gamma",
+                F.col("id"),
+            ).alias("transcript"),
+        )
+        for j in range(3):
+            batch = base.select(
+                F.format_string(
+                    "s%04d-copy%d", F.col("class_id"), F.lit(j)
+                ).alias("clip_id"),
+                "transcript",
+            )
+            if j == 0:
+                # within-batch duplicate: class 7 appears twice in the
+                # first micro-batch under two different row ids
+                batch = batch.unionByName(
+                    base.where(F.col("class_id") == 7).select(
+                        F.lit("s0007-extra").alias("clip_id"), "transcript"
+                    )
+                )
+            batch.coalesce(1).write.mode("append").parquet(src)
+        corpus_index = with_fingerprint(
+            base.where(F.col("class_id") < 20), text_col="transcript"
+        ).select("fingerprint")
+        stream = (
+            spark.readStream.schema("clip_id string, transcript string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = ingest_dedup_stream(stream, corpus_index, state_ttl=None)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.table(qn)
+            .select(
+                F.regexp_extract("transcript", r"class (\d+)", 1)
+                .cast("long")
+                .alias("class_id")
+            )
+            .groupBy("class_id")
+            .agg(F.count(F.lit(1)).alias("n_emitted"))
+            .orderBy("class_id")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "class_id long, n_emitted long")
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+Q_STREAMING_DEDUP_SQL = """
+SELECT CAST(c AS BIGINT) AS class_id, CAST(1 AS BIGINT) AS n_emitted
+FROM (SELECT unnest(range(20, 60)) AS c)
+ORDER BY class_id
+"""
+
+
+def q_fuzzy_decontamination_paraphrase(spark, sf_dir):
+    """[training-data] the PARAPHRASE regime of fuzzy decontamination
+    (operators/dedup.py flag_contaminated_fuzzy) under the oracle —
+    q80 gates verbatim leaks (est-Jaccard exactly 1.0); this plants
+    LIGHTLY-EDITED leaks: corpus docs 20/50/80 carry the benchmark text
+    with 2 of their 30 tokens rewritten, so the exact probe
+    (flag_contaminated) would MISS them while the char-shingle overlap
+    stays ~0.85 — far above threshold 0.55 — and tokens are 5-digit
+    doc-keyed numerals (measured worst cross-doc true Jaccard 0.25, so
+    non-leak docs sit far BELOW it; a naive shared-stem scheme like
+    'tok<doc>a<i>' measures cross-doc J ~0.83 at the char-shingle
+    level and cannot separate).  Margins dwarf estimator noise (64
+    hashes: >= 6 sigma to the threshold on both sides; the kernel's
+    hash functions are fixed, so the outcome is also
+    bit-deterministic), hence the oracle recomputes the DECISION from
+    the planted structure — the q44 margin pattern."""
+    _prep(spark)
+    from .operators.dedup import flag_contaminated_fuzzy
+
+    leak_ids = [20, 50, 80]
+    orig_words = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.format_string(
+                "w%05d", (F.col("doc_id") * 1009 + i * 97) % 100000
+            ),
+        ),
+        " ",
+    )
+    edited_words = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.when(
+                i.isin(10, 20),
+                F.format_string(
+                    "x%05d", (F.col("doc_id") * 77 + i) % 100000
+                ),
+            ).otherwise(
+                F.format_string(
+                    "w%05d", (F.col("doc_id") * 1009 + i * 97) % 100000
+                )
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id").isin(leak_ids), edited_words)
+        .otherwise(orig_words)
+        .alias("text"),
+    )
+    # the benchmark holds the ORIGINALS of the leaked docs (the edit
+    # lives only in the corpus — the "lightly paraphrased leak"), plus
+    # two token-disjoint synthetic prompts that must not match anything
+    bench = spark.range(0, 200).where(F.col("id").isin(leak_ids)).select(
+        F.col("id").alias("doc_id"), orig_words.alias("text")
+    ).select("text").union(
+        spark.range(2).select(
+            F.format_string(
+                "wholly synthetic benchmark prompt %d with tokens "
+                "qqx%d zzy%d vvk%d that appear nowhere in the corpus",
+                F.col("id"), F.col("id") * 7, F.col("id") * 13,
+                F.col("id") * 29,
+            ).alias("text")
+        )
+    )
+    out = flag_contaminated_fuzzy(docs, bench, threshold=0.55)
+    return out.select(
+        "doc_id",
+        "contaminated_fuzzy",
+        F.col("n_bench_near").cast("long").alias("n_bench_near"),
+    ).orderBy("doc_id")
+
+
+Q_FUZZY_PARAPHRASE_SQL = """
+SELECT r AS doc_id,
+       r IN (20, 50, 80) AS contaminated_fuzzy,
+       CAST(CASE WHEN r IN (20, 50, 80) THEN 1 ELSE 0 END AS BIGINT)
+           AS n_bench_near
+FROM (SELECT unnest(range(0, 200)) AS r)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -4423,4 +4607,9 @@ QUERIES = {
     "q83_data_card": (q_data_card, Q_DATA_CARD_SQL),
     "q84_bandwidth_gate": (q_bandwidth_gate, Q_BANDWIDTH_SQL),
     "q85_dc_removal": (q_dc_removal, Q_DC_REMOVAL_SQL),
+    "q86_streaming_dedup": (q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
+    "q87_fuzzy_paraphrase": (
+        q_fuzzy_decontamination_paraphrase,
+        Q_FUZZY_PARAPHRASE_SQL,
+    ),
 }
