@@ -279,3 +279,36 @@ def test_batch_voiced_segments_equivalence_property(clip_runs, gap):
         assert got.get(k, []) == segs, (k, got.get(k, []), segs)
         for a, b in segs:
             assert 0 <= a < b <= len(c)
+
+
+_TEXTS = st.one_of(
+    st.none(),
+    st.text(max_size=60),                                   # full unicode
+    st.text(st.characters(min_codepoint=9, max_codepoint=126), max_size=60),
+)
+
+
+@given(st.lists(_TEXTS, min_size=0, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_batch_char_signals_matches_regex_twins(texts):
+    """batch_char_signals (byte-LUT ASCII fast path OR pandas regex
+    fallback — hypothesis drives both branches) must equal the scalar
+    regex twins on every text, including None, empty, unicode
+    whitespace, and newline-bearing rows."""
+    import re
+
+    from top_secret_spark.kernel.quality import (
+        _ALNUM_SPACE_RE,
+        _DIGIT_RE,
+        _WORD_RE,
+        batch_char_signals,
+    )
+
+    n_chars, n_words, n_alsp, n_dig, has_nl = batch_char_signals(texts)
+    for i, txt in enumerate(texts):
+        ref = txt or ""
+        assert n_chars[i] == len(ref), (i, txt)
+        assert n_words[i] == len(_WORD_RE.findall(ref)), (i, txt)
+        assert n_alsp[i] == len(_ALNUM_SPACE_RE.findall(ref)), (i, txt)
+        assert n_dig[i] == len(_DIGIT_RE.findall(ref)), (i, txt)
+        assert bool(has_nl[i]) == ("\n" in ref), (i, txt)

@@ -136,6 +136,90 @@ def keep_drop_from_signals(
     return True, None
 
 
+# byte-class lookup tables for the ASCII fast path of
+# batch_char_signals.  Python's str-regex `\s` restricted to ASCII is
+# [ \t\n\v\f\r] PLUS the C0 separators \x1c-\x1f (Unicode whitespace —
+# the same quartet the fingerprint normalization handles explicitly for
+# Python/Java parity); one byte == one character when every byte of the
+# UTF-8 batch is < 128, so byte classification is EXACT there
+# (hypothesis-gated against the regex twins, tests/test_property.py).
+import numpy as _np
+
+_WS_BYTES = _np.zeros(256, dtype=bool)
+_WS_BYTES[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
+_ALNUM_SPACE_BYTES = _WS_BYTES.copy()
+for _lo, _hi in ((48, 58), (65, 91), (97, 123)):  # 0-9 A-Z a-z
+    _ALNUM_SPACE_BYTES[_lo:_hi] = True
+
+
+def batch_char_signals(texts):
+    """Per-text (n_chars, n_words, n_alnum_space, n_digits,
+    has_newline) for a list/Series of texts — the cheap character-class
+    signals of the quality gate, vectorized.
+
+    Routing is PER DOCUMENT: docs whose UTF-8 bytes are all < 128 (one
+    byte == one character there) get all five signals from byte lookup
+    tables + one ``add.reduceat`` pass each over the concatenated
+    buffer — ~9x the four str-regex passes this replaces; the
+    non-ASCII docs (typically a few percent of a web corpus) are
+    recomputed with the pandas ``.str`` regex path, whose Unicode
+    semantics are the definition (equivalence on mixed random text is
+    hypothesis-gated).  None → empty."""
+    import pandas as pd
+
+    from .hashing import encode_batch
+
+    s = texts if isinstance(texts, pd.Series) else pd.Series(list(texts))
+    s = s.fillna("")
+    data, lengths = encode_batch(s.tolist())
+    n = len(lengths)
+    n_chars = lengths.copy()
+    n_words = _np.zeros(n, dtype=_np.int64)
+    n_alsp = _np.zeros(n, dtype=_np.int64)
+    n_dig = _np.zeros(n, dtype=_np.int64)
+    has_nl = _np.zeros(n, dtype=bool)
+    ascii_doc = _np.ones(n, dtype=bool)
+    nonempty = lengths > 0
+    if data.size and nonempty.any():
+        offsets = _np.zeros(n, dtype=_np.int64)
+        _np.cumsum(lengths[:-1], out=offsets[1:])
+        starts = offsets[nonempty]
+        ascii_doc[nonempty] = (
+            _np.maximum.reduceat(data, starts) < 128
+        )
+        # LUT signals computed for EVERY doc in one pass (values for
+        # non-ASCII docs are discarded and recomputed below — cheaper
+        # than slicing the buffer)
+        ws = _WS_BYTES[data]
+        # a word starts at a non-ws byte whose predecessor is ws or a
+        # document boundary
+        prev_ws = _np.empty(len(ws), dtype=bool)
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        prev_ws[starts] = True
+        word_start = (~ws) & prev_ws
+        n_words[nonempty] = _np.add.reduceat(
+            word_start.astype(_np.int64), starts)
+        n_alsp[nonempty] = _np.add.reduceat(
+            _ALNUM_SPACE_BYTES[data].astype(_np.int64), starts)
+        n_dig[nonempty] = _np.add.reduceat(
+            ((data >= 48) & (data <= 57)).astype(_np.int64), starts)
+        has_nl[nonempty] = _np.add.reduceat(
+            (data == 10).astype(_np.int64), starts) > 0
+    if not ascii_doc.all():
+        sub = s[~ascii_doc]
+        n_chars[~ascii_doc] = sub.str.len().to_numpy(dtype=_np.int64)
+        n_words[~ascii_doc] = sub.str.count(
+            _WORD_RE.pattern).to_numpy(dtype=_np.int64)
+        n_alsp[~ascii_doc] = sub.str.count(
+            _ALNUM_SPACE_RE.pattern).to_numpy(dtype=_np.int64)
+        n_dig[~ascii_doc] = sub.str.count(
+            _DIGIT_RE.pattern).to_numpy(dtype=_np.int64)
+        has_nl[~ascii_doc] = sub.str.contains(
+            "\n", regex=False).to_numpy(dtype=bool)
+    return n_chars, n_words, n_alsp, n_dig, has_nl
+
+
 def keep_drop_vector(
     n_chars,
     n_words,

@@ -70,6 +70,7 @@ def make_fused_udf(
         from ..kernel.langid import detect_batch
         from ..kernel.perplexity import perplexity_batch
         from ..kernel.quality import (
+            batch_char_signals,
             dup_line_frac,
             keep_drop_vector,
             top_bigram_frac,
@@ -82,14 +83,17 @@ def make_fused_udf(
         ppls = perplexity_batch(t)
 
         n = len(t)
-        # cheap per-char signals vectorized via pandas .str (same `re`
-        # engine as the kernel functions, so semantics are identical)
+        # cheap per-char signals: byte-LUT reduceat pass when the batch
+        # is pure ASCII, pandas .str regex otherwise (same `re` engine
+        # as the kernel scalar twins — semantics identical either way,
+        # equivalence pytest-gated)
         s = texts.fillna("")
-        n_chars_v = s.str.len().to_numpy()
-        n_words_v = s.str.count(r"\S+").to_numpy()
+        n_chars_v, n_words_v, n_alsp_v, n_dig_v, has_nl_v = (
+            batch_char_signals(s)
+        )
         denom = n_chars_v.clip(min=1)
-        symbol_v = (n_chars_v - s.str.count(r"[A-Za-z0-9\s]").to_numpy()) / denom
-        digit_v = s.str.count(r"[0-9]").to_numpy() / denom
+        symbol_v = (n_chars_v - n_alsp_v) / denom
+        digit_v = n_dig_v / denom
         tox_v = (
             s.str.lower().str.count(TOXICITY_PATTERN, flags=re.ASCII).to_numpy()
             / n_words_v.clip(min=1)
@@ -98,7 +102,7 @@ def make_fused_udf(
         # can be nonzero: dup_line_frac needs a newline, top_bigram_frac
         # needs >= 8 words — most transcripts skip both loops entirely
         dup_v = np.zeros(n, dtype=np.float64)
-        for i in np.flatnonzero(s.str.contains("\n", regex=False).to_numpy()):
+        for i in np.flatnonzero(has_nl_v):
             dup_v[i] = dup_line_frac(t[i] or "")
         big_v = np.zeros(n, dtype=np.float64)
         for i in np.flatnonzero(n_words_v >= 8):
