@@ -312,3 +312,35 @@ def test_batch_char_signals_matches_regex_twins(texts):
         assert n_alsp[i] == len(_ALNUM_SPACE_RE.findall(ref)), (i, txt)
         assert n_dig[i] == len(_DIGIT_RE.findall(ref)), (i, txt)
         assert bool(has_nl[i]) == ("\n" in ref), (i, txt)
+
+
+_MAP_VALS = st.text(
+    st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=8
+)
+
+
+@given(
+    st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=80),
+    st.lists(st.tuples(st.sampled_from(["EMAIL_1", "PHONE_1", "SSN_2", "X_1"]),
+                       _MAP_VALS), min_size=0, max_size=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_substitute_text_matches_regex_formulation(text, mapping):
+    """The pure-string single-pass substitution must equal the regex
+    ordered-alternation it replaced, byte for byte, on arbitrary text ×
+    mapping combinations (overlaps, same-start ties, repeated values,
+    values that are substrings of each other)."""
+    import re
+
+    from top_secret_spark.kernel.scrub import substitute_text
+
+    got = substitute_text(text, mapping)
+    if not mapping:
+        assert got == text
+        return
+    value_to_label = {}
+    for key, value in mapping:
+        value_to_label[value] = f"[{key}]"
+    pattern = "|".join(re.escape(v) for v in value_to_label)
+    exp = re.sub(pattern, lambda m: value_to_label[m.group(0)], text)
+    assert got == exp, (text, mapping)

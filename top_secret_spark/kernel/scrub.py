@@ -75,8 +75,45 @@ def substitute_text(text: str, mapping: list[tuple[str, str]]) -> str:
     value_to_label: dict[str, str] = {}
     for key, value in mapping:
         value_to_label[value] = f"[{key}]"
-    pattern = "|".join(re.escape(v) for v in value_to_label)
-    return re.sub(pattern, lambda m: value_to_label[m.group(0)], text)
+    if "" in value_to_label:
+        # degenerate empty-string value (never produced by the built-in
+        # patterns, possible from a pathological custom filter): keep
+        # the regex path, whose empty-alternative semantics are the
+        # definition
+        pattern = "|".join(re.escape(v) for v in value_to_label)
+        return re.sub(pattern, lambda m: value_to_label[m.group(0)], text)
+    # Pure-string single pass with identical semantics to
+    # `re.sub("|".join(map(re.escape, values)), ...)`: the regex engine
+    # advances position by position and takes the FIRST alternative (in
+    # mapping insertion order) matching at the current position — i.e.
+    # earliest start wins, insertion order breaks same-start ties, and a
+    # match's span is consumed (emitted placeholders can never re-match).
+    # Building the alternation compiled a FRESH regex per row (values
+    # differ row to row, so re's pattern cache never hits) — the compile
+    # dominated the whole substitution stage; str.find is literal by
+    # construction and needs no escaping.  Equivalence is
+    # hypothesis-gated against the regex formulation.
+    vals = list(value_to_label)
+    events: list[tuple[int, int]] = []
+    for oi, v in enumerate(vals):
+        start = text.find(v)
+        while start != -1:
+            events.append((start, oi))
+            start = text.find(v, start + 1)
+    if not events:
+        return text
+    events.sort()
+    out: list[str] = []
+    cursor = 0
+    for start, oi in events:
+        if start < cursor:
+            continue
+        v = vals[oi]
+        out.append(text[cursor:start])
+        out.append(value_to_label[v])
+        cursor = start + len(v)
+    out.append(text[cursor:])
+    return "".join(out)
 
 
 def filter_text(

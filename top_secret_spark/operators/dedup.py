@@ -399,29 +399,27 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
         data, lengths = encode_batch(normed)
         doc_idx, h = ngram_hashes(data, lengths, shingle_k, _SHINGLE_BUCKETS)
         # sentinel > any (a*x+b) >> 3 value (which is < 2^61) — fits int64
-        sigs = np.full((len(normed), num_hashes), 1 << 62, dtype=np.int64)
+        sigs = np.full((len(normed), num_hashes), 1 << 62, dtype=np.uint64)
         if len(h):
-            # distinct shingles per doc, then permute and min-reduce
-            order = np.lexsort((h, doc_idx))
-            d_s, h_s = doc_idx[order], h[order]
-            keep = np.ones(len(h_s), dtype=bool)
-            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-            d_s = d_s[keep]
-            h_u = h_s[keep].astype(np.uint64)
-            # (n_shingles, num_hashes) in manageable chunks; d_s is sorted,
-            # so per-doc mins come from one reduceat over segment starts
-            # (np.minimum.at scatter is ~30x slower — measured)
-            for start in range(0, len(h_u), 65536):
-                hs = h_u[start : start + 65536]
-                ds = d_s[start : start + 65536]
-                vals = (
-                    (hs[:, None] * a[None, :] + b[None, :]) >> np.uint64(3)
-                ).astype(np.int64)
-                seg = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
-                seg_min = np.minimum.reduceat(vals, seg, axis=0)
-                docs = ds[seg]  # unique within the chunk
-                sigs[docs] = np.minimum(sigs[docs], seg_min)
-        return pd.Series(list(sigs))
+            # doc_idx is NONDECREASING by construction (n-gram positions
+            # come out in document order), so per-doc mins are one
+            # reduceat over the raw run starts — no sort, and no per-doc
+            # shingle dedup either (the min over a multiset equals the
+            # min over its distinct set).  One reused full-length tmp
+            # column per permutation (in-place multiply/add/shift +
+            # reduceat) replaces the (chunk × num_hashes) matrix this
+            # rewrote: that layout materialized and re-read a 33 MB
+            # block per chunk and measured ~9x slower.
+            h_u = h.astype(np.uint64)
+            seg = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+            docs = doc_idx[seg]
+            tmp = np.empty(len(h_u), dtype=np.uint64)
+            for j in range(num_hashes):
+                np.multiply(h_u, a[j], out=tmp)
+                tmp += b[j]
+                tmp >>= np.uint64(3)
+                sigs[docs, j] = np.minimum.reduceat(tmp, seg)
+        return pd.Series(list(sigs.astype(np.int64)))
 
     return minhash
 
