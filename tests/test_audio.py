@@ -1494,3 +1494,66 @@ def test_dc_removed_clips_strips_offset_keeps_signal(spark):
     )
     with pytest.raises(Exception, match="sr_hz"):
         dc_removed_clips(bad).collect()
+
+
+def test_segmented_kernels_regime_paths_agree():
+    """The long-clip per-slice loop and the short-clip blocked reduceat
+    path must produce identical results on the SAME batch — the regime
+    dispatch (SEGMENT_LONG_CLIP on mean length) is a performance choice,
+    never a semantics one.  Forced via monkeypatching the threshold."""
+    import numpy as np
+
+    from top_secret_spark.kernel import audio as ka
+
+    rng = np.random.default_rng(7)
+    lens = [0, 1, 333, 5000, 9000, 2, 12000, 0, 800]
+    clips = [rng.standard_normal(n).astype(np.float32) * 0.4 for n in lens]
+    samples = np.concatenate([c for c in clips]) if clips else np.empty(0)
+    samples = samples.astype(np.float32)
+    lengths = np.array(lens, dtype=np.int64)
+    srs = np.full(len(lens), 16000.0)
+
+    old = ka.SEGMENT_LONG_CLIP
+    try:
+        ka.SEGMENT_LONG_CLIP = 10**9  # force blocked vectorized path
+        r1, z1, d1 = ka.segmented_features(samples, lengths, srs)
+        s1, c1 = ka.segmented_ratios(samples, lengths)
+        ka.SEGMENT_LONG_CLIP = 0  # force per-clip slice loop
+        r2, z2, d2 = ka.segmented_features(samples, lengths, srs)
+        s2, c2 = ka.segmented_ratios(samples, lengths)
+    finally:
+        ka.SEGMENT_LONG_CLIP = old
+    np.testing.assert_allclose(r1, r2, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(z1, z2)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_batch_pair_snr_regime_paths_agree():
+    """Pair-SNR long (per-pair dot) and short (blocked cumsum) regimes
+    must agree within float tolerance on the same pairs."""
+    import numpy as np
+
+    from top_secret_spark.kernel import audio as ka
+    from top_secret_spark.kernel.audio import encode, synth_pcm
+
+    pairs_a, pairs_b = [], []
+    for i in range(12):
+        x = synth_pcm(100 + i, 4000 + i * 37, 8000)
+        y = x if i % 3 else synth_pcm(999 + i, len(x), 8000)
+        pairs_a.append(encode(x, "pcm16"))
+        pairs_b.append(encode(y, "ulaw"))
+    ca, cb = ["pcm16"] * 12, ["ulaw"] * 12
+
+    old = ka.SEGMENT_LONG_CLIP
+    try:
+        ka.SEGMENT_LONG_CLIP = 10**9
+        short_path = ka.batch_pair_snr(pairs_a, pairs_b, ca, cb)
+        ka.SEGMENT_LONG_CLIP = 0
+        long_path = ka.batch_pair_snr(pairs_a, pairs_b, ca, cb)
+    finally:
+        ka.SEGMENT_LONG_CLIP = old
+    # cumsum-difference vs per-pair dot rounding: ~1e-9 dB apart, eight
+    # orders below the 20-30 dB gate margins
+    np.testing.assert_allclose(short_path, long_path, rtol=0, atol=1e-6)

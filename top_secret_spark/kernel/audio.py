@@ -448,7 +448,10 @@ def segmented_features(
             d = np.abs(np.diff(sb))
             if len(d):
                 boundary = offsets[1:] - 1  # diffs straddling clips
-                d[boundary[boundary < len(d)]] = 0
+                # clamp BOTH ends: a zero-length clip at the START of
+                # the block puts -1 here, which would zero d[-1] (the
+                # LAST clip's final crossing) via negative indexing
+                d[boundary[(boundary >= 0) & (boundary < len(d))]] = 0
                 csum = np.zeros(len(d) + 1, dtype=np.int64)
                 np.cumsum(d, dtype=np.int64, out=csum[1:])
                 # csum has len(d)+1 entries; clamp BOTH indices to
