@@ -1589,3 +1589,90 @@ def dc_removed_clips(df: DataFrame, win_ms: int = 125) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def speech_drop_reason_col(min_ratio: float = 0.3) -> Column:
+    """Gate over the columns emitted by ``with_speech_activity`` (pure
+    Catalyst, NULL = keep): ``vad_error`` names undecodable rows,
+    ``no_speech`` clips whose VAD found nothing voiced, and
+    ``low_speech_ratio`` clips mostly silence/noise-floor — an ASR
+    corpus wants utterances, not room tone."""
+    return (
+        F.when(~F.col("vad_ok"), F.lit("vad_error"))
+        .when(F.col("speech_ratio") == 0.0, F.lit("no_speech"))
+        .when(
+            F.col("speech_ratio") < F.lit(float(min_ratio)),
+            F.lit("low_speech_ratio"),
+        )
+    )
+
+
+def with_speech_activity(
+    df: DataFrame,
+    threshold: float = 0.01,
+    gap_ms: int = 200,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append energy-VAD speech-activity measurements: ``vad_ok``,
+    ``speech_ratio`` (voiced samples / decoded samples), and
+    ``n_speech_segments`` — the utterance count under the SAME
+    segmentation semantics as ``split_clips_on_silence`` (kernel
+    ``batch_voiced_segments``: voiced runs whose internal pauses are
+    shorter than ``gap_ms``).
+
+    Same batching discipline as ``with_snr_estimate``: one concatenated
+    decode + one vectorized VAD pass per (codec, sr_hz) group per Arrow
+    batch (the gap is sr-derived, hence the sr split); per-clip totals
+    come off the flat segment list with two ``np.add.at`` scatters — no
+    per-clip Python loop.  Poison rows (undecodable codec, NULL/odd
+    payload, bad sr) read ``vad_ok = false`` with zeroed measurements,
+    never a stage kill.  ``bytes`` dropped unless ``keep_bytes``.
+
+    Scale: map-only (zero Exchange); the gate itself
+    (``speech_drop_reason_col``) is a codegen'd projection on top, so
+    at 10^12 rows the cost is exactly one decode of each clip."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += ", vad_ok boolean, speech_ratio double, n_speech_segments int"
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_voiced_segments, decode_sr_groups
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            ratios = np.zeros(n, dtype=np.float64)
+            nsegs = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                gap = max(1, int(sr * gap_ms / 1000))
+                clip_idx, seg_start, seg_end = batch_voiced_segments(
+                    samples, lengths, threshold=threshold, gap=gap
+                )
+                voiced = np.zeros(len(idx), dtype=np.int64)
+                segs = np.zeros(len(idx), dtype=np.int64)
+                np.add.at(voiced, clip_idx, seg_end - seg_start)
+                np.add.at(segs, clip_idx, 1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    r = np.where(lengths > 0, voiced / lengths, 0.0)
+                ratios[idx] = r
+                nsegs[idx] = segs
+                # an empty-but-decodable payload measured nothing;
+                # same convention as with_snr_estimate's n_frames gate
+                oks[idx] = lengths > 0
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["vad_ok"] = oks
+            pdf["speech_ratio"] = ratios
+            pdf["n_speech_segments"] = nsegs.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

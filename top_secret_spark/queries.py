@@ -4518,6 +4518,103 @@ ORDER BY doc_id
 """
 
 
+def q_metadata_audit(spark, sf_dir):
+    """[tier: quality_filter x audio] metadata-integrity audit — the
+    zero-decode pre-gate that protects the expensive Arrow boundary at
+    10^12 rows: declared (sr_hz, dur_ms, codec) cross-checked against
+    the payload's own byte length with pure Catalyst expressions
+    (operators/integrity.py), violations named first-match.  Rows carry
+    PLANTED metadata states keyed by ``r % 8``
+    (sources/clips.py::integrity_rows_for_range), so the oracle
+    recomputes both the verdict AND the payload-implied duration from
+    the row index alone — verdicts and a derived feature are gated, not
+    just counts.  Reference parity: top_secret validates input at the
+    API edge (ref:lib/top_secret/text.rb raises on bad input); this is
+    the table-scale analog."""
+    _prep(spark)
+    from .operators.integrity import with_metadata_audit
+    from .sources.clips import integrity_clips_df
+
+    audited = with_metadata_audit(integrity_clips_df(spark, 240, partitions=4))
+    return audited.groupBy(
+        F.coalesce(F.col("meta_violation"), F.lit("ok")).alias(
+            "meta_violation"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("implied_dur_ms"), F.lit(0.0))
+        .cast("long")
+        .alias("sum_implied_ms"),
+    )
+
+
+Q_METADATA_AUDIT_SQL = """
+SELECT meta_violation,
+       cast(count(*) AS BIGINT) AS n,
+       cast(coalesce(sum(implied), 0) AS BIGINT) AS sum_implied_ms
+FROM (
+  SELECT CASE i % 8 WHEN 2 THEN 'duration_mismatch'
+                    WHEN 3 THEN 'misaligned_payload'
+                    WHEN 4 THEN 'unknown_codec'
+                    WHEN 5 THEN 'bad_sample_rate'
+                    WHEN 6 THEN 'empty_payload'
+                    ELSE 'ok' END AS meta_violation,
+         CASE i % 8 WHEN 0 THEN 1000 WHEN 1 THEN 800 WHEN 7 THEN 500
+                    WHEN 2 THEN 500 WHEN 6 THEN 0
+                    ELSE NULL END AS implied
+  FROM (SELECT unnest(range(0, 240)) AS i))
+GROUP BY meta_violation
+"""
+
+
+def q_vad_gate(spark, sf_dir):
+    """[tier: quality_filter x audio] energy-VAD speech-activity gate:
+    decode -> vectorized voiced-segment detection (one Arrow boundary,
+    kernel batch_voiced_segments — the SAME segmentation the splitter
+    q52 uses) -> pure-Catalyst keep/drop on speech_ratio.  Rows carry
+    PLANTED activity structure keyed by ``r % 5`` with codecs cycling
+    ``r % 3`` (sources/clips.py::vad_rows_for_range) and every planted
+    ratio is dyadic (1.0 / 0.75 / 0.125 / 0.0), so the oracle gates the
+    MEASURED speech ratio and segment count bit-for-bit from the row
+    index alone.  An ASR corpus gate: room tone and mostly-silent rows
+    waste tokens downstream."""
+    _prep(spark)
+    from .operators.audio import speech_drop_reason_col, with_speech_activity
+    from .sources.clips import vad_clips_df
+
+    gated = with_speech_activity(
+        vad_clips_df(spark, 240, partitions=4)
+    ).withColumn("speech_drop_reason", speech_drop_reason_col(min_ratio=0.3))
+    return gated.groupBy(
+        F.coalesce(F.col("speech_drop_reason"), F.lit("keep")).alias(
+            "speech_drop_reason"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("speech_ratio") * 1000).cast("long").alias("sum_ratio_x1000"),
+        F.sum("n_speech_segments").cast("long").alias("sum_segments"),
+    )
+
+
+Q_VAD_GATE_SQL = """
+SELECT speech_drop_reason,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(ratio * 1000) AS BIGINT) AS sum_ratio_x1000,
+       cast(sum(segs) AS BIGINT) AS sum_segments
+FROM (
+  SELECT CASE i % 5 WHEN 2 THEN 'low_speech_ratio'
+                    WHEN 3 THEN 'no_speech'
+                    WHEN 4 THEN 'vad_error'
+                    ELSE 'keep' END AS speech_drop_reason,
+         CASE i % 5 WHEN 0 THEN 1.0 WHEN 1 THEN 0.75
+                    WHEN 2 THEN 0.125 ELSE 0.0 END AS ratio,
+         CASE i % 5 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 1 ELSE 0 END AS segs
+  FROM (SELECT unnest(range(0, 240)) AS i))
+GROUP BY speech_drop_reason
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -4620,4 +4717,6 @@ QUERIES = {
     # above); names unchanged, still locally gated at every scale
     "q49_trim_silence": (q_trim_silence, Q_TRIM_SILENCE_SQL),
     "q50_dedup_lines": (q_dedup_lines, Q_DEDUP_LINES_SQL),
+    "q88_metadata_audit": (q_metadata_audit, Q_METADATA_AUDIT_SQL),
+    "q89_vad_gate": (q_vad_gate, Q_VAD_GATE_SQL),
 }

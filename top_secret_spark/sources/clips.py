@@ -850,3 +850,140 @@ def dc_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+INTEGRITY_CLASS_PERIOD = 8  # row r's planted metadata state = r % 8
+
+
+def integrity_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED metadata-integrity states, keyed by
+    ``r % 8`` so a SQL oracle recomputes the expected audit verdict AND
+    the implied duration from the row index alone: 0 consistent pcm16
+    (1000 ms), 1 consistent ulaw (800 ms), 2 duration_mismatch (500 ms
+    payload declared as 1000), 3 misaligned pcm16 (last byte torn),
+    4 unknown codec tag, 5 zero sample rate, 6 empty payload with a
+    positive declared duration, 7 consistent alaw (500 ms @ 16 kHz)."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(start, end):
+        kind = r % INTEGRITY_CLASS_PERIOD
+        sr_hz, dur_ms, codec = 8000, 1000, "pcm16"
+        if kind == 1:
+            codec, dur_ms = "ulaw", 800
+        elif kind == 7:
+            codec, sr_hz, dur_ms = "alaw", 16000, 500
+        payload_ms = 500 if kind == 2 else dur_ms
+        n = int(sr_hz * payload_ms / 1000)
+        pcm = synth_pcm(SEED * 13_000_021 + r, n, sr_hz)
+        if kind == 4:
+            codec, data = "mp3", b"\xffID3" + bytes(60)
+        elif kind == 5:
+            sr_hz, data = 0, encode(pcm, codec)
+        elif kind == 6:
+            data = b""
+        else:
+            data = encode(pcm, codec)
+            if kind == 3:
+                data = data[:-1]  # torn final sample
+        out["clip_id"].append(f"meta-{r:010d}")
+        out["bytes"].append(data)
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(dur_ms)
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for audited clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def integrity_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted metadata-state clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield integrity_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
+
+
+VAD_CLASS_PERIOD = 5  # row r's planted speech-activity class = r % 5
+
+
+def _vad_voiced(n: int) -> np.ndarray:
+    """Constant-magnitude (0.45) alternating block wave: every sample is
+    unambiguously voiced (|x| ≈ 0.45 across all three codecs, vs the
+    0.01 VAD threshold) and there is no DC component to upset the
+    companded codecs."""
+    return np.where(
+        (np.arange(n) // 8) % 2 == 0, 0.45, -0.45
+    ).astype(np.float32)
+
+
+def vad_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED speech-activity structure, keyed by
+    ``r % 5`` (codec cycles ``r % 3`` — companded silence must still
+    read as silence): 0 fully voiced (ratio 1.0, 1 segment), 1 two
+    3000-sample utterances around a 2000-sample pause (ratio 0.75,
+    2 segments — the pause exceeds the 1600-sample VAD gap), 2 one
+    1000-sample utterance inside 7000 samples of silence (ratio 0.125,
+    1 segment), 3 digital silence (ratio 0.0, 0 segments), 4 an
+    undecodable codec tag (vad_ok = false).  Segment arithmetic is
+    EXACT by construction — every voiced sample sits at |x| ≈ 0.45 and
+    every silent sample below 2.5e-4 after any codec — so the oracle
+    gates the measured speech_ratio, not just the decision."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    for r in range(start, end):
+        kind = r % VAD_CLASS_PERIOD
+        codec = _CODECS[r % 3]
+        if kind == 0:
+            pcm = _vad_voiced(8000)
+        elif kind == 1:
+            pcm = np.concatenate(
+                [_vad_voiced(3000), np.zeros(2000, np.float32), _vad_voiced(3000)]
+            )
+        elif kind == 2:
+            pcm = np.concatenate(
+                [np.zeros(3500, np.float32), _vad_voiced(1000),
+                 np.zeros(3500, np.float32)]
+            )
+        else:
+            pcm = np.zeros(8000, np.float32)
+        if kind == 4:
+            codec, data = "opus", b"\x00\x01\x02\x03"
+        else:
+            data = encode(pcm, codec)
+        out["clip_id"].append(f"vad-{r:010d}")
+        out["bytes"].append(data)
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for vad clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def vad_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted speech-activity clips (same no-shuffle range
+    → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield vad_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
