@@ -1557,3 +1557,60 @@ def test_batch_pair_snr_regime_paths_agree():
     # cumsum-difference vs per-pair dot rounding: ~1e-9 dB apart, eight
     # orders below the 20-30 dB gate margins
     np.testing.assert_allclose(short_path, long_path, rtol=0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# window hashing + repeated-segment detection
+
+
+def test_batch_window_hashes_shape_and_tail():
+    from top_secret_spark.kernel.audio import batch_window_hashes
+
+    a = synth_pcm(seed=1, n_samples=2500, sr_hz=8000)
+    b = synth_pcm(seed=2, n_samples=999, sr_hz=8000)   # < one window
+    c = synth_pcm(seed=3, n_samples=3000, sr_hz=8000)
+    samples = np.concatenate([a, b, c])
+    lengths = np.array([2500, 999, 3000])
+    ci, wi, h = batch_window_hashes(samples, lengths, win=1000)
+    # ragged tails dropped: 2 + 0 + 3 complete windows
+    assert ci.tolist() == [0, 0, 2, 2, 2]
+    assert wi.tolist() == [0, 1, 0, 1, 2]
+    assert len(set(h.tolist())) == 5  # distinct content -> distinct hashes
+
+
+def test_batch_window_hashes_content_identity():
+    from top_secret_spark.kernel.audio import batch_window_hashes
+
+    base = synth_pcm(seed=7, n_samples=1000, sr_hz=8000)
+    tail = synth_pcm(seed=8, n_samples=1000, sr_hz=8000)
+    # clip 0 = [base, tail]; clip 1 = [tail, base]: same windows, swapped
+    samples = np.concatenate([base, tail, tail, base])
+    lengths = np.array([2000, 2000])
+    ci, wi, h = batch_window_hashes(samples, lengths, win=1000)
+    assert h[0] == h[3] and h[1] == h[2]  # position-free content hash
+    assert h[0] != h[1]
+    # quantization identity: starting FROM lattice points, a jitter far
+    # below the half-step distance to any rounding boundary cannot move
+    # the pcm16 value, so the hash is unchanged
+    snapped = pcm16_to_float(float_to_pcm16(base))
+    _, _, hs = batch_window_hashes(snapped, np.array([1000]), win=1000)
+    jit = snapped + np.float32(1e-6)
+    _, _, h2 = batch_window_hashes(jit, np.array([1000]), win=1000)
+    assert h2[0] == hs[0]
+
+
+def test_repeated_audio_segments_planted(spark):
+    from top_secret_spark.operators.audio import repeated_audio_segments
+    from top_secret_spark.sources.clips import repeat_clips_df
+
+    out = {
+        r["clip_id"]: (r["n_repeated_windows"], r["first_repeated_win"])
+        for r in repeated_audio_segments(
+            repeat_clips_df(spark, 48, partitions=2), win_ms=250
+        ).collect()
+    }
+    assert len(out) == 48
+    for r in range(48):
+        kind = r % 4
+        want = {0: (2, 0), 1: (0, None), 2: (2, 2), 3: (0, None)}[kind]
+        assert out[f"rep-{r:010d}"] == want, (r, kind, out[f"rep-{r:010d}"])

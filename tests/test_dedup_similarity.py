@@ -1078,3 +1078,30 @@ def test_corpus_diff_statuses_and_normalized_identity(spark):
     row = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}[4]
     assert row["old_fingerprint"] is not None
     assert row["new_fingerprint"] is None
+
+
+def test_dedup_exact_keep_best_policy(spark, docs):
+    """Survivorship policy: highest quality wins, tie -> lowest id,
+    NULL quality loses to any scored member."""
+    from top_secret_spark.operators.dedup import dedup_exact_keep_best
+
+    scored = docs.withColumn(
+        "q",
+        F.when(F.col("doc_id") == 1, F.lit(9.0))    # best in the dup group
+        .when(F.col("doc_id") == 2, F.lit(None))     # NULL must lose
+        .when(F.col("doc_id") == 0, F.lit(3.0))
+        .otherwise(F.lit(1.0)),
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_exact_keep_best(scored, "q").collect()
+    )
+    assert kept == [1, 3, 4, 5]  # doc 1 survives its group, not min-id 0
+
+    # tie on quality -> deterministic lowest id
+    tied = docs.withColumn("q", F.lit(1.0))
+    kept_tied = sorted(
+        r["doc_id"]
+        for r in dedup_exact_keep_best(tied, "q").collect()
+    )
+    assert kept_tied == [0, 3, 4, 5]

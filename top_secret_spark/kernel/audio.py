@@ -1013,3 +1013,49 @@ def batch_remove_dc(
     hi = np.minimum(pos + w + 1, ends)
     mean = (csum[hi] - csum[lo]) / (hi - lo)
     return (x - mean).astype(np.float32)
+
+
+# Window hashing for repeated-segment detection: an odd multiplier makes
+# the uint64 polynomial hash a bijection per position, and the splitmix
+# finalizer breaks the linear structure so nearby windows never cluster.
+_WIN_HASH_P = np.uint64(0x9E3779B97F4A7C55)
+
+
+def batch_window_hashes(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    win: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fixed-width window fingerprints over a concatenated PCM buffer:
+    each clip is cut into ``len // win`` complete ``win``-sample windows
+    (the ragged tail is dropped — a partial window can't match a full
+    one), every window's samples are quantized to pcm16 (so any codec's
+    decode lands on the same lattice) and hashed with a uint64
+    polynomial + splitmix finalizer.  Returns ``(clip_idx, win_idx,
+    hashes)`` — one row per complete window.
+
+    Fully vectorized: one quantize, one gather to a (n_windows, win)
+    matrix, one row-wise multiply-add against the power vector — no
+    per-window Python.  Byte-identical audio windows hash identically
+    by construction; distinct windows collide with ~2^-64 probability."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if win <= 0:
+        raise ValueError("win must be a positive sample count")
+    n_wins = lengths // win
+    total = int(n_wins.sum())
+    e = np.empty(0, dtype=np.int64)
+    if total == 0:
+        return e, e.copy(), e.copy()
+    offs = np.cumsum(lengths) - lengths
+    clip_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), n_wins)
+    win_idx = _concat_aranges(n_wins)
+    # flat start of every window, then a (n_windows, win) gather
+    starts = offs[clip_idx] + win_idx * win
+    mat = float_to_pcm16(samples)[
+        starts[:, None] + np.arange(win, dtype=np.int64)[None, :]
+    ].astype(np.uint64)
+    pow_vec = np.full(win, _WIN_HASH_P, dtype=np.uint64)
+    pow_vec[0] = np.uint64(1)
+    pow_vec = np.multiply.accumulate(pow_vec)  # wraps mod 2^64 silently
+    h = (mat * pow_vec[None, :]).sum(axis=1, dtype=np.uint64)
+    return clip_idx, win_idx, _splitmix64(h).view(np.int64)

@@ -1676,3 +1676,102 @@ def with_speech_activity(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def audio_window_hashes(df: DataFrame, win_ms: int = 250) -> DataFrame:
+    """One row per complete ``win_ms`` window of every decodable clip:
+    ``(clip_id, win_idx, win_hash)``.  The hash is a uint64 polynomial
+    over the window's pcm16-quantized samples (kernel
+    ``batch_window_hashes``) — byte-identical audio hashes identically
+    regardless of which codec carried it, distinct audio collides at
+    ~2^-64.  Window length is sr-derived (``decode_sr_groups`` split),
+    so a window always means the same wall-clock span.
+
+    This is the fixed-width sketch the repeated-segment detector
+    shuffles INSTEAD of PCM — 20 bytes per 250 ms window vs 4 kB of
+    samples, the same never-shuffle-the-payload discipline as MinHash
+    (operators/dedup.py module docstring)."""
+
+    def run(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel.audio import batch_window_hashes, decode_sr_groups
+
+        for pdf in iterator:
+            ids_out = []
+            wins_out = []
+            hashes_out = []
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            clip_ids = pdf["clip_id"].to_numpy()
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                win = max(1, int(sr * win_ms / 1000))
+                ci, wi, h = batch_window_hashes(samples, lengths, win)
+                ids_out.append(clip_ids[idx][ci])
+                wins_out.append(wi)
+                hashes_out.append(h)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "clip_id": np.concatenate(ids_out),
+                        "win_idx": np.concatenate(wins_out).astype("int32"),
+                        "win_hash": np.concatenate(hashes_out),
+                    }
+                )
+
+    return df.mapInPandas(
+        run, schema="clip_id string, win_idx int, win_hash long"
+    )
+
+
+def repeated_audio_segments(
+    df: DataFrame, win_ms: int = 250, min_clips: int = 2
+) -> DataFrame:
+    """Repeated-content detection INSIDE clips: find fixed-width audio
+    windows that recur across >= ``min_clips`` distinct clips — intro
+    jingles, ad reads, ringtones, hold music — the audio analog of C4's
+    repeated-line strip (``dedup_lines``).  Whole-clip dedup never sees
+    these: each episode is unique, only its first N seconds repeat.
+
+    Returns one row per input clip: ``(clip_id, n_repeated_windows,
+    first_repeated_win)`` (0 / NULL when nothing repeats, so a splice
+    with ``trimmed_clips``/``chunked_clips`` can cut the span).
+
+    Scale shape: the ONLY things shuffled are (win_hash, clip_id,
+    win_idx) sketch rows — the groupBy folds map-side partials on the
+    8-byte hash, the flag join is hash-on-hash, and PCM never leaves
+    the decode task.  At 10^12 clips this is the difference between
+    shuffling ~20 B and ~4 kB per window."""
+    wins = audio_window_hashes(df, win_ms=win_ms).persist()
+    try:
+        repeated = (
+            wins.groupBy("win_hash")
+            .agg(F.count_distinct("clip_id").alias("n_clips"))
+            .filter(F.col("n_clips") >= int(min_clips))
+            .select("win_hash")
+        )
+        per_clip = (
+            wins.join(repeated, "win_hash", "inner")
+            .groupBy("clip_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_repeated_windows"),
+                F.min("win_idx").alias("first_repeated_win"),
+            )
+        )
+        out = (
+            df.select("clip_id")
+            .join(per_clip, "clip_id", "left")
+            .withColumn(
+                "n_repeated_windows",
+                F.coalesce(F.col("n_repeated_windows"), F.lit(0)).cast("long"),
+            )
+        )
+        # materialization happens in the caller; the persist covers the
+        # two passes over the window table (groupBy + join)
+        return out
+    finally:
+        wins.unpersist(blocking=False)

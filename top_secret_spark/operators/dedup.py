@@ -61,6 +61,37 @@ def dedup_exact(
     return fp.join(w_min, ["fingerprint", id_col], "inner").drop("fingerprint")
 
 
+def dedup_exact_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Survivorship POLICY dedup: one row per normalized-content
+    fingerprint, keeping the HIGHEST-``quality_col`` member (ties break
+    to the lowest id, so the survivor is deterministic under any
+    partitioning).  ``dedup_exact`` keeps min-id — fine when members
+    are byte-identical; once the fingerprint normalizes (case, Unicode
+    whitespace), members genuinely differ and WHICH one survives
+    matters.  CCNet keeps the best-perplexity copy of each duplicate
+    for exactly this reason; raw-length / quality-score policies are
+    the same shape — callers pass any numeric column.
+
+    Scale: identical plan to ``dedup_exact`` — the groupBy shuffles
+    only (fingerprint, quality, id), three fixed-width columns, and
+    ``max_by`` folds map-side, so winner selection never moves document
+    bodies; the winners join is on the 8-byte (fingerprint, id) pair.
+    NULL quality loses to any non-NULL quality (Spark struct ordering
+    sorts NULL first under max)."""
+    fp = with_fingerprint(df, text_col)
+    winners = fp.groupBy("fingerprint").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(quality_col), -F.col(id_col))
+        ).alias(id_col)
+    )
+    return fp.join(winners, ["fingerprint", id_col], "inner").drop("fingerprint")
+
+
 def _rebuild_documents(df, rebuilt, id_col, text_col, n_orig, counter_col):
     """Shared rebuild tail of the line/span dedup operators: left-join
     the rebuilt (_rid, _new_text, _n_kept) rows back onto ``df``,

@@ -4615,6 +4615,93 @@ GROUP BY speech_drop_reason
 """
 
 
+def q_survivor_policy(spark, sf_dir):
+    """[training-data] survivorship-POLICY dedup (CCNet keeps the
+    best-perplexity copy of each duplicate; this is that policy as an
+    operator): one row per normalized-content fingerprint keeping the
+    HIGHEST-quality member, ties to the lowest id.  Each document is
+    paired with a whitespace-decorated variant (same fingerprint by
+    normalization) whose quality is shifted by ``doc_id % 3`` — variant
+    wins / original wins / exact tie — so the oracle recomputes the
+    full survivor SET row-by-row (id AND quality), not counts.  Spark
+    groups on the 8-byte xxhash64 fingerprint (what a 100 TB corpus
+    shuffles); the oracle reasons over the planted pair structure."""
+    from .operators.dedup import dedup_exact_keep_best
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.col("n_chars").cast("long").alias("quality"),
+    )
+    variant = docs.select(
+        (F.col("doc_id") + 1_000_000).cast("long").alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit(" \t")).alias("text"),
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 3 == 0, F.lit(5))
+            .when(F.col("doc_id") % 3 == 1, F.lit(-5))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("quality"),
+    )
+    surv = dedup_exact_keep_best(
+        base.unionByName(variant), "quality", id_col="doc_id", text_col="text"
+    )
+    return surv.select("doc_id", "quality").orderBy("doc_id")
+
+
+Q_SURVIVOR_POLICY_SQL = """
+SELECT cast(CASE WHEN doc_id % 3 = 0 THEN doc_id + 1000000
+            ELSE doc_id END AS BIGINT) AS doc_id,
+       cast(n_chars + CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 0 END
+            AS BIGINT) AS quality
+FROM documents
+ORDER BY 1
+"""
+
+
+def q_repeated_segments(spark, sf_dir):
+    """[tier: quality_filter x audio] repeated-segment detection INSIDE
+    clips — the audio analog of C4's repeated-line strip: fixed 250 ms
+    pcm16-window fingerprints (kernel batch_window_hashes), windows
+    recurring across >= 2 distinct clips flagged per clip with
+    (n_repeated_windows, first_repeated_win).  Rows carry PLANTED
+    structure keyed by ``r % 4`` with codecs cycling ``r % 3``
+    (sources/clips.py::repeat_rows_for_range): a shared intro jingle at
+    the head (windows 0,1), nothing, the SAME jingle at the tail
+    (windows 2,3 — position differs, content matches), or a short clip
+    whose ragged tail the windower must drop — so the oracle recomputes
+    every clip's count AND first-repeat position from the row index
+    alone.  Whole-clip dedup (q44) never sees these: each clip is
+    unique, only its jingle repeats.  Scale shape: only 20-byte
+    (hash, id, idx) sketch rows shuffle; PCM never leaves the decode
+    task."""
+    _prep(spark)
+    from .operators.audio import repeated_audio_segments
+    from .sources.clips import repeat_clips_df
+
+    out = repeated_audio_segments(
+        repeat_clips_df(spark, 240, partitions=4), win_ms=250, min_clips=2
+    )
+    return out.select(
+        "clip_id",
+        F.col("n_repeated_windows").cast("long").alias("n_repeated_windows"),
+        F.col("first_repeated_win").cast("int").alias("first_repeated_win"),
+    ).orderBy("clip_id")
+
+
+Q_REPEATED_SEGMENTS_SQL = """
+SELECT printf('rep-%010d', i) AS clip_id,
+       cast(CASE WHEN i % 4 IN (0, 2) THEN 2 ELSE 0 END AS BIGINT)
+           AS n_repeated_windows,
+       cast(CASE WHEN i % 4 = 0 THEN 0
+                 WHEN i % 4 = 2 THEN 2 END AS INTEGER)
+           AS first_repeated_win
+FROM (SELECT unnest(range(0, 240)) AS i)
+ORDER BY clip_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -4719,4 +4806,6 @@ QUERIES = {
     "q50_dedup_lines": (q_dedup_lines, Q_DEDUP_LINES_SQL),
     "q88_metadata_audit": (q_metadata_audit, Q_METADATA_AUDIT_SQL),
     "q89_vad_gate": (q_vad_gate, Q_VAD_GATE_SQL),
+    "q90_survivor_policy": (q_survivor_policy, Q_SURVIVOR_POLICY_SQL),
+    "q91_repeated_segments": (q_repeated_segments, Q_REPEATED_SEGMENTS_SQL),
 }

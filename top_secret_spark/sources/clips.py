@@ -987,3 +987,84 @@ def vad_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+REPEAT_CLASS_PERIOD = 4  # row r's planted repeated-segment class = r % 4
+
+
+def _repeat_jingle(n: int) -> np.ndarray:
+    """The shared "intro jingle" waveform: a 0.3-amplitude block wave
+    with a 32-sample period.  Constant magnitude keeps every codec's
+    round trip deterministic (all jingle-bearing rows of one codec
+    decode to byte-identical pcm16), and 2000 % 32 != 0 makes adjacent
+    250 ms windows of the jingle DIFFER from each other — repetition is
+    only ever cross-clip, never a same-clip artifact."""
+    return np.where((np.arange(n) // 16) % 2 == 0, 0.3, -0.3).astype(
+        np.float32
+    )
+
+
+def _repeat_noise(r: int, n: int) -> np.ndarray:
+    """Per-row unique filler: PCG64-seeded uniform noise in ±0.4.  Two
+    distinct rows agreeing on a full 2000-sample pcm16-quantized window
+    would need 2000 simultaneous quantization collisions — the planted
+    outcome is deterministic (fixed seeds), and verified collision-free
+    once in tests."""
+    return (
+        np.random.default_rng(7_700_000 + r)
+        .uniform(-0.4, 0.4, n)
+        .astype(np.float32)
+    )
+
+
+def repeat_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED repeated-segment structure, keyed by
+    ``r % 4`` (codec cycles ``r % 3`` so matching happens inside each
+    codec's decode lattice; every class keeps >= 2 clips per codec):
+    0 = 500 ms jingle then 500 ms unique noise (windows 0,1 repeated),
+    1 = fully unique 1 s clip (nothing repeats), 2 = 500 ms unique
+    noise then the SAME jingle (windows 2,3 repeated — position differs,
+    content matches class 0's), 3 = 375 ms unique clip (one complete
+    250 ms window plus a ragged tail the windower must drop).  At
+    win_ms=250 / sr 8000 the oracle knows every clip's
+    (n_repeated_windows, first_repeated_win) from the row index alone."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    jingle = _repeat_jingle(4000)
+    for r in range(start, end):
+        kind = r % REPEAT_CLASS_PERIOD
+        codec = _CODECS[r % 3]
+        if kind == 0:
+            pcm = np.concatenate([jingle, _repeat_noise(r, 4000)])
+        elif kind == 1:
+            pcm = _repeat_noise(r, 8000)
+        elif kind == 2:
+            pcm = np.concatenate([_repeat_noise(r, 4000), jingle])
+        else:
+            pcm = _repeat_noise(r, 3000)
+        out["clip_id"].append(f"rep-{r:010d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(int(len(pcm) * 1000 / sr_hz))
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for repeat clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def repeat_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted repeated-segment clips (same no-shuffle range
+    → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield repeat_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
