@@ -1614,3 +1614,49 @@ def test_repeated_audio_segments_planted(spark):
         kind = r % 4
         want = {0: (2, 0), 1: (0, None), 2: (2, 2), 3: (0, None)}[kind]
         assert out[f"rep-{r:010d}"] == want, (r, kind, out[f"rep-{r:010d}"])
+
+
+def test_strip_repeated_segments_byte_exact(spark):
+    """The splice must equal the original payload minus the jingle's
+    byte span exactly (zero re-encode), with dur_ms rewritten and
+    untouched clips bit-identical."""
+    from top_secret_spark.operators.audio import strip_repeated_segments
+    from top_secret_spark.sources.clips import (
+        repeat_clips_df,
+        repeat_rows_for_range,
+    )
+
+    rows = repeat_rows_for_range(0, 24)
+    out = {
+        r["clip_id"]: r
+        for r in strip_repeated_segments(
+            repeat_clips_df(spark, 24, partitions=2), win_ms=250
+        ).collect()
+    }
+    for r in range(24):
+        orig = bytes(rows["bytes"][r])
+        o = out[f"rep-{r:010d}"]
+        wb = 2000 * (2 if rows["codec"][r] == "pcm16" else 1)
+        got = bytes(o["bytes"])
+        if r % 4 == 0:    # jingle at head -> tail survives verbatim
+            assert got == orig[2 * wb:] and o["dur_ms"] == 500
+        elif r % 4 == 2:  # jingle at tail -> head survives verbatim
+            assert got == orig[: 2 * wb] and o["dur_ms"] == 500
+        else:
+            assert got == orig and o["dur_ms"] == rows["dur_ms"][r]
+
+
+def test_strip_repeated_segments_poison_passthrough(spark):
+    from top_secret_spark.operators.audio import strip_repeated_segments
+
+    pois = spark.createDataFrame(
+        [("p1", b"\x01\x02\x03", 8000, 100, "opus", "t"),
+         ("p2", None, 8000, 100, "pcm16", "t"),
+         ("p3", b"\x01\x02\x03", None, 100, "pcm16", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    got = {r["clip_id"]: r for r in strip_repeated_segments(pois).collect()}
+    assert all(got[k]["n_removed_windows"] == 0 for k in got)
+    assert bytes(got["p1"]["bytes"]) == b"\x01\x02\x03"
+    assert got["p2"]["bytes"] is None

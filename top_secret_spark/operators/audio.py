@@ -1746,32 +1746,133 @@ def repeated_audio_segments(
     8-byte hash, the flag join is hash-on-hash, and PCM never leaves
     the decode task.  At 10^12 clips this is the difference between
     shuffling ~20 B and ~4 kB per window."""
+    per_clip = _repeated_windows_per_clip(df, win_ms, min_clips)
+    return (
+        df.select("clip_id")
+        .join(per_clip, "clip_id", "left")
+        .withColumn(
+            "n_repeated_windows",
+            F.coalesce(F.col("n_repeated_windows"), F.lit(0)).cast("long"),
+        )
+    )
+
+
+def _repeated_windows_per_clip(
+    df: DataFrame, win_ms: int, min_clips: int
+) -> DataFrame:
+    """Shared detect stage of the repeated-segment operators: one narrow
+    row per clip that HAS repeats — (clip_id, n_repeated_windows,
+    first_repeated_win, _drop_wins).  The window table is persisted for
+    its two passes (hash groupBy + flag join), the per-clip result is
+    eagerly materialized (bounded: one short row per flagged clip), and
+    the cache is released before returning — same persist →
+    localCheckpoint(eager) → unpersist discipline as
+    flag_contaminated_fuzzy, so nothing leaks for the application
+    lifetime and the decode never runs twice."""
     wins = audio_window_hashes(df, win_ms=win_ms).persist()
-    try:
-        repeated = (
-            wins.groupBy("win_hash")
-            .agg(F.count_distinct("clip_id").alias("n_clips"))
-            .filter(F.col("n_clips") >= int(min_clips))
-            .select("win_hash")
+    repeated = (
+        wins.groupBy("win_hash")
+        .agg(F.count_distinct("clip_id").alias("n_clips"))
+        .filter(F.col("n_clips") >= int(min_clips))
+        .select("win_hash")
+    )
+    per_clip = (
+        wins.join(repeated, "win_hash", "inner")
+        .groupBy("clip_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeated_windows"),
+            F.min("win_idx").alias("first_repeated_win"),
+            F.sort_array(F.collect_list("win_idx")).alias("_drop_wins"),
         )
-        per_clip = (
-            wins.join(repeated, "win_hash", "inner")
-            .groupBy("clip_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_repeated_windows"),
-                F.min("win_idx").alias("first_repeated_win"),
-            )
-        )
-        out = (
-            df.select("clip_id")
-            .join(per_clip, "clip_id", "left")
-            .withColumn(
-                "n_repeated_windows",
-                F.coalesce(F.col("n_repeated_windows"), F.lit(0)).cast("long"),
-            )
-        )
-        # materialization happens in the caller; the persist covers the
-        # two passes over the window table (groupBy + join)
-        return out
-    finally:
-        wins.unpersist(blocking=False)
+        .localCheckpoint(eager=True)
+    )
+    wins.unpersist()
+    return per_clip
+
+
+def strip_repeated_segments(
+    df: DataFrame, win_ms: int = 250, min_clips: int = 2
+) -> DataFrame:
+    """REMOVE cross-clip repeated windows from every clip — the
+    actionable form of ``repeated_audio_segments`` (detect) and the
+    audio analog of ``dedup_lines`` actually deleting the boilerplate:
+    intro jingles / ad reads / hold music are cut out of the payload,
+    the unique content survives byte-for-byte.
+
+    The splice is PURE CATALYST, zero re-encode: every supported codec
+    is a fixed-width sample encoding (pcm16 2 B, G.711 1 B), so a
+    sample window is a byte range and the kept ranges concatenate with
+    substring/aggregate expressions — the same zero-Python byte-splice
+    discipline as ``time_masked_clips``.  Window size is
+    ``greatest(1, floor(sr_hz*win_ms/1000))`` samples, identical to the
+    detection kernel's ``max(1, int(sr*win_ms/1000))`` over the same
+    declared rate, so detected indices always address the right bytes.
+    The ragged tail (never hashed, never matchable) is always kept.
+
+    Scale shape: only (hash, id, idx) sketch rows and the per-clip drop
+    list (a handful of ints for flagged clips ONLY) ever shuffle; the
+    payload crosses one hash join and is spliced in the map stage.
+    Rows the detector skipped (unknown codec, NULL payload/rate, poison
+    alignment) pass through unchanged with n_removed_windows = 0.
+    ``dur_ms`` is rewritten from the spliced length."""
+    drops = _repeated_windows_per_clip(df, win_ms, min_clips).select(
+        "clip_id", "_drop_wins"
+    )
+    out = df.join(drops, "clip_id", "left")
+
+    bps = (
+        F.when(F.col("codec") == "pcm16", F.lit(2))
+        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
+    )
+    win_bytes = (
+        F.greatest(
+            F.lit(1),
+            F.floor(F.col("sr_hz").cast("long") * win_ms / 1000),
+        ).cast("int")
+        * bps
+    )
+    n_complete = (F.length("bytes") / win_bytes).cast("int")
+    kept = F.filter(
+        F.sequence(F.lit(0), n_complete - 1),
+        lambda i: ~F.array_contains(F.col("_drop_wins"), i),
+    )
+    pieces = F.transform(
+        kept,
+        lambda i: F.col("bytes").substr(
+            i * win_bytes + 1, win_bytes
+        ),
+    )
+    tail = F.col("bytes").substr(
+        n_complete * win_bytes + 1, F.length("bytes")
+    )
+    spliced = F.concat(
+        F.aggregate(
+            pieces, F.lit(b""), lambda acc, p: F.concat(acc, p)
+        ),
+        tail,
+    )
+    splice_applies = (
+        F.col("_drop_wins").isNotNull()
+        & F.col("bytes").isNotNull()
+        & bps.isNotNull()
+    )
+    new_bytes = F.when(splice_applies, spliced).otherwise(F.col("bytes"))
+    n_removed = F.when(
+        splice_applies, F.size("_drop_wins")
+    ).otherwise(F.lit(0))
+    # stage the spliced payload in its own column FIRST: every later
+    # expression (duration) must read the new length without
+    # re-evaluating the splice against the already-replaced bytes
+    staged = out.withColumn("_new_bytes", new_bytes)
+    new_dur = F.when(
+        splice_applies & (F.col("sr_hz") > 0),
+        F.floor(
+            (F.length("_new_bytes") / bps) * 1000 / F.col("sr_hz")
+        ).cast("int"),
+    ).otherwise(F.col("dur_ms"))
+    return (
+        staged.withColumn("n_removed_windows", n_removed)
+        .withColumn("dur_ms", new_dur)
+        .withColumn("bytes", F.col("_new_bytes"))
+        .drop("_drop_wins", "_new_bytes")
+    )

@@ -4702,6 +4702,47 @@ ORDER BY clip_id
 """
 
 
+def q_strip_repeated(spark, sf_dir):
+    """[tier: quality_filter x audio] repeated-segment REMOVAL — the
+    actionable form of q91 (detect): cross-clip repeated 250 ms windows
+    (intro jingles / ad reads) are cut out of the payload with a
+    pure-Catalyst byte splice, zero re-encode (fixed-width codecs make
+    a sample window a byte range), the audio analog of dedup_lines
+    deleting the boilerplate it finds.  Same planted fixture as q91,
+    so the oracle recomputes every clip's removed-window count, new
+    duration, and new payload length from the row index alone (bytes
+    are codec-width-dependent: pcm16 2 B/sample, G.711 1 B).  Byte
+    EXACTNESS of the spliced payload (content equals the original minus
+    the jingle span) is pytest-gated (tests/test_audio.py)."""
+    _prep(spark)
+    from .operators.audio import strip_repeated_segments
+    from .sources.clips import repeat_clips_df
+
+    out = strip_repeated_segments(
+        repeat_clips_df(spark, 240, partitions=4), win_ms=250, min_clips=2
+    )
+    return out.select(
+        "clip_id",
+        F.col("n_removed_windows").cast("long").alias("n_removed_windows"),
+        F.col("dur_ms").cast("int").alias("dur_ms"),
+        F.length("bytes").cast("long").alias("n_bytes"),
+    ).orderBy("clip_id")
+
+
+Q_STRIP_REPEATED_SQL = """
+SELECT printf('rep-%010d', i) AS clip_id,
+       cast(CASE WHEN i % 4 IN (0, 2) THEN 2 ELSE 0 END AS BIGINT)
+           AS n_removed_windows,
+       cast(CASE i % 4 WHEN 1 THEN 1000 WHEN 3 THEN 375
+            ELSE 500 END AS INTEGER) AS dur_ms,
+       cast((CASE i % 4 WHEN 1 THEN 8000 WHEN 3 THEN 3000 ELSE 4000 END)
+            * (CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END) AS BIGINT)
+           AS n_bytes
+FROM (SELECT unnest(range(0, 240)) AS i)
+ORDER BY clip_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -4723,11 +4764,16 @@ QUERIES = {
     "q18_join_orders_per_nation": (q_join_orders_per_nation, Q_JOIN_ORDERS_SQL),
     "q19_window_latest_event": (q_window_latest_event, Q_WINDOW_LATEST_SQL),
     "q20_dictionary_scrub": (q_dictionary_scrub, Q_DICTIONARY_SCRUB_SQL),
-    "q21_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+    # q88-q91 (this round's flagship gates) sit in driver-checked slots,
+    # same policy as q86/q87 below; the four displaced queries (q21 ANN
+    # ~ q13 brute cosine, q25 jaccard-verify ~ q11's verify path, q35
+    # ivf-indexed ~ q29 ivf, q37 ~ q24+q39) move to the tail and stay
+    # under the identical local gate.
+    "q88_metadata_audit": (q_metadata_audit, Q_METADATA_AUDIT_SQL),
     "q22_pipeline_e2e": (q_pipeline_e2e, Q_PIPELINE_E2E_SQL),
     "q23_ner_scrub": (q_ner_scrub, Q_NER_SCRUB_SQL),
     "q24_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
-    "q25_ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
+    "q89_vad_gate": (q_vad_gate, Q_VAD_GATE_SQL),
     "q26_fingerprint_groups": (q_fingerprint_groups, Q_FINGERPRINT_SQL),
     "q27_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     "q28_toxicity": (q_toxicity, Q_TOXICITY_SQL),
@@ -4737,9 +4783,9 @@ QUERIES = {
     "q32_url_scrub": (q_url_scrub, Q_URL_SCRUB_SQL),
     "q33_ner_model_scrub": (q_ner_model_scrub, Q_NER_MODEL_SCRUB_SQL),
     "q34_checkpointed_stage": (q_checkpointed_stage, Q_CHECKPOINTED_STAGE_SQL),
-    "q35_ivf_indexed": (q_ivf_indexed, Q_IVF_INDEXED_SQL),
+    "q90_survivor_policy": (q_survivor_policy, Q_SURVIVOR_POLICY_SQL),
     "q36_simhash_hamming": (q_simhash_hamming_neardup, Q_SIMHASH_HAMMING_SQL),
-    "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
+    "q91_repeated_segments": (q_repeated_segments, Q_REPEATED_SEGMENTS_SQL),
     "q38_salted_topk": (q_salted_per_key_topk, Q_SALTED_TOPK_SQL),
     "q39_text_ann_topk": (q_text_ann_topk, Q_TEXT_ANN_SQL),
     "q40_audio_quality_gate": (q_audio_quality_gate, Q_AUDIO_GATE_SQL),
@@ -4804,8 +4850,9 @@ QUERIES = {
     # above); names unchanged, still locally gated at every scale
     "q49_trim_silence": (q_trim_silence, Q_TRIM_SILENCE_SQL),
     "q50_dedup_lines": (q_dedup_lines, Q_DEDUP_LINES_SQL),
-    "q88_metadata_audit": (q_metadata_audit, Q_METADATA_AUDIT_SQL),
-    "q89_vad_gate": (q_vad_gate, Q_VAD_GATE_SQL),
-    "q90_survivor_policy": (q_survivor_policy, Q_SURVIVOR_POLICY_SQL),
-    "q91_repeated_segments": (q_repeated_segments, Q_REPEATED_SEGMENTS_SQL),
+    "q21_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+    "q25_ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
+    "q35_ivf_indexed": (q_ivf_indexed, Q_IVF_INDEXED_SQL),
+    "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
+    "q92_strip_repeated": (q_strip_repeated, Q_STRIP_REPEATED_SQL),
 }
