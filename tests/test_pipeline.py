@@ -343,3 +343,52 @@ def test_quality_rule_audit_cofiring_and_column_gating(spark):
     assert names_full.index("repetition") < names_full.index("toxicity")
     # the audit's total mass equals the row count (partition of the frame)
     assert sum(n for _, n in got.values()) == 3
+
+
+def test_multimodal_fused_single_crossing_equivalence(spark):
+    """include_audio + fused must take the one-Arrow-crossing stage and
+    produce row-for-row identical output (by column NAME — the stage
+    emits fused fields after the audio features) to the legacy
+    two-crossing layout (decode mapInPandas + text pandas_udf),
+    including the folded audio gate."""
+    from top_secret_spark.operators.audio import AudioGateThresholds
+    from top_secret_spark.operators.fused import run_pipeline_fused
+    from top_secret_spark.operators.audio import with_audio_features
+
+    clips = clips_df(spark, 150, with_audio=True)
+    gate = AudioGateThresholds()
+    cfg = PipelineConfig(include_audio=True, audio_gate=gate)
+    one = run_pipeline(clips, cfg).orderBy("clip_id").collect()
+
+    # legacy two-crossing path, assembled explicitly
+    from top_secret_spark.pipeline import _fold_audio_gate
+    from top_secret_spark.operators.audio import audio_drop_reason_col
+    df = with_audio_features(clips)
+    reason = audio_drop_reason_col(gate)
+    df = df.withColumn("audio_drop_reason", reason).withColumn(
+        "audio_keep", reason.isNull()
+    )
+    two = _fold_audio_gate(run_pipeline_fused(df)).orderBy("clip_id").collect()
+
+    assert len(one) == len(two) > 0
+    cols = sorted(one[0].asDict())
+    assert cols == sorted(two[0].asDict())
+    for a, b in zip(one, two):
+        da, db = a.asDict(), b.asDict()
+        for c in cols:
+            assert da[c] == db[c], (da["clip_id"], c, da[c], db[c])
+
+
+def test_multimodal_fused_plan_single_python_stage(spark):
+    """The multimodal pipeline's plan must contain exactly ONE Python
+    boundary (the fused MapInPandas) and no Exchange."""
+    # localCheckpoint cuts the generator's own MapInPandas out of the
+    # measured plan — only the pipeline's boundary should remain
+    clips = clips_df(spark, 10, with_audio=True).localCheckpoint(eager=True)
+    plan = (
+        run_pipeline(clips, PipelineConfig(include_audio=True))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    n_python = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
+    assert n_python == 1, plan

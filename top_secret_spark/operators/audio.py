@@ -38,66 +38,73 @@ def with_audio_features(df: DataFrame) -> DataFrame:
     schema += ", " + _FEATURES_SCHEMA_SUFFIX
 
     def run(iterator):
-        import numpy as np
-
-        from ..kernel.audio import (
-            SUPPORTED_CODECS,
-            batch_decode,
-            pcm16_aligned_indices,
-            segmented_features,
-            segmented_ratios,
-        )
-
         for pdf in iterator:
-            n = len(pdf)
-            oks = np.zeros(n, dtype=bool)
-            rmss = np.zeros(n, dtype=np.float64)
-            zcrs = np.zeros(n, dtype=np.float64)
-            durs = np.zeros(n, dtype=np.int64)
-            # undecodable rows are DEFINED as fully silent: they carry no
-            # usable signal, and the gate names decode_error before
-            # silence anyway
-            sils = np.ones(n, dtype=np.float64)
-            clps = np.zeros(n, dtype=np.float64)
-            datas = pdf["bytes"].tolist()
-            codecs = pdf["codec"].to_numpy()
-            srs = pdf["sr_hz"].to_numpy()
-            # one concatenated decode + segmented feature pass per codec
-            # present in the batch — no per-clip Python loop
-            for codec in SUPPORTED_CODECS:
-                idx = np.flatnonzero(
-                    (codecs == codec)
-                    & np.array([d is not None for d in datas])
-                )
-                if codec == "pcm16":
-                    # a poison row must not kill the stage — mark
-                    # odd-length clips decode_ok=false, decode the rest
-                    idx = pcm16_aligned_indices(datas, idx)
-                if not len(idx):
-                    continue
-                samples, lengths = batch_decode(
-                    [bytes(datas[i]) for i in idx], codec
-                )
-                r, z, d = segmented_features(
-                    samples, lengths, srs[idx].astype(np.float64)
-                )
-                si, cl = segmented_ratios(samples, lengths)
-                oks[idx] = True
-                rmss[idx] = r
-                zcrs[idx] = z
-                durs[idx] = d
-                sils[idx] = si
-                clps[idx] = cl
-            pdf = pdf.drop(columns=["bytes"])
-            pdf["decode_ok"] = oks
-            pdf["rms"] = rmss
-            pdf["zcr"] = zcrs
-            pdf["dur_ms_measured"] = durs
-            pdf["silence_ratio"] = sils
-            pdf["clipping_ratio"] = clps
-            yield pdf
+            yield append_audio_feature_columns(pdf)
 
     return df.mapInPandas(run, schema=schema)
+
+
+def append_audio_feature_columns(pdf):
+    """Decode-boundary core shared by ``with_audio_features`` and the
+    single-crossing multimodal fused stage (operators/fused.py): one
+    concatenated decode + segmented feature pass per codec present in
+    the Arrow batch — no per-clip Python loop — then ``bytes`` is
+    dropped and the six feature columns are appended in place."""
+    import numpy as np
+
+    from ..kernel.audio import (
+        SUPPORTED_CODECS,
+        batch_decode,
+        pcm16_aligned_indices,
+        segmented_features,
+        segmented_ratios,
+    )
+
+    n = len(pdf)
+    oks = np.zeros(n, dtype=bool)
+    rmss = np.zeros(n, dtype=np.float64)
+    zcrs = np.zeros(n, dtype=np.float64)
+    durs = np.zeros(n, dtype=np.int64)
+    # undecodable rows are DEFINED as fully silent: they carry no
+    # usable signal, and the gate names decode_error before
+    # silence anyway
+    sils = np.ones(n, dtype=np.float64)
+    clps = np.zeros(n, dtype=np.float64)
+    datas = pdf["bytes"].tolist()
+    codecs = pdf["codec"].to_numpy()
+    srs = pdf["sr_hz"].to_numpy()
+    for codec in SUPPORTED_CODECS:
+        idx = np.flatnonzero(
+            (codecs == codec)
+            & np.array([d is not None for d in datas])
+        )
+        if codec == "pcm16":
+            # a poison row must not kill the stage — mark
+            # odd-length clips decode_ok=false, decode the rest
+            idx = pcm16_aligned_indices(datas, idx)
+        if not len(idx):
+            continue
+        samples, lengths = batch_decode(
+            [bytes(datas[i]) for i in idx], codec
+        )
+        r, z, d = segmented_features(
+            samples, lengths, srs[idx].astype(np.float64)
+        )
+        si, cl = segmented_ratios(samples, lengths)
+        oks[idx] = True
+        rmss[idx] = r
+        zcrs[idx] = z
+        durs[idx] = d
+        sils[idx] = si
+        clps[idx] = cl
+    pdf = pdf.drop(columns=["bytes"])
+    pdf["decode_ok"] = oks
+    pdf["rms"] = rmss
+    pdf["zcr"] = zcrs
+    pdf["dur_ms_measured"] = durs
+    pdf["silence_ratio"] = sils
+    pdf["clipping_ratio"] = clps
+    return pdf
 
 
 _SPECTRAL_SCHEMA_SUFFIX = (

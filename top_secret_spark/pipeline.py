@@ -130,6 +130,26 @@ def run_pipeline(
     drop_reason, scrubbed, mapping)."""
     df = clips
     audio_gated = config.include_audio and config.audio_gate is not None
+    if config.include_audio and config.fused and config.entities_col is None:
+        # single-crossing multimodal stage: decode + audio features +
+        # the full text kernel in ONE mapInPandas — the transcript (and
+        # every carried column) pays one Arrow round-trip, not two.
+        # Semantics identical to the two-stage path below (same batch
+        # cores; equivalence pytest-gated).  The entities-injected
+        # variant keeps the two-stage layout: struct columns arrive
+        # differently under mapInPandas and that path is rare.
+        from .operators.fused import run_pipeline_fused_multimodal
+
+        out = run_pipeline_fused_multimodal(
+            df, config.scrub, config.thresholds, config.scrub_dropped
+        )
+        if audio_gated:
+            reason = audio_drop_reason_col(config.audio_gate)
+            out = out.withColumn("audio_drop_reason", reason).withColumn(
+                "audio_keep", reason.isNull()
+            )
+            return _fold_audio_gate(out)
+        return out
     if config.include_audio:
         df = with_audio_features(df)
         if audio_gated:
