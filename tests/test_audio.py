@@ -1660,3 +1660,66 @@ def test_strip_repeated_segments_poison_passthrough(spark):
     assert all(got[k]["n_removed_windows"] == 0 for k in got)
     assert bytes(got["p1"]["bytes"]) == b"\x01\x02\x03"
     assert got["p2"]["bytes"] is None
+
+
+def test_speaking_rate_pairing_gate(spark):
+    from top_secret_spark.operators.audio import (
+        pairing_drop_reason_col,
+        with_speaking_rate,
+    )
+    from top_secret_spark.sources.clips import pairing_clips_df
+
+    out = {
+        r["clip_id"]: r
+        for r in with_speaking_rate(pairing_clips_df(spark, 30, partitions=2))
+        .withColumn("reason", pairing_drop_reason_col(4.0, 30.0))
+        .collect()
+    }
+    want = {0: (None, 16.0), 1: ("rate_too_fast", 80.0),
+            2: ("rate_too_slow", 2.0),
+            3: ("transcript_without_speech", None),
+            4: ("missing_transcript", None)}
+    for r in range(30):
+        o = out[f"pair-{r:010d}"]
+        reason, cps = want[r % 5]
+        assert o["reason"] == reason, (r, o["reason"])
+        if cps is None:
+            assert o["chars_per_voiced_sec"] is None
+        else:
+            assert abs(o["chars_per_voiced_sec"] - cps) < 1e-9
+
+
+def test_speaking_rate_poison_and_null_transcript(spark):
+    from top_secret_spark.operators.audio import (
+        pairing_drop_reason_col,
+        with_speaking_rate,
+    )
+    from top_secret_spark.kernel.audio import encode
+    import numpy as np
+
+    voiced = np.where((np.arange(8000) // 8) % 2 == 0, 0.45, -0.45).astype(
+        np.float32
+    )
+    rows = [
+        ("bad-codec", b"\x00\x01", 8000, 100, "opus", "hello"),
+        ("null-bytes", None, 8000, 100, "pcm16", "hello"),
+        ("null-transcript", bytes(encode(voiced, "pcm16")), 8000, 1000,
+         "pcm16", None),
+        ("ws-transcript", bytes(encode(voiced, "pcm16")), 8000, 1000,
+         "pcm16", "   "),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    got = {
+        r["clip_id"]: r["reason"]
+        for r in with_speaking_rate(df)
+        .withColumn("reason", pairing_drop_reason_col())
+        .collect()
+    }
+    assert got["bad-codec"] == "vad_error"
+    assert got["null-bytes"] == "vad_error"
+    assert got["null-transcript"] == "missing_transcript"
+    assert got["ws-transcript"] == "missing_transcript"

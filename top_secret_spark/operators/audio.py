@@ -1883,3 +1883,84 @@ def strip_repeated_segments(
         .withColumn("bytes", F.col("_new_bytes"))
         .drop("_drop_wins", "_new_bytes")
     )
+
+
+def with_speaking_rate(
+    df: DataFrame,
+    threshold: float = 0.01,
+    gap_ms: int = 200,
+) -> DataFrame:
+    """Cross-modal transcript/audio consistency measurement: append the
+    energy-VAD activity columns plus ``voiced_sec`` (measured speech
+    time) and ``chars_per_voiced_sec`` — transcript length over voiced
+    seconds.  A mispaired row (wrong transcript attached to the clip, a
+    truncated upload, text for a silent file) shows up as an implausible
+    speaking rate long before an ASR model ever sees it; human speech
+    lives in a narrow chars/sec band, so this is the cheap pairing
+    audit a 10^12-row crawl runs on every (audio, text) pair.
+
+    Everything above the VAD decode is PURE CATALYST: voiced time is
+    ``speech_ratio x decoded_samples / sr`` with the sample count taken
+    from the payload's byte length (fixed-width codecs), so no second
+    decode and no extra Python.  ``chars_per_voiced_sec`` is NULL when
+    there is no voiced audio or no transcript — the gate column names
+    those cases explicitly rather than dividing by zero.  ``bytes`` is
+    consumed and dropped, as in ``with_speech_activity``."""
+    vad = with_speech_activity(
+        df, threshold=threshold, gap_ms=gap_ms, keep_bytes=True
+    )
+    bps = (
+        F.when(F.col("codec") == "pcm16", F.lit(2))
+        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
+    )
+    n_samples = F.when(
+        F.col("bytes").isNotNull() & bps.isNotNull(),
+        (F.length("bytes") / bps).cast("long"),
+    ).otherwise(F.lit(0))
+    voiced = F.when(
+        F.col("vad_ok") & (F.col("sr_hz") > 0),
+        F.col("speech_ratio") * n_samples / F.col("sr_hz"),
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length(F.trim(F.coalesce(F.col("transcript"), F.lit(""))))
+    cps = F.when(
+        (voiced > 0) & (n_chars > 0), n_chars / voiced
+    )
+    return (
+        vad.withColumn("voiced_sec", voiced)
+        .withColumn("chars_per_voiced_sec", cps)
+        .drop("bytes")
+    )
+
+
+def pairing_drop_reason_col(
+    min_cps: float = 4.0, max_cps: float = 30.0
+) -> Column:
+    """First-match drop reason for the transcript/audio pairing gate
+    (over ``with_speaking_rate`` columns), NULL = keep:
+
+    - ``vad_error``: undecodable payload — nothing to audit
+    - ``missing_transcript``: voiced audio with an empty transcript
+      (also names the fully-empty pair: no text is the actionable half)
+    - ``transcript_without_speech``: a transcript attached to audio the
+      VAD finds no speech in (silent/room-tone file, wrong pairing)
+    - ``rate_too_fast`` / ``rate_too_slow``: chars/voiced-sec outside
+      the plausible speaking band — truncated audio under a full
+      transcript reads fast; a fragment transcript reads slow
+
+    Defaults: conservative bounds around conversational speech (~15
+    chars/s English; 4–30 admits slow dictation through fast reads).
+    Pure Catalyst — a codegen'd CASE, zero extra decode."""
+    n_chars = F.length(F.trim(F.coalesce(F.col("transcript"), F.lit(""))))
+    return (
+        F.when(~F.col("vad_ok"), F.lit("vad_error"))
+        .when(n_chars == 0, F.lit("missing_transcript"))
+        .when(F.col("voiced_sec") <= 0, F.lit("transcript_without_speech"))
+        .when(
+            F.col("chars_per_voiced_sec") > F.lit(float(max_cps)),
+            F.lit("rate_too_fast"),
+        )
+        .when(
+            F.col("chars_per_voiced_sec") < F.lit(float(min_cps)),
+            F.lit("rate_too_slow"),
+        )
+    )

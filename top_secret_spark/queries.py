@@ -4743,6 +4743,60 @@ ORDER BY clip_id
 """
 
 
+def q_pairing_gate(spark, sf_dir):
+    """[tier: quality_filter x audio] transcript/audio PAIRING gate —
+    the cross-modal consistency audit: chars per voiced second
+    (with_speaking_rate: energy-VAD voiced time x transcript length,
+    everything above the one decode pure Catalyst) gated against the
+    plausible speaking band (pairing_drop_reason_col).  Mispaired rows
+    (wrong transcript, truncated audio, text on a silent file, missing
+    text) are named first-match.  Rows carry PLANTED classes keyed by
+    ``r % 5`` with codecs cycling ``r % 3``
+    (sources/clips.py::pairing_rows_for_range); voiced clips measure
+    speech_ratio exactly 1.0 over exactly 1 s, so the oracle gates the
+    MEASURED rate bit-for-bit from the row index alone."""
+    _prep(spark)
+    from .operators.audio import pairing_drop_reason_col, with_speaking_rate
+    from .sources.clips import pairing_clips_df
+
+    gated = with_speaking_rate(
+        pairing_clips_df(spark, 240, partitions=4)
+    ).withColumn(
+        "pairing_drop_reason",
+        pairing_drop_reason_col(min_cps=4.0, max_cps=30.0),
+    )
+    return gated.groupBy(
+        F.coalesce(F.col("pairing_drop_reason"), F.lit("keep")).alias(
+            "pairing_drop_reason"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col("chars_per_voiced_sec") * 1000), F.lit(0.0))
+        .cast("long")
+        .alias("sum_cps_x1000"),
+        (F.sum("voiced_sec") * 1000).cast("long").alias("sum_voiced_ms"),
+    )
+
+
+Q_PAIRING_GATE_SQL = """
+SELECT pairing_drop_reason,
+       cast(count(*) AS BIGINT) AS n,
+       cast(coalesce(sum(cps * 1000), 0) AS BIGINT) AS sum_cps_x1000,
+       cast(sum(voiced * 1000) AS BIGINT) AS sum_voiced_ms
+FROM (
+  SELECT CASE i % 5 WHEN 1 THEN 'rate_too_fast'
+                    WHEN 2 THEN 'rate_too_slow'
+                    WHEN 3 THEN 'transcript_without_speech'
+                    WHEN 4 THEN 'missing_transcript'
+                    ELSE 'keep' END AS pairing_drop_reason,
+         CASE i % 5 WHEN 0 THEN 16.0 WHEN 1 THEN 80.0
+                    WHEN 2 THEN 2.0 END AS cps,
+         CASE i % 5 WHEN 3 THEN 0.0 ELSE 1.0 END AS voiced
+  FROM (SELECT unnest(range(0, 240)) AS i))
+GROUP BY pairing_drop_reason
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -4855,4 +4909,5 @@ QUERIES = {
     "q35_ivf_indexed": (q_ivf_indexed, Q_IVF_INDEXED_SQL),
     "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
     "q92_strip_repeated": (q_strip_repeated, Q_STRIP_REPEATED_SQL),
+    "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
 }

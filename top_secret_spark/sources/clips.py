@@ -1068,3 +1068,58 @@ def repeat_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+PAIRING_CLASS_PERIOD = 5  # row r's planted pairing class = r % 5
+
+
+def pairing_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED transcript/audio pairing structure,
+    keyed by ``r % 5`` (codec cycles ``r % 3``): every clip is exactly
+    1 s at 8 kHz, voiced clips use the constant-magnitude block wave
+    (speech_ratio exactly 1.0 → voiced_sec exactly 1.0), so
+    chars-per-voiced-second equals the transcript length EXACTLY and
+    the oracle can gate the measured rate bit-for-bit:
+    0 = voiced + 16-char transcript (keep, 16 cps),
+    1 = voiced + 80-char transcript (rate_too_fast, 80 cps),
+    2 = voiced + 2-char transcript (rate_too_slow, 2 cps),
+    3 = digital silence + 16-char transcript (transcript_without_speech),
+    4 = voiced + empty transcript (missing_transcript)."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    for r in range(start, end):
+        kind = r % PAIRING_CLASS_PERIOD
+        codec = _CODECS[r % 3]
+        pcm = (
+            np.zeros(8000, np.float32) if kind == 3 else _vad_voiced(8000)
+        )
+        transcript = {0: "c" * 16, 1: "c" * 80, 2: "c" * 2,
+                      3: "c" * 16, 4: ""}[kind]
+        out["clip_id"].append(f"pair-{r:010d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append(codec)
+        out["transcript"].append(transcript)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def pairing_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted pairing clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield pairing_rows_for_range(
+                    int(ids.min()), int(ids.max()) + 1
+                )
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
