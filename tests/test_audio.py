@@ -1723,3 +1723,46 @@ def test_speaking_rate_poison_and_null_transcript(spark):
     assert got["null-bytes"] == "vad_error"
     assert got["null-transcript"] == "missing_transcript"
     assert got["ws-transcript"] == "missing_transcript"
+
+
+def test_batch_envelope_bits_tempo_and_edge_cases():
+    from top_secret_spark.kernel.audio import batch_envelope_bits
+
+    pat = [1, 0, 0, 0, 1, 1, 0, 1]
+
+    def mk(sec_len):
+        sign = np.where((np.arange(sec_len) // 8) % 2 == 0, 1.0, -1.0)
+        return np.concatenate(
+            [(0.45 * sign if b else np.zeros(sec_len)).astype(np.float32)
+             for b in pat]
+        )
+
+    clips = [mk(1000), mk(900), mk(1100),
+             np.zeros(8000, np.float32),          # silent -> not ok
+             np.ones(10, np.float32)]             # sub-n_frames -> not ok
+    samples = np.concatenate(clips)
+    lengths = np.array([len(c) for c in clips])
+    ok, bits = batch_envelope_bits(samples, lengths, n_frames=32)
+    assert ok.tolist() == [True, True, True, False, False]
+    assert bits[0] == bits[1] == bits[2] != 0  # tempo invariance
+    exp = sum(
+        1 << (4 * i + j) for i, b in enumerate(pat) if b for j in range(4)
+    )
+    assert bits[0] == exp
+
+
+def test_tempo_fingerprint_cross_codec_groups(spark):
+    from top_secret_spark.operators.audio import with_tempo_fingerprint
+    from top_secret_spark.sources.clips import tempo_clips_df
+
+    rows = with_tempo_fingerprint(
+        tempo_clips_df(spark, 24, partitions=2)
+    ).collect()
+    assert all(r["fp_ok"] for r in rows)
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["tempo_fp"], []).append(r["clip_id"])
+    sizes = sorted(len(v) for v in fps.values())
+    # 24 rows = 8 groups; g=3 and g=7 (g%4==3) planted all-unique, the
+    # other six share one fingerprint across codec+tempo members
+    assert sizes == [1] * 6 + [3] * 6

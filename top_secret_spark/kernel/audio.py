@@ -1059,3 +1059,66 @@ def batch_window_hashes(
     pow_vec = np.multiply.accumulate(pow_vec)  # wraps mod 2^64 silently
     h = (mat * pow_vec[None, :]).sum(axis=1, dtype=np.uint64)
     return clip_idx, win_idx, _splitmix64(h).view(np.int64)
+
+
+def batch_envelope_bits(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    n_frames: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tempo-robust envelope fingerprint over a concatenated PCM
+    buffer: each clip is cut into ``n_frames`` EQUAL time spans
+    (whatever its length — that is the tempo invariance: a 0.9x or
+    1.1x speed-perturbed copy stretches every span by the same factor,
+    so the per-span mean-|x| PATTERN is unchanged), each span's mean
+    |x| is thresholded at half the clip's max span energy, and the
+    bits pack little-endian into one integer.
+
+    Returns ``(ok, bits)`` — ``ok[i]`` false (bits 0) when the clip is
+    shorter than ``n_frames`` samples (empty spans would be undefined)
+    or fully silent (no max to threshold against).
+
+    Vectorized: clips shorter than ``n_frames`` are compacted out with
+    one gather so every span is non-empty and contiguous, then one
+    |x| pass, one ``add.reduceat`` over all span boundaries, one
+    reshape to (n_clips, n_frames) — no per-clip Python."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    ok = lengths >= n_frames
+    bits = np.zeros(n, dtype=np.int64)
+    if not ok.any():
+        return ok, bits
+    offs = np.cumsum(lengths) - lengths
+    if ok.all():
+        buf = samples
+        ok_lens = lengths
+        ok_offs = offs
+    else:
+        # compact: gather only the ok clips into a contiguous buffer so
+        # reduceat spans never straddle an excluded clip
+        ok_lens = lengths[ok]
+        src_starts = offs[ok]
+        idx = np.repeat(src_starts, ok_lens) + _concat_aranges(ok_lens)
+        buf = samples[idx]
+        ok_offs = np.cumsum(ok_lens) - ok_lens
+    k = np.arange(n_frames, dtype=np.int64)
+    starts = (
+        ok_offs[:, None] + (k[None, :] * ok_lens[:, None]) // n_frames
+    ).ravel()
+    a = np.abs(buf)
+    sums = np.add.reduceat(a, starts)
+    span_lens = np.diff(
+        np.append(starts, ok_offs[-1] + ok_lens[-1])
+    ).astype(np.float64)
+    means = (sums / span_lens).reshape(-1, n_frames)
+    peak = means.max(axis=1)
+    silent = peak <= 0.0
+    thr = 0.5 * peak
+    b = (means > thr[:, None]).astype(np.int64)
+    weights = 1 << np.arange(n_frames, dtype=np.int64)
+    packed = (b * weights[None, :]).sum(axis=1)
+    packed[silent] = 0
+    ok_idx = np.flatnonzero(ok)
+    bits[ok_idx] = packed
+    ok[ok_idx[silent]] = False
+    return ok, bits

@@ -1964,3 +1964,64 @@ def pairing_drop_reason_col(
             F.lit("rate_too_slow"),
         )
     )
+
+
+def with_tempo_fingerprint(df: DataFrame, n_frames: int = 32) -> DataFrame:
+    """Append a TEMPO-ROBUST content fingerprint: the clip's energy
+    envelope quantized over ``n_frames`` equal time spans (kernel
+    ``batch_envelope_bits``).  A speed-perturbed re-upload (0.9x/1.1x
+    tempo, any codec) stretches every span equally, so its envelope
+    PATTERN — and therefore the fingerprint — is unchanged, while
+    exact/cross-codec dedup (``audio_near_duplicates``) sees a
+    different-length payload and misses it.  This is the detection
+    counterpart of the ``speed_perturbed_clips`` augmentation: a crawl
+    that augments must also recognize already-perturbed copies.
+
+    ``fp_ok`` is false (fingerprint 0) for undecodable / sub-n_frames /
+    fully-silent clips.  Scale shape: one decode boundary, then dedup
+    happens on an 8-byte fingerprint groupBy — PCM never shuffles."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if f.name != "bytes"
+    )
+    schema += ", fp_ok boolean, tempo_fp long"
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            batch_decode,
+            batch_envelope_bits,
+            pcm16_aligned_indices,
+        )
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            fps = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            for codec in SUPPORTED_CODECS:
+                idx = np.flatnonzero(
+                    (codecs == codec)
+                    & np.array([d is not None for d in datas])
+                )
+                if codec == "pcm16":
+                    idx = pcm16_aligned_indices(datas, idx)
+                if not len(idx):
+                    continue
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                ok, bits = batch_envelope_bits(
+                    samples, lengths, n_frames=n_frames
+                )
+                oks[idx] = ok
+                fps[idx] = bits
+            pdf = pdf.drop(columns=["bytes"])
+            pdf["fp_ok"] = oks
+            pdf["tempo_fp"] = fps
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

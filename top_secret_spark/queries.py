@@ -4797,6 +4797,43 @@ GROUP BY pairing_drop_reason
 """
 
 
+def q_tempo_dedup(spark, sf_dir):
+    """[tier: quality_filter x audio] tempo-robust audio dedup: the
+    energy-envelope fingerprint (with_tempo_fingerprint — n equal time
+    spans, threshold-quantized, kernel batch_envelope_bits) is invariant
+    to speed perturbation AND codec, so a 0.9x/1.1x re-upload lands in
+    the same 8-byte fingerprint group that exact / cross-codec dedup
+    (q44) misses because the payload length changed.  Rows carry
+    PLANTED groups (sources/clips.py::tempo_rows_for_range): three
+    tempos x three codecs of one 8-section pattern per group, with
+    every 4th group planted all-unique — the oracle knows each clip's
+    duplicate-group size (3 or 1) from the row index alone.  Detection
+    counterpart of the speed_perturbed_clips augmentation (q57)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from .operators.audio import with_tempo_fingerprint
+    from .sources.clips import tempo_clips_df
+
+    fp = with_tempo_fingerprint(tempo_clips_df(spark, 240, partitions=4))
+    w = Window.partitionBy("tempo_fp")
+    return (
+        fp.filter(F.col("fp_ok"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select("clip_id", F.col("group_size").cast("long").alias("group_size"))
+        .orderBy("clip_id")
+    )
+
+
+Q_TEMPO_DEDUP_SQL = """
+SELECT printf('tempo-%010d', i) AS clip_id,
+       cast(CASE WHEN cast(floor(i / 3) AS INTEGER) % 4 = 3
+                 THEN 1 ELSE 3 END AS BIGINT) AS group_size
+FROM (SELECT unnest(range(0, 240)) AS i)
+ORDER BY clip_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -4910,4 +4947,5 @@ QUERIES = {
     "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
     "q92_strip_repeated": (q_strip_repeated, Q_STRIP_REPEATED_SQL),
     "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
+    "q94_tempo_dedup": (q_tempo_dedup, Q_TEMPO_DEDUP_SQL),
 }

@@ -1123,3 +1123,75 @@ def pairing_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+TEMPO_GROUP = 3      # rows r, r+1, r+2 with r % 3 == 0 form one group
+TEMPO_UNIQUE_MOD = 4  # group g is all-unique when g % 4 == 3
+
+
+def _tempo_pattern_pcm(pattern: int, sec_len: int) -> np.ndarray:
+    """8-section clip from an 8-bit pattern: section k is a 0.45 block
+    wave when bit k is set, digital silence otherwise.  Section length
+    is the tempo knob — scaling it scales every section equally, which
+    is exactly what a speed perturbation does to the envelope."""
+    secs = []
+    for k in range(8):
+        if (pattern >> k) & 1:
+            secs.append(
+                np.where(
+                    (np.arange(sec_len) // 8) % 2 == 0, 0.45, -0.45
+                ).astype(np.float32)
+            )
+        else:
+            secs.append(np.zeros(sec_len, np.float32))
+    return np.concatenate(secs)
+
+
+def tempo_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED tempo-duplicate structure: rows group by
+    ``g = r // 3``; members ``m = r % 3`` carry the SAME 8-section
+    energy pattern at three tempos (section lengths 1000/900/1100 →
+    1.0 s / 0.9 s / 1.1 s) across three codecs (``r % 3`` — the
+    fingerprint must hold across codec AND tempo).  Groups with
+    ``g % 4 == 3`` instead give every member its OWN pattern (planted
+    non-duplicates), so the oracle knows each clip's duplicate-group
+    size (3 or 1) from the row index alone.  Patterns: shared groups
+    use ``g + 1`` (1..80 at 240 rows), unique rows use ``81 +
+    3*(g//4) + m`` (81..140) — all distinct by construction."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    sec_lens = (1000, 900, 1100)
+    for r in range(start, end):
+        g, m = divmod(r, TEMPO_GROUP)
+        if g % TEMPO_UNIQUE_MOD == 3:
+            pattern = 81 + 3 * (g // TEMPO_UNIQUE_MOD) + m
+        else:
+            pattern = g + 1
+        pcm = _tempo_pattern_pcm(pattern, sec_lens[m])
+        codec = _CODECS[r % 3]
+        out["clip_id"].append(f"tempo-{r:010d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(int(len(pcm) * 1000 / sr_hz))
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for tempo clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def tempo_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted tempo-duplicate clips (same no-shuffle range
+    → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield tempo_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
