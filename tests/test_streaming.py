@@ -596,3 +596,51 @@ def test_keep_drop_counters_watermark_drops_late_rows(spark, tmp_path):
     assert got[(base, "keep")] == 5
     assert got[(base, "too_short")] == 1
     assert got[(base, "toxicity")] == 1
+
+
+def test_multimodal_stream_gates_as_clips_land(spark, tmp_path):
+    """Streaming lift of the full multimodal pipeline: planted-defect
+    clips streamed as two micro-batches must come out with exactly the
+    batch pipeline's decisions."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.sources.clips import (
+        CLIPS_SCHEMA_DDL,
+        gate_rows_for_range,
+    )
+    from top_secret_spark.streaming import multimodal_stream
+
+    src = str(tmp_path / "src")
+    for j in range(2):
+        spark.createDataFrame(
+            gate_rows_for_range(24 * j, 24 * (j + 1)), CLIPS_SCHEMA_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        multimodal_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mm_gate_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["audio_drop_reason"]: r["n"]
+        for r in spark.table("mm_gate_sink")
+        .groupBy("audio_drop_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"silent": 8, "clipped": 8, "too_short_audio": 8,
+                   "decode_error": 8, None: 16}
+    # batch-mode rejection of a non-streaming frame
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="streaming"):
+        multimodal_stream(spark.range(1))

@@ -4797,6 +4797,92 @@ GROUP BY pairing_drop_reason
 """
 
 
+def q_streaming_audio_gate(spark, sf_dir):
+    """[tier: quality_filter x audio x streaming] the multimodal
+    pipeline (decode → audio features → fused text kernel → audio gate,
+    ONE Python boundary) lifted onto Structured Streaming
+    (streaming.py::multimodal_stream) and run END-TO-END: the planted
+    defect clips of q40 land as THREE micro-batches (file source,
+    maxFilesPerTrigger=1, availableNow) and are gated AS THEY LAND —
+    the ingest-time shape of the batch gate.  Output is the q40
+    protocol over the streamed result: per-reason counts AND the
+    measured-duration sum, both recomputable from the row-index rule
+    (r % 6) alone.  This closes the gap q86 closed for dedup: the
+    streaming lift of the GATE surface now has a hard oracle row, not
+    just pytest."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    _prep(spark)
+    from .sources.clips import CLIPS_SCHEMA_DDL, gate_rows_for_range
+    from .streaming import multimodal_stream
+
+    tmp = tempfile.mkdtemp(prefix="q95_stream_")
+    qn = f"q95_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(tmp, "src")
+        for j in range(3):
+            spark.createDataFrame(
+                gate_rows_for_range(40 * j, 40 * (j + 1)), CLIPS_SCHEMA_DDL
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(CLIPS_SCHEMA_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            multimodal_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.table(qn)
+            .groupBy(
+                F.coalesce(F.col("audio_drop_reason"), F.lit("keep")).alias(
+                    "audio_drop_reason"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dur_ms_measured").alias("sum_dur_measured_ms"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "audio_drop_reason string, n long, sum_dur_measured_ms long",
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+Q_STREAMING_AUDIO_GATE_SQL = """
+SELECT audio_drop_reason,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(dur) AS BIGINT) AS sum_dur_measured_ms
+FROM (
+  SELECT CASE i % 6 WHEN 0 THEN 'silent'
+                    WHEN 1 THEN 'clipped'
+                    WHEN 2 THEN 'too_short_audio'
+                    WHEN 3 THEN 'decode_error'
+                    ELSE 'keep' END AS audio_drop_reason,
+         CASE i % 6 WHEN 2 THEN 120 WHEN 3 THEN 0 ELSE 1000 END AS dur
+  FROM (SELECT unnest(range(0, 120)) AS i))
+GROUP BY audio_drop_reason
+"""
+
+
 def q_tempo_dedup(spark, sf_dir):
     """[tier: quality_filter x audio] tempo-robust audio dedup: the
     energy-envelope fingerprint (with_tempo_fingerprint — n equal time
@@ -4948,4 +5034,8 @@ QUERIES = {
     "q92_strip_repeated": (q_strip_repeated, Q_STRIP_REPEATED_SQL),
     "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
     "q94_tempo_dedup": (q_tempo_dedup, Q_TEMPO_DEDUP_SQL),
+    "q95_streaming_audio_gate": (
+        q_streaming_audio_gate,
+        Q_STREAMING_AUDIO_GATE_SQL,
+    ),
 }

@@ -255,3 +255,30 @@ def ingest_dedup_stream(
         state_ttl=state_ttl,
         fingerprint_col_name="fingerprint",
     )
+
+
+def multimodal_stream(stream: DataFrame, config=None) -> DataFrame:
+    """Streaming lift of the FULL multimodal pipeline: decode →
+    segmented audio features → fused text kernel → audio gate →
+    multimodal keep/drop fold, applied to a streaming clips frame.
+    Every stage is a stateless per-row map (one mapInPandas plus
+    codegen'd projections — operators/fused.py
+    run_pipeline_fused_multimodal), so the lift needs no watermark and
+    works with any source and exactly-once file/Delta sinks — the
+    ingest-time shape of the batch pipeline: gate clips AS THEY LAND,
+    before anything is persisted downstream.
+
+    ``config`` defaults to ``PipelineConfig(include_audio=True,
+    audio_gate=AudioGateThresholds())`` — the multimodal gate; pass any
+    PipelineConfig to override (same plan-time capture semantics as the
+    batch entry point)."""
+    if not stream.isStreaming:
+        raise ValueError("multimodal_stream expects a streaming DataFrame")
+    from .operators.audio import AudioGateThresholds
+    from .pipeline import PipelineConfig, run_pipeline
+
+    if config is None:
+        config = PipelineConfig(
+            include_audio=True, audio_gate=AudioGateThresholds()
+        )
+    return run_pipeline(stream, config)
