@@ -1766,3 +1766,93 @@ def test_tempo_fingerprint_cross_codec_groups(spark):
     # 24 rows = 8 groups; g=3 and g=7 (g%4==3) planted all-unique, the
     # other six share one fingerprint across codec+tempo members
     assert sizes == [1] * 6 + [3] * 6
+
+
+def test_redact_audio_pii_byte_exact(spark):
+    """Redaction must silence EXACTLY the proportional sample span
+    (codec's own silence byte, payload length unchanged) and scrub the
+    transcript with the same mapping."""
+    from top_secret_spark.kernel.audio import alaw_encode, ulaw_encode
+    from top_secret_spark.operators.audio import redact_audio_pii
+    from top_secret_spark.sources.clips import (
+        redact_clips_df,
+        redact_rows_for_range,
+    )
+
+    rows = redact_rows_for_range(0, 9)
+    fill = {
+        "pcm16": b"\x00\x00",
+        "ulaw": bytes(ulaw_encode(np.zeros(1, np.float32)).tobytes()),
+        "alaw": bytes(alaw_encode(np.zeros(1, np.float32)).tobytes()),
+    }
+    out = {
+        r["clip_id"]: r
+        for r in redact_audio_pii(redact_clips_df(spark, 9, partitions=2))
+        .collect()
+    }
+    for r in range(9):
+        o = out[f"redact-{r:010d}"]
+        orig = bytes(rows["bytes"][r])
+        got = bytes(o["bytes"])
+        codec = rows["codec"][r]
+        w = 2 if codec == "pcm16" else 1
+        kind = r % 3
+        assert len(got) == len(orig)
+        if kind == 2:
+            assert got == orig and o["scrubbed"] == rows["transcript"][r]
+            continue
+        s0, s1 = (1600, 2960) if kind == 0 else (4000, 4880)
+        assert got[: s0 * w] == orig[: s0 * w]
+        assert got[s1 * w:] == orig[s1 * w:]
+        assert got[s0 * w: s1 * w] == fill[codec] * (s1 - s0)
+        assert "[EMAIL_1]" in o["scrubbed"] or "[SSN_1]" in o["scrubbed"]
+        assert "@" not in o["scrubbed"]
+
+
+def test_redact_audio_pii_poison_passthrough(spark):
+    from top_secret_spark.operators.audio import redact_audio_pii
+
+    rows = [
+        ("p1", b"\x01\x02", 8000, 100, "opus", "mail user1@mail.com end"),
+        ("p2", None, 8000, 100, "pcm16", "mail user1@mail.com end"),
+        ("p3", b"\x01\x02", 8000, 100, "pcm16", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    got = {r["clip_id"]: r for r in redact_audio_pii(df).collect()}
+    # unknown codec / null payload: transcript still scrubbed, audio kept
+    assert "[EMAIL_1]" in got["p1"]["scrubbed"]
+    assert bytes(got["p1"]["bytes"]) == b"\x01\x02"
+    assert got["p1"]["n_redacted_spans"] == 0
+    assert "[EMAIL_1]" in got["p2"]["scrubbed"]
+    assert got["p2"]["bytes"] is None
+    assert got["p3"]["scrubbed"] is None and got["p3"]["n_redacted_spans"] == 0
+
+
+def test_pii_char_spans_matches_substitution():
+    """Span-driven redaction must cover exactly what substitute_text
+    replaces, including overlap suppression and label precedence."""
+    from top_secret_spark.kernel.scrub import (
+        pii_char_spans,
+        scan_text,
+        substitute_text,
+    )
+
+    texts = [
+        "word word user0001@mail.com and 123-45-6789 end",
+        "a@b.co a@b.co twice",
+        "call 555-123-4567 or 555-123-4567 again",
+        "no pii here",
+        "",
+    ]
+    for t in texts:
+        spans = pii_char_spans(t)
+        rebuilt, cur = "", 0
+        for a, b, lab in spans:
+            rebuilt += t[cur:a] + f"[{lab}]"
+            cur = b
+        rebuilt += t[cur:]
+        assert rebuilt == substitute_text(t, scan_text(t)), t

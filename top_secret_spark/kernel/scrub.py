@@ -201,3 +201,41 @@ def scrub_batch(
         outputs.append(substitute_text(text, items) if items else text)
         mappings.append(items)
     return outputs, mappings
+
+
+def pii_char_spans(
+    text: str,
+    entities: list[dict] | None = None,
+    config: ScrubConfig = DEFAULT_CONFIG,
+) -> list[tuple[int, int, str]]:
+    """Character spans the single-pass substitution would consume, as
+    ``(start, end, label)`` — the SAME event scan as ``substitute_text``
+    (earliest start wins, mapping insertion order breaks same-start
+    ties, a consumed span suppresses any event starting inside it), so
+    a span-driven redactor (audio bleep, highlight UI) is guaranteed to
+    cover exactly the characters the text scrub replaces — no more, no
+    less.  Labels follow ``value_to_label`` (last writer wins for
+    duplicate values), identical to the emitted placeholder."""
+    mapping = scan_text(text, entities, config)
+    if not mapping:
+        return []
+    value_to_label: dict[str, str] = {}
+    for key, value in mapping:
+        value_to_label[value] = key
+    vals = [v for v in value_to_label if v != ""]
+    events: list[tuple[int, int]] = []
+    for oi, v in enumerate(vals):
+        start = text.find(v)
+        while start != -1:
+            events.append((start, oi))
+            start = text.find(v, start + 1)
+    events.sort()
+    spans: list[tuple[int, int, str]] = []
+    cursor = 0
+    for start, oi in events:
+        if start < cursor:
+            continue
+        v = vals[oi]
+        spans.append((start, start + len(v), value_to_label[v]))
+        cursor = start + len(v)
+    return spans

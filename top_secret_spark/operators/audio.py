@@ -2025,3 +2025,108 @@ def with_tempo_fingerprint(df: DataFrame, n_frames: int = 32) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def redact_audio_pii(
+    df: DataFrame,
+    config=None,
+    text_col: str = "transcript",
+) -> DataFrame:
+    """CROSS-MODAL PII scrub — the reference engine's substitution
+    (ref:lib/top_secret/text.rb:216-224) extended to the audio payload:
+    every character span the text scrub would replace (kernel
+    ``pii_char_spans`` — the same single-pass event scan, so coverage
+    is exact by construction) is mapped proportionally onto the clip's
+    samples and SILENCED in place (the "bleep"), while the transcript
+    is scrubbed with the same mapping.  A training pair then leaks PII
+    through neither modality — scrubbing the text but shipping the
+    audio that SPEAKS the number would defeat the whole exercise.
+
+    The char→time map is proportional (char i of n ↦ sample
+    ``floor(i/n*len)``) — the alignment a corpus without forced
+    alignments can defend; with per-word timestamps, substitute them
+    upstream by pre-slicing.  Redaction writes the codec's own silence
+    byte (pcm16 0x0000, G.711 companded zero), so payload length,
+    codec, and metadata are unchanged and the clip stays decodable.
+    Rows the redactor can't handle (unknown codec, NULL payload/
+    transcript) pass through unchanged with n_redacted_spans = 0 —
+    poison rows must not kill the stage.
+
+    Scale shape: one mapInPandas, map-only, zero Exchange; the per-row
+    work is the same regex scan the scrub stage already pays, plus an
+    O(span) byte fill."""
+    from ..kernel.filters import DEFAULT_CONFIG
+
+    cfg = config or DEFAULT_CONFIG
+    cfg.all_filters()  # plan-time label validation
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+    schema += ", scrubbed string, n_redacted_spans int, redacted_ms double"
+
+    def run(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            alaw_encode,
+            ulaw_encode,
+        )
+        from ..kernel.scrub import pii_char_spans, scan_text, substitute_text
+
+        fill = {
+            "pcm16": b"\x00\x00",
+            "ulaw": bytes(ulaw_encode(np.zeros(1, np.float32)).tobytes()),
+            "alaw": bytes(alaw_encode(np.zeros(1, np.float32)).tobytes()),
+        }
+        bps = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+
+        for pdf in iterator:
+            n = len(pdf)
+            new_bytes = pdf["bytes"].tolist()
+            scrubbed = [None] * n
+            n_spans = np.zeros(n, dtype=np.int32)
+            red_ms = np.zeros(n, dtype=np.float64)
+            codecs = pdf["codec"].tolist()
+            srs = pdf["sr_hz"].tolist()
+            texts = pdf[text_col].tolist()
+            for i in range(n):
+                t = texts[i]
+                if t is None:
+                    continue
+                mapping = scan_text(t, None, cfg)
+                scrubbed[i] = substitute_text(t, mapping)
+                if not mapping:
+                    continue
+                data, codec, sr = new_bytes[i], codecs[i], srs[i]
+                if (
+                    data is None
+                    or codec not in SUPPORTED_CODECS
+                    or sr is None
+                    or sr <= 0
+                ):
+                    continue
+                w = bps[codec]
+                n_samp = len(data) // w
+                if n_samp == 0:
+                    continue
+                spans = pii_char_spans(t, None, cfg)
+                buf = bytearray(data)
+                tn = len(t)
+                for a, b, _label in spans:
+                    s0 = (a * n_samp) // tn
+                    s1 = -(-(b * n_samp) // tn)  # ceil
+                    buf[s0 * w: s1 * w] = fill[codec] * (s1 - s0)
+                    red_ms[i] += (s1 - s0) * 1000.0 / sr
+                n_spans[i] = len(spans)
+                new_bytes[i] = bytes(buf)
+            pdf = pdf.copy()
+            pdf["bytes"] = new_bytes
+            pdf["scrubbed"] = scrubbed
+            pdf["n_redacted_spans"] = n_spans
+            pdf["redacted_ms"] = red_ms
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -4920,6 +4920,49 @@ ORDER BY clip_id
 """
 
 
+def q_audio_redact(spark, sf_dir):
+    """[tier: quality_filter x audio] CROSS-MODAL PII scrub — the
+    reference's substitution semantics (ref:lib/top_secret/text.rb:
+    216-224) extended to the payload: the exact character spans the
+    text scrub consumes (kernel pii_char_spans — the same single-pass
+    event scan, parity pytest-gated) are mapped proportionally onto the
+    samples and silenced in place with the codec's own silence byte,
+    while the transcript is scrubbed with the same mapping.  PII then
+    leaks through NEITHER modality.  Rows carry PII at EXACT offsets in
+    100-char transcripts over 8000-sample clips
+    (sources/clips.py::redact_rows_for_range, 80 samples/char exactly),
+    so the oracle recomputes the span count, the redacted milliseconds,
+    the emitted placeholder label, AND the unchanged payload length
+    from the row index alone."""
+    _prep(spark)
+    from .operators.audio import redact_audio_pii
+    from .sources.clips import redact_clips_df
+
+    out = redact_audio_pii(redact_clips_df(spark, 240, partitions=4))
+    return out.select(
+        "clip_id",
+        F.col("n_redacted_spans").cast("int").alias("n_redacted_spans"),
+        F.col("redacted_ms").alias("redacted_ms"),
+        F.regexp_extract("scrubbed", r"\[([A-Z]+_\d+)\]", 1).alias("label"),
+        F.length("bytes").cast("long").alias("n_bytes"),
+    ).orderBy("clip_id")
+
+
+Q_AUDIO_REDACT_SQL = """
+SELECT printf('redact-%010d', i) AS clip_id,
+       cast(CASE WHEN i % 3 = 2 THEN 0 ELSE 1 END AS INTEGER)
+           AS n_redacted_spans,
+       cast(CASE i % 3 WHEN 0 THEN 170.0 WHEN 1 THEN 110.0
+            ELSE 0.0 END AS DOUBLE) AS redacted_ms,
+       CASE i % 3 WHEN 0 THEN 'EMAIL_1' WHEN 1 THEN 'SSN_1'
+            ELSE '' END AS label,
+       cast(8000 * (CASE WHEN cast(floor(i / 3) AS INTEGER) % 3 = 0
+                         THEN 2 ELSE 1 END) AS BIGINT) AS n_bytes
+FROM (SELECT unnest(range(0, 240)) AS i)
+ORDER BY clip_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5038,4 +5081,5 @@ QUERIES = {
         q_streaming_audio_gate,
         Q_STREAMING_AUDIO_GATE_SQL,
     ),
+    "q96_audio_redact": (q_audio_redact, Q_AUDIO_REDACT_SQL),
 }

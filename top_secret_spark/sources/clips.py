@@ -1195,3 +1195,66 @@ def tempo_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+REDACT_CLASS_PERIOD = 3  # row r's planted PII class = r % 3
+
+
+def redact_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED PII at EXACT character offsets in a
+    100-char transcript over a 1 s / 8 kHz clip, keyed by ``r % 3``
+    (codec cycles ``(r // 3) % 3`` so PII class and codec decorrelate):
+    0 = a 17-char email at chars [20, 37), 1 = an 11-char SSN at chars
+    [50, 61), 2 = no PII.  With 8000 samples over 100 chars the
+    proportional char→sample map lands on integers exactly (80
+    samples/char), so the oracle knows every clip's redacted span
+    (1360 samples = 170 ms / 880 samples = 110 ms / none) and the
+    emitted placeholder label from the row index alone.  Values are
+    framed by spaces so the unanchored email pattern and the \\b-bound
+    SSN pattern match exactly the planted chars."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    base = "word " * 20  # exactly 100 chars, no digits/dots/@
+    for r in range(start, end):
+        kind = r % REDACT_CLASS_PERIOD
+        codec = _CODECS[(r // 3) % 3]
+        if kind == 0:
+            value, off = f"user{r:04d}@mail.com", 20
+        elif kind == 1:
+            value, off = f"{100 + r % 900:03d}-{10 + r % 90:02d}-{1000 + r:04d}", 50
+        else:
+            value, off = None, 0
+        if value is None:
+            transcript = base
+        else:
+            transcript = (
+                base[:off] + value + " " + base[off + len(value) + 1:]
+            )
+            assert len(transcript) == 100
+        pcm = synth_pcm(SEED * 11_000_003 + r, 8000, sr_hz)
+        out["clip_id"].append(f"redact-{r:010d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append(codec)
+        out["transcript"].append(transcript)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def redact_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted-PII clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield redact_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
