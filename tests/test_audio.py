@@ -1856,3 +1856,62 @@ def test_pii_char_spans_matches_substitution():
             cur = b
         rebuilt += t[cur:]
         assert rebuilt == substitute_text(t, scan_text(t)), t
+
+
+def test_batch_cdc_segments_offset_invariance():
+    """CDC boundaries come from content, so prefix/suffix padding must
+    leave every interior segment hash unchanged, silence must produce
+    no boundary storm, and results must not depend on batch makeup."""
+    from top_secret_spark.kernel.audio import batch_cdc_segments
+
+    rng = np.random.default_rng(77)
+    body = rng.uniform(-0.4, 0.4, 8000).astype(np.float32)
+    clips = [
+        body,
+        np.concatenate([np.zeros(1024, np.float32), body]),
+        np.concatenate([body, np.zeros(512, np.float32)]),
+        np.zeros(4000, np.float32),  # silent -> exactly one segment
+    ]
+    samples = np.concatenate(clips)
+    lengths = np.array([len(c) for c in clips])
+    ci, si, h = batch_cdc_segments(samples, lengths, mask_bits=8)
+    per_clip = [h[ci == k].tolist() for k in range(4)]
+    # plenty of content-defined segments in an 8000-sample noise body
+    assert len(per_clip[0]) >= 8
+    # interior segments survive both paddings (only the clip-edge
+    # segment on the padded side may differ)
+    base = set(per_clip[0])
+    assert len(base & set(per_clip[1])) >= len(per_clip[0]) - 1
+    assert len(base & set(per_clip[2])) >= len(per_clip[0]) - 1
+    # constant (silent) windows can never hit the boundary target
+    assert len(per_clip[3]) == 1
+    # per-clip ordinals are dense from 0
+    for k in range(4):
+        got = sorted(si[ci == k].tolist())
+        assert got == list(range(len(got)))
+    # batch composition must not change a clip's segmentation
+    ci1, si1, h1 = batch_cdc_segments(
+        body, np.array([len(body)]), mask_bits=8
+    )
+    assert h1.tolist() == per_clip[0]
+
+
+def test_offset_robust_partners_planted(spark):
+    """Planted offset groups: the three silence-shifted members of a
+    group find each other (2 partners) and the all-unique groups find
+    nobody; exact/fixed-window dedup sees three distinct payloads."""
+    from top_secret_spark.operators.audio import offset_robust_partners
+    from top_secret_spark.sources.clips import (
+        OFFSET_UNIQUE_MOD,
+        offset_clips_df,
+    )
+
+    rows = offset_robust_partners(
+        offset_clips_df(spark, 48, partitions=2), mask_bits=8
+    ).collect()
+    assert len(rows) == 48
+    for r in rows:
+        idx = int(r["clip_id"].split("-")[1])
+        g = idx // 3
+        exp = 0 if g % OFFSET_UNIQUE_MOD == 3 else 2
+        assert r["n_partners"] == exp, r

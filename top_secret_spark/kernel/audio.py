@@ -1122,3 +1122,120 @@ def batch_envelope_bits(
     bits[ok_idx] = packed
     ok[ok_idx[silent]] = False
     return ok, bits
+
+
+# Content-defined chunking (CDC) for audio: Rabin-style rolling window
+# hash picks segment boundaries from CONTENT, so an inserted prefix
+# (leading silence, a new intro) shifts every sample position but not
+# the boundaries inside untouched content — the property that makes
+# the segment hashes offset-robust where fixed windows
+# (batch_window_hashes) are not.  P is odd, hence invertible mod 2^64;
+# Q = P^-1 lets both the window hash and the segment hash be computed
+# position-FREE from one prefix-sum pass (hash == the content's own
+# polynomial, independent of where in the buffer it sits).
+_CDC_P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio constant
+
+
+def _uint64_inverse(p: int) -> int:
+    """Modular inverse of an odd p mod 2^64 (Newton iteration)."""
+    q = p
+    for _ in range(6):
+        q = (q * (2 - p * q)) & 0xFFFFFFFFFFFFFFFF
+    return q
+
+
+_CDC_Q = np.uint64(_uint64_inverse(int(_CDC_P)))
+_CDC_BIAS = np.uint64(12345)  # lifts silence off x=0 (h would be 0)
+
+
+def batch_cdc_segments(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    window: int = 64,
+    mask_bits: int = 10,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Content-defined segmentation of a concatenated PCM buffer:
+    a boundary falls AFTER position i when the rolling hash of the
+    last ``window`` pcm16-quantized samples hits a target in the low
+    ``mask_bits`` bits (expected segment ~2^mask_bits samples); the
+    target is chosen so a constant (silent) window can never match,
+    so padding regions produce no boundary storm.  Returns
+    ``(clip_idx, seg_idx, seg_hash)`` — one row per segment, where a
+    segment is the content between consecutive boundaries (clip edges
+    always close a segment).
+
+    Both the window hash and the segment hash equal the CONTENT's own
+    polynomial (position factored out via P^-1 powers), so a clip that
+    re-appears inside a longer clip — extra leading silence, an
+    appended outro — shares every interior segment hash with the
+    original: the offset-robust member of the dedup family (exact /
+    cross-codec / tempo / THIS).  Same-codec comparison only: the hash
+    is over the decode lattice.
+
+    Vectorized: one quantize, two prefix products/sums, one boundary
+    scan — no per-sample Python."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    e = np.empty(0, dtype=np.int64)
+    if total == 0:
+        return e, e.copy(), e.copy()
+    x = float_to_pcm16(samples).astype(np.uint64) + _CDC_BIAS
+    n = total
+    # prefix powers of P and Q over global positions
+    ppow = np.empty(n, dtype=np.uint64)
+    qpow = np.empty(n, dtype=np.uint64)
+    ppow[0] = np.uint64(1)
+    qpow[0] = np.uint64(1)
+    if n > 1:
+        np.multiply.accumulate(
+            np.full(n - 1, _CDC_P, dtype=np.uint64), out=ppow[1:]
+        )
+        np.multiply.accumulate(
+            np.full(n - 1, _CDC_Q, dtype=np.uint64), out=qpow[1:]
+        )
+    # U(i) = sum_{j<=i} x[j] * P^j  (wrapping); window hash ending at i:
+    # h(i) = Q^(i-w+1) * (U(i) - U(i-w))  == content polynomial
+    u = np.cumsum(x * ppow, dtype=np.uint64)
+    w = int(window)
+    mask = np.uint64((1 << mask_bits) - 1)
+    # target the silent window can never hit: h_const = BIAS * sum P^j
+    # (computed in Python ints — the mod-2^64 wrap is intended, and
+    # numpy scalars would warn on it)
+    m64 = (1 << 64) - 1
+    k_const = 0
+    acc = 1
+    for _ in range(w):
+        k_const = (k_const + acc) & m64
+        acc = (acc * int(_CDC_P)) & m64
+    silent_low = np.uint64((int(_CDC_BIAS) * k_const) & m64) & mask
+    target = silent_low ^ np.uint64(1)
+    offs = np.cumsum(lengths) - lengths
+    pos_in_clip = _concat_aranges(lengths)
+    valid = pos_in_clip >= w - 1  # window entirely inside one clip
+    i = np.arange(n, dtype=np.int64)
+    h = np.empty(n, dtype=np.uint64)
+    h[w - 1:] = (u[w - 1:] - np.concatenate(
+        [np.uint64([0]), u[:-w]]
+    )[: n - w + 1]) * qpow[: n - w + 1]
+    is_boundary = np.zeros(n, dtype=bool)
+    ok = valid & (i >= w - 1)
+    is_boundary[ok] = (h[ok] & mask) == target
+    # clip ends always close a segment
+    ends = offs + lengths
+    cut_after = np.flatnonzero(is_boundary) + 1
+    seg_bounds = np.unique(np.concatenate([offs, ends, cut_after]))
+    seg_bounds = seg_bounds[(seg_bounds >= 0) & (seg_bounds <= n)]
+    starts = seg_bounds[:-1]
+    stops = seg_bounds[1:]
+    keep = stops > starts
+    starts, stops = starts[keep], stops[keep]
+    clip_idx = np.searchsorted(offs, starts, side="right") - 1
+    # seg_hash = Q^start * (U(stop-1) - U(start-1)) — content polynomial
+    u0 = np.concatenate([np.uint64([0]), u])
+    seg_h = (u0[stops] - u0[starts]) * qpow[starts]
+    seg_hash = _splitmix64(seg_h).view(np.int64)
+    # per-clip segment ordinal
+    seg_idx = np.arange(len(starts), dtype=np.int64)
+    first = np.searchsorted(clip_idx, np.arange(len(lengths)), side="left")
+    seg_idx = seg_idx - first[clip_idx]
+    return clip_idx, seg_idx, seg_hash

@@ -2130,3 +2130,110 @@ def redact_audio_pii(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def audio_cdc_segments(
+    df: DataFrame, window: int = 64, mask_bits: int = 10
+) -> DataFrame:
+    """One row per content-defined segment of every decodable clip:
+    ``(clip_id, seg_idx, seg_hash)`` (kernel ``batch_cdc_segments``).
+    Boundaries come from the CONTENT (Rabin rolling hash), so an
+    inserted prefix/suffix — leading silence, a new intro — leaves the
+    interior segments and their hashes unchanged: the OFFSET-robust
+    member of the dedup family (exact q10 / cross-codec q44 / tempo
+    q94 / this).  Same-codec comparison only (the hash is over the
+    decode lattice).  Like ``audio_window_hashes``, only ~16-byte
+    sketch rows ever leave the decode task."""
+
+    def run(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            batch_cdc_segments,
+            batch_decode,
+            pcm16_aligned_indices,
+        )
+
+        for pdf in iterator:
+            ids_out, segs_out, hashes_out = [], [], []
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            clip_ids = pdf["clip_id"].to_numpy()
+            for codec in SUPPORTED_CODECS:
+                idx = np.flatnonzero(
+                    (codecs == codec)
+                    & np.array([d is not None for d in datas])
+                )
+                if codec == "pcm16":
+                    idx = pcm16_aligned_indices(datas, idx)
+                if not len(idx):
+                    continue
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in idx], codec
+                )
+                ci, si, h = batch_cdc_segments(
+                    samples, lengths, window=window, mask_bits=mask_bits
+                )
+                ids_out.append(clip_ids[idx][ci])
+                segs_out.append(si)
+                hashes_out.append(h)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "clip_id": np.concatenate(ids_out),
+                        "seg_idx": np.concatenate(segs_out).astype("int32"),
+                        "seg_hash": np.concatenate(hashes_out),
+                    }
+                )
+
+    return df.mapInPandas(
+        run, schema="clip_id string, seg_idx int, seg_hash long"
+    )
+
+
+def offset_robust_partners(
+    df: DataFrame,
+    window: int = 64,
+    mask_bits: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Per-clip offset-robust duplicate audit: ``(clip_id, n_partners)``
+    where a partner is ANOTHER clip sharing at least ``min_shared``
+    distinct content-defined segment hashes — catches the re-upload
+    with extra leading silence or an appended outro that
+    exact/fixed-window dedup misses (every sample position shifted).
+    ``min_shared`` defaults to 2: one shared segment can be a chance
+    collision of two SHORT segments on a coarse companded lattice
+    (observed on G.711 at 10-bit expected segment length); genuinely
+    shared content spans many consecutive segments.
+
+    Scale shape: the self-join runs on 8-byte segment hashes (the
+    standard sketch-join; a corpus-common byte-identical segment makes
+    a hot bucket — cap it with the ``max_bucket`` accounting pattern of
+    ``near_duplicates_minhash`` when mining the open web).  PCM never
+    shuffles; the shared-count and partner-count aggregations fold
+    map-side."""
+    segs = audio_cdc_segments(
+        df, window=window, mask_bits=mask_bits
+    ).select("clip_id", "seg_hash").distinct()
+    pairs = (
+        segs.join(
+            segs.withColumnRenamed("clip_id", "_other"), "seg_hash"
+        )
+        .filter(F.col("clip_id") != F.col("_other"))
+        .groupBy("clip_id", "_other")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+        .filter(F.col("_n_shared") >= int(min_shared))
+        .groupBy("clip_id")
+        .agg(F.count(F.lit(1)).alias("n_partners"))
+    )
+    return (
+        df.select("clip_id")
+        .join(pairs, "clip_id", "left")
+        .withColumn(
+            "n_partners",
+            F.coalesce(F.col("n_partners"), F.lit(0)).cast("long"),
+        )
+    )

@@ -4963,6 +4963,42 @@ ORDER BY clip_id
 """
 
 
+def q_offset_dedup(spark, sf_dir):
+    """[tier: quality_filter x audio] OFFSET-robust audio dedup via
+    content-defined chunking: Rabin rolling-hash boundaries (kernel
+    batch_cdc_segments) come from the CONTENT, so a re-upload with
+    extra leading silence or an appended outro — every sample position
+    shifted, which defeats exact (q10), cross-codec (q44), and
+    fixed-window hashing alike — still shares every interior segment
+    hash with the original.  offset_robust_partners self-joins the
+    8-byte segment sketches (min_shared=2 kills chance single-segment
+    collisions) and counts distinct partners per clip.  Rows carry
+    PLANTED offset groups (sources/clips.py::offset_rows_for_range):
+    one noise body at three offsets per group (codec per group), every
+    4th group all-unique — the oracle knows each clip's partner count
+    (2 or 0) from the row index alone.  mask_bits=8 (~256-sample
+    expected segments) keeps >=19 segments per 8000-sample body, so
+    the two silence-padded members always share well over min_shared
+    interior segments."""
+    _prep(spark)
+    from .operators.audio import offset_robust_partners
+    from .sources.clips import offset_clips_df
+
+    out = offset_robust_partners(
+        offset_clips_df(spark, 240, partitions=4), mask_bits=8
+    )
+    return out.select("clip_id", "n_partners").orderBy("clip_id")
+
+
+Q_OFFSET_DEDUP_SQL = """
+SELECT printf('off-%010d', i) AS clip_id,
+       cast(CASE WHEN cast(floor(i / 3) AS INTEGER) % 4 = 3
+                 THEN 0 ELSE 2 END AS BIGINT) AS n_partners
+FROM (SELECT unnest(range(0, 240)) AS i)
+ORDER BY clip_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5082,4 +5118,5 @@ QUERIES = {
         Q_STREAMING_AUDIO_GATE_SQL,
     ),
     "q96_audio_redact": (q_audio_redact, Q_AUDIO_REDACT_SQL),
+    "q97_offset_dedup": (q_offset_dedup, Q_OFFSET_DEDUP_SQL),
 }

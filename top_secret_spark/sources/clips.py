@@ -1258,3 +1258,66 @@ def redact_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+OFFSET_GROUP = 3       # rows r, r+1, r+2 with r // 3 == g form one group
+OFFSET_UNIQUE_MOD = 4  # group g is all-unique when g % 4 == 3
+
+
+def offset_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED offset-duplicate structure: group
+    ``g = r // 3`` shares one 8000-sample noise body X (seeded by g);
+    member ``m = r % 3`` carries it as X / silence(1024)+X /
+    X+silence(512) — the same content at three OFFSETS, which shifts
+    every fixed-window position but no content-defined boundary.
+    Groups with ``g % 4 == 3`` give every member its OWN noise body
+    (planted non-duplicates).  Codec is per-GROUP (``g % 3``): CDC
+    hashes live on the decode lattice, so partners are same-codec by
+    design.  The oracle knows each clip's partner count (2 or 0) from
+    the row index alone."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    for r in range(start, end):
+        g, m = divmod(r, OFFSET_GROUP)
+        codec = _CODECS[g % 3]
+        if g % OFFSET_UNIQUE_MOD == 3:
+            seed = 8_900_000 + 3 * g + m
+        else:
+            seed = 8_800_000 + g
+        body = (
+            np.random.default_rng(seed)
+            .uniform(-0.4, 0.4, 8000)
+            .astype(np.float32)
+        )
+        if m == 1:
+            pcm = np.concatenate([np.zeros(1024, np.float32), body])
+        elif m == 2:
+            pcm = np.concatenate([body, np.zeros(512, np.float32)])
+        else:
+            pcm = body
+        out["clip_id"].append(f"off-{r:010d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(int(len(pcm) * 1000 / sr_hz))
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for offset clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def offset_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted offset-duplicate clips (same no-shuffle range
+    → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield offset_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
