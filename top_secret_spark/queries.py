@@ -5011,14 +5011,23 @@ QUERIES = {
     "q09_token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
     "q10_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "q11_minhash_neardup": (q_minhash_neardup, Q_MINHASH_SQL),
-    "q12_simhash_neardup": (q_simhash_neardup, Q_MINHASH_SQL),
+    # The session-4 audio flagships (q93 pairing gate, q94 tempo dedup,
+    # q96 cross-modal redaction, q97 offset-robust CDC dedup) take
+    # driver-checked slots, same displacement policy as q88-q91 below;
+    # the four displaced queries move to the tail, still under the
+    # identical local gate: q12 simhash ~ q36 (end-to-end Hamming<=3,
+    # strictly stronger), q26 fingerprint groups ~ q10 exact dedup +
+    # q43's fingerprint index, q18 join-agg ~ q43's bucketed join and
+    # q51's broadcast probe, q19 latest-event window ~ q38's salted
+    # per-key ranking window.
+    "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
     "q13_cosine_topk": (q_cosine_topk, Q_COSINE_TOPK_SQL),
     "q14_langid_planted": (q_langid_planted, Q_LANGID_SQL),
     "q15_perplexity_planted": (q_perplexity_planted, Q_PERPLEXITY_SQL),
     "q16_audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
     "q17_tpch_pricing_summary": (q_tpch_pricing_summary, Q_TPCH_PRICING_SQL),
-    "q18_join_orders_per_nation": (q_join_orders_per_nation, Q_JOIN_ORDERS_SQL),
-    "q19_window_latest_event": (q_window_latest_event, Q_WINDOW_LATEST_SQL),
+    "q94_tempo_dedup": (q_tempo_dedup, Q_TEMPO_DEDUP_SQL),
+    "q97_offset_dedup": (q_offset_dedup, Q_OFFSET_DEDUP_SQL),
     "q20_dictionary_scrub": (q_dictionary_scrub, Q_DICTIONARY_SCRUB_SQL),
     # q88-q91 (this round's flagship gates) sit in driver-checked slots,
     # same policy as q86/q87 below; the four displaced queries (q21 ANN
@@ -5030,7 +5039,7 @@ QUERIES = {
     "q23_ner_scrub": (q_ner_scrub, Q_NER_SCRUB_SQL),
     "q24_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q89_vad_gate": (q_vad_gate, Q_VAD_GATE_SQL),
-    "q26_fingerprint_groups": (q_fingerprint_groups, Q_FINGERPRINT_SQL),
+    "q96_audio_redact": (q_audio_redact, Q_AUDIO_REDACT_SQL),
     "q27_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     "q28_toxicity": (q_toxicity, Q_TOXICITY_SQL),
     "q29_ivf_ann": (q_ivf_ann, Q_IVF_ANN_SQL),
@@ -5111,12 +5120,12 @@ QUERIES = {
     "q35_ivf_indexed": (q_ivf_indexed, Q_IVF_INDEXED_SQL),
     "q37_text_embedding_neardup": (q_text_embedding_neardup, Q_TEXT_EMBEDDING_SQL),
     "q92_strip_repeated": (q_strip_repeated, Q_STRIP_REPEATED_SQL),
-    "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
-    "q94_tempo_dedup": (q_tempo_dedup, Q_TEMPO_DEDUP_SQL),
     "q95_streaming_audio_gate": (
         q_streaming_audio_gate,
         Q_STREAMING_AUDIO_GATE_SQL,
     ),
-    "q96_audio_redact": (q_audio_redact, Q_AUDIO_REDACT_SQL),
-    "q97_offset_dedup": (q_offset_dedup, Q_OFFSET_DEDUP_SQL),
+    "q12_simhash_neardup": (q_simhash_neardup, Q_MINHASH_SQL),
+    "q18_join_orders_per_nation": (q_join_orders_per_nation, Q_JOIN_ORDERS_SQL),
+    "q19_window_latest_event": (q_window_latest_event, Q_WINDOW_LATEST_SQL),
+    "q26_fingerprint_groups": (q_fingerprint_groups, Q_FINGERPRINT_SQL),
 }
