@@ -1915,3 +1915,107 @@ def test_offset_robust_partners_planted(spark):
         g = idx // 3
         exp = 0 if g % OFFSET_UNIQUE_MOD == 3 else 2
         assert r["n_partners"] == exp, r
+
+
+# --- multichannel kernels (q98/q99) ------------------------------------------
+
+
+class TestMultichannel:
+    def test_downmix_matches_per_clip_mean(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import batch_downmix
+
+        rng = np.random.default_rng(7)
+        clips = [rng.uniform(-1, 1, 2 * n).astype(np.float32)
+                 for n in (5, 1, 400, 33)]
+        buf = np.concatenate(clips)
+        lengths = np.array([len(c) for c in clips])
+        mono, ml = batch_downmix(buf, lengths, 2)
+        assert list(ml) == [5, 1, 400, 33]
+        off = 0
+        for c, m in zip(clips, ml):
+            expect = c.astype(np.float64).reshape(-1, 2).mean(axis=1)
+            np.testing.assert_allclose(
+                mono[off:off + m], expect.astype(np.float32), atol=1e-7
+            )
+            off += m
+
+    def test_downmix_ragged_tail_dropped(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import batch_downmix
+
+        # clip 0 has a trailing partial frame (7 samples, nch=2)
+        buf = np.arange(7 + 4, dtype=np.float32)
+        mono, ml = batch_downmix(buf, np.array([7, 4]), 2)
+        assert list(ml) == [3, 2]
+        np.testing.assert_allclose(mono[:3], [0.5, 2.5, 4.5])
+        np.testing.assert_allclose(mono[3:], [7.5, 9.5])
+
+    def test_downmix_mono_passthrough(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import batch_downmix
+
+        buf = np.arange(6, dtype=np.float32)
+        mono, ml = batch_downmix(buf, np.array([6]), 1)
+        assert list(ml) == [6]
+        np.testing.assert_array_equal(mono, buf)
+
+    def test_channel_blocks_overtalk(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import batch_channel_blocks
+
+        sr = 1000  # block_ms=10 -> 10 frames per block
+        n = 100    # 10 blocks per channel
+        ch0 = np.full(n, 0.5, np.float32)
+        ch1 = np.zeros(n, np.float32)
+        ch1[:50] = 0.5  # voiced first 5 blocks
+        inter = np.empty(2 * n, np.float32)
+        inter[0::2] = ch0
+        inter[1::2] = ch1
+        vc, ot, nb = batch_channel_blocks(
+            inter, np.array([2 * n]), 2, sr, threshold=0.01, block_ms=10
+        )
+        assert list(vc[0]) == [10, 5]
+        assert int(ot[0]) == 5
+        assert int(nb[0]) == 10
+
+    def test_mixed_nch_batch_splits(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import (
+            decode_sr_nch_groups,
+            encode,
+        )
+
+        mono = np.full(8, 0.25, np.float32)
+        stereo = np.full(12, -0.25, np.float32)
+        datas = [encode(mono, "pcm16"), encode(stereo, "pcm16")]
+        groups = list(decode_sr_nch_groups(
+            datas, np.array(["pcm16", "pcm16"]),
+            np.array([8000.0, 8000.0]), np.array([1.0, 2.0]),
+        ))
+        assert len(groups) == 2
+        by_nch = {g[4]: g for g in groups}
+        np.testing.assert_allclose(by_nch[1][1], mono, atol=1e-4)
+        np.testing.assert_allclose(by_nch[2][1], stereo, atol=1e-4)
+        assert by_nch[1][5] == "pcm16"
+
+    def test_downmix_operator_poison_passthrough(self, spark):
+        from pyspark.sql import functions as F
+
+        from top_secret_spark.operators.audio import downmix_to_mono
+        from top_secret_spark.sources.clips import stereo_clips_df
+
+        out = downmix_to_mono(stereo_clips_df(spark, 12, partitions=2))
+        rows = {r.clip_id: r for r in out.withColumn(
+            "n_bytes", F.length("bytes")).collect()}
+        # class 5 (r=5, 11) is the opus poison: untouched
+        assert rows["st-0000000005"].n_bytes == 4
+        assert rows["st-0000000005"].n_channels == 2
+        # class 0 pcm16 stereo 32000 B -> mono 16000 B
+        assert rows["st-0000000000"].n_bytes == 16000
+        assert rows["st-0000000000"].n_channels == 1

@@ -1239,3 +1239,121 @@ def batch_cdc_segments(
     first = np.searchsorted(clip_idx, np.arange(len(lengths)), side="left")
     seg_idx = seg_idx - first[clip_idx]
     return clip_idx, seg_idx, seg_hash
+
+
+# --- multichannel (interleaved) kernels ---------------------------------------
+#
+# The reference corpus is mono, but real call/meeting audio lands as
+# frame-interleaved multichannel PCM (L R L R ...).  These kernels keep
+# the concatenated-buffer layout of batch_decode: one flat buffer, one
+# lengths array (lengths count INTERLEAVED samples), every clip in the
+# call sharing one (codec, sr_hz, n_channels).  Everything is whole-
+# buffer vectorized — the only per-clip work anywhere is slicing the
+# already-encoded output bytes.
+
+
+def _compact_to_multiple(
+    samples: np.ndarray, lengths: np.ndarray, m: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop each clip's trailing ``length % m`` samples from a
+    concatenated buffer so every clip's span is a multiple of ``m``.
+    Returns ``(buf, kept_lengths)``; zero-copy fast path when every
+    clip is already aligned (the common case — ragged tails only occur
+    on truncated uploads)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    kept = (lengths // m) * m
+    if int(kept.sum()) == int(lengths.sum()):
+        return samples, kept
+    pos = _concat_aranges(lengths)
+    mask = pos < np.repeat(kept, lengths)
+    return samples[mask], kept
+
+
+def batch_downmix(
+    samples: np.ndarray, lengths: np.ndarray, n_channels: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Downmix concatenated frame-interleaved multichannel clips to
+    mono: one reshape + one mean over the channel axis for the WHOLE
+    buffer (no per-clip loop).  Returns ``(mono_samples,
+    mono_lengths)`` where ``mono_lengths[i] = lengths[i] //
+    n_channels``; a ragged trailing partial frame is dropped (it has no
+    complete sample for every channel).  Mono input passes through."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    nch = int(n_channels)
+    if nch <= 1:
+        return samples.astype(np.float32, copy=False), lengths
+    buf, kept = _compact_to_multiple(samples, lengths, nch)
+    mono = (
+        buf.astype(np.float64).reshape(-1, nch).mean(axis=1)
+    ).astype(np.float32)
+    return mono, kept // nch
+
+
+def batch_channel_blocks(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    n_channels: int,
+    sr_hz: int,
+    threshold: float = 0.01,
+    block_ms: int = 10,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-clip per-channel speech activity over concatenated
+    interleaved clips: split each channel into ``block_ms`` blocks, a
+    block is voiced when its mean ``|x|`` >= ``threshold`` (block-energy
+    VAD — deliberately simpler than ``batch_voiced_segments``'s
+    gap-merge semantics, because the cross-channel conjunction below
+    needs time-aligned units, not merged utterances).
+
+    Returns ``(voiced_blocks, overtalk_blocks, n_blocks)``:
+    ``voiced_blocks[i, c]`` = clip i's voiced block count on channel c
+    (shape ``(n, n_channels)``), ``overtalk_blocks[i]`` = blocks where
+    >= 2 channels are voiced simultaneously (0 for mono), ``n_blocks[i]``
+    = complete blocks measured.  One reshape to ``(total_blocks,
+    block_frames, nch)`` + one mean does the whole batch."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    nch = max(1, int(n_channels))
+    b = max(1, int(sr_hz * block_ms / 1000))
+    m = b * nch
+    buf, kept = _compact_to_multiple(samples, lengths, m)
+    n_blocks = kept // m
+    voiced_counts = np.zeros((n, nch), dtype=np.int64)
+    overtalk = np.zeros(n, dtype=np.int64)
+    total_blocks = int(n_blocks.sum())
+    if total_blocks == 0:
+        return voiced_counts, overtalk, n_blocks
+    blocks = np.abs(buf.astype(np.float64)).reshape(total_blocks, b, nch)
+    voiced = blocks.mean(axis=1) >= threshold  # (total_blocks, nch)
+    clip_of = np.repeat(np.arange(n, dtype=np.int64), n_blocks)
+    np.add.at(voiced_counts, clip_of, voiced.astype(np.int64))
+    if nch >= 2:
+        both = voiced.sum(axis=1) >= 2
+        np.add.at(overtalk, clip_of, both.astype(np.int64))
+    return voiced_counts, overtalk, n_blocks
+
+
+def decode_sr_nch_groups(datas: list, codecs, srs, nchs):
+    """:func:`decode_sr_groups` split further by channel count — the
+    shared scaffold for every multichannel operator.  Yields
+    ``(idx, samples, lengths, sr, nch, codec)``; rows with NULL or
+    nonpositive ``n_channels`` are excluded (caller's poison rows,
+    same convention as NULL sr).  The homogeneous-``nch`` case (the
+    overwhelmingly common one — a fixture or a single upload source)
+    takes a zero-copy fast path; mixed batches pay one gather."""
+    nchs = np.asarray(nchs, dtype=np.float64)
+    nch_ok = np.isfinite(nchs) & (nchs >= 1)
+    srs = np.where(nch_ok, np.asarray(srs, dtype=np.float64), np.nan)
+    codecs = np.asarray(codecs)
+    for idx, samples, lengths, sr in decode_sr_groups(datas, codecs, srs):
+        codec = str(codecs[idx[0]])
+        for nch in np.unique(nchs[idx]):
+            sub = nchs[idx] == nch
+            if sub.all():
+                yield idx, samples, lengths, sr, int(nch), codec
+                continue
+            offs = np.cumsum(lengths) - lengths
+            keep = np.flatnonzero(sub)
+            pos = _concat_aranges(lengths[keep]) + np.repeat(
+                offs[keep], lengths[keep]
+            )
+            yield idx[keep], samples[pos], lengths[keep], sr, int(nch), codec

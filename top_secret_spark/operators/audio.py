@@ -2237,3 +2237,138 @@ def offset_robust_partners(
             F.coalesce(F.col("n_partners"), F.lit(0)).cast("long"),
         )
     )
+
+
+def with_channel_stats(
+    df: DataFrame,
+    threshold: float = 0.01,
+    block_ms: int = 10,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Per-channel call analytics over frame-interleaved multichannel
+    clips (``n_channels`` column required): append ``chan_ok``,
+    ``talk_ms_ch0`` / ``talk_ms_ch1`` (block-energy voiced time per
+    channel, ``kernel.batch_channel_blocks`` semantics), and
+    ``overtalk_ms`` (blocks where >= 2 channels are voiced at once —
+    the agent/customer crosstalk measure call-center curation gates
+    on).  Channels beyond the first two still count toward overtalk;
+    the two named columns keep the schema fixed (2 channels is the
+    telephony case this models).  Mono rows read ``overtalk_ms = 0``.
+
+    Scale: map-only, zero Exchange; ONE decode + one whole-batch
+    reshape/mean per (codec, sr, nch) group per Arrow batch
+    (``decode_sr_nch_groups``), no per-clip Python.  Poison rows (bad
+    codec / NULL payload / NULL sr / NULL or nonpositive n_channels)
+    read ``chan_ok = false`` with zeroed measurements — never a stage
+    kill.  ``bytes`` dropped unless ``keep_bytes`` (multi-kB payloads
+    must not ride the Arrow boundary twice for a stats pass).
+
+    Reference parity: top_secret is text-only; this is part of the
+    audio twin the north rule adds (BASELINE.json north_star)."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += (
+        ", chan_ok boolean, talk_ms_ch0 bigint, talk_ms_ch1 bigint"
+        ", overtalk_ms bigint"
+    )
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_channel_blocks, decode_sr_nch_groups
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            talk0 = np.zeros(n, dtype=np.int64)
+            talk1 = np.zeros(n, dtype=np.int64)
+            over = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            nchs = pdf["n_channels"].to_numpy(
+                dtype="float64", na_value=np.nan
+            )
+            for idx, samples, lengths, sr, nch, _codec in (
+                decode_sr_nch_groups(datas, codecs, srs, nchs)
+            ):
+                vc, ot, nb = batch_channel_blocks(
+                    samples, lengths, nch, sr,
+                    threshold=threshold, block_ms=block_ms,
+                )
+                oks[idx] = nb > 0
+                talk0[idx] = vc[:, 0] * block_ms
+                if nch >= 2:
+                    talk1[idx] = vc[:, 1] * block_ms
+                over[idx] = ot * block_ms
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["chan_ok"] = oks
+            pdf["talk_ms_ch0"] = talk0
+            pdf["talk_ms_ch1"] = talk1
+            pdf["overtalk_ms"] = over
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def downmix_to_mono(df: DataFrame) -> DataFrame:
+    """Downmix frame-interleaved multichannel clips to mono in the
+    clip's own codec: decode → one whole-buffer reshape/mean
+    (``kernel.batch_downmix``) → ONE whole-buffer re-encode, then
+    per-clip byte slices off the encoded buffer (the only per-row work
+    anywhere — a memoryview slice).  ``n_channels`` becomes 1, payload
+    shrinks by the channel factor, ``dur_ms`` is unchanged (frames per
+    channel are preserved; a ragged trailing partial frame is dropped).
+
+    Poison rows (undecodable codec, NULL payload/sr/n_channels) pass
+    through byte-for-byte with their original ``n_channels`` — at
+    10^12 rows a poison row must stay visible to the downstream
+    metadata audit (q88), not be silently relabeled mono.
+
+    Scale: map-only, zero Exchange, zero per-clip numpy calls; the
+    downmix is one mean over a ``(frames, nch)`` view of the whole
+    Arrow batch."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+
+    def run(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel.audio import batch_downmix, decode_sr_nch_groups, encode
+
+        for pdf in iterator:
+            datas = pdf["bytes"].tolist()
+            out_bytes = list(datas)
+            nch_out = pdf["n_channels"].to_numpy(
+                dtype="float64", na_value=np.nan
+            ).copy()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            nchs = pdf["n_channels"].to_numpy(
+                dtype="float64", na_value=np.nan
+            )
+            for idx, samples, lengths, sr, nch, codec in (
+                decode_sr_nch_groups(datas, codecs, srs, nchs)
+            ):
+                mono, mlen = batch_downmix(samples, lengths, nch)
+                width = 2 if codec == "pcm16" else 1
+                encoded = memoryview(encode(mono, codec))
+                ends = np.cumsum(mlen) * width
+                starts = ends - mlen * width
+                for k, i in enumerate(idx):
+                    out_bytes[i] = bytes(encoded[starts[k]:ends[k]])
+                nch_out[idx] = 1
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["n_channels"] = pd.array(
+                [None if not np.isfinite(v) else int(v) for v in nch_out],
+                dtype="Int32",
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -4999,6 +4999,121 @@ ORDER BY clip_id
 """
 
 
+
+def q_channel_stats(spark, sf_dir):
+    """[tier: quality_filter x audio] per-channel call analytics over
+    frame-interleaved STEREO clips: one decode + one whole-batch
+    block-energy pass (operators/audio.py::with_channel_stats,
+    kernel batch_channel_blocks) yields talk time per channel and
+    overtalk (both channels voiced at once) — the agent/customer
+    crosstalk measures call-center curation gates on.  Rows carry
+    PLANTED channel-activity classes keyed by r % 6
+    (sources/clips.py::stereo_rows_for_range; halves align on 10 ms
+    blocks, voiced magnitude 0.45 vs threshold 0.01), so the oracle
+    recomputes the EXACT talk/overtalk milliseconds per class from the
+    row index alone — measurements are gated, not just decisions.
+    Reference parity: top_secret is text-only (ref:lib/top_secret.rb);
+    multichannel telephony audio is part of the audio twin the north
+    rule adds."""
+    _prep(spark)
+    from .operators.audio import with_channel_stats
+    from .sources.clips import stereo_clips_df
+
+    out = with_channel_stats(stereo_clips_df(spark, 240, partitions=4))
+    cls = (F.substring("clip_id", 4, 10).cast("int") % 6).alias("cls")
+    return (
+        out.groupBy(cls)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("chan_ok").cast("bigint")).alias("n_ok"),
+            F.sum("talk_ms_ch0").alias("sum_talk0_ms"),
+            F.sum("talk_ms_ch1").alias("sum_talk1_ms"),
+            F.sum("overtalk_ms").alias("sum_overtalk_ms"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_CHANNEL_STATS_SQL = """
+SELECT cast(i % 6 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE WHEN i % 6 = 5 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+       cast(sum(CASE i % 6 WHEN 0 THEN 1000 WHEN 2 THEN 500
+                          WHEN 3 THEN 1000 ELSE 0 END) AS BIGINT)
+           AS sum_talk0_ms,
+       cast(sum(CASE i % 6 WHEN 1 THEN 1000 WHEN 2 THEN 500
+                          WHEN 3 THEN 500 ELSE 0 END) AS BIGINT)
+           AS sum_talk1_ms,
+       cast(sum(CASE WHEN i % 6 = 3 THEN 500 ELSE 0 END) AS BIGINT)
+           AS sum_overtalk_ms
+FROM (SELECT unnest(range(0, 240)) AS i)
+GROUP BY cls
+ORDER BY cls
+"""
+
+
+def q_downmix(spark, sf_dir):
+    """[tier: quality_filter x audio] stereo-to-mono downmix in the
+    clip's own codec (operators/audio.py::downmix_to_mono): decode ->
+    ONE whole-buffer channel mean (kernel batch_downmix) -> one
+    whole-buffer re-encode, per-clip output = a byte slice.  Verified
+    three ways at once on the planted stereo classes
+    (stereo_rows_for_range): (a) payload byte length exactly halves
+    per codec (pcm16 32000->16000 B, companded 16000->8000 B), (b) the
+    downmixed LEVEL is the closed-form channel mean — one voiced
+    channel -> 0.225 amplitude ('half'), both in-phase -> 0.45
+    ('loud'), silence -> 0 — measured by the standard feature stage
+    over the re-encoded mono bytes, and (c) poison rows (undecodable
+    codec) pass through byte-for-byte with n_channels untouched.  The
+    oracle recomputes all three from the row index."""
+    _prep(spark)
+    from .operators.audio import downmix_to_mono, with_audio_features
+    from .sources.clips import stereo_clips_df
+
+    mono = downmix_to_mono(stereo_clips_df(spark, 240, partitions=4))
+    mono = mono.withColumn("n_bytes", F.length("bytes").cast("bigint"))
+    feats = with_audio_features(mono)
+    cls = (F.substring("clip_id", 4, 10).cast("int") % 6).alias("cls")
+    level = (
+        F.when(~F.col("decode_ok"), F.lit("undecodable"))
+        .when(F.col("rms") < 0.01, F.lit("silent"))
+        .when(F.col("rms") < 0.3, F.lit("half"))
+        .otherwise(F.lit("loud"))
+    ).alias("level_class")
+    return (
+        feats.groupBy(cls, F.col("codec"), level)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum(F.col("n_channels").cast("bigint")).alias("sum_channels"),
+        )
+        .orderBy("cls", "codec")
+    )
+
+
+Q_DOWNMIX_SQL = """
+SELECT cast(cls AS INTEGER) AS cls, codec, level_class,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(n_bytes) AS BIGINT) AS sum_bytes,
+       cast(sum(n_ch) AS BIGINT) AS sum_channels
+FROM (
+  SELECT i % 6 AS cls,
+         CASE WHEN i % 6 = 5 THEN 'opus'
+              WHEN cast(floor(i / 6) AS INTEGER) % 3 = 0 THEN 'pcm16'
+              WHEN cast(floor(i / 6) AS INTEGER) % 3 = 1 THEN 'ulaw'
+              ELSE 'alaw' END AS codec,
+         CASE i % 6 WHEN 5 THEN 'undecodable' WHEN 4 THEN 'silent'
+                    WHEN 3 THEN 'loud' ELSE 'half' END AS level_class,
+         CASE WHEN i % 6 = 5 THEN 4
+              WHEN cast(floor(i / 6) AS INTEGER) % 3 = 0 THEN 16000
+              ELSE 8000 END AS n_bytes,
+         CASE WHEN i % 6 = 5 THEN 2 ELSE 1 END AS n_ch
+  FROM (SELECT unnest(range(0, 240)) AS i))
+GROUP BY cls, codec, level_class
+ORDER BY cls, codec
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5021,11 +5136,11 @@ QUERIES = {
     # q51's broadcast probe, q19 latest-event window ~ q38's salted
     # per-key ranking window.
     "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
-    "q13_cosine_topk": (q_cosine_topk, Q_COSINE_TOPK_SQL),
+    "q99_downmix": (q_downmix, Q_DOWNMIX_SQL),
     "q14_langid_planted": (q_langid_planted, Q_LANGID_SQL),
     "q15_perplexity_planted": (q_perplexity_planted, Q_PERPLEXITY_SQL),
     "q16_audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
-    "q17_tpch_pricing_summary": (q_tpch_pricing_summary, Q_TPCH_PRICING_SQL),
+    "q98_channel_stats": (q_channel_stats, Q_CHANNEL_STATS_SQL),
     "q94_tempo_dedup": (q_tempo_dedup, Q_TEMPO_DEDUP_SQL),
     "q97_offset_dedup": (q_offset_dedup, Q_OFFSET_DEDUP_SQL),
     "q20_dictionary_scrub": (q_dictionary_scrub, Q_DICTIONARY_SCRUB_SQL),
@@ -5128,4 +5243,6 @@ QUERIES = {
     "q18_join_orders_per_nation": (q_join_orders_per_nation, Q_JOIN_ORDERS_SQL),
     "q19_window_latest_event": (q_window_latest_event, Q_WINDOW_LATEST_SQL),
     "q26_fingerprint_groups": (q_fingerprint_groups, Q_FINGERPRINT_SQL),
+    "q17_tpch_pricing_summary": (q_tpch_pricing_summary, Q_TPCH_PRICING_SQL),
+    "q13_cosine_topk": (q_cosine_topk, Q_COSINE_TOPK_SQL),
 }

@@ -1321,3 +1321,84 @@ def offset_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+STEREO_CLASS_PERIOD = 6  # row r's planted channel-activity class = r % 6
+STEREO_SCHEMA_DDL = CLIPS_SCHEMA_DDL + ", n_channels int"
+
+
+def stereo_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Frame-interleaved STEREO clips rows with PLANTED per-channel
+    speech structure, keyed by ``r % 6`` (codec cycles ``(r // 6) % 3``
+    so every class sees every codec): 0 ch0 talks the whole second
+    (1000/0/0 ms talk0/talk1/overtalk), 1 ch1 talks (0/1000/0), 2 clean
+    turn-taking — ch0 the first half, ch1 the second (500/500/0), 3
+    crosstalk — ch0 throughout, ch1 joins for the second half
+    (1000/500/500), 4 both silent (0/0/0), 5 an undecodable codec tag
+    (chan_ok = false).  Voiced spans use the 0.45-magnitude block wave
+    (``_vad_voiced``) against the 0.01 block-energy threshold and halves
+    align on 10 ms block boundaries, so talk/overtalk milliseconds are
+    EXACT by construction and the oracle gates the measured times, not
+    just decisions.  Downmix expectations are closed-form too: one
+    voiced channel → 0.225 amplitude ('half'), both in-phase → 0.45
+    ('loud'), silence → 0, so q99 gates the downmixed level class and
+    the halved payload byte length per codec."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    out["n_channels"] = []
+    sr_hz = 8000
+    n = 8000  # frames per channel = 1 s
+    half = n // 2
+    voiced = _vad_voiced(n)
+    voiced_half = _vad_voiced(half)
+    silence = np.zeros(n, np.float32)
+    for r in range(start, end):
+        kind = r % STEREO_CLASS_PERIOD
+        codec = _CODECS[(r // STEREO_CLASS_PERIOD) % 3]
+        if kind == 0:
+            ch0, ch1 = voiced, silence
+        elif kind == 1:
+            ch0, ch1 = silence, voiced
+        elif kind == 2:
+            ch0 = np.concatenate([voiced_half, np.zeros(half, np.float32)])
+            ch1 = np.concatenate([np.zeros(half, np.float32), voiced_half])
+        elif kind == 3:
+            ch0 = voiced
+            ch1 = np.concatenate([np.zeros(half, np.float32), voiced_half])
+        else:
+            ch0, ch1 = silence, silence
+        if kind == 5:
+            codec, data = "opus", b"\x00\x01\x02\x03"
+        else:
+            inter = np.empty(2 * n, np.float32)
+            inter[0::2] = ch0
+            inter[1::2] = ch1
+            data = encode(inter, codec)
+        out["clip_id"].append(f"st-{r:010d}")
+        out["bytes"].append(data)
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for stereo clip {r}")
+        out["n_channels"].append(2)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    df["n_channels"] = df["n_channels"].astype("int32")
+    return df
+
+
+def stereo_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted stereo clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield stereo_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=STEREO_SCHEMA_DDL)
+    )
