@@ -2019,3 +2019,78 @@ class TestMultichannel:
         # class 0 pcm16 stereo 32000 B -> mono 16000 B
         assert rows["st-0000000000"].n_bytes == 16000
         assert rows["st-0000000000"].n_channels == 1
+
+
+# --- WAV/RIFF container handling (q100/q101) ---------------------------------
+
+
+class TestWavContainer:
+    def test_header_parse_planted_classes(self, spark):
+        from top_secret_spark.operators.audio import with_wav_header
+        from top_secret_spark.sources.clips import wav_clips_df
+
+        hdr = with_wav_header(wav_clips_df(spark, 12, partitions=2))
+        rows = {r.clip_id: r for r in hdr.collect()}
+        r0 = rows["wv-0000000000"]
+        assert (r0.wav_issue, r0.fmt_code, r0.sr_hdr, r0.bits_hdr,
+                r0.data_off, r0.data_len) == (None, 1, 8000, 16, 45, 16000)
+        r1 = rows["wv-0000000001"]
+        assert (r1.wav_issue, r1.fmt_code, r1.data_len) == (None, 7, 8000)
+        r2 = rows["wv-0000000002"]  # interposed LIST chunk skipped
+        assert (r2.wav_issue, r2.data_off, r2.data_len) == (None, 65, 16000)
+        assert rows["wv-0000000004"].wav_issue == "truncated_data"
+        # truncated rows still expose parsed fmt fields for the audit
+        assert rows["wv-0000000004"].sr_hdr == 8000
+        r5 = rows["wv-0000000005"]
+        assert r5.wav_issue == "not_riff" and r5.fmt_code is None
+
+    def test_wav_audit_plan_is_pure_catalyst(self, spark):
+        """The header audit must stay JVM-side: byte slicing + hex +
+        conv compile into whole-stage codegen — no Python eval, no
+        Exchange; at 10^12 rows the audit is scan-speed."""
+        from pyspark.sql import Row
+
+        from top_secret_spark.operators.audio import with_wav_header
+
+        df = spark.createDataFrame(
+            [Row(clip_id="a", bytes=bytearray(b"RIFF" + b"\x00" * 100),
+                 sr_hz=8000, dur_ms=12, codec="wav", transcript="x")]
+        )
+        plan = (
+            with_wav_header(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
+
+    def test_unwrap_rewrites_codec_and_sr(self, spark):
+        from pyspark.sql import functions as F
+
+        from top_secret_spark.operators.audio import unwrap_wav
+        from top_secret_spark.sources.clips import wav_clips_df
+
+        un = unwrap_wav(wav_clips_df(spark, 12, partitions=2))
+        rows = {r.clip_id: r for r in un.withColumn(
+            "n_bytes", F.length("bytes")).collect()}
+        assert rows["wv-0000000000"].codec == "pcm16"
+        assert rows["wv-0000000000"].n_bytes == 16000
+        assert rows["wv-0000000001"].codec == "ulaw"
+        assert rows["wv-0000000001"].n_bytes == 8000
+        # header is authoritative: the sr-mismatch class reads 16000
+        assert rows["wv-0000000003"].sr_hz == 16000
+        # malformed containers pass through byte-for-byte
+        assert rows["wv-0000000004"].codec == "wav"
+        assert rows["wv-0000000004"].n_bytes == 16044
+
+    def test_unwrap_roundtrip_bytes_exact(self, spark):
+        """Unwrapped payload must equal the encoded source bytes
+        exactly — substring math off by one would still often decode."""
+        from top_secret_spark.kernel.audio import encode
+        from top_secret_spark.operators.audio import unwrap_wav
+        from top_secret_spark.sources.clips import _vad_voiced, wav_clips_df
+
+        expected = encode(_vad_voiced(8000), "pcm16")
+        un = unwrap_wav(wav_clips_df(spark, 6, partitions=1))
+        rows = {r.clip_id: r for r in un.collect()}
+        assert bytes(rows["wv-0000000000"].bytes) == expected
+        assert bytes(rows["wv-0000000002"].bytes) == expected

@@ -5114,6 +5114,111 @@ ORDER BY cls, codec
 """
 
 
+
+def q_wav_audit(spark, sf_dir):
+    """[tier: quality_filter x audio] RIFF/WAVE container audit ENTIRELY
+    in Catalyst (operators/audio.py::with_wav_header): byte-slice + hex
+    + conv expressions parse fmt/sr/bits/data-chunk location next to
+    the scan — zero Python, zero Arrow crossing, zero decode — so a
+    10^12-row header audit is scan-speed.  Rows carry PLANTED container
+    classes (sources/clips.py::wav_rows_for_range, r % 6): canonical
+    pcm16, canonical mu-law, interposed-LIST-chunk, header-sr-
+    contradicts-metadata, lying data length (truncated upload), and a
+    raw non-container payload.  The oracle recomputes the status AND
+    the parsed sample-rate / data-length sums per class from the row
+    index — parsed VALUES are gated, not just verdicts."""
+    _prep(spark)
+    from .operators.audio import with_wav_header
+    from .sources.clips import wav_clips_df
+
+    hdr = with_wav_header(wav_clips_df(spark, 240, partitions=4))
+    cls = (F.substring("clip_id", 4, 10).cast("int") % 6).alias("cls")
+    status = (
+        F.when(F.col("wav_issue").isNotNull(), F.col("wav_issue"))
+        .when(F.col("sr_hdr") != F.col("sr_hz"), F.lit("sr_mismatch"))
+        .otherwise(F.lit("ok"))
+    ).alias("status")
+    return (
+        hdr.groupBy(cls, status)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("sr_hdr"), F.lit(0)).cast("bigint"))
+            .alias("sum_sr_hdr"),
+            F.sum(F.coalesce(F.col("data_len"), F.lit(0)))
+            .alias("sum_data_len"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_WAV_AUDIT_SQL = """
+SELECT cast(i % 6 AS INTEGER) AS cls,
+       CASE i % 6 WHEN 3 THEN 'sr_mismatch' WHEN 4 THEN 'truncated_data'
+                  WHEN 5 THEN 'not_riff' ELSE 'ok' END AS status,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE i % 6 WHEN 3 THEN 16000 WHEN 5 THEN 0
+                           ELSE 8000 END) AS BIGINT) AS sum_sr_hdr,
+       cast(sum(CASE i % 6 WHEN 1 THEN 8000 WHEN 4 THEN 0 WHEN 5 THEN 0
+                           ELSE 16000 END) AS BIGINT) AS sum_data_len
+FROM (SELECT unnest(range(0, 240)) AS i)
+GROUP BY 1, 2
+ORDER BY cls
+"""
+
+
+def q_wav_unwrap(spark, sf_dir):
+    """[tier: quality_filter x audio] container ingest: unwrap
+    well-formed WAVs to raw payloads with codec / sr_hz REWRITTEN from
+    the header (container authoritative over upload metadata) — still
+    pure Catalyst (operators/audio.py::unwrap_wav) — then drive the
+    STANDARD decode boundary over the result.  Gates, per planted
+    class: the unwrapped byte length (16044->16000 etc.), the rewritten
+    codec (fmt 1->pcm16, 7->ulaw), the header-authoritative sr_hz
+    (16000 on the mismatch class), decodability (malformed containers
+    pass through and stay undecodable), and the measured level (the
+    0.45 block wave reads 'loud' through every unwrap path)."""
+    _prep(spark)
+    from .operators.audio import unwrap_wav, with_audio_features
+    from .sources.clips import wav_clips_df
+
+    un = unwrap_wav(wav_clips_df(spark, 240, partitions=4))
+    un = un.withColumn("n_bytes", F.length("bytes").cast("bigint"))
+    feats = with_audio_features(un)
+    cls = (F.substring("clip_id", 4, 10).cast("int") % 6).alias("cls")
+    level = (
+        F.when(~F.col("decode_ok"), F.lit("undecodable"))
+        .when(F.col("rms") < 0.01, F.lit("silent"))
+        .when(F.col("rms") < 0.3, F.lit("half"))
+        .otherwise(F.lit("loud"))
+    ).alias("level_class")
+    return (
+        feats.groupBy(cls, F.col("codec"), level)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum(F.col("sr_hz").cast("bigint")).alias("sum_sr"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_WAV_UNWRAP_SQL = """
+SELECT cast(i % 6 AS INTEGER) AS cls,
+       CASE i % 6 WHEN 1 THEN 'ulaw' WHEN 4 THEN 'wav'
+                  ELSE 'pcm16' END AS codec,
+       CASE WHEN i % 6 = 4 THEN 'undecodable' ELSE 'loud' END
+           AS level_class,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE i % 6 WHEN 1 THEN 8000 WHEN 4 THEN 16044
+                           ELSE 16000 END) AS BIGINT) AS sum_bytes,
+       cast(sum(CASE WHEN i % 6 = 3 THEN 16000 ELSE 8000 END) AS BIGINT)
+           AS sum_sr
+FROM (SELECT unnest(range(0, 240)) AS i)
+GROUP BY 1, 2, 3
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5170,7 +5275,7 @@ QUERIES = {
     "q39_text_ann_topk": (q_text_ann_topk, Q_TEXT_ANN_SQL),
     "q40_audio_quality_gate": (q_audio_quality_gate, Q_AUDIO_GATE_SQL),
     "q41_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
-    "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
+    "q100_wav_audit": (q_wav_audit, Q_WAV_AUDIT_SQL),
     "q43_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
     "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
     "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
@@ -5245,4 +5350,6 @@ QUERIES = {
     "q26_fingerprint_groups": (q_fingerprint_groups, Q_FINGERPRINT_SQL),
     "q17_tpch_pricing_summary": (q_tpch_pricing_summary, Q_TPCH_PRICING_SQL),
     "q13_cosine_topk": (q_cosine_topk, Q_COSINE_TOPK_SQL),
+    "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
+    "q101_wav_unwrap": (q_wav_unwrap, Q_WAV_UNWRAP_SQL),
 }

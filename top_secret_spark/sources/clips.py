@@ -1402,3 +1402,92 @@ def stereo_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=STEREO_SCHEMA_DDL)
     )
+
+
+WAV_CLASS_PERIOD = 6  # row r's planted container class = r % 6
+
+
+def _wav_bytes(
+    payload: bytes, fmt_code: int, nch: int, sr: int, bits: int,
+    extra_chunk: bytes = b"", data_len_override: int | None = None,
+) -> bytes:
+    """Canonical RIFF/WAVE container around ``payload`` (optionally with
+    one interposed chunk before `data`, or a lying data-length field)."""
+    import struct
+
+    block_align = max(1, nch * (bits // 8))
+    byte_rate = sr * block_align
+    dlen = len(payload) if data_len_override is None else data_len_override
+    chunks = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_code, nch, sr, byte_rate, block_align, bits
+    )
+    chunks += extra_chunk
+    chunks += b"data" + struct.pack("<I", dlen) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows whose payloads are RIFF/WAVE CONTAINERS with PLANTED
+    container classes keyed by ``r % 6``: 0 canonical pcm16 WAV
+    (consistent header), 1 canonical mu-law WAV (fmt 7), 2 pcm16 WAV
+    with one interposed LIST chunk before `data` (the parser's one-skip
+    path), 3 well-formed WAV whose header sample rate (16000) CONTRADICTS
+    the table's sr_hz column (8000) — the header-vs-metadata audit case,
+    4 container whose data chunk DECLARES twice the bytes it carries
+    (truncated upload), 5 a raw non-container pcm16 payload.  Audio is
+    the 0.45-magnitude block wave throughout, so post-unwrap levels are
+    closed-form ('loud') and byte lengths are exact constants: pcm16
+    payload 16000 B / container 16044 B, LIST variant 16064 B, mu-law
+    8000 / 8044 B."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    voiced = _vad_voiced(8000)
+    pcm_payload = encode(voiced, "pcm16")
+    ulaw_payload = encode(voiced, "ulaw")
+    for r in range(start, end):
+        kind = r % WAV_CLASS_PERIOD
+        codec = "wav"
+        if kind == 0:
+            data = _wav_bytes(pcm_payload, 1, 1, 8000, 16)
+        elif kind == 1:
+            data = _wav_bytes(ulaw_payload, 7, 1, 8000, 8)
+        elif kind == 2:
+            data = _wav_bytes(
+                pcm_payload, 1, 1, 8000, 16,
+                extra_chunk=b"LIST" + (12).to_bytes(4, "little") + b"INFOisft-tst",
+            )
+        elif kind == 3:
+            data = _wav_bytes(pcm_payload, 1, 1, 16000, 16)
+        elif kind == 4:
+            data = _wav_bytes(
+                pcm_payload, 1, 1, 8000, 16, data_len_override=32000
+            )
+        else:
+            codec, data = "pcm16", pcm_payload
+        out["clip_id"].append(f"wv-{r:010d}")
+        out["bytes"].append(data)
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for wav clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def wav_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted WAV-container clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield wav_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
