@@ -1105,3 +1105,65 @@ def test_dedup_exact_keep_best_policy(spark, docs):
         for r in dedup_exact_keep_best(tied, "q").collect()
     )
     assert kept_tied == [0, 3, 4, 5]
+
+
+# --- bloom-prefilter decontamination (q102) ----------------------------------
+
+
+def _decon_fixture(spark):
+    from pyspark.sql import functions as F
+
+    bench = spark.range(0, 3).select(F.format_string(
+        "benchmark question %d alpha bravo charlie delta echo foxtrot",
+        F.col("id")).alias("text"))
+    base = [F.format_string(f"t%dw{j}", F.col("id")) for j in range(12)]
+    full = F.format_string(
+        "benchmark question %d alpha bravo charlie delta echo foxtrot",
+        F.col("id") % 3)
+    docs = spark.range(0, 70).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 3,
+               F.concat_ws(" ", *base[:6], full, *base[6:]))
+        .otherwise(F.concat_ws(" ", *base)).alias("text"))
+    return docs, bench
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    from top_secret_spark.operators.dedup import (
+        flag_contaminated,
+        flag_contaminated_bloom,
+    )
+
+    docs, bench = _decon_fixture(spark)
+    cols = ["doc_id", "contaminated", "n_contaminated_ngrams"]
+    exact = flag_contaminated(docs, bench, n=8).select(cols).orderBy("doc_id")
+    blm = flag_contaminated_bloom(docs, bench, n=8).select(cols).orderBy("doc_id")
+    assert exact.collect() == blm.collect()
+
+
+def test_bloom_decontaminate_saturated_bloom_still_exact(spark):
+    """A 64-bit bloom over 6 benchmark grams is heavily saturated —
+    most corpus grams false-positive through it — but the verify join
+    must still produce the exact verdict."""
+    from top_secret_spark.operators.dedup import (
+        flag_contaminated,
+        flag_contaminated_bloom,
+    )
+
+    docs, bench = _decon_fixture(spark)
+    cols = ["doc_id", "contaminated", "n_contaminated_ngrams"]
+    exact = flag_contaminated(docs, bench, n=8).select(cols).orderBy("doc_id")
+    blm = flag_contaminated_bloom(
+        docs, bench, n=8, m_bits=64, k=2
+    ).select(cols).orderBy("doc_id")
+    assert exact.collect() == blm.collect()
+
+
+def test_bloom_decontaminate_bench_size_guard(spark):
+    import pytest
+
+    from top_secret_spark.operators.dedup import flag_contaminated_bloom
+
+    docs, bench = _decon_fixture(spark)
+    with pytest.raises(ValueError, match="max_bench_grams"):
+        flag_contaminated_bloom(docs, bench, n=8, max_bench_grams=1)

@@ -5219,6 +5219,75 @@ ORDER BY cls
 """
 
 
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """[training-data] benchmark decontamination behind a BLOOM
+    pre-filter (operators/dedup.py::flag_contaminated_bloom): the
+    benchmark's n-grams fold into a 128 KiB bitmap probed in pure
+    Catalyst before any join, so at 10^12 rows the string-verified
+    broadcast join sees only bloom survivors instead of every corpus
+    n-gram — a 100-1000x cut in join traffic for the identical
+    verdict.  Same planted corpus as q51 (full 9-word benchmark
+    sentence embedded at r%7==3 → exactly two 8-gram hits; a 4-word
+    prefix at r%7==5 must NOT flag), same closed-form oracle: the
+    bloom path must reproduce the exact operator's answer bit for bit
+    (false positives die in the verify join; the saturated-bloom
+    regime is property-tested in pytest)."""
+    _prep(spark)
+    from .operators.dedup import flag_contaminated_bloom
+
+    bench = spark.range(0, 3).select(
+        F.format_string(
+            "benchmark question %d alpha bravo charlie delta echo foxtrot",
+            F.col("id"),
+        ).alias("text")
+    )
+    base = [F.format_string(f"t%dw{j}", F.col("id")) for j in range(12)]
+    bench_full = F.format_string(
+        "benchmark question %d alpha bravo charlie delta echo foxtrot",
+        F.col("id") % 3,
+    )
+    bench_part = F.format_string(
+        "benchmark question %d alpha", F.col("id") % 3
+    )
+    docs = spark.range(0, 280).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 7 == 3,
+            F.concat_ws(" ", *base[:6], bench_full, *base[6:]),
+        )
+        .when(
+            F.col("id") % 7 == 5,
+            F.concat_ws(" ", *base[:6], bench_part, *base[6:]),
+        )
+        .otherwise(F.concat_ws(" ", *base))
+        .alias("text"),
+    )
+    out = flag_contaminated_bloom(docs, bench, n=8)
+    return (
+        out.groupBy((F.col("doc_id") % 4).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+            F.sum("n_contaminated_ngrams").alias("ngram_hits"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_BLOOM_DECONTAMINATE_SQL = """
+SELECT CAST(r % 4 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(sum(CASE WHEN r % 7 = 3 THEN 2 ELSE 0 END) AS BIGINT)
+           AS ngram_hits
+FROM (SELECT unnest(range(0, 280)) AS r)
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5352,4 +5421,5 @@ QUERIES = {
     "q13_cosine_topk": (q_cosine_topk, Q_COSINE_TOPK_SQL),
     "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
     "q101_wav_unwrap": (q_wav_unwrap, Q_WAV_UNWRAP_SQL),
+    "q102_bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
 }
