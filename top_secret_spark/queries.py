@@ -5288,6 +5288,68 @@ ORDER BY grp
 """
 
 
+
+def q_psi_drift(spark, sf_dir):
+    """[training-data] corpus distribution drift between two snapshots
+    (operators/drift.py::psi_drift): Population Stability Index over a
+    pinned length bucketing, decomposed per bucket — the monitor that
+    catches a filter change or crawler bug SHIFTING the corpus where
+    q81's membership diff only sees which rows changed.  Baseline =
+    the documents table; candidate = the same corpus after a
+    length >= 200 filter (a real curation change), so the first two
+    buckets empty out and the index reads ~1.5 (far past the 0.25
+    'shifted' convention).  The only shuffles are two tiny bucket-key
+    groupBys (map-side partials to <= 5 rows); every PSI term then
+    computes on the joined 5-row frame.  The oracle RECOMPUTES the
+    whole index — counts, Laplace-smoothed shares, ln terms — from the
+    same parquet in DuckDB, value-gated to 6 decimals."""
+    _prep(spark)
+    from .operators.drift import psi_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    length = F.coalesce(F.length("text"), F.lit(0)).cast("double")
+    after = docs.filter(F.length("text") >= 200)
+    return psi_drift(docs, after, length, [0, 100, 200, 400, 800, 1600])
+
+
+Q_PSI_DRIFT_SQL = """
+WITH spine AS (SELECT cast(unnest(range(0, 5)) AS INTEGER) AS bucket),
+  vb AS (
+    SELECT CASE WHEN coalesce(length(text), 0) < 100 THEN 0
+                WHEN coalesce(length(text), 0) < 200 THEN 1
+                WHEN coalesce(length(text), 0) < 400 THEN 2
+                WHEN coalesce(length(text), 0) < 800 THEN 3
+                ELSE 4 END AS bucket
+    FROM documents),
+  va AS (
+    SELECT CASE WHEN coalesce(length(text), 0) < 100 THEN 0
+                WHEN coalesce(length(text), 0) < 200 THEN 1
+                WHEN coalesce(length(text), 0) < 400 THEN 2
+                WHEN coalesce(length(text), 0) < 800 THEN 3
+                ELSE 4 END AS bucket
+    FROM documents WHERE length(text) >= 200),
+  cb AS (SELECT bucket, count(*) AS n_before FROM vb GROUP BY bucket),
+  ca AS (SELECT bucket, count(*) AS n_after FROM va GROUP BY bucket),
+  j AS (
+    SELECT s.bucket,
+           coalesce(n_before, 0) AS n_before,
+           coalesce(n_after, 0) AS n_after
+    FROM spine s LEFT JOIN cb USING (bucket) LEFT JOIN ca USING (bucket)),
+  sh AS (
+    SELECT bucket, n_before, n_after,
+           (n_before + 0.5) / (sum(n_before) OVER () + 2.5) AS p,
+           (n_after + 0.5) / (sum(n_after) OVER () + 2.5) AS q
+    FROM j)
+SELECT cast(bucket AS INTEGER) AS bucket,
+       cast(n_before AS BIGINT) AS n_before,
+       cast(n_after AS BIGINT) AS n_after,
+       round((p - q) * ln(p / q), 6) AS psi_contrib,
+       round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+FROM sh
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5422,4 +5484,5 @@ QUERIES = {
     "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
     "q101_wav_unwrap": (q_wav_unwrap, Q_WAV_UNWRAP_SQL),
     "q102_bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
+    "q103_psi_drift": (q_psi_drift, Q_PSI_DRIFT_SQL),
 }
