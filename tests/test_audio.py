@@ -2094,3 +2094,65 @@ class TestWavContainer:
         rows = {r.clip_id: r for r in un.collect()}
         assert bytes(rows["wv-0000000000"].bytes) == expected
         assert bytes(rows["wv-0000000002"].bytes) == expected
+
+
+# --- declip repair (q104) -----------------------------------------------------
+
+
+class TestDeclip:
+    def test_interior_run_interpolates_exactly(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import batch_declip
+
+        ramp = np.linspace(0.2, 0.4, 20).astype(np.float32)
+        damaged = ramp.copy()
+        damaged[8:12] = 1.0
+        out, nc, nr = batch_declip(damaged, np.array([20]), level=0.95)
+        assert (int(nc[0]), int(nr[0])) == (4, 4)
+        # linear interp between the flanking ramp values == the ramp
+        np.testing.assert_allclose(out[8:12], ramp[8:12], atol=1e-6)
+
+    def test_edge_run_held_and_no_cross_clip_leak(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import batch_declip
+
+        c0 = np.full(10, 0.4, np.float32)          # ends on 0.4
+        c1 = np.full(10, 0.3, np.float32)
+        c1[:3] = -1.0                               # clipped head
+        out, nc, nr = batch_declip(
+            np.concatenate([c0, c1]), np.array([10, 10]), level=0.95
+        )
+        # held at clip 1's own first good sample, NOT clip 0's tail
+        np.testing.assert_allclose(out[10:13], [0.3, 0.3, 0.3], atol=1e-6)
+        assert list(nr) == [0, 3]
+
+    def test_all_clipped_left_untouched(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import batch_declip
+
+        out, nc, nr = batch_declip(
+            np.ones(8, np.float32), np.array([8]), level=0.95
+        )
+        assert (int(nc[0]), int(nr[0])) == (8, 0)
+        np.testing.assert_array_equal(out, np.ones(8, np.float32))
+
+    def test_operator_repairs_payload_in_place(self, spark):
+        from top_secret_spark.operators.audio import (
+            declipped_clips,
+            with_audio_features,
+        )
+        from top_secret_spark.sources.clips import declip_clips_df
+
+        rep = with_audio_features(
+            declipped_clips(declip_clips_df(spark, 8, partitions=2))
+        )
+        rows = {r.clip_id: r for r in rep.collect()}
+        r1 = rows["dc-0000000001"]  # interior run, repaired
+        assert (r1.n_clipped, r1.n_repaired) == (500, 500)
+        assert r1.clipping_ratio == 0.0
+        r3 = rows["dc-0000000003"]  # fully clipped, untouched
+        assert (r3.n_clipped, r3.n_repaired) == (8000, 0)
+        assert r3.clipping_ratio == 1.0

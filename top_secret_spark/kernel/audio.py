@@ -1357,3 +1357,69 @@ def decode_sr_nch_groups(datas: list, codecs, srs, nchs):
                 offs[keep], lengths[keep]
             )
             yield idx[keep], samples[pos], lengths[keep], sr, int(nch), codec
+
+
+def batch_declip(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    level: float = 0.95,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Clipping repair over a concatenated buffer: samples at or above
+    ``level`` (absolute value) are CLIPPED; each clipped run is replaced
+    by the linear interpolation between its flanking good samples —
+    the standard declip-by-interpolation restoration.  A run touching a
+    clip edge is HELD at its one available anchor; a clip with no good
+    sample anywhere is left untouched (nothing to anchor to — the gate,
+    not the repairer, owns that row).
+
+    Fully vectorized across clips: previous/next good positions come
+    from ONE global ``maximum.accumulate`` each way on global sample
+    indices — cross-clip leakage is detected (and nulled) by comparing
+    the propagated index against the clip's own span, which works
+    precisely because the indices are global and monotone.  No per-clip
+    loop, no per-run loop.
+
+    Returns ``(repaired, n_clipped, n_repaired)`` — per-clip counts of
+    detected and actually-repaired samples (``n_repaired < n_clipped``
+    only for the unanchored all-clipped case)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    total = int(lengths.sum())
+    x = samples.astype(np.float64, copy=True)
+    n_clipped = np.zeros(n, dtype=np.int64)
+    n_repaired = np.zeros(n, dtype=np.int64)
+    if total == 0:
+        return x.astype(np.float32), n_clipped, n_repaired
+    offs = np.cumsum(lengths) - lengths
+    clip_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    clipped = np.abs(x) >= level
+    np.add.at(n_clipped, clip_of[clipped], 1)
+    if not clipped.any():
+        return x.astype(np.float32), n_clipped, n_repaired
+    idx = np.arange(total, dtype=np.int64)
+    # previous good GLOBAL index (monotone cummax; a value smaller than
+    # the clip's own start index is a leak from an earlier clip)
+    prev = np.maximum.accumulate(np.where(~clipped, idx, -1))
+    prev = np.where(prev >= np.repeat(offs, lengths), prev, -1)
+    # next good: the same trick on the reversed buffer
+    nxt_r = np.maximum.accumulate(np.where(~clipped[::-1], idx, -1))
+    nxt = (total - 1) - nxt_r[::-1]
+    ends = offs + lengths
+    nxt = np.where(
+        (nxt <= np.repeat(ends - 1, lengths)) & (nxt_r[::-1] >= 0), nxt, -1
+    )
+    tgt = np.flatnonzero(clipped)
+    p, q = prev[tgt], nxt[tgt]
+    both = (p >= 0) & (q >= 0)
+    only_p = (p >= 0) & (q < 0)
+    only_q = (p < 0) & (q >= 0)
+    t = tgt[both]
+    pb, qb = p[both], q[both]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = (t - pb) / (qb - pb)
+    x[t] = x[pb] + (x[qb] - x[pb]) * frac
+    x[tgt[only_p]] = x[p[only_p]]
+    x[tgt[only_q]] = x[q[only_q]]
+    fixed = tgt[both | only_p | only_q]
+    np.add.at(n_repaired, clip_of[fixed], 1)
+    return x.astype(np.float32), n_clipped, n_repaired

@@ -2505,3 +2505,58 @@ def unwrap_wav(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             .otherwise(F.col("n_channels")).cast("int"),
         )
     return out
+
+
+def declipped_clips(df: DataFrame, level: float = 0.95) -> DataFrame:
+    """Clipping repair (audio restoration): decode → vectorized
+    declip-by-interpolation (``kernel.batch_declip`` — clipped runs
+    rebuilt from their flanking good samples, edge runs held, fully-
+    clipped clips left for the gate) → re-encode in the clip's OWN
+    codec, appending ``n_clipped`` / ``n_repaired`` so downstream rules
+    can distinguish repaired from pristine rows.  An overdriven but
+    otherwise-good recording becomes usable training audio instead of a
+    q40 ``clipped`` drop — repair first, gate what repair can't anchor.
+
+    Scale: map-only, zero Exchange; one concatenated decode + ONE
+    global accumulate each way per (codec, sr) group per Arrow batch —
+    no per-clip or per-run Python.  Poison rows (undecodable codec /
+    NULL payload / bad sr) pass through byte-for-byte with zeroed
+    counts, same convention as :func:`downmix_to_mono`."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+    schema += ", n_clipped bigint, n_repaired bigint"
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_declip, decode_sr_groups, encode
+
+        for pdf in iterator:
+            n = len(pdf)
+            datas = pdf["bytes"].tolist()
+            out_bytes = list(datas)
+            ncs = np.zeros(n, dtype=np.int64)
+            nrs = np.zeros(n, dtype=np.int64)
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            for idx, samples, lengths, _sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                codec = str(codecs[idx[0]])
+                rep, nc, nr = batch_declip(samples, lengths, level=level)
+                width = 2 if codec == "pcm16" else 1
+                encoded = memoryview(encode(rep, codec))
+                ends = np.cumsum(lengths) * width
+                starts = ends - lengths * width
+                for k, i in enumerate(idx):
+                    out_bytes[i] = bytes(encoded[starts[k]:ends[k]])
+                ncs[idx] = nc
+                nrs[idx] = nr
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["n_clipped"] = ncs
+            pdf["n_repaired"] = nrs
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

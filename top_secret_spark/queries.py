@@ -5350,6 +5350,58 @@ ORDER BY bucket
 """
 
 
+
+def q_declip_repair(spark, sf_dir):
+    """[tier: quality_filter x audio] clipping REPAIR, not just
+    detection (operators/audio.py::declipped_clips): clipped runs are
+    rebuilt by linear interpolation from their flanking good samples
+    (kernel batch_declip — ONE global accumulate each way across the
+    whole Arrow batch, no per-run Python), edge runs held at their one
+    anchor, fully-clipped clips left untouched for the gate.  An
+    overdriven but otherwise-good recording becomes usable training
+    audio instead of a q40 drop.  Rows carry PLANTED damage classes
+    (sources/clips.py::declip_rows_for_range): the oracle knows
+    n_clipped AND n_repaired per class from the row index, and the
+    standard feature stage re-measures the REPAIRED bytes — repaired
+    classes must read clipping_ratio 0, the unanchored class must
+    still read ~1 — so the gate verifies the repair actually landed in
+    the payload, not just in the counters."""
+    _prep(spark)
+    from .operators.audio import declipped_clips, with_audio_features
+    from .sources.clips import declip_clips_df
+
+    rep = declipped_clips(declip_clips_df(spark, 240, partitions=4))
+    feats = with_audio_features(rep)
+    cls = (F.substring("clip_id", 4, 10).cast("int") % 4).alias("cls")
+    return (
+        feats.groupBy(cls)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_clipped").alias("sum_clipped"),
+            F.sum("n_repaired").alias("sum_repaired"),
+            F.sum((F.col("clipping_ratio") > 0.5).cast("bigint"))
+            .alias("n_still_clipped"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_DECLIP_REPAIR_SQL = """
+SELECT cast(i % 4 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE i % 4 WHEN 1 THEN 500 WHEN 2 THEN 300
+                           WHEN 3 THEN 8000 ELSE 0 END) AS BIGINT)
+           AS sum_clipped,
+       cast(sum(CASE i % 4 WHEN 1 THEN 500 WHEN 2 THEN 300
+                           ELSE 0 END) AS BIGINT) AS sum_repaired,
+       cast(sum(CASE WHEN i % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_still_clipped
+FROM (SELECT unnest(range(0, 240)) AS i)
+GROUP BY cls
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5485,4 +5537,5 @@ QUERIES = {
     "q101_wav_unwrap": (q_wav_unwrap, Q_WAV_UNWRAP_SQL),
     "q102_bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
     "q103_psi_drift": (q_psi_drift, Q_PSI_DRIFT_SQL),
+    "q104_declip_repair": (q_declip_repair, Q_DECLIP_REPAIR_SQL),
 }

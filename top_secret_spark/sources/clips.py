@@ -1491,3 +1491,62 @@ def wav_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+DECLIP_CLASS_PERIOD = 4  # row r's planted clipping class = r % 4
+
+
+def declip_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED clipping damage keyed by ``r % 4`` (codec
+    cycles ``r % 3`` — 4 and 3 are coprime so every class sees every
+    codec): 0 clean 0.45 block wave (0 clipped / 0 repaired), 1 an
+    interior 500-sample full-scale run cut into a 0.2→0.4 ramp (500 /
+    500 — interpolation has both anchors), 2 a 300-sample full-scale
+    HEAD on a 0.3 plateau (300 / 300 — held at the single anchor), 3
+    fully clipped (8000 / 0 — nothing to anchor, left for the gate).
+    Full scale decodes to ~1.0 in all three codecs and every good
+    sample sits <= 0.45, so the 0.95 detection level classifies every
+    sample identically across codecs and the oracle knows both counts
+    from the row index alone."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    n = 8000
+    clean = _vad_voiced(n)
+    ramp = np.linspace(0.2, 0.4, n).astype(np.float32)
+    interior = ramp.copy()
+    interior[3750:4250] = 1.0
+    head = np.full(n, 0.3, np.float32)
+    head[:300] = -1.0
+    full = np.ones(n, np.float32)
+    waves = (clean, interior, head, full)
+    for r in range(start, end):
+        kind = r % DECLIP_CLASS_PERIOD
+        codec = _CODECS[r % 3]
+        data = encode(waves[kind], codec)
+        out["clip_id"].append(f"dc-{r:010d}")
+        out["bytes"].append(data)
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for declip clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def declip_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted clipping-damage clips (same no-shuffle range
+    → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield declip_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
