@@ -2156,3 +2156,61 @@ class TestDeclip:
         r3 = rows["dc-0000000003"]  # fully clipped, untouched
         assert (r3.n_clipped, r3.n_repaired) == (8000, 0)
         assert r3.clipping_ratio == 1.0
+
+
+# --- audio example packing (q105) ---------------------------------------------
+
+
+class TestPackAudio:
+    def _clips(self, spark, n=10):
+        import numpy as np
+
+        from top_secret_spark.kernel.audio import encode
+
+        rows = []
+        for r in range(n):
+            dur = (600, 1000, 1400)[r % 3]
+            pcm = np.full(dur * 8, 0.1 + 0.01 * r, np.float32)
+            rows.append((f"c{r:04d}", bytearray(encode(pcm, "pcm16")),
+                         8000, dur, "pcm16", "t"))
+        return spark.createDataFrame(
+            rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                  "codec string, transcript string")
+
+    def test_examples_reassemble_stream_byte_exact(self, spark):
+        from top_secret_spark.operators.audio import pack_audio_examples
+
+        df = self._clips(spark)
+        res = pack_audio_examples(df, 2500).orderBy("pack_id").collect()
+        got = b"".join(bytes(r.bytes) for r in res)
+        exp = b"".join(
+            bytes(r.bytes)
+            for r in df.orderBy("clip_id").select("bytes").collect()
+        )
+        assert got == exp
+        # every example except the last is exactly full
+        assert all(len(r.bytes) == 40000 for r in res[:-1])
+        assert all(r.dur_ms == 2500 for r in res[:-1])
+
+    def test_straddler_counts_in_both_examples(self, spark):
+        from top_secret_spark.operators.audio import pack_audio_examples
+
+        df = self._clips(spark, 4)  # 600+1000+1400+600 = 3600 ms
+        res = {r.pack_id: r for r in
+               pack_audio_examples(df, 2500).collect()}
+        # clip 2 (1600..3000 ms) straddles the 2500 ms boundary
+        assert res[0].n_clips == 3
+        assert res[1].n_clips == 2  # clip 2 tail + clip 3
+
+    def test_mixed_codec_raises(self, spark):
+        import pytest
+
+        from top_secret_spark.operators.audio import pack_audio_examples
+
+        from pyspark.sql import functions as F
+
+        df = self._clips(spark, 4)
+        mixed = df.unionByName(
+            df.limit(1).withColumn("codec", F.lit("ulaw")))
+        with pytest.raises(ValueError, match="ONE \\(codec, sr_hz\\)"):
+            pack_audio_examples(mixed, 2500)

@@ -2560,3 +2560,93 @@ def declipped_clips(df: DataFrame, level: float = 0.95) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def pack_audio_examples(
+    df: DataFrame,
+    example_ms: int,
+    order_col: str = "clip_id",
+) -> DataFrame:
+    """Assemble clips into fixed-duration TRAINING EXAMPLES: clips
+    concatenate in ``order_col`` order and the stream is chopped every
+    ``example_ms`` — the audio twin of :func:`~top_secret_spark.
+    operators.packing.pack_sequences` (concat-then-chop, no padding,
+    examples always full except the last), the batch shape speech-SSL
+    pretraining consumes.  A clip straddling a boundary contributes its
+    head to one example and its tail to the next.
+
+    Returns one row per example: ``pack_id``, ``bytes`` (the assembled
+    payload, byte-exact: concatenating all examples reproduces the
+    concatenated input stream — pytest-gated), ``n_clips`` (clips
+    contributing), ``dur_ms``, plus the uniform ``codec`` / ``sr_hz``.
+
+    Input must be pre-normalized to ONE (codec, sr) — run
+    :func:`resampled_clips` first; mixed inputs raise driver-side.
+    NULL/empty payloads contribute nothing.
+
+    Scale shape: global clip offsets come from the two-phase prefix sum
+    (``packing.with_global_offset`` — no single-partition window); the
+    per-(clip, example) byte slices are PURE CATALYST (explode a 1-2
+    element pack sequence, ``substring`` the payload); the only payload
+    shuffle is the final groupBy(pack_id) where every byte moves exactly
+    once to the example that owns it.  At 10^12 clips the exchange is
+    the unavoidable minimum — the assembly itself adds zero Python."""
+    from .packing import with_global_offset
+
+    kinds = df.select("codec", "sr_hz").distinct().collect()
+    if len(kinds) != 1:
+        raise ValueError(
+            f"pack_audio_examples needs ONE (codec, sr_hz), got {kinds}: "
+            "normalize first (resampled_clips)."
+        )
+    codec, sr = kinds[0].codec, int(kinds[0].sr_hz)
+    if codec not in ("pcm16", "ulaw", "alaw"):
+        raise ValueError(f"unsupported codec for packing: {codec!r}")
+    width = 2 if codec == "pcm16" else 1
+    size = int(example_ms * sr / 1000)  # samples per example
+    if size <= 0:
+        raise ValueError("example_ms too small for this sample rate")
+
+    d = df.withColumn(
+        "_n", (F.length("bytes") / width).cast("bigint")
+    ).filter(F.col("_n") > 0)
+    d = with_global_offset(d, order_col, "_n", out_col="_off")
+    first = F.floor(F.col("_off") / size).cast("bigint")
+    last = F.floor((F.col("_off") + F.col("_n") - 1) / size).cast("bigint")
+    spans = d.withColumn("pack_id", F.explode(F.sequence(first, last)))
+    s = F.greatest(F.col("pack_id") * size - F.col("_off"), F.lit(0))
+    e = F.least(F.col("_n"), (F.col("pack_id") + 1) * size - F.col("_off"))
+    chunk = F.expr(
+        f"substring(bytes, cast({'_s'} * {width} + 1 as int), "
+        f"cast(({'_e'} - {'_s'}) * {width} as int))"
+    )
+    spans = (
+        spans.withColumn("_s", s)
+        .withColumn("_e", e)
+        .withColumn("_chunk", chunk)
+    )
+    out = (
+        spans.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_off", "_chunk"))
+                    ),
+                    lambda x: x["_chunk"],
+                ),
+                F.lit(b""),
+                lambda acc, p: F.concat(acc, p),
+            ).alias("bytes"),
+        )
+        .withColumn(
+            "dur_ms",
+            (F.length("bytes") / width * 1000 / sr).cast("int"),
+        )
+        .withColumn("codec", F.lit(codec))
+        .withColumn("sr_hz", F.lit(sr).cast("int"))
+    )
+    return out.select(
+        "pack_id", "bytes", "n_clips", "dur_ms", "codec", "sr_hz"
+    )

@@ -5402,6 +5402,65 @@ ORDER BY cls
 """
 
 
+
+def q_pack_audio(spark, sf_dir):
+    """[tier: quality_filter x audio] fixed-duration training-example
+    assembly (operators/audio.py::pack_audio_examples): clips
+    concatenate in id order and the stream chops every 2500 ms — the
+    audio twin of q53's GPT-style sequence packing, producing the batch
+    shape speech-SSL pretraining consumes.  Straddling clips contribute
+    a head slice and a tail slice; the per-(clip, example) slices are
+    pure Catalyst substring math over global offsets from the two-phase
+    prefix sum, and the one payload shuffle is the groupBy(pack_id)
+    where each byte moves exactly once.  The oracle RECOMPUTES the
+    whole packing in SQL — window prefix sum, span explode, per-pack
+    contributor counts and byte/duration totals — from the planted
+    600/1000/1400 ms duration cycle; byte-exact stream reassembly is
+    pytest-gated."""
+    _prep(spark)
+    from .operators.audio import pack_audio_examples
+    from .sources.clips import pack_clips_df
+
+    out = pack_audio_examples(pack_clips_df(spark, 240, partitions=4), 2500)
+    return (
+        out.select(
+            "pack_id",
+            F.col("n_clips").cast("bigint").alias("n_clips"),
+            F.length("bytes").cast("bigint").alias("n_bytes"),
+            F.col("dur_ms").cast("bigint").alias("dur_ms"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+Q_PACK_AUDIO_SQL = """
+WITH c AS (
+  SELECT i, CAST(CASE i % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                 ELSE 1400 END AS BIGINT) * 8 AS n
+  FROM (SELECT unnest(range(0, 240)) AS i)),
+o AS (
+  SELECT i, n,
+         cast(coalesce(sum(n) OVER (ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM c),
+s AS (
+  SELECT i, n, off,
+         unnest(range(cast(off // 20000 AS BIGINT),
+                      cast((off + n - 1) // 20000 + 1 AS BIGINT))) AS pack_id
+  FROM o)
+SELECT cast(pack_id AS BIGINT) AS pack_id,
+       cast(count(*) AS BIGINT) AS n_clips,
+       cast(sum(least(off + n, (pack_id + 1) * 20000)
+                - greatest(off, pack_id * 20000)) * 2 AS BIGINT) AS n_bytes,
+       cast(sum(least(off + n, (pack_id + 1) * 20000)
+                - greatest(off, pack_id * 20000)) / 8 AS BIGINT) AS dur_ms
+FROM s
+GROUP BY pack_id
+ORDER BY pack_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5538,4 +5597,5 @@ QUERIES = {
     "q102_bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
     "q103_psi_drift": (q_psi_drift, Q_PSI_DRIFT_SQL),
     "q104_declip_repair": (q_declip_repair, Q_DECLIP_REPAIR_SQL),
+    "q105_pack_audio": (q_pack_audio, Q_PACK_AUDIO_SQL),
 }

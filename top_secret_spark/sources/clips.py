@@ -1550,3 +1550,43 @@ def declip_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+def pack_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Uniform-codec clips rows for example packing (q105): pcm16 at
+    8 kHz, durations cycling 600/1000/1400 ms by ``r % 3`` (mean 1000 —
+    the stream length, hence every pack boundary, is closed-form), each
+    clip a distinct constant level so assembled example bytes are
+    position-verifiable."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(start, end):
+        dur = (600, 1000, 1400)[r % 3]
+        n = dur * 8
+        pcm = np.full(n, 0.05 + 0.001 * (r % 100), np.float32)
+        out["clip_id"].append(f"pk-{r:010d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(8000)
+        out["dur_ms"].append(dur)
+        out["codec"].append("pcm16")
+        out["transcript"].append(f"transcript for pack clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def pack_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed uniform packing clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield pack_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
