@@ -392,3 +392,29 @@ def test_multimodal_fused_plan_single_python_stage(spark):
     assert "Exchange" not in plan
     n_python = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
     assert n_python == 1, plan
+
+
+def test_lang_consistency_col(spark):
+    """Declared-language audit: confident mismatch flags, missing
+    metadata flags, low-confidence detection gives benefit of doubt."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.quality import lang_consistency_col
+
+    df = spark.createDataFrame(
+        [
+            ("a", "en", "en", 0.95),
+            ("b", "de", "en", 0.95),   # confident mismatch
+            ("c", None, "en", 0.95),   # missing metadata
+            ("d", "de", "en", 0.2),    # low confidence: keep the label
+        ],
+        "id string, lang_declared string, lang string, lang_conf double",
+    )
+    out = {r.id: r.status for r in df.select(
+        "id", lang_consistency_col().alias("status")).collect()}
+    assert out == {
+        "a": None,
+        "b": "lang_mismatch",
+        "c": "lang_metadata_missing",
+        "d": None,
+    }

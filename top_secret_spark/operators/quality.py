@@ -177,3 +177,32 @@ def quality_rule_audit(
     return out.select(
         "rules_fired", n_rules.cast("int").alias("n_rules"), "n"
     )
+
+
+def lang_consistency_col(
+    declared_col: str = "lang_declared",
+    lang_col: str = "lang",
+    conf_col: str = "lang_conf",
+    min_conf: float = 0.5,
+) -> Column:
+    """Metadata-vs-content language audit: NULL for a consistent row,
+    ``lang_metadata_missing`` when the declared language is absent,
+    ``lang_mismatch`` when the langid stage CONFIDENTLY (>=
+    ``min_conf``) detects a different language than the metadata
+    claims — the wrong-corpus / mislabeled-upload check run before
+    language-targeted sampling trusts the label.  A low-confidence
+    detection never condemns the metadata (short or mixed transcripts
+    keep their declared label; the quality gate owns gibberish).
+
+    Pure Catalyst over :func:`~top_secret_spark.operators.features.
+    with_text_features` columns — at 10^12 rows the audit adds a
+    codegen'd CASE to a pipeline already paying the langid pass."""
+    return (
+        F.when(F.col(declared_col).isNull(), F.lit("lang_metadata_missing"))
+        .when(
+            (F.col(conf_col) >= min_conf)
+            & (F.col(lang_col) != F.col(declared_col)),
+            F.lit("lang_mismatch"),
+        )
+        .otherwise(F.lit(None))
+    )

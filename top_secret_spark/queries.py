@@ -5461,6 +5461,60 @@ ORDER BY pack_id
 """
 
 
+
+def q_lang_consistency(spark, sf_dir):
+    """[tier: quality_filter x audio] declared-language audit
+    (operators/quality.py::lang_consistency_col): the clips table's
+    language METADATA is checked against what the langid stage actually
+    detects in the transcript — the mislabeled-upload / wrong-corpus
+    check that must run before language-targeted sampling (q41) trusts
+    the label.  Planted classes on the documents spine (r % 3): 0
+    correctly-labeled (the q14 five-language rotation, all
+    high-confidence), 1 labeled as the NEXT language in the rotation
+    (confident mismatch), 2 label missing.  The oracle recomputes every
+    (class, status) cell from row arithmetic — and implicitly re-gates
+    the langid stage itself, since one misclassified transcript breaks
+    a cell count."""
+    _prep(spark)
+    from .operators.features import with_text_features
+    from .operators.quality import lang_consistency_col
+
+    sent = """CASE cast({k} % 5 as int)
+       WHEN 0 THEN 'The committee will meet on Tuesday to review the annual budget and discuss the new hiring plan for the engineering team.'
+       WHEN 1 THEN 'Die Regierung hat heute eine neue Verordnung über den Schutz der Umwelt und die Förderung erneuerbarer Energien beschlossen.'
+       WHEN 2 THEN 'Le gouvernement a annoncé ce matin une nouvelle politique pour améliorer les transports publics dans toutes les grandes villes.'
+       WHEN 3 THEN 'El gobierno anunció hoy una nueva política para mejorar el transporte público en todas las grandes ciudades del país.'
+       ELSE 'Il governo ha annunciato oggi una nuova politica per migliorare i trasporti pubblici in tutte le grandi città del paese.'
+       END"""
+    label = """element_at(array('en','de','fr','es','it'),
+                          cast(({k}) % 5 as int) + 1)"""
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(sent.format(k="doc_id")).alias("transcript"),
+        F.when(F.col("doc_id") % 3 == 0, F.expr(label.format(k="doc_id")))
+        .when(F.col("doc_id") % 3 == 1, F.expr(label.format(k="doc_id + 1")))
+        .alias("lang_declared"),
+    )
+    feats = with_text_features(planted, "transcript")
+    status = F.coalesce(lang_consistency_col(), F.lit("ok")).alias("status")
+    return (
+        feats.groupBy((F.col("doc_id") % 3).cast("int").alias("cls"), status)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cls")
+    )
+
+
+Q_LANG_CONSISTENCY_SQL = """
+SELECT cast(r % 3 AS INTEGER) AS cls,
+       CASE r % 3 WHEN 0 THEN 'ok' WHEN 1 THEN 'lang_mismatch'
+                  ELSE 'lang_metadata_missing' END AS status,
+       cast(count(*) AS BIGINT) AS n
+FROM (SELECT doc_id AS r FROM documents)
+GROUP BY 1, 2
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5598,4 +5652,5 @@ QUERIES = {
     "q103_psi_drift": (q_psi_drift, Q_PSI_DRIFT_SQL),
     "q104_declip_repair": (q_declip_repair, Q_DECLIP_REPAIR_SQL),
     "q105_pack_audio": (q_pack_audio, Q_PACK_AUDIO_SQL),
+    "q106_lang_consistency": (q_lang_consistency, Q_LANG_CONSISTENCY_SQL),
 }
