@@ -2214,3 +2214,36 @@ class TestPackAudio:
             df.limit(1).withColumn("codec", F.lit("ulaw")))
         with pytest.raises(ValueError, match="ONE \\(codec, sr_hz\\)"):
             pack_audio_examples(mixed, 2500)
+
+
+# --- cross-modal conjunctive dedup (q107) ------------------------------------
+
+
+class TestCrossModalDedup:
+    def test_only_both_match_collapses(self, spark):
+        from pyspark.sql import functions as F
+
+        from top_secret_spark.operators.audio import dedup_cross_modal
+        from top_secret_spark.sources.clips import xmodal_clips_df
+
+        surv = dedup_cross_modal(xmodal_clips_df(spark, 48, partitions=2))
+        ids = sorted(
+            int(r.clip_id[3:]) for r in surv.select("clip_id").collect()
+        )
+        for r in range(48):
+            g, m = divmod(r, 3)
+            expected_survives = not (g % 4 == 0 and m > 0)
+            assert (r in ids) == expected_survives, (r, g, m)
+
+    def test_undecodable_audio_never_collapses(self, spark):
+        from top_secret_spark.operators.audio import dedup_cross_modal
+
+        rows = [
+            ("a", bytearray(b"\x00\x01"), 8000, 10, "opus", "same text"),
+            ("b", bytearray(b"\x00\x01"), 8000, 10, "opus", "same text"),
+        ]
+        df = spark.createDataFrame(
+            rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                  "codec string, transcript string")
+        # same transcript, same (unverifiable) bytes: both must survive
+        assert dedup_cross_modal(df).count() == 2

@@ -2650,3 +2650,44 @@ def pack_audio_examples(
     return out.select(
         "pack_id", "bytes", "n_clips", "dur_ms", "codec", "sr_hz"
     )
+
+
+def dedup_cross_modal(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    text_col: str = "transcript",
+    n_frames: int = 32,
+) -> DataFrame:
+    """CONJUNCTIVE cross-modal dedup: keep the min-id survivor per
+    (normalized-transcript fingerprint, tempo-robust audio envelope
+    fingerprint) pair — a row collapses only when BOTH modalities
+    match.  Text-only dedup on an ASR corpus destroys speaker
+    diversity (two speakers reading the same prompt are different
+    training examples); audio-only dedup keeps re-transcribed
+    duplicates.  The conjunction collapses true re-uploads (same
+    speech, same words, any codec or tempo) and nothing else.
+
+    Undecodable / sub-resolution audio never collapses (its audio key
+    falls back to the row id): equality that cannot be verified is not
+    asserted — conservative by design, the metadata audit owns those
+    rows.
+
+    Scale shape: one decode boundary computes the audio fingerprint
+    (PCM never shuffles); the dedup is a groupBy on a 16-byte
+    (text-hash, envelope-bits) key plus a semi join back on the id —
+    the same never-move-the-payload discipline as every dedup family
+    here."""
+    from .dedup import fingerprint_col
+
+    fp = with_tempo_fingerprint(
+        df.select(id_col, "bytes", "codec", text_col), n_frames=n_frames
+    )
+    keyed = fp.select(
+        F.col(id_col),
+        fingerprint_col(text_col).alias("_tfp"),
+        F.when(F.col("fp_ok"), F.col("tempo_fp"))
+        .otherwise(F.xxhash64(F.col(id_col)))
+        .alias("_afp"),
+    )
+    surv = keyed.groupBy("_tfp", "_afp").agg(F.min(id_col).alias(id_col))
+    return df.join(surv.select(id_col), id_col, "leftsemi")

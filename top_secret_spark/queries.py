@@ -5515,6 +5515,51 @@ ORDER BY cls
 """
 
 
+
+def q_cross_modal_dedup(spark, sf_dir):
+    """[tier: quality_filter x audio] CONJUNCTIVE cross-modal dedup
+    (operators/audio.py::dedup_cross_modal): a clip collapses only when
+    BOTH its normalized transcript fingerprint AND its tempo-robust
+    audio envelope fingerprint match — text-only dedup on an ASR corpus
+    destroys speaker diversity (two speakers reading one prompt), audio
+    dedup alone keeps re-transcribed copies; the conjunction removes
+    true re-uploads and nothing else.  Planted groups of 3
+    (sources/clips.py::xmodal_rows_for_range, class = (r//3) % 4):
+    both-match groups must collapse to their m=0 member, text-only /
+    audio-only / all-unique groups must survive intact — the oracle
+    knows both the survivor COUNT and the survivor member-index SUM per
+    class from row arithmetic, so collapsing the wrong member fails the
+    gate even when counts pass."""
+    _prep(spark)
+    from .operators.audio import dedup_cross_modal
+    from .sources.clips import xmodal_clips_df
+
+    surv = dedup_cross_modal(xmodal_clips_df(spark, 240, partitions=4))
+    idx = F.substring("clip_id", 4, 10).cast("int")
+    return (
+        surv.groupBy(((idx / 3).cast("int") % 4).alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum((idx % 3).cast("bigint")).alias("sum_member_idx"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_CROSS_MODAL_DEDUP_SQL = """
+SELECT cast(cls AS INTEGER) AS cls,
+       cast(sum(CASE WHEN cls = 0 AND m > 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_survivors,
+       cast(sum(CASE WHEN cls = 0 THEN 0 ELSE m END) AS BIGINT)
+           AS sum_member_idx
+FROM (
+  SELECT cast(floor(i / 3) AS INTEGER) % 4 AS cls, i % 3 AS m
+  FROM (SELECT unnest(range(0, 240)) AS i))
+GROUP BY cls
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5653,4 +5698,5 @@ QUERIES = {
     "q104_declip_repair": (q_declip_repair, Q_DECLIP_REPAIR_SQL),
     "q105_pack_audio": (q_pack_audio, Q_PACK_AUDIO_SQL),
     "q106_lang_consistency": (q_lang_consistency, Q_LANG_CONSISTENCY_SQL),
+    "q107_cross_modal_dedup": (q_cross_modal_dedup, Q_CROSS_MODAL_DEDUP_SQL),
 }

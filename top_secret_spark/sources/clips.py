@@ -1590,3 +1590,67 @@ def pack_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+XMODAL_GROUP = 3       # members per planted cross-modal group
+XMODAL_CLASS_MOD = 4   # group g's class = g % 4
+
+
+def xmodal_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows with PLANTED cross-modal duplicate structure: rows
+    group by ``g = r // 3`` (members ``m = r % 3``, codec cycles ``m``)
+    and the group's class ``g % 4`` sets which modalities its members
+    share: 0 same transcript AND same audio pattern (true re-uploads —
+    only the conjunction may collapse these, to the m=0 member), 1 same
+    transcript but per-member audio (two speakers, one prompt — text
+    dedup would wrongly collapse), 2 same audio but per-member
+    transcript (re-transcriptions), 3 all unique.  Audio bodies are
+    8-section envelope patterns (``_tempo_pattern_pcm``), allocated so
+    every distinct body across the whole fixture has a distinct 8-bit
+    pattern: shared groups use ``g + 1`` (<= 80), class-1 members
+    ``81 + 3*(g//4) + m`` (81..140), class-3 members ``141 + 3*(g//4)
+    + m`` (141..200)."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 8000
+    for r in range(start, end):
+        g, m = divmod(r, XMODAL_GROUP)
+        cls = g % XMODAL_CLASS_MOD
+        if cls in (0, 2):
+            pattern = g + 1
+        elif cls == 1:
+            pattern = 81 + 3 * (g // XMODAL_CLASS_MOD) + m
+        else:
+            pattern = 141 + 3 * (g // XMODAL_CLASS_MOD) + m
+        if cls in (0, 1):
+            transcript = f"shared transcript for group {g}"
+        else:
+            transcript = f"transcript for clip {r}"
+        pcm = _tempo_pattern_pcm(pattern, 1000)
+        codec = _CODECS[m]
+        out["clip_id"].append(f"xm-{r:010d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append(codec)
+        out["transcript"].append(transcript)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def xmodal_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted cross-modal-duplicate clips (same no-shuffle
+    range → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield xmodal_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
