@@ -410,3 +410,63 @@ def test_with_bandwidth_planted_classes_and_poison(spark):
     p = with_bandwidth(spark.createDataFrame(rows, schema)).collect()[0]
     assert not p["bw_ok"] and not p["upsampled_suspect"]
     assert p["rolloff_hz"] == 0.0 and p["bw_n_frames"] == 0
+
+
+# --- spectral-subtraction denoise (q108) --------------------------------------
+
+
+class TestDenoise:
+    def test_alpha_zero_reconstructs_interior_exactly(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.spectral import batch_denoise
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-0.5, 0.5, 4000).astype(np.float32)
+        out, nf = batch_denoise(
+            x.copy(), np.array([4000]), 16000, alpha=0.0, beta=0.0
+        )
+        frame = 512
+        assert int(nf[0]) > 0
+        np.testing.assert_allclose(
+            out[frame:-frame], x[frame:-frame], atol=1e-6
+        )
+
+    def test_edges_and_short_clips_pass_through(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.spectral import batch_denoise
+
+        short = np.full(100, 0.3, np.float32)   # < one frame
+        long = np.full(2000, 0.3, np.float32)
+        out, nf = batch_denoise(
+            np.concatenate([short, long]), np.array([100, 2000]), 16000
+        )
+        assert int(nf[0]) == 0
+        np.testing.assert_array_equal(out[:100], short)
+        # OLA low-coverage head/tail of the long clip pass through
+        np.testing.assert_allclose(out[100:110], 0.3, atol=1e-6)
+
+    def test_noise_floor_drops_in_gaps(self):
+        import numpy as np
+
+        from top_secret_spark.kernel.spectral import batch_denoise
+
+        sr, n = 16000, 9600
+        t = np.arange(n) / sr
+        burst = 0.4 * np.sin(2 * np.pi * 1000 * t)
+        burst *= ((np.arange(n) // 640) % 2 == 0)
+        rng = np.random.default_rng(11)
+        noisy = np.clip(
+            burst + 0.1 * rng.standard_normal(n), -1, 1
+        ).astype(np.float32)
+        out, _ = batch_denoise(noisy.copy(), np.array([n]), sr)
+        gaps = ((np.arange(n) // 640) % 2 == 1)
+        gaps[:640] = gaps[-640:] = False  # skip OLA pass-through edges
+
+        def rms(v):
+            return float(np.sqrt(np.mean(v.astype(np.float64) ** 2)))
+
+        assert rms(out[gaps]) < 0.4 * rms(noisy[gaps])
+        # speech bursts survive: overall level not gutted
+        assert rms(out) > 0.5 * rms(noisy)

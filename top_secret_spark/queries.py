@@ -5560,6 +5560,66 @@ ORDER BY cls
 """
 
 
+
+def q_denoise(spark, sf_dir):
+    """[tier: quality_filter x audio] spectral-subtraction noise
+    reduction (operators/audio.py::denoised_clips, kernel
+    batch_denoise): each clip's noise magnitude spectrum — estimated
+    from its own quietest 20% of frames, selected by one global cumsum
+    with no FFT — is over-subtracted from every STFT frame and the
+    clip resynthesized by windowed overlap-add, re-encoded in its own
+    codec.  Driven over the q73 SNR fixture and judged by the
+    INDEPENDENT frame-energy SNR estimator on the re-encoded bytes,
+    before vs after: gapped-clean clips must stay high (> 30 dB both
+    sides — restoration must not damage clean audio), gapped-noisy
+    clips must gain >= 8 dB and land >= 18 dB (measured ~10 -> ~22),
+    no-speech clips read < 3 dB before by the estimator's documented
+    gapless limit.  Margins carry >= 4 dB headroom over the measured
+    deterministic values; the oracle recomputes the class -> status
+    map from row arithmetic."""
+    _prep(spark)
+    from .operators.audio import denoised_clips, with_snr_estimate
+    from .sources.clips import snr_clips_df
+
+    before = with_snr_estimate(snr_clips_df(spark, 240, partitions=4)).select(
+        "clip_id", F.col("snr_est_db").alias("snr_before")
+    )
+    after = with_snr_estimate(
+        denoised_clips(snr_clips_df(spark, 240, partitions=4))
+    ).select("clip_id", F.col("snr_est_db").alias("snr_after"))
+    j = before.join(after, "clip_id")
+    status = (
+        F.when(F.col("snr_before") < 3, F.lit("no_speech"))
+        .when(
+            (F.col("snr_before") > 30) & (F.col("snr_after") > 30),
+            F.lit("clean_preserved"),
+        )
+        .when(
+            (F.col("snr_after") - F.col("snr_before") >= 8)
+            & (F.col("snr_after") >= 18),
+            F.lit("denoised"),
+        )
+        .otherwise(F.lit("unexpected"))
+    ).alias("status")
+    cls = (F.substring("clip_id", 4, 8).cast("int") % 3).alias("cls")
+    return (
+        j.groupBy(cls, status)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cls")
+    )
+
+
+Q_DENOISE_SQL = """
+SELECT cast(i % 3 AS INTEGER) AS cls,
+       CASE i % 3 WHEN 0 THEN 'clean_preserved' WHEN 1 THEN 'denoised'
+                  ELSE 'no_speech' END AS status,
+       cast(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(range(0, 240)) AS i)
+GROUP BY 1, 2
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5699,4 +5759,5 @@ QUERIES = {
     "q105_pack_audio": (q_pack_audio, Q_PACK_AUDIO_SQL),
     "q106_lang_consistency": (q_lang_consistency, Q_LANG_CONSISTENCY_SQL),
     "q107_cross_modal_dedup": (q_cross_modal_dedup, Q_CROSS_MODAL_DEDUP_SQL),
+    "q108_denoise": (q_denoise, Q_DENOISE_SQL),
 }
