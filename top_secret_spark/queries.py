@@ -5620,6 +5620,66 @@ ORDER BY cls
 """
 
 
+
+def q_call_pipeline(spark, sf_dir):
+    """[tier: quality_filter x audio] END-TO-END call-audio curation:
+    the session's multichannel operators COMPOSED in one plan — stereo
+    clips -> per-channel talk/overtalk analytics (with_channel_stats,
+    keep_bytes) -> stereo-to-mono downmix in the clip's own codec ->
+    the standard audio keep/drop gate over the downmixed bytes.  The
+    whole pipeline is map-only (two decode boundaries + codegen'd
+    gate; zero Exchange before the final groupBy), poison rows flow
+    through every stage to a decode_error verdict, and silent calls
+    drop at the gate with their talk metrics intact.  The oracle
+    recomputes (class, verdict, talk-time sums) from row arithmetic —
+    gating that the operators COMPOSE (schema and poison flow-through),
+    not just that each works alone."""
+    _prep(spark)
+    from .operators.audio import (
+        downmix_to_mono,
+        with_audio_keep_drop,
+        with_channel_stats,
+    )
+    from .sources.clips import stereo_clips_df
+
+    pipe = with_audio_keep_drop(
+        downmix_to_mono(
+            with_channel_stats(
+                stereo_clips_df(spark, 240, partitions=4), keep_bytes=True
+            )
+        )
+    )
+    cls = (F.substring("clip_id", 4, 10).cast("int") % 6).alias("cls")
+    return (
+        pipe.groupBy(
+            cls,
+            F.coalesce("audio_drop_reason", F.lit("keep")).alias("verdict"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("talk_ms_ch0").alias("sum_talk0_ms"),
+            F.sum("overtalk_ms").alias("sum_overtalk_ms"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_CALL_PIPELINE_SQL = """
+SELECT cast(i % 6 AS INTEGER) AS cls,
+       CASE i % 6 WHEN 4 THEN 'silent' WHEN 5 THEN 'decode_error'
+                  ELSE 'keep' END AS verdict,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE i % 6 WHEN 0 THEN 1000 WHEN 2 THEN 500
+                           WHEN 3 THEN 1000 ELSE 0 END) AS BIGINT)
+           AS sum_talk0_ms,
+       cast(sum(CASE WHEN i % 6 = 3 THEN 500 ELSE 0 END) AS BIGINT)
+           AS sum_overtalk_ms
+FROM (SELECT unnest(range(0, 240)) AS i)
+GROUP BY 1, 2
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5681,7 +5741,11 @@ QUERIES = {
     "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
     "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
     "q46_resample_uniform": (q_resample_uniform, Q_RESAMPLE_UNIFORM_SQL),
-    "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
+    # q109 (this session's composition flagship) takes q47's slot:
+    # chunking's pure-Catalyst byte-splice mechanics stay driver-gated
+    # via q92 (strip-repeated splice), and q47 joins its q52/q65
+    # segmentation siblings at the tail under the identical local gate.
+    "q109_call_pipeline": (q_call_pipeline, Q_CALL_PIPELINE_SQL),
     "q48_loudness_normalize": (q_loudness_normalize, Q_LOUDNESS_SQL),
     # The driver's correctness harness records the FIRST 50 registered
     # queries; the round-4 flagship gates (streaming dedup, paraphrase
@@ -5760,4 +5824,5 @@ QUERIES = {
     "q106_lang_consistency": (q_lang_consistency, Q_LANG_CONSISTENCY_SQL),
     "q107_cross_modal_dedup": (q_cross_modal_dedup, Q_CROSS_MODAL_DEDUP_SQL),
     "q108_denoise": (q_denoise, Q_DENOISE_SQL),
+    "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
 }
