@@ -282,6 +282,66 @@ def main():
     extras["vocab_docs_per_sec"] = round(
         docs.count() / max(min(vocab_times), 1e-9), 1)
 
+    # NON-headline extras (round 4): spectral-subtraction denoise (the
+    # heaviest restoration kernel — two blocked FFT passes + OLA) and
+    # fixed-duration example packing (prefix sum + Catalyst slices + the
+    # one groupBy payload shuffle) over the same audio corpus; WAV header
+    # audit at scan speed over container-wrapped rows.  Same best-of-2
+    # warm protocol.
+    from top_secret_spark.operators.audio import (
+        denoised_clips,
+        pack_audio_examples,
+        with_wav_header,
+    )
+
+    deno = lambda: denoised_clips(aclips).agg(
+        F.sum(F.length("bytes")), F.sum("n_frames_denoised")
+    ).collect()
+    deno()
+    deno_times = []
+    for _ in range(2):
+        t0 = time.time()
+        deno()
+        deno_times.append(time.time() - t0)
+    extras["denoise_sec"] = round(min(deno_times), 3)
+    extras["denoise_clips_per_sec"] = round(
+        na / max(min(deno_times), 1e-9), 1)
+
+    pcm_clips = aclips.filter(
+        (F.col("codec") == "pcm16") & (F.col("sr_hz") == 16000)
+    )
+    npc = pcm_clips.count()
+    pack = lambda: pack_audio_examples(pcm_clips, 30_000).agg(
+        F.sum(F.length("bytes")), F.sum("n_clips")
+    ).collect()
+    pack()
+    pack_times = []
+    for _ in range(2):
+        t0 = time.time()
+        pack()
+        pack_times.append(time.time() - t0)
+    extras["pack_audio_sec"] = round(min(pack_times), 3)
+    extras["pack_audio_clips_per_sec"] = round(
+        npc / max(min(pack_times), 1e-9), 1)
+
+    from top_secret_spark.sources.clips import wav_clips_df
+
+    wavs = wav_clips_df(spark, na, partitions=cores * 2).cache()
+    wavs.count()
+    wav = lambda: with_wav_header(wavs).agg(
+        F.count(F.when(F.col("wav_issue").isNull(), 1)), F.sum("data_len")
+    ).collect()
+    wav()
+    wav_times = []
+    for _ in range(2):
+        t0 = time.time()
+        wav()
+        wav_times.append(time.time() - t0)
+    extras["wav_audit_sec"] = round(min(wav_times), 3)
+    extras["wav_audit_clips_per_sec"] = round(
+        na / max(min(wav_times), 1e-9), 1)
+    wavs.unpersist()
+
     # untimed stats pass: candidate-pair volume is THE cost driver at web
     # scale — surfaced for dashboards, but never billed to the arm
     dd_stats: dict = {}
