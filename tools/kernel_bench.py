@@ -316,6 +316,44 @@ def main():
         lambda: batch_mix_noise(sp_samples, sp_lengths, nm_keys, 20.0))
     nm_loop_sec = _timeit(mix_loop)
 
+    # round-4 session-4 kernels: declip, downmix, channel blocks, denoise
+    from top_secret_spark.kernel.audio import (
+        batch_channel_blocks,
+        batch_declip,
+        batch_downmix,
+    )
+    from top_secret_spark.kernel.spectral import batch_denoise
+
+    def declip_loop():
+        for c in sp_clips:
+            batch_declip(c, np.array([len(c)]))
+
+    dlp_vec_sec = _timeit(lambda: batch_declip(sp_samples, sp_lengths))
+    dlp_loop_sec = _timeit(declip_loop)
+
+    def downmix_loop():
+        for c in sp_clips:
+            batch_downmix(c, np.array([len(c)]), 2)
+
+    dmx_vec_sec = _timeit(lambda: batch_downmix(sp_samples, sp_lengths, 2))
+    dmx_loop_sec = _timeit(downmix_loop)
+
+    def channel_loop():
+        for c in sp_clips:
+            batch_channel_blocks(c, np.array([len(c)]), 2, 8000)
+
+    chb_vec_sec = _timeit(
+        lambda: batch_channel_blocks(sp_samples, sp_lengths, 2, 8000))
+    chb_loop_sec = _timeit(channel_loop)
+
+    def denoise_loop():
+        for c in sp_clips:
+            batch_denoise(c, np.array([len(c)]), 16000)
+
+    dns_vec_sec = _timeit(
+        lambda: batch_denoise(sp_samples, sp_lengths, 16000), iterations=3)
+    dns_loop_sec = _timeit(denoise_loop, iterations=3)
+
     host_probe_after = _bandwidth_probe_sec()
     host_probe_sec = max(host_probe_before, host_probe_after)
 
@@ -387,6 +425,20 @@ def main():
         "mix_noise_loop_clips_per_sec": round(
             len(sp_clips) / nm_loop_sec, 1),
         "mix_noise_batched_speedup": round(nm_loop_sec / nm_vec_sec, 2),
+        "declip_batched_clips_per_sec": round(len(sp_clips) / dlp_vec_sec, 1),
+        "declip_loop_clips_per_sec": round(len(sp_clips) / dlp_loop_sec, 1),
+        "declip_batched_speedup": round(dlp_loop_sec / dlp_vec_sec, 2),
+        "downmix_batched_clips_per_sec": round(len(sp_clips) / dmx_vec_sec, 1),
+        "downmix_loop_clips_per_sec": round(len(sp_clips) / dmx_loop_sec, 1),
+        "downmix_batched_speedup": round(dmx_loop_sec / dmx_vec_sec, 2),
+        "channel_blocks_batched_clips_per_sec": round(
+            len(sp_clips) / chb_vec_sec, 1),
+        "channel_blocks_loop_clips_per_sec": round(
+            len(sp_clips) / chb_loop_sec, 1),
+        "channel_blocks_batched_speedup": round(chb_loop_sec / chb_vec_sec, 2),
+        "denoise_batched_clips_per_sec": round(len(sp_clips) / dns_vec_sec, 1),
+        "denoise_loop_clips_per_sec": round(len(sp_clips) / dns_loop_sec, 1),
+        "denoise_batched_speedup": round(dns_loop_sec / dns_vec_sec, 2),
         "iterations": ITERATIONS,
         "protocol": "symmetric: both arms warmed once, best-of-iterations",
         "host_probe_before_sec": round(host_probe_before, 3),
