@@ -4629,14 +4629,19 @@ def q_survivor_policy(spark, sf_dir):
     from .operators.dedup import dedup_exact_keep_best
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # prefix the text with its doc_id: the documents table carries a few
+    # NATURALLY identical texts at sf0.1, and the planted-pair oracle
+    # reasons only about the (base, variant) pairs — uniqueness by
+    # construction keeps natural dups from collapsing extra rows
+    keyed_text = F.concat(F.col("doc_id").cast("string"), F.lit(": "), "text")
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        "text",
+        keyed_text.alias("text"),
         F.col("n_chars").cast("long").alias("quality"),
     )
     variant = docs.select(
         (F.col("doc_id") + 1_000_000).cast("long").alias("doc_id"),
-        F.concat(F.lit("  "), F.col("text"), F.lit(" \t")).alias("text"),
+        F.concat(F.lit("  "), keyed_text, F.lit(" \t")).alias("text"),
         (
             F.col("n_chars")
             + F.when(F.col("doc_id") % 3 == 0, F.lit(5))
