@@ -2247,3 +2247,38 @@ class TestCrossModalDedup:
                   "codec string, transcript string")
         # same transcript, same (unverifiable) bytes: both must survive
         assert dedup_cross_modal(df).count() == 2
+
+
+def test_regime_split_kernels_bit_identical(monkeypatch):
+    """declip / downmix / denoise long-clip per-clip regime must equal
+    the full-batch path bit for bit (per-clip independence makes the
+    split a pure layout change)."""
+    import numpy as np
+
+    import top_secret_spark.kernel.audio as ka
+    import top_secret_spark.kernel.spectral as ks
+
+    rng = np.random.default_rng(5)
+    clips = [rng.uniform(-1, 1, x).astype(np.float32)
+             for x in (4000, 5000, 3500)]
+    for c in clips:
+        c[100:200] = 1.0
+    buf = np.concatenate(clips)
+    lens = np.array([len(c) for c in clips])
+
+    monkeypatch.setattr(ka, "SEGMENT_LONG_CLIP", 10 ** 9)
+    a1 = ka.batch_declip(buf.copy(), lens)
+    d1 = ka.batch_downmix(buf.copy(), lens, 2)
+    n1 = ks.batch_denoise(buf.copy(), lens, 16000)
+    monkeypatch.undo()
+    assert lens.mean() > ka.SEGMENT_LONG_CLIP  # split path active below
+    a2 = ka.batch_declip(buf.copy(), lens)
+    d2 = ka.batch_downmix(buf.copy(), lens, 2)
+    n2 = ks.batch_denoise(buf.copy(), lens, 16000)
+
+    np.testing.assert_array_equal(a1[0], a2[0])
+    assert list(a1[1]) == list(a2[1]) and list(a1[2]) == list(a2[2])
+    np.testing.assert_array_equal(d1[0], d2[0])
+    assert list(d1[1]) == list(d2[1])
+    np.testing.assert_array_equal(n1[0], n2[0])
+    assert list(n1[1]) == list(n2[1])

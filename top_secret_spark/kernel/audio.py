@@ -1282,6 +1282,20 @@ def batch_downmix(
     nch = int(n_channels)
     if nch <= 1:
         return samples.astype(np.float32, copy=False), lengths
+    # regime split (SEGMENT_LONG_CLIP, same crossover as the segmented
+    # feature kernels): long clips stay L2-resident per clip instead of
+    # streaming the whole batch's float64 temporaries through DRAM.
+    # Bit-identical by construction — the downmix is per-clip
+    # independent, the loop just re-slices.
+    if len(lengths) > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
+        offs = np.cumsum(lengths) - lengths
+        outs = [
+            batch_downmix(
+                samples[offs[i]:offs[i] + lengths[i]], lengths[i:i + 1], nch
+            )[0]
+            for i in range(len(lengths))
+        ]
+        return np.concatenate(outs), (lengths // nch)
     buf, kept = _compact_to_multiple(samples, lengths, nch)
     mono = (
         buf.astype(np.float64).reshape(-1, nch).mean(axis=1)
@@ -1385,6 +1399,24 @@ def batch_declip(
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
     total = int(lengths.sum())
+    # regime split: repair is per-clip independent, so long clips take a
+    # per-clip loop (L2-resident accumulates) — bit-identical outputs
+    if n > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
+        offs = np.cumsum(lengths) - lengths
+        parts, ncs, nrs = [], [], []
+        for i in range(n):
+            rep, nc1, nr1 = batch_declip(
+                samples[offs[i]:offs[i] + lengths[i]],
+                lengths[i:i + 1], level=level,
+            )
+            parts.append(rep)
+            ncs.append(nc1[0])
+            nrs.append(nr1[0])
+        return (
+            np.concatenate(parts) if parts else samples.astype(np.float32),
+            np.array(ncs, dtype=np.int64),
+            np.array(nrs, dtype=np.int64),
+        )
     x = samples.astype(np.float64, copy=True)
     n_clipped = np.zeros(n, dtype=np.int64)
     n_repaired = np.zeros(n, dtype=np.int64)

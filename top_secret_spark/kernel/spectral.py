@@ -471,6 +471,29 @@ def batch_denoise(
     Returns ``(denoised, n_frames)``."""
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
+    # regime split (audio.SEGMENT_LONG_CLIP crossover): the noise
+    # estimate and OLA are per-clip independent, so long clips take a
+    # per-clip loop — the full-batch path streams several total-sized
+    # float64 temporaries (cumsum, num, den) through DRAM that the
+    # per-clip path keeps cache-resident.  Bit-identical outputs.
+    from .audio import SEGMENT_LONG_CLIP
+
+    if n > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
+        offs = np.cumsum(lengths) - lengths
+        parts, nfs = [], []
+        for i in range(n):
+            o1, nf1 = batch_denoise(
+                samples[offs[i]:offs[i] + lengths[i]], lengths[i:i + 1],
+                sr_hz, frame_ms=frame_ms, alpha=alpha, beta=beta,
+                quiet_frac=quiet_frac, block_frames=block_frames,
+            )
+            parts.append(o1)
+            nfs.append(nf1[0])
+        return (
+            np.concatenate(parts) if parts
+            else samples.astype(np.float32),
+            np.array(nfs, dtype=np.int64),
+        )
     out = samples.astype(np.float64, copy=True)
     frame = max(4, int(sr_hz * frame_ms / 1000)) & ~1
     hop = frame // 2
