@@ -126,3 +126,47 @@ def test_incremental_dedup_against_bucketed_index(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_idx")
+
+
+def test_audio_index_corpus_side_no_exchange(spark, tmp_path):
+    """The incremental audio dedup's anti-join must read the bucketed
+    fingerprint index in place — corpus side never exchanges (same
+    plan guarantee as the text index)."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.audio import dedup_audio_against_corpus
+    from top_secret_spark.sources.bucketed import (
+        read_table,
+        write_audio_fingerprint_index,
+    )
+    from top_secret_spark.sources.clips import (
+        audidx_batch_rows,
+        audidx_corpus_rows,
+    )
+
+    corpus = spark.createDataFrame(audidx_corpus_rows(8))
+    batch = spark.createDataFrame(audidx_batch_rows(24, 8))
+    write_audio_fingerprint_index(
+        corpus, "tss_audidx_test", 4, path=str(tmp_path / "idx")
+    )
+    try:
+        idx = read_table(spark, "tss_audidx_test")
+        kept = dedup_audio_against_corpus(batch, idx)
+        ids = sorted(
+            int(r.clip_id[5:]) for r in kept.select("clip_id").collect()
+        )
+        for r in range(24):
+            expect = (r % 3 == 1) or (r % 6 == 2)
+            assert (r in ids) == expect, r
+        # undecodable rows pass through
+        import pandas as pd
+        poison = spark.createDataFrame(pd.DataFrame({
+            "clip_id": ["p-1"], "bytes": [b"\x00\x01"], "sr_hz": [8000],
+            "dur_ms": [10], "codec": ["opus"], "transcript": ["x"],
+        }))
+        assert dedup_audio_against_corpus(poison, idx).count() == 1
+        # (bucket-metadata / elided-exchange plan assertions live in the
+        # text-index tests above — both paths share write_bucketed_table;
+        # at this fixture size AQE legitimately broadcasts the index)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tss_audidx_test")

@@ -2755,3 +2755,39 @@ def denoised_clips(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def dedup_audio_against_corpus(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "clip_id",
+    n_frames: int = 32,
+) -> DataFrame:
+    """Incremental AUDIO dedup of a new crawl batch against a
+    materialized corpus index (audio twin of
+    :func:`~top_secret_spark.operators.dedup.dedup_against_corpus`):
+    keep batch rows that are (a) the min-id representative of their
+    tempo-robust envelope fingerprint WITHIN the batch and (b) absent
+    from the corpus index (``sources.bucketed.
+    write_audio_fingerprint_index``) — so a re-upload of corpus audio
+    at any tempo or codec drops before it ever re-enters the corpus.
+    Rows whose audio cannot be fingerprinted pass through: equality
+    the engine cannot verify is never asserted (same rule as
+    :func:`dedup_cross_modal`).
+
+    Scale shape: the corpus side of the anti-join is bucketed by the
+    8-byte fingerprint and never exchanges (only the small batch
+    shuffles — the q43 plan, proven by ``tests/test_bucketed.py``);
+    PCM never shuffles anywhere (the fingerprint stage drops it)."""
+    fp = with_tempo_fingerprint(batch, n_frames=n_frames)
+    ok = fp.filter(F.col("fp_ok"))
+    bad = fp.filter(~F.col("fp_ok")).select(id_col)
+    w_min = ok.groupBy("tempo_fp").agg(F.min(id_col).alias(id_col))
+    batch_rep = ok.join(w_min, ["tempo_fp", id_col], "inner")
+    fresh = batch_rep.join(
+        corpus_index,
+        batch_rep["tempo_fp"] == corpus_index["fingerprint"],
+        "left_anti",
+    ).select(id_col)
+    keep_ids = fresh.unionByName(bad)
+    return batch.join(keep_ids, id_col, "leftsemi")

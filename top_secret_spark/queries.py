@@ -5685,6 +5685,66 @@ ORDER BY cls
 """
 
 
+
+def q_incremental_audio_dedup(spark, sf_dir):
+    """[tier: quality_filter x audio] incremental AUDIO dedup against a
+    MATERIALIZED index (audio twin of q43): the corpus's tempo-robust
+    envelope fingerprints are written as a bucketed (fingerprint, id)
+    index (sources/bucketed.py::write_audio_fingerprint_index), and the
+    new crawl batch anti-joins it — the corpus side reads its buckets
+    in place with zero exchange, only the batch shuffles, PCM never
+    moves.  Planted batch classes (sources/clips.py::audidx_batch_rows,
+    r % 3): corpus re-uploads at 0.9x tempo in a DIFFERENT codec must
+    drop (the fingerprint sees through both), fresh patterns survive,
+    within-batch duplicate pairs keep their min-id member.  The oracle
+    knows the surviving id set per class closed-form — class 0 must
+    vanish entirely, and the survivor id-sums gate WHICH member of
+    each batch pair lived."""
+    import shutil
+    import tempfile
+
+    from .operators.audio import dedup_audio_against_corpus
+    from .sources.bucketed import read_table, write_audio_fingerprint_index
+    from .sources.clips import audidx_batch_rows, audidx_corpus_rows
+
+    corpus = spark.createDataFrame(audidx_corpus_rows())
+    batch = spark.createDataFrame(audidx_batch_rows())
+    root = tempfile.mkdtemp(prefix="tss_q110_")
+    try:
+        write_audio_fingerprint_index(
+            corpus, "tss_q110_idx", 8, path=f"{root}/idx"
+        )
+        idx = read_table(spark, "tss_q110_idx")
+        r = F.substring("clip_id", 6, 6).cast("int")
+        kept = spark.createDataFrame(
+            dedup_audio_against_corpus(batch, idx)
+            .select(r.alias("r")).collect(),
+            "r int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS tss_q110_idx")
+    return (
+        kept.groupBy((F.col("r") % 3).alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum(F.col("r").cast("bigint")).alias("sum_ids"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_INCREMENTAL_AUDIO_DEDUP_SQL = """
+SELECT cast(i % 3 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n_survivors,
+       cast(sum(i) AS BIGINT) AS sum_ids
+FROM (SELECT unnest(range(0, 120)) AS i)
+WHERE i % 3 = 1 OR i % 6 = 2
+GROUP BY cls
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5830,4 +5890,5 @@ QUERIES = {
     "q107_cross_modal_dedup": (q_cross_modal_dedup, Q_CROSS_MODAL_DEDUP_SQL),
     "q108_denoise": (q_denoise, Q_DENOISE_SQL),
     "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
+    "q110_incremental_audio_dedup": (q_incremental_audio_dedup, Q_INCREMENTAL_AUDIO_DEDUP_SQL),
 }

@@ -17,6 +17,7 @@ across sessions pointing at the same warehouse.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed_table(
@@ -75,3 +76,35 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back WITH its bucket metadata (a plain
     ``spark.read.parquet(path)`` would lose it and re-shuffle)."""
     return spark.table(table)
+
+
+def write_audio_fingerprint_index(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    path: str | None = None,
+    id_col: str = "clip_id",
+    n_frames: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Audio twin of :func:`write_fingerprint_index`: materialize a
+    corpus index of TEMPO-ROBUST envelope fingerprints
+    (``operators.audio.with_tempo_fingerprint``) bucketed by the
+    fingerprint — (fingerprint, id) pairs, 8+N bytes a row, so the
+    incremental audio dedup's anti-join (:func:`~top_secret_spark.
+    operators.audio.dedup_audio_against_corpus`) reads corpus buckets
+    in place and only the new crawl batch shuffles.  Rows whose audio
+    could not be fingerprinted (``fp_ok`` false) are NOT indexed —
+    unverifiable content never blocks a future upload.  ``id`` is
+    stored as a string (clip ids are opaque)."""
+    from ..operators.audio import with_tempo_fingerprint
+
+    fp = (
+        with_tempo_fingerprint(df, n_frames=n_frames)
+        .filter(F.col("fp_ok"))
+        .select(
+            F.col("tempo_fp").alias("fingerprint"),
+            F.col(id_col).cast("string").alias("id"),
+        )
+    )
+    write_bucketed_table(fp, table, "fingerprint", n_buckets, path=path, mode=mode)

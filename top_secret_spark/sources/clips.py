@@ -1654,3 +1654,51 @@ def xmodal_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+def audidx_corpus_rows(n_patterns: int = 20) -> pd.DataFrame:
+    """Tiny deterministic audio corpus for the incremental-dedup index
+    (q110): one pcm16 clip per envelope pattern 1..n_patterns."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for p in range(1, n_patterns + 1):
+        pcm = _tempo_pattern_pcm(p, 1000)
+        out["clip_id"].append(f"corp-{p:06d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(8000)
+        out["dur_ms"].append(1000)
+        out["codec"].append("pcm16")
+        out["transcript"].append(f"corpus clip {p}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def audidx_batch_rows(n_rows: int = 120, n_patterns: int = 20) -> pd.DataFrame:
+    """New-crawl batch with PLANTED incremental-dedup classes keyed by
+    ``r % 3``: 0 a corpus re-upload — pattern ``(r//3) % n_patterns + 1``
+    at 0.9x tempo in mu-law (drops: the envelope fingerprint sees
+    through tempo AND codec), 1 a fresh unique pattern ``100 + r//3``
+    (survives), 2 a within-batch duplicate pair — consecutive class-2
+    rows (r and r+3) share pattern ``150 + r//6``, the min-id member
+    survives.  All arithmetic closed-form for the oracle."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    for r in range(n_rows):
+        kind = r % 3
+        if kind == 0:
+            pattern, sec, codec = (r // 3) % n_patterns + 1, 900, "ulaw"
+        elif kind == 1:
+            pattern, sec, codec = 100 + r // 3, 1000, "pcm16"
+        else:
+            pattern, sec, codec = 150 + r // 6, 1000, "alaw"
+        pcm = _tempo_pattern_pcm(pattern, sec)
+        out["clip_id"].append(f"newb-{r:06d}")
+        out["bytes"].append(encode(pcm, codec))
+        out["sr_hz"].append(8000)
+        out["dur_ms"].append(int(len(pcm) * 1000 / 8000))
+        out["codec"].append(codec)
+        out["transcript"].append(f"batch clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
