@@ -5745,6 +5745,68 @@ ORDER BY cls
 """
 
 
+
+def q_restoration_lift(spark, sf_dir):
+    """[tier: quality_filter x audio] RESTORATION LIFT — the business
+    case for the repair operators, measured under the gate: the same
+    corpus is gated raw (clipping count + SNR threshold) and after the
+    restoration chain declip -> denoise, and the query reports how many
+    clips each class contributes BEFORE vs AFTER.  Planted classes
+    (sources/clips.py::restore_rows_for_range): clean keeps both ways,
+    a repairable clipped run and a noisy clip are SAVED by the chain
+    (0 -> all kept), a hopeless constant-full-scale clip stays dropped
+    via the still-clipped counter (declip refuses to fabricate signal;
+    the counter-based rule is immune to what denoise does to an
+    unanchored clip).  All measurements deterministic (per-row seeded
+    noise, >= 4 dB margins); the oracle recomputes the per-class keep
+    counts from row arithmetic."""
+    _prep(spark)
+    from .operators.audio import (
+        declipped_clips,
+        denoised_clips,
+        with_snr_estimate,
+    )
+    from .sources.clips import restore_clips_df
+
+    before = with_snr_estimate(restore_clips_df(spark, 240, partitions=4)).select(
+        "clip_id", F.col("snr_est_db").alias("snr_before")
+    )
+    chain = with_snr_estimate(
+        denoised_clips(declipped_clips(restore_clips_df(spark, 240, partitions=4)))
+    )
+    j = chain.join(before, "clip_id")
+    kept_before = (
+        (F.col("n_clipped") <= 960) & (F.col("snr_before") >= 17)
+    ).cast("bigint")
+    kept_after = (
+        (F.col("n_clipped") - F.col("n_repaired") <= 960)
+        & (F.col("snr_est_db") >= 17)
+    ).cast("bigint")
+    cls = (F.substring("clip_id", 4, 10).cast("int") % 4).alias("cls")
+    return (
+        j.groupBy(cls)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(kept_before).alias("kept_before"),
+            F.sum(kept_after).alias("kept_after"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_RESTORATION_LIFT_SQL = """
+SELECT cast(i % 4 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_before,
+       cast(sum(CASE WHEN i % 4 = 3 THEN 0 ELSE 1 END) AS BIGINT)
+           AS kept_after
+FROM (SELECT unnest(range(0, 240)) AS i)
+GROUP BY cls
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5891,4 +5953,5 @@ QUERIES = {
     "q108_denoise": (q_denoise, Q_DENOISE_SQL),
     "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
     "q110_incremental_audio_dedup": (q_incremental_audio_dedup, Q_INCREMENTAL_AUDIO_DEDUP_SQL),
+    "q111_restoration_lift": (q_restoration_lift, Q_RESTORATION_LIFT_SQL),
 }

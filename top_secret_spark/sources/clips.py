@@ -1702,3 +1702,64 @@ def audidx_batch_rows(n_rows: int = 120, n_patterns: int = 20) -> pd.DataFrame:
     df["sr_hz"] = df["sr_hz"].astype("int32")
     df["dur_ms"] = df["dur_ms"].astype("int32")
     return df
+
+
+RESTORE_CLASS_PERIOD = 4  # row r's planted restoration class = r % 4
+
+
+def restore_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips rows for the RESTORATION-LIFT gate (q111), keyed by
+    ``r % 4`` — all 16 kHz pcm16, the q73 burst structure (40 ms on /
+    40 ms off 1 kHz tone) so the SNR estimator has gaps to read: 0
+    clean (keeps with or without restoration), 1 a 1200-sample
+    full-scale clipped run inside a burst (clip ratio 0.125 raw —
+    gate-dropped — but declip repairs all 1200: kept after), 2 clean
+    bursts over 0.1 noise (snr ~10 dB raw — dropped — ~22 dB after
+    denoise: kept), 3 hopeless: constant full-scale, nothing to anchor
+    (dropped both ways via the still-clipped counter).  Per-row seeded
+    noise keeps every measurement deterministic."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz, n = 16000, 9600
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    burst = 0.4 * np.sin(2.0 * np.pi * 1000.0 * t)
+    burst *= ((np.arange(n) // 640) % 2 == 0).astype(np.float64)
+    for r in range(start, end):
+        kind = r % RESTORE_CLASS_PERIOD
+        rng = np.random.default_rng(SEED * 17_000_023 + r)
+        if kind == 0:
+            pcm = burst + 1e-4 * rng.standard_normal(n)
+        elif kind == 1:
+            pcm = burst + 1e-4 * rng.standard_normal(n)
+            pcm[1000:2200] = 1.0
+        elif kind == 2:
+            pcm = burst + 0.1 * rng.standard_normal(n)
+        else:
+            pcm = np.ones(n)
+        pcm = np.clip(pcm, -1.0, 1.0).astype(np.float32)
+        out["clip_id"].append(f"rs-{r:010d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(600)
+        out["codec"].append("pcm16")
+        out["transcript"].append(f"transcript for restore clip {r}")
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def restore_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted restoration-class clips (same no-shuffle
+    range → mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield restore_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
