@@ -2282,3 +2282,32 @@ def test_regime_split_kernels_bit_identical(monkeypatch):
     assert list(d1[1]) == list(d2[1])
     np.testing.assert_array_equal(n1[0], n2[0])
     assert list(n1[1]) == list(n2[1])
+
+
+def test_wav_header_poison_rows_never_kill_the_stage(spark):
+    """Adversarial containers — a LYING 32-bit chunk size (would
+    overflow the int cast under ANSI and abort the stage), sub-header
+    payloads, empty and NULL bytes — must resolve to verdicts, never
+    exceptions."""
+    import struct
+
+    from top_secret_spark.operators.audio import with_wav_header
+
+    hdr = (b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16))
+    evil = hdr + b"LIST" + struct.pack("<I", 0xFFFFFFF0) + b"xx"
+    rows = [("evil", bytearray(evil)), ("tiny", bytearray(b"RI")),
+            ("empty", bytearray(b"")), ("null", None),
+            ("short44", bytearray(b"RIFF" + b"\x00" * 40))]
+    df = spark.createDataFrame(
+        [(i, b, 8000, 10, "wav", "t") for i, b in rows],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string")
+    got = {r.clip_id: r.wav_issue for r in with_wav_header(df).collect()}
+    assert got == {
+        "evil": "no_data",
+        "tiny": "not_riff",
+        "empty": "not_riff",
+        "null": "null_payload",
+        "short44": "not_wave",
+    }

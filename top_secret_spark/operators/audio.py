@@ -2402,7 +2402,8 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     (NULL when the container is malformed), ``data_off`` / ``data_len``
     (1-based payload location), and ``wav_issue``: NULL for a
     well-formed container, else the first failing check in document
-    order — ``not_riff``, ``not_wave``, ``no_fmt``, ``no_data`` (data
+    order — ``null_payload``, ``not_riff``, ``not_wave``, ``no_fmt``,
+    ``no_data`` (data
     chunk absent after skipping at most one interposed chunk, e.g.
     LIST), or ``truncated_data`` (declared data length runs past the
     payload).  Canonical 44-byte headers hit the fast path; one
@@ -2417,10 +2418,21 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     fmt_code = _le_uint(b, 21, 2)
     chunk1_id = F.substring(b, 37, 4)
     chunk1_size = _le_uint(b, 41, 4)
-    # one-chunk skip: if chunk 37 isn't `data`, look past it once
-    chunk2_off = (F.lit(45) + chunk1_size).cast("int")
+    # one-chunk skip: if chunk 37 isn't `data`, look past it once.
+    # CLAMP before the int cast: a malformed/lying 32-bit chunk size
+    # (up to 2^32-1) would overflow the cast under ANSI mode and kill
+    # the stage — a poison ROW must never be a poison STAGE.  A clamped
+    # offset lands past any real payload, substring reads empty, and
+    # the row resolves to `no_data`, the verdict it deserves.
+    chunk2_off = F.least(
+        F.lit(45) + chunk1_size, F.lit(2_000_000_000)
+    ).cast("int")
     chunk2_id = F.substring(b, chunk2_off, 4)
-    chunk2_size = _le_uint(b, (F.lit(49) + chunk1_size).cast("int"), 4)
+    chunk2_size = _le_uint(
+        b,
+        F.least(F.lit(49) + chunk1_size, F.lit(2_000_000_000)).cast("int"),
+        4,
+    )
     is_data1 = chunk1_id == F.lit(b"data")
     is_data2 = chunk2_id == F.lit(b"data")
     data_off = (
@@ -2436,7 +2448,8 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .cast("bigint")
     )
     issue = (
-        F.when(blen < 44, F.lit("not_riff"))
+        F.when(b.isNull(), F.lit("null_payload"))
+        .when(blen < 44, F.lit("not_riff"))
         .when(F.substring(b, 1, 4) != F.lit(b"RIFF"), F.lit("not_riff"))
         .when(F.substring(b, 9, 4) != F.lit(b"WAVE"), F.lit("not_wave"))
         .when(F.substring(b, 13, 4) != F.lit(b"fmt "), F.lit("no_fmt"))
