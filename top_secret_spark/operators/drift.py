@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 def bucketize(col: Column, edges: list[float]) -> Column:
     """Bucket index for ``col`` under explicit ascending ``edges``:
     bucket i covers [edges[i], edges[i+1]); values below edges[0] land
-    in bucket 0, values >= edges[-1] in bucket len(edges)-1.  Explicit
+    in bucket 0, values >= edges[-1] in bucket len(edges)-1.  NULL
+    values fall through every comparison into the TOP bucket — coalesce
+    upstream (as q103 does) when NULL deserves its own treatment.  Explicit
     edges keep the monitor deterministic and oracle-recomputable; at
     scale, take them once from the BASELINE snapshot's quantiles and
     pin them in config (re-deriving edges per run would hide drift)."""
