@@ -5807,6 +5807,112 @@ ORDER BY cls
 """
 
 
+
+def q_streaming_watermark(spark, sf_dir):
+    """[training-data x streaming] WATERMARKED windowed keep/drop
+    counters under the hard oracle (streaming.py::keep_drop_counters —
+    previously pytest-only, the last streaming semantic without one):
+    a 4-micro-batch file stream (1-minute windows, 1-minute watermark)
+    plants two on-time windows, two watermark-advancing batches, and a
+    LATE row that arrives after its window was finalized.  Append mode
+    emits each window exactly once when the watermark passes it, and
+    the late row must be DROPPED: window [00:00, 00:01) reads keep=2 —
+    it would read 3 if late data leaked in — alongside too_short=1 and
+    the second window's keep=2.  The still-open last window never
+    emits.  Batch boundaries are mtime-ordered files (one per trigger),
+    and the late row sits in its own batch AFTER the eviction batch —
+    the one-batch watermark lag documented in tests/test_streaming.py.
+    The oracle recomputes the three finalized rows closed-form, epoch
+    timestamps included."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    _prep(spark)
+    from .streaming import keep_drop_counters
+
+    tmp = tempfile.mkdtemp(prefix="q112_stream_")
+    qn = f"q112_sink_{uuid.uuid4().hex[:8]}"
+
+    def T(s):
+        return dt.datetime.fromisoformat("2024-01-01 " + s)
+
+    try:
+        src = os.path.join(tmp, "src")
+
+        def mk(rows):
+            spark.createDataFrame(
+                rows, "clip_id string, ts timestamp, drop_reason string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.2)  # distinct mtimes pin micro-batch order
+
+        mk([("a", T("00:00:10"), None), ("b", T("00:00:20"), None),
+            ("c", T("00:00:30"), "too_short"),
+            ("d", T("00:01:10"), None), ("e", T("00:01:20"), None)])
+        mk([("f", T("00:05:00"), None)])
+        mk([("g", T("00:05:10"), None)])
+        mk([("late", T("00:00:40"), None)])
+        stream = (
+            spark.readStream
+            .schema("clip_id string, ts timestamp, drop_reason string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = keep_drop_counters(
+            stream, window="1 minute", watermark="1 minute"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.table(qn)
+            .select(
+                F.col("window_start").cast("long").alias("win_start_epoch"),
+                F.col("window_end").cast("long").alias("win_end_epoch"),
+                "drop_reason",
+                F.col("n").cast("long").alias("n"),
+            )
+            .orderBy("win_start_epoch", "drop_reason")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "win_start_epoch long, win_end_epoch long, "
+            "drop_reason string, n long",
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+Q_STREAMING_WATERMARK_SQL = """
+SELECT * FROM (VALUES
+  (CAST(epoch('2024-01-01 00:00:00'::TIMESTAMP) AS BIGINT),
+   CAST(epoch('2024-01-01 00:01:00'::TIMESTAMP) AS BIGINT),
+   'keep', CAST(2 AS BIGINT)),
+  (CAST(epoch('2024-01-01 00:00:00'::TIMESTAMP) AS BIGINT),
+   CAST(epoch('2024-01-01 00:01:00'::TIMESTAMP) AS BIGINT),
+   'too_short', CAST(1 AS BIGINT)),
+  (CAST(epoch('2024-01-01 00:01:00'::TIMESTAMP) AS BIGINT),
+   CAST(epoch('2024-01-01 00:02:00'::TIMESTAMP) AS BIGINT),
+   'keep', CAST(2 AS BIGINT))
+) AS t(win_start_epoch, win_end_epoch, drop_reason, n)
+ORDER BY win_start_epoch, drop_reason
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -5954,4 +6060,5 @@ QUERIES = {
     "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
     "q110_incremental_audio_dedup": (q_incremental_audio_dedup, Q_INCREMENTAL_AUDIO_DEDUP_SQL),
     "q111_restoration_lift": (q_restoration_lift, Q_RESTORATION_LIFT_SQL),
+    "q112_streaming_watermark": (q_streaming_watermark, Q_STREAMING_WATERMARK_SQL),
 }
