@@ -150,3 +150,29 @@ def test_no_shuffle_in_scrub_plan(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_pii_density_gate(spark):
+    """Density counts DISTINCT values; empty/NULL text reads 0; the
+    gate fires on density or absolute count."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.scrub import (
+        pii_density_reason_col,
+        with_pii_density,
+    )
+
+    rows = [
+        ("plain", " ".join(f"w{i}" for i in range(20))),
+        # the same email mentioned twice counts once
+        ("repeat", "a@b.com words here a@b.com"),
+        ("dense", " ".join(f"u{i}@ex{i}.com" for i in range(5)) + " w1 w2"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, transcript string")
+    out = {r.doc_id: r for r in with_pii_density(df).withColumn(
+        "reason", pii_density_reason_col(max_density=0.2)).collect()}
+    assert out["plain"].n_pii == 0 and out["plain"].reason is None
+    assert out["repeat"].n_pii == 1
+    assert out["dense"].n_pii == 5 and out["dense"].reason == "pii_dense"
+    assert out["null"].n_pii == 0 and out["null"].pii_density == 0.0

@@ -218,3 +218,50 @@ def mapping_as_map(mapping_col) -> Column:
     representation stays the ordered array (order is load-bearing)."""
     col = F.col(mapping_col) if isinstance(mapping_col, str) else mapping_col
     return F.map_from_entries(col)
+
+
+def with_pii_density(
+    df: DataFrame,
+    text_col: str = "transcript",
+    config=None,
+) -> DataFrame:
+    """Append ``n_pii`` (DISTINCT detected PII values — the scan
+    mapping's size, so repeated mentions of one value count once, the
+    reference's dedupe semantics) and ``pii_density`` (n_pii / word
+    count; 0.0 for empty text).  Inputs this dense in PII are a privacy
+    hazard even scrubbed — a contact-list dump or a leaked CSV is
+    mostly structure around PII, and substitution tokens preserve that
+    structure — so curation drops them instead of shipping a document
+    that is 40% placeholders.
+
+    Same single scan pass the detect path pays (one Arrow crossing);
+    the density arithmetic is pure Catalyst on top."""
+    from .quality import n_words_col
+
+    scan = make_scan_udf(config) if config is not None else make_scan_udf()
+    d = df.withColumn("_pii_map", scan(F.col(text_col)))
+    return (
+        d.withColumn("n_pii", F.size("_pii_map"))
+        .withColumn(
+            "pii_density",
+            F.when(
+                n_words_col(F.col(text_col)) > 0,
+                F.col("n_pii") / n_words_col(F.col(text_col)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_pii_map")
+    )
+
+
+def pii_density_reason_col(
+    max_density: float = 0.2, max_count: int = 50
+) -> Column:
+    """Gate column over :func:`with_pii_density`: ``pii_dense`` when
+    the density exceeds ``max_density`` OR the absolute count exceeds
+    ``max_count`` (a long document can hide an address book under a
+    low ratio), NULL otherwise.  Codegen'd CASE — free at any scale."""
+    return F.when(
+        (F.col("pii_density") > F.lit(float(max_density)))
+        | (F.col("n_pii") > F.lit(int(max_count))),
+        F.lit("pii_dense"),
+    )

@@ -5913,6 +5913,74 @@ ORDER BY win_start_epoch, drop_reason
 """
 
 
+
+def q_pii_density_gate(spark, sf_dir):
+    """[reference-core extension] PII-DENSITY gate
+    (operators/scrub.py::with_pii_density + pii_density_reason_col):
+    documents that are mostly PII — contact dumps, leaked CSVs — are a
+    privacy hazard even scrubbed (substitution preserves the
+    structure), so curation drops them instead of shipping a document
+    that is 40% placeholders.  Density = DISTINCT detected values (the
+    reference's mapping-dedupe semantics, ref:lib/top_secret/text.rb)
+    over the word count, measured by the same single scan pass the
+    detect path pays.  Planted classes on the documents spine (r % 4):
+    0 no PII, 1 one email in 20 words (0.05 — keeps), 2 five emails in
+    20 words (0.25 — drops), 3 eight in 20 (0.40 — drops); every count
+    and ppm-quantized density is recomputed closed-form by the oracle."""
+    _prep(spark)
+    from .operators.scrub import pii_density_reason_col, with_pii_density
+
+    plain = [F.lit(f"w{j}") for j in range(20)]
+    email = lambda k: F.format_string(
+        "u%d.d%d@example%d.com", k, F.col("doc_id"), k
+    )
+    def text(n_pii):
+        parts = plain[: 20 - n_pii] + [email(F.lit(k)) for k in range(n_pii)]
+        return F.concat_ws(" ", *parts)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, text(0))
+        .when(F.col("doc_id") % 4 == 1, text(1))
+        .when(F.col("doc_id") % 4 == 2, text(5))
+        .otherwise(text(8))
+        .alias("transcript"),
+    )
+    out = with_pii_density(docs).withColumn(
+        "reason", pii_density_reason_col(max_density=0.2)
+    )
+    return (
+        out.groupBy(
+            (F.col("doc_id") % 4).cast("int").alias("cls"),
+            F.coalesce("reason", F.lit("keep")).alias("verdict"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_pii").cast("bigint")).alias("sum_pii"),
+            F.sum(F.round(F.col("pii_density") * 1_000_000).cast("bigint"))
+            .alias("sum_density_ppm"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_PII_DENSITY_SQL = """
+SELECT cast(doc_id % 4 AS INTEGER) AS cls,
+       CASE WHEN doc_id % 4 IN (2, 3) THEN 'pii_dense' ELSE 'keep' END
+           AS verdict,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 5
+                                WHEN 3 THEN 8 ELSE 0 END) AS BIGINT)
+           AS sum_pii,
+       cast(sum(CASE doc_id % 4 WHEN 1 THEN 50000 WHEN 2 THEN 250000
+                                WHEN 3 THEN 400000 ELSE 0 END) AS BIGINT)
+           AS sum_density_ppm
+FROM documents
+GROUP BY 1, 2
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6061,4 +6129,5 @@ QUERIES = {
     "q110_incremental_audio_dedup": (q_incremental_audio_dedup, Q_INCREMENTAL_AUDIO_DEDUP_SQL),
     "q111_restoration_lift": (q_restoration_lift, Q_RESTORATION_LIFT_SQL),
     "q112_streaming_watermark": (q_streaming_watermark, Q_STREAMING_WATERMARK_SQL),
+    "q113_pii_density_gate": (q_pii_density_gate, Q_PII_DENSITY_SQL),
 }
