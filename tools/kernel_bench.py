@@ -325,15 +325,17 @@ def main():
     from top_secret_spark.kernel.spectral import batch_denoise
 
     def declip_loop():
-        for c in sp_clips:
-            batch_declip(c, np.array([len(c)]))
+        np.concatenate([
+            batch_declip(c, np.array([len(c)]))[0] for c in sp_clips
+        ])
 
     dlp_vec_sec = _timeit(lambda: batch_declip(sp_samples, sp_lengths))
     dlp_loop_sec = _timeit(declip_loop)
 
     def downmix_loop():
-        for c in sp_clips:
-            batch_downmix(c, np.array([len(c)]), 2)
+        np.concatenate([
+            batch_downmix(c, np.array([len(c)]), 2)[0] for c in sp_clips
+        ])
 
     dmx_vec_sec = _timeit(lambda: batch_downmix(sp_samples, sp_lengths, 2))
     dmx_loop_sec = _timeit(downmix_loop)
@@ -347,8 +349,9 @@ def main():
     chb_loop_sec = _timeit(channel_loop)
 
     def denoise_loop():
-        for c in sp_clips:
-            batch_denoise(c, np.array([len(c)]), 16000)
+        np.concatenate([
+            batch_denoise(c, np.array([len(c)]), 16000)[0] for c in sp_clips
+        ])
 
     dns_vec_sec = _timeit(
         lambda: batch_denoise(sp_samples, sp_lengths, 16000), iterations=3)

@@ -1289,13 +1289,14 @@ def batch_downmix(
     # independent, the loop just re-slices.
     if len(lengths) > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
         offs = np.cumsum(lengths) - lengths
-        outs = [
-            batch_downmix(
+        out_lengths = lengths // nch
+        oo = np.cumsum(out_lengths) - out_lengths
+        out = np.empty(int(out_lengths.sum()), dtype=np.float32)
+        for i in range(len(lengths)):
+            out[oo[i]:oo[i] + out_lengths[i]] = batch_downmix(
                 samples[offs[i]:offs[i] + lengths[i]], lengths[i:i + 1], nch
             )[0]
-            for i in range(len(lengths))
-        ]
-        return np.concatenate(outs), (lengths // nch)
+        return out, out_lengths
     buf, kept = _compact_to_multiple(samples, lengths, nch)
     mono = (
         buf.astype(np.float64).reshape(-1, nch).mean(axis=1)
@@ -1403,20 +1404,18 @@ def batch_declip(
     # per-clip loop (L2-resident accumulates) — bit-identical outputs
     if n > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
         offs = np.cumsum(lengths) - lengths
-        parts, ncs, nrs = [], [], []
+        out = np.empty(total, dtype=np.float32)
+        ncs = np.zeros(n, dtype=np.int64)
+        nrs = np.zeros(n, dtype=np.int64)
         for i in range(n):
             rep, nc1, nr1 = batch_declip(
                 samples[offs[i]:offs[i] + lengths[i]],
                 lengths[i:i + 1], level=level,
             )
-            parts.append(rep)
-            ncs.append(nc1[0])
-            nrs.append(nr1[0])
-        return (
-            np.concatenate(parts) if parts else samples.astype(np.float32),
-            np.array(ncs, dtype=np.int64),
-            np.array(nrs, dtype=np.int64),
-        )
+            out[offs[i]:offs[i] + lengths[i]] = rep
+            ncs[i] = nc1[0]
+            nrs[i] = nr1[0]
+        return out, ncs, nrs
     x = samples.astype(np.float64, copy=True)
     n_clipped = np.zeros(n, dtype=np.int64)
     n_repaired = np.zeros(n, dtype=np.int64)

@@ -480,20 +480,17 @@ def batch_denoise(
 
     if n > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
         offs = np.cumsum(lengths) - lengths
-        parts, nfs = [], []
+        out = np.empty(int(lengths.sum()), dtype=np.float32)
+        nfs = np.zeros(n, dtype=np.int64)
         for i in range(n):
             o1, nf1 = batch_denoise(
                 samples[offs[i]:offs[i] + lengths[i]], lengths[i:i + 1],
                 sr_hz, frame_ms=frame_ms, alpha=alpha, beta=beta,
                 quiet_frac=quiet_frac, block_frames=block_frames,
             )
-            parts.append(o1)
-            nfs.append(nf1[0])
-        return (
-            np.concatenate(parts) if parts
-            else samples.astype(np.float32),
-            np.array(nfs, dtype=np.int64),
-        )
+            out[offs[i]:offs[i] + lengths[i]] = o1
+            nfs[i] = nf1[0]
+        return out, nfs
     out = samples.astype(np.float64, copy=True)
     frame = max(4, int(sr_hz * frame_ms / 1000)) & ~1
     hop = frame // 2
