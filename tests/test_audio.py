@@ -2311,3 +2311,30 @@ def test_wav_header_poison_rows_never_kill_the_stage(spark):
         "null": "null_payload",
         "short44": "not_wave",
     }
+
+
+def test_speaker_turns_kernel_semantics():
+    """Turns count only single-voiced handoffs; silence/overlap blocks
+    neither add nor break; mono never turns; no cross-clip carryover."""
+    import numpy as np
+
+    from top_secret_spark.kernel.audio import batch_speaker_turns
+
+    sr, b = 1000, 10
+
+    def seg(ch, nblocks=2):
+        s = np.zeros((nblocks * b, 2), np.float32)
+        s[:, ch] = 0.5
+        return s
+
+    # clip 0 ends on ch1; clip 1 starts on ch0 — no carryover turn
+    c0 = np.concatenate([seg(0), seg(1)]).ravel()
+    c1 = np.concatenate([seg(0), np.zeros((20, 2), np.float32), seg(0)]).ravel()
+    t, nb = batch_speaker_turns(
+        np.concatenate([c0, c1]), np.array([len(c0), len(c1)]), 2, sr
+    )
+    assert list(t) == [1, 0]
+    # mono input: zero turns by definition
+    mono = np.full(100, 0.5, np.float32)
+    t2, _ = batch_speaker_turns(mono, np.array([100]), 1, sr)
+    assert list(t2) == [0]

@@ -1325,6 +1325,25 @@ def batch_channel_blocks(
     >= 2 channels are voiced simultaneously (0 for mono), ``n_blocks[i]``
     = complete blocks measured.  One reshape to ``(total_blocks,
     block_frames, nch)`` + one mean does the whole batch."""
+    voiced, clip_of, n_blocks, n, nch = _block_voiced(
+        samples, lengths, n_channels, sr_hz, threshold, block_ms
+    )
+    voiced_counts = np.zeros((n, nch), dtype=np.int64)
+    overtalk = np.zeros(n, dtype=np.int64)
+    if voiced is None:
+        return voiced_counts, overtalk, n_blocks
+    np.add.at(voiced_counts, clip_of, voiced.astype(np.int64))
+    if nch >= 2:
+        both = voiced.sum(axis=1) >= 2
+        np.add.at(overtalk, clip_of, both.astype(np.int64))
+    return voiced_counts, overtalk, n_blocks
+
+
+def _block_voiced(samples, lengths, n_channels, sr_hz, threshold, block_ms):
+    """Shared block-energy VAD core: per-block per-channel voiced flags
+    over concatenated interleaved clips.  Returns ``(voiced, clip_of,
+    n_blocks, n, nch)`` with ``voiced`` None when no complete block
+    exists."""
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
     nch = max(1, int(n_channels))
@@ -1332,19 +1351,50 @@ def batch_channel_blocks(
     m = b * nch
     buf, kept = _compact_to_multiple(samples, lengths, m)
     n_blocks = kept // m
-    voiced_counts = np.zeros((n, nch), dtype=np.int64)
-    overtalk = np.zeros(n, dtype=np.int64)
     total_blocks = int(n_blocks.sum())
     if total_blocks == 0:
-        return voiced_counts, overtalk, n_blocks
+        return None, None, n_blocks, n, nch
     blocks = np.abs(buf.astype(np.float64)).reshape(total_blocks, b, nch)
     voiced = blocks.mean(axis=1) >= threshold  # (total_blocks, nch)
     clip_of = np.repeat(np.arange(n, dtype=np.int64), n_blocks)
-    np.add.at(voiced_counts, clip_of, voiced.astype(np.int64))
-    if nch >= 2:
-        both = voiced.sum(axis=1) >= 2
-        np.add.at(overtalk, clip_of, both.astype(np.int64))
-    return voiced_counts, overtalk, n_blocks
+    return voiced, clip_of, n_blocks, n, nch
+
+
+def batch_speaker_turns(
+    samples: np.ndarray,
+    lengths: np.ndarray,
+    n_channels: int,
+    sr_hz: int,
+    threshold: float = 0.01,
+    block_ms: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-clip SPEAKER-TURN counts over interleaved multichannel
+    clips: a turn is a change of the single-voiced channel between
+    consecutive single-voiced blocks (silence and overlap blocks
+    neither start nor break a turn — a pause inside one speaker's
+    utterance is not a handoff).  The dialogue-density measure
+    conversational-data curation ranks by: monologues read 0, clean
+    alternation reads the handoff count.
+
+    Fully vectorized: one shared block-VAD pass (``_block_voiced``),
+    one mask compaction, one diff — turns are label changes within the
+    same clip on the compacted single-voiced block sequence.  Returns
+    ``(turns, n_blocks)``."""
+    voiced, clip_of, n_blocks, n, nch = _block_voiced(
+        samples, lengths, n_channels, sr_hz, threshold, block_ms
+    )
+    turns = np.zeros(n, dtype=np.int64)
+    if voiced is None or nch < 2:
+        return turns, n_blocks
+    single = voiced.sum(axis=1) == 1
+    if not single.any():
+        return turns, n_blocks
+    labels = np.argmax(voiced, axis=1)[single]
+    clips = clip_of[single]
+    if len(labels) > 1:
+        change = (labels[1:] != labels[:-1]) & (clips[1:] == clips[:-1])
+        np.add.at(turns, clips[1:][change], 1)
+    return turns, n_blocks
 
 
 def decode_sr_nch_groups(datas: list, codecs, srs, nchs):

@@ -2804,3 +2804,58 @@ def dedup_audio_against_corpus(
     ).select(id_col)
     keep_ids = fresh.unionByName(bad)
     return batch.join(keep_ids, id_col, "leftsemi")
+
+
+def with_speaker_turns(
+    df: DataFrame,
+    threshold: float = 0.01,
+    block_ms: int = 10,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append per-clip SPEAKER-TURN counts over frame-interleaved
+    multichannel clips (``kernel.batch_speaker_turns``: a turn is a
+    handoff of the single-voiced channel; silence and overlap neither
+    start nor break one).  Turn density is the dialogue-vs-monologue
+    measure conversational-data curation ranks by — a call with zero
+    handoffs is dictation, not dialogue.
+
+    Same scaffold and scale posture as :func:`with_channel_stats`:
+    map-only, one decode + one shared block-VAD pass per (codec, sr,
+    nch) Arrow group, poison rows read ``turn_ok = false``."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += ", turn_ok boolean, n_turns bigint"
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_speaker_turns, decode_sr_nch_groups
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            turns = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            nchs = pdf["n_channels"].to_numpy(
+                dtype="float64", na_value=np.nan
+            )
+            for idx, samples, lengths, sr, nch, _codec in (
+                decode_sr_nch_groups(datas, codecs, srs, nchs)
+            ):
+                t, nb = batch_speaker_turns(
+                    samples, lengths, nch, sr,
+                    threshold=threshold, block_ms=block_ms,
+                )
+                oks[idx] = nb > 0
+                turns[idx] = t
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["turn_ok"] = oks
+            pdf["n_turns"] = turns
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -5981,6 +5981,48 @@ ORDER BY cls
 """
 
 
+
+def q_speaker_turns(spark, sf_dir):
+    """[tier: quality_filter x audio] speaker-turn counting over stereo
+    calls (operators/audio.py::with_speaker_turns, kernel
+    batch_speaker_turns): a turn is a handoff of the single-voiced
+    channel between consecutive single-voiced VAD blocks — silence and
+    overlap neither add nor break one — giving the dialogue-vs-
+    monologue density conversational-data curation ranks by.  Planted
+    turn structures (sources/clips.py::turns_rows_for_range, r % 4,
+    codec cycling): monologue 0, one handoff 1, strict 100 ms
+    alternation 9, pause-and-overlap-interrupted alternation exactly 2.
+    Spans align on VAD blocks so every count is exact; the oracle
+    recomputes per-class totals from the row index."""
+    _prep(spark)
+    from .operators.audio import with_speaker_turns
+    from .sources.clips import turns_clips_df
+
+    out = with_speaker_turns(turns_clips_df(spark, 240, partitions=4))
+    cls = (F.substring("clip_id", 4, 10).cast("int") % 4).alias("cls")
+    return (
+        out.groupBy(cls)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("turn_ok").cast("bigint")).alias("n_ok"),
+            F.sum("n_turns").alias("sum_turns"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_SPEAKER_TURNS_SQL = """
+SELECT cast(i % 4 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n,
+       cast(count(*) AS BIGINT) AS n_ok,
+       cast(sum(CASE i % 4 WHEN 1 THEN 1 WHEN 2 THEN 9 WHEN 3 THEN 2
+                           ELSE 0 END) AS BIGINT) AS sum_turns
+FROM (SELECT unnest(range(0, 240)) AS i)
+GROUP BY cls
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6130,4 +6172,5 @@ QUERIES = {
     "q111_restoration_lift": (q_restoration_lift, Q_RESTORATION_LIFT_SQL),
     "q112_streaming_watermark": (q_streaming_watermark, Q_STREAMING_WATERMARK_SQL),
     "q113_pii_density_gate": (q_pii_density_gate, Q_PII_DENSITY_SQL),
+    "q114_speaker_turns": (q_speaker_turns, Q_SPEAKER_TURNS_SQL),
 }

@@ -1763,3 +1763,73 @@ def restore_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+TURNS_CLASS_PERIOD = 4  # row r's planted turn-structure class = r % 4
+
+
+def turns_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """STEREO clips rows with PLANTED speaker-turn structure keyed by
+    ``r % 4`` (codec cycles ``(r // 4) % 3``): 0 a ch0 monologue (0
+    turns), 1 one clean handoff ch0 -> ch1 (1 turn), 2 strict 100 ms
+    alternation across 1 s (9 turns), 3 alternation interrupted by
+    silence and one both-voiced overlap span — label sequence ch0,
+    ch1, ch0 (2 turns; pauses and overlap must neither add nor break
+    turns).  Spans are 100 ms (10 blocks at the 10 ms VAD block), so
+    every count is exact by construction."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    out["n_channels"] = []
+    sr_hz = 8000
+    span = 800  # 100 ms per channel
+
+    def seg(ch):
+        s = np.zeros((span, 2), np.float32)
+        s[:, ch] = _vad_voiced(span)
+        return s
+
+    silence = np.zeros((span, 2), np.float32)
+    overlap = np.zeros((span, 2), np.float32)
+    overlap[:, 0] = _vad_voiced(span)
+    overlap[:, 1] = _vad_voiced(span)
+    for r in range(start, end):
+        kind = r % TURNS_CLASS_PERIOD
+        codec = _CODECS[(r // TURNS_CLASS_PERIOD) % 3]
+        if kind == 0:
+            parts = [seg(0)] * 10
+        elif kind == 1:
+            parts = [seg(0)] * 5 + [seg(1)] * 5
+        elif kind == 2:
+            parts = [seg(i % 2) for i in range(10)]
+        else:
+            parts = [seg(0), seg(0), silence, seg(1), seg(1),
+                     overlap, seg(0), seg(0), silence, silence]
+        inter = np.concatenate(parts).ravel()
+        out["clip_id"].append(f"tn-{r:010d}")
+        out["bytes"].append(encode(inter, codec))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(1000)
+        out["codec"].append(codec)
+        out["transcript"].append(f"transcript for turns clip {r}")
+        out["n_channels"].append(2)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    df["n_channels"] = df["n_channels"].astype("int32")
+    return df
+
+
+def turns_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted speaker-turn clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield turns_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=STEREO_SCHEMA_DDL)
+    )
