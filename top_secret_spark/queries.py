@@ -6083,7 +6083,11 @@ QUERIES = {
     "q43_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
     "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
     "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
-    "q46_resample_uniform": (q_resample_uniform, Q_RESAMPLE_UNIFORM_SQL),
+    # q108 (spectral-subtraction denoise, this session's heaviest new
+    # kernel) takes q46's slot: the resample kernel stays gated via its
+    # q57 speed-perturb sibling (same batch_resample path) and q46 joins
+    # the tail under the identical local protocol.
+    "q108_denoise": (q_denoise, Q_DENOISE_SQL),
     # q109 (this session's composition flagship) takes q47's slot:
     # chunking's pure-Catalyst byte-splice mechanics stay driver-gated
     # via q92 (strip-repeated splice), and q47 joins its q52/q65
@@ -6166,7 +6170,7 @@ QUERIES = {
     "q105_pack_audio": (q_pack_audio, Q_PACK_AUDIO_SQL),
     "q106_lang_consistency": (q_lang_consistency, Q_LANG_CONSISTENCY_SQL),
     "q107_cross_modal_dedup": (q_cross_modal_dedup, Q_CROSS_MODAL_DEDUP_SQL),
-    "q108_denoise": (q_denoise, Q_DENOISE_SQL),
+    "q46_resample_uniform": (q_resample_uniform, Q_RESAMPLE_UNIFORM_SQL),
     "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
     "q110_incremental_audio_dedup": (q_incremental_audio_dedup, Q_INCREMENTAL_AUDIO_DEDUP_SQL),
     "q111_restoration_lift": (q_restoration_lift, Q_RESTORATION_LIFT_SQL),
