@@ -1167,3 +1167,145 @@ def test_bloom_decontaminate_bench_size_guard(spark):
     docs, bench = _decon_fixture(spark)
     with pytest.raises(ValueError, match="max_bench_grams"):
         flag_contaminated_bloom(docs, bench, n=8, max_bench_grams=1)
+
+
+# --- transcript edit-distance verify ---------------------------------------------
+
+
+def _lev_fixture(spark):
+    texts = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "the quick brown fox"),       # identical -> 0 edits
+            (2, "the quack brown fox"),       # 1 sub
+            (3, "the quick brown foxes"),     # 2 inserts
+            (4, "a completely different transcript entirely"),
+            (5, "the quick brown f"),         # 2 deletes (within budget)
+        ],
+        ["tid", "transcript"],
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5)], ["a", "b"]
+    )
+    return texts, pairs
+
+
+def test_verify_pairs_levenshtein_exact_counts(spark):
+    from top_secret_spark.operators.dedup import verify_pairs_levenshtein
+
+    texts, pairs = _lev_fixture(spark)
+    out = verify_pairs_levenshtein(
+        pairs, texts, id_col="tid", text_col="transcript", max_edits=3
+    )
+    got = {(r["a"], r["b"]): r["edits"] for r in out.collect()}
+    assert got == {(0, 1): 0, (0, 2): 1, (0, 3): 2, (0, 5): 2}
+
+
+def test_verify_pairs_levenshtein_budget_zero_means_exact_only(spark):
+    from top_secret_spark.operators.dedup import verify_pairs_levenshtein
+
+    texts, pairs = _lev_fixture(spark)
+    out = verify_pairs_levenshtein(
+        pairs, texts, id_col="tid", text_col="transcript", max_edits=0
+    )
+    assert [(r["a"], r["b"]) for r in out.collect()] == [(0, 1)]
+
+
+def test_verify_pairs_levenshtein_rejects_negative_budget(spark):
+    import pytest
+
+    from top_secret_spark.operators.dedup import verify_pairs_levenshtein
+
+    texts, pairs = _lev_fixture(spark)
+    with pytest.raises(ValueError, match="max_edits"):
+        verify_pairs_levenshtein(
+            pairs, texts, id_col="tid", text_col="transcript", max_edits=-1
+        )
+
+
+def test_verify_pairs_levenshtein_plan_is_jvm_only(spark):
+    """The verify stage must stay Catalyst: no Python evaluation node
+    anywhere in the plan (levenshtein + the length prefilter are both
+    codegen'd expressions)."""
+    from top_secret_spark.operators.dedup import verify_pairs_levenshtein
+
+    texts, pairs = _lev_fixture(spark)
+    out = verify_pairs_levenshtein(
+        pairs, texts, id_col="tid", text_col="transcript", max_edits=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+# --- OOV-rate gate ----------------------------------------------------------------
+
+
+_OOV_ROWS = [
+    (0, "alpha bravo charlie delta"),        # 0/4 OOV
+    (1, "alpha bravo zz1 zz2"),              # 2/4
+    (2, "zz1 zz2 zz3 zz4"),                  # 4/4
+    (3, ""),                                 # empty -> NULL rate
+    (4, "  ALPHA   Bravo  "),                # case/whitespace -> 0.0
+]
+_OOV_LEX = ["alpha", "bravo", "charlie", "delta", "echo"]
+
+
+def _oov_expected():
+    return {0: 0.0, 1: 0.5, 2: 1.0, 3: None, 4: 0.0}
+
+
+def test_oov_rate_literal_path(spark):
+    from top_secret_spark.operators.text_analysis import with_oov_rate
+
+    df = spark.createDataFrame(_OOV_ROWS, ["clip_id", "transcript"])
+    out = with_oov_rate(df, lexicon=_OOV_LEX)
+    got = {r["clip_id"]: r["oov_rate"] for r in out.collect()}
+    assert got == _oov_expected()
+
+
+def test_oov_rate_join_path_matches_literal(spark):
+    """Forcing the broadcast-join shape (max_literal=0) must give the
+    identical rates, including the NULL for the never-exploded empty
+    transcript re-attached by the left join."""
+    from top_secret_spark.operators.text_analysis import with_oov_rate
+
+    df = spark.createDataFrame(_OOV_ROWS, ["clip_id", "transcript"])
+    out = with_oov_rate(df, lexicon=_OOV_LEX, max_literal=0)
+    got = {r["clip_id"]: r["oov_rate"] for r in out.collect()}
+    assert got == _oov_expected()
+
+
+def test_oov_rate_literal_plan_has_no_python_or_exchange(spark):
+    from top_secret_spark.operators.text_analysis import with_oov_rate
+
+    df = spark.createDataFrame(_OOV_ROWS, ["clip_id", "transcript"])
+    out = with_oov_rate(df, lexicon=_OOV_LEX)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_oov_reason_col_gate(spark):
+    from top_secret_spark.operators.text_analysis import (
+        oov_reason_col,
+        with_oov_rate,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(_OOV_ROWS, ["clip_id", "transcript"])
+    out = with_oov_rate(df, lexicon=_OOV_LEX).withColumn(
+        "reason", oov_reason_col(max_oov=0.3)
+    )
+    got = {r["clip_id"]: r["reason"] for r in out.collect()}
+    # NULL rate (empty transcript) keeps — the length gate owns it
+    assert got == {0: None, 1: "oov", 2: "oov", 3: None, 4: None}
+
+
+def test_oov_rate_requires_lexicon(spark):
+    import pytest
+
+    from top_secret_spark.operators.text_analysis import with_oov_rate
+
+    df = spark.createDataFrame(_OOV_ROWS, ["clip_id", "transcript"])
+    with pytest.raises(ValueError, match="lexicon"):
+        with_oov_rate(df)

@@ -926,6 +926,50 @@ def verify_pairs_jaccard(
     )
 
 
+def verify_pairs_levenshtein(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_edits: int = 3,
+) -> DataFrame:
+    """Exact edit-distance verification for near-dup candidate pairs —
+    the ASR-transcript counterpart of :func:`verify_pairs_jaccard`.
+    Two transcriptions of the same recording differ by a handful of
+    character edits (casing fixed upstream, a dropped filler word, one
+    misheard token), which shingle-Jaccard under-resolves on short
+    strings; an edit-distance budget is the natural verify metric for
+    a transcript dedup family.
+
+    Fully JVM-side: ``levenshtein(a, b, threshold)`` is a Catalyst
+    expression (codegen'd, early-exits the DP once the running minimum
+    exceeds the budget, so cost is O(len x max_edits) not O(len^2)),
+    guarded by a length-difference prefilter — ``|len(a) - len(b)| >
+    max_edits`` is an edit-distance lower bound, so those pairs are
+    discarded before paying any DP at all.  No Python anywhere.
+
+    Scale: only candidate pairs (LSH output) ever join text back, and
+    each side joins on the 8-byte id — the same shape as
+    ``verify_pairs_jaccard``.  Output keeps ``edits`` for audit.
+    """
+    if max_edits < 0:
+        raise ValueError(f"max_edits must be >= 0, got {max_edits}")
+    docs = df.select(F.col(id_col), F.col(text_col))
+    ta = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("text_b"))
+    lev = F.levenshtein(F.col("text_a"), F.col("text_b"), max_edits)
+    return (
+        pairs.join(ta, "a").join(tb, "b")
+        .filter(
+            F.abs(F.length("text_a") - F.length("text_b")) <= max_edits
+        )
+        # thresholded levenshtein returns -1 once the budget is blown
+        .withColumn("edits", lev)
+        .filter((F.col("edits") >= 0) & (F.col("edits") <= max_edits))
+        .select("a", "b", "edits")
+    )
+
+
 # --- SimHash --------------------------------------------------------------------
 
 

@@ -265,3 +265,86 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint_col(text_col),
         }
     )
+
+
+def with_oov_rate(
+    df: DataFrame,
+    text_col: str = "transcript",
+    lexicon=None,
+    id_col: str = "clip_id",
+    out_col: str = "oov_rate",
+    max_literal: int = 512,
+) -> DataFrame:
+    """Append ``oov_rate`` — the fraction of whitespace tokens NOT in a
+    reference lexicon.  An ASR transcript whose words are mostly
+    out-of-vocabulary is decoder garbage (wrong language, hallucinated
+    segments, byte noise rendered as text), and it slips past
+    perplexity when the n-gram table was fit on the same garbage —
+    a lexicon gate is the independent check speech-data curation runs
+    before trusting transcripts (tokens lowercased; empty transcript →
+    NULL, the length gate owns that case).
+
+    Two shapes by lexicon size:
+
+    - ``len(lexicon) <= max_literal``: the lexicon ships as ONE literal
+      array constant inside the plan; per-token membership is a
+      Catalyst ``filter(words, w -> !array_contains(lex, w))`` —
+      codegen'd, zero shuffles, zero Python.  O(tokens x L) per row is
+      the right trade below a few hundred terms (stopword/function-word
+      scale).
+    - larger: lexicon becomes a DataFrame joined BROADCAST against the
+      exploded tokens, re-aggregated on the 8-byte id — one shuffle on
+      ``id_col``, still no Python; at 10^12 rows the explode stays
+      map-side and only (id, flag) longs move.
+
+    ``lexicon`` is an iterable of lowercase terms, or an existing
+    single-column DataFrame for the join path.
+    """
+    if lexicon is None:
+        raise ValueError("lexicon is required (iterable of terms or DataFrame)")
+    src = F.col(text_col)
+    tmp = "__words_oov"
+    small = not isinstance(lexicon, DataFrame) and len(list(lexicon)) <= max_literal
+    if small:
+        terms = sorted({str(t).lower() for t in lexicon})
+        lex = F.array(*[F.lit(t) for t in terms])
+        with_words = df.withColumn(tmp, words_col(src))
+        n = F.size(F.col(tmp))
+        oov = F.size(
+            F.filter(F.col(tmp), lambda w: ~F.array_contains(lex, w))
+        )
+        return with_words.withColumn(
+            out_col,
+            F.when(n > 0, oov.cast("double") / n.cast("double")),
+        ).drop(tmp)
+    # join path: broadcast the lexicon against exploded tokens
+    from pyspark.sql.functions import broadcast
+
+    if isinstance(lexicon, DataFrame):
+        lex_df = lexicon.toDF("__term").select(
+            F.lower(F.col("__term")).alias("__term")
+        ).distinct()
+    else:
+        spark = df.sparkSession
+        terms = sorted({str(t).lower() for t in lexicon})
+        lex_df = spark.createDataFrame([(t,) for t in terms], ["__term"])
+    toks = (
+        df.select(F.col(id_col), F.explode(words_col(src)).alias("__term"))
+        .join(broadcast(lex_df.withColumn("__in", F.lit(1))), "__term", "left")
+    )
+    rates = toks.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias(out_col)
+    )
+    # rows whose transcript tokenized to nothing never reach the
+    # explode; the left join re-attaches them with a NULL rate
+    return df.join(rates, id_col, "left")
+
+
+def oov_reason_col(max_oov: float = 0.3, col: str = "oov_rate") -> Column:
+    """Gate column over :func:`with_oov_rate`: ``oov`` when the rate
+    exceeds ``max_oov``, NULL (keep) otherwise — NULL rates (empty
+    transcript) keep, the length gate owns those.  Codegen'd CASE."""
+    return F.when(F.col(col) > F.lit(float(max_oov)), F.lit("oov"))

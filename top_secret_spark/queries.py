@@ -6023,6 +6023,178 @@ ORDER BY cls
 """
 
 
+
+def q_transcript_edit_dedup(spark, sf_dir):
+    """[tier: quality_filter x audio] transcript edit-distance verify
+    (operators/dedup.py::verify_pairs_levenshtein): two transcriptions
+    of the same recording differ by a handful of character edits — a
+    dropped filler, one misheard token — which shingle-Jaccard (q25)
+    under-resolves on short strings, so the transcript-dedup family
+    verifies LSH candidates with an exact edit budget instead.  Fully
+    JVM-side: Catalyst ``levenshtein(a, b, threshold)`` early-exits the
+    DP past the budget (O(len x k), not O(len^2)) behind a
+    length-difference lower-bound prefilter; no Python anywhere.
+
+    Planted pair classes on the documents spine (r % 4), each doc
+    contributing a (base, variant) candidate pair: 0 identical
+    (0 edits), 1 one substitution (1), 2 three substitutions (3 — at
+    the budget boundary, survives), 3 an appended unrelated tail
+    (blows the budget AND the length prefilter — must vanish).  The
+    oracle recomputes the same strings in SQL and re-derives every
+    edit count with DuckDB's own levenshtein — both engines must agree
+    on the exact DP value, not just the verdict."""
+    _prep(spark)
+    from .operators.dedup import verify_pairs_levenshtein
+
+    base = F.concat(
+        F.lit("call transcript "),
+        F.col("doc_id").cast("string"),
+        F.lit(" the quick brown fox jumps over the lazy dog"),
+    )
+    variant = (
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.regexp_replace(base, "jumps", "bumps"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.regexp_replace(base, "dog", "cat"),
+        )
+        .otherwise(F.concat(base, F.lit(" entirely different tail")))
+    )
+    ids = _docs(spark, sf_dir).select("doc_id")
+    texts = ids.select(
+        (F.col("doc_id") * 2).alias("tid"), base.alias("transcript")
+    ).unionByName(
+        ids.select(
+            (F.col("doc_id") * 2 + 1).alias("tid"),
+            variant.alias("transcript"),
+        )
+    )
+    cand = ids.select(
+        (F.col("doc_id") * 2).alias("a"), (F.col("doc_id") * 2 + 1).alias("b")
+    )
+    verified = verify_pairs_levenshtein(
+        cand, texts, id_col="tid", text_col="transcript", max_edits=3
+    )
+    return (
+        cand.join(verified, ["a", "b"], "left")
+        .groupBy(((F.col("a") / F.lit(2)).cast("bigint") % 4).cast("int").alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count("edits").alias("n_verified"),
+            F.coalesce(
+                F.sum(F.col("edits").cast("bigint")), F.lit(0).cast("bigint")
+            ).alias("sum_edits"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_TRANSCRIPT_EDIT_SQL = """
+WITH pairs AS (
+  SELECT doc_id,
+         'call transcript ' || doc_id ||
+             ' the quick brown fox jumps over the lazy dog' AS base,
+         CASE cast(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'call transcript ' || doc_id ||
+               ' the quick brown fox jumps over the lazy dog'
+           WHEN 1 THEN 'call transcript ' || doc_id ||
+               ' the quick brown fox bumps over the lazy dog'
+           WHEN 2 THEN 'call transcript ' || doc_id ||
+               ' the quick brown fox jumps over the lazy cat'
+           ELSE 'call transcript ' || doc_id ||
+               ' the quick brown fox jumps over the lazy dog' ||
+               ' entirely different tail'
+         END AS variant
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN abs(length(base) - length(variant)) <= 3
+                   AND levenshtein(base, variant) <= 3
+              THEN levenshtein(base, variant) END AS edits
+  FROM pairs
+)
+SELECT cast(doc_id % 4 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n_candidates,
+       cast(count(edits) AS BIGINT) AS n_verified,
+       cast(coalesce(sum(edits), 0) AS BIGINT) AS sum_edits
+FROM scored
+GROUP BY cls
+ORDER BY cls
+"""
+
+
+
+def q_oov_gate(spark, sf_dir):
+    """[tier: quality_filter x audio] out-of-vocabulary-rate gate
+    (operators/text_analysis.py::with_oov_rate + oov_reason_col): an
+    ASR transcript whose words are mostly out-of-lexicon is decoder
+    garbage — wrong language, hallucinated segments, byte noise — and
+    it slips past perplexity when the n-gram table was fit on the same
+    garbage, so curation cross-checks transcripts against an
+    independent lexicon.  The lexicon here ships as ONE literal array
+    constant and the per-token membership test is a Catalyst
+    higher-order filter — codegen'd, zero shuffles, zero Python (the
+    broadcast-join path for large lexicons is pytest-gated).
+
+    Planted classes on the documents spine (r % 4), 10-word
+    transcripts over a 10-word NATO lexicon: 0 fully in-vocab (rate
+    0.0 — keeps), 1 two OOV tokens (0.2 — keeps), 2 five (0.5 —
+    drops), 3 eight (0.8 — drops); gate at max_oov = 0.3.  Counts and
+    ppm-quantized rates recomputed closed-form by the oracle."""
+    _prep(spark)
+    from .operators.text_analysis import oov_reason_col, with_oov_rate
+
+    lexicon = [
+        "alpha", "bravo", "charlie", "delta", "echo",
+        "foxtrot", "golf", "hotel", "india", "juliet",
+    ]
+    def text(n_oov):
+        words = lexicon[: 10 - n_oov] + [f"qq{k}" for k in range(n_oov)]
+        return F.lit(" ".join(words))
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, text(0))
+        .when(F.col("doc_id") % 4 == 1, text(2))
+        .when(F.col("doc_id") % 4 == 2, text(5))
+        .otherwise(text(8))
+        .alias("transcript"),
+    )
+    out = with_oov_rate(
+        docs, text_col="transcript", lexicon=lexicon, id_col="doc_id"
+    ).withColumn("reason", oov_reason_col(max_oov=0.3))
+    return (
+        out.groupBy(
+            (F.col("doc_id") % 4).cast("int").alias("cls"),
+            F.coalesce("reason", F.lit("keep")).alias("verdict"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("oov_rate") * 1_000_000 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("sum_rate_ppm"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_OOV_GATE_SQL = """
+SELECT cast(doc_id % 4 AS INTEGER) AS cls,
+       CASE WHEN doc_id % 4 IN (2, 3) THEN 'oov' ELSE 'keep' END AS verdict,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE doc_id % 4 WHEN 1 THEN 200000 WHEN 2 THEN 500000
+                                WHEN 3 THEN 800000 ELSE 0 END) AS BIGINT)
+           AS sum_rate_ppm
+FROM documents
+GROUP BY 1, 2
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6177,4 +6349,6 @@ QUERIES = {
     "q112_streaming_watermark": (q_streaming_watermark, Q_STREAMING_WATERMARK_SQL),
     "q113_pii_density_gate": (q_pii_density_gate, Q_PII_DENSITY_SQL),
     "q114_speaker_turns": (q_speaker_turns, Q_SPEAKER_TURNS_SQL),
+    "q115_transcript_edit_dedup": (q_transcript_edit_dedup, Q_TRANSCRIPT_EDIT_SQL),
+    "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
 }
