@@ -470,3 +470,110 @@ class TestDenoise:
         assert rms(out[gaps]) < 0.4 * rms(noisy[gaps])
         # speech bursts survive: overall level not gutted
         assert rms(out) > 0.5 * rms(noisy)
+
+
+# --- pitch (f0) estimation ----------------------------------------------------
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=2000),
+                  min_size=1, max_size=6),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=15, deadline=None)
+def test_pitch_batch_matches_scalar_over_random_layouts(lens, seed):
+    from top_secret_spark.kernel.audio import synth_pcm
+    from top_secret_spark.kernel.spectral import batch_pitch, pitch_features
+
+    clips = [synth_pcm(seed + i, ln, 16000) if ln else
+             np.empty(0, dtype=np.float32) for i, ln in enumerate(lens)]
+    samples = (np.concatenate(clips) if any(lens)
+               else np.empty(0, dtype=np.float32))
+    f0, vr, nf = batch_pitch(samples, np.array(lens, dtype=np.int64), 16000)
+    for i, c in enumerate(clips):
+        sf0, svr, snf = pitch_features(c, 16000)
+        assert nf[i] == snf
+        np.testing.assert_allclose(f0[i], sf0, atol=1e-9)
+        np.testing.assert_allclose(vr[i], svr, atol=1e-9)
+
+
+def test_pitch_block_size_invariant():
+    """Pooling must be block-size independent (the reduceat-per-block
+    accumulator must not double-count a clip spanning blocks)."""
+    from top_secret_spark.kernel.spectral import batch_pitch
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    clips = [
+        (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        for f in (100.0, 150.0, 220.0)
+    ]
+    lens = np.array([len(c) for c in clips], dtype=np.int64)
+    buf = np.concatenate(clips)
+    ref = batch_pitch(buf, lens, sr)
+    for bf in (1, 2, 7, 64):
+        got = batch_pitch(buf, lens, sr, block_frames=bf)
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_pitch_reads_fundamental_not_partial():
+    from top_secret_spark.kernel.spectral import pitch_features
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    # 2nd partial twice as strong as the fundamental — autocorrelation
+    # still peaks first at the 120 Hz period
+    saw = (0.1 * np.sin(2 * np.pi * 120 * t)
+           + 0.25 * np.sin(2 * np.pi * 240 * t))
+    f0, vr, nf = pitch_features(saw, sr)
+    assert abs(f0 - 120.0) <= 0.02 * 120.0
+    assert vr >= 0.9
+
+
+def test_pitch_unvoiced_and_degenerate_inputs():
+    from top_secret_spark.kernel.spectral import batch_pitch, pitch_features
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+    f0, vr, nf = pitch_features(rng.standard_normal(sr) * 0.3, sr)
+    assert f0 == 0.0 and vr == 0.0 and nf > 0
+    assert pitch_features(np.zeros(sr, dtype=np.float32), sr) == (0.0, 0.0, 61)
+    assert pitch_features(np.zeros(10, dtype=np.float32), sr) == (0.0, 0.0, 0)
+    # empty batch
+    z = batch_pitch(np.empty(0), np.empty(0, dtype=np.int64), sr)
+    assert all(len(a) == 0 for a in z)
+
+
+def test_pitch_lag_window_validation():
+    from top_secret_spark.kernel.spectral import pitch_features
+
+    with pytest.raises(ValueError, match="lag window"):
+        pitch_features(np.zeros(16000), 16000, frame_ms=2, f_min=60.0)
+
+
+def test_with_pitch_operator_planted_classes_and_poison(spark):
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import with_pitch
+    from top_secret_spark.sources.clips import PITCH_F0, pitch_clips_df
+
+    out = with_pitch(pitch_clips_df(spark, 24, partitions=2))
+    assert "bytes" not in out.columns
+    for r in out.collect():
+        assert r["pitch_ok"]
+        if r["transcript"] == "noise":
+            assert r["f0_hz"] == 0.0 and r["voiced_ratio"] < 0.2
+        else:
+            planted = PITCH_F0[r["transcript"]]
+            assert abs(r["f0_hz"] - planted) <= 0.02 * planted
+            assert r["voiced_ratio"] >= 0.9
+    rows = [Row(clip_id="bad", bytes=bytearray(b"\x01"), sr_hz=16000,
+                dur_ms=0, codec="pcm16", transcript=""),
+            Row(clip_id="nullsr", bytes=bytearray(b"\x00\x00" * 100),
+                sr_hz=None, dur_ms=0, codec="pcm16", transcript="")]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    bad = with_pitch(spark.createDataFrame(rows, schema))
+    for r in bad.collect():
+        assert not r["pitch_ok"] and r["f0_hz"] == 0.0

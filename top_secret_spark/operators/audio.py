@@ -2859,3 +2859,74 @@ def with_speaker_turns(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def with_pitch(
+    df: DataFrame,
+    frame_ms: int = 32,
+    hop_ms: int = 16,
+    f_min: float = 60.0,
+    f_max: float = 400.0,
+    voiced_threshold: float = 0.5,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append dominant-f0 pitch statistics (``kernel.spectral.
+    batch_pitch``): ``f0_hz`` (0.0 when unvoiced), ``voiced_ratio``
+    (fraction of frames whose own normalized autocorrelation peak
+    clears the threshold), ``n_pitch_frames``, and ``pitch_ok``.
+    Speaker-diversity stats (f0 distribution ~ speaker mix), music/
+    tone-vs-speech triage, and TTS-corpus balance all rank by these.
+
+    Same batching discipline as ``with_log_mel``: one concatenated
+    decode + ONE blocked FFT-autocorrelation pass per (codec, sr_hz)
+    group per Arrow batch; per-clip pooling is reduceat-based and
+    block-bounded (never a (total_frames x n_lags) materialization).
+    Poison rows (undecodable payload, NULL sr) get pitch_ok=false —
+    never a stage kill; pitch_ok is also false for decodable clips
+    shorter than one frame (sub-frame clips leave f0 at an
+    authoritative-looking 0.0 — same convention as mel/snr/bandwidth).
+    ``bytes`` is dropped unless ``keep_bytes``."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += (", pitch_ok boolean, f0_hz double, voiced_ratio double, "
+               "n_pitch_frames int")
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import decode_sr_groups
+        from ..kernel.spectral import batch_pitch
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            f0s = np.zeros(n, dtype=np.float64)
+            vrs = np.zeros(n, dtype=np.float64)
+            nfs = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                f0, vr, nf = batch_pitch(
+                    samples, lengths, sr, frame_ms=frame_ms,
+                    hop_ms=hop_ms, f_min=f_min, f_max=f_max,
+                    voiced_threshold=voiced_threshold,
+                )
+                for k, i in enumerate(idx):
+                    f0s[i] = float(f0[k])
+                    vrs[i] = float(vr[k])
+                    nfs[i] = int(nf[k])
+                    oks[i] = int(nf[k]) > 0
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["pitch_ok"] = oks
+            pdf["f0_hz"] = f0s
+            pdf["voiced_ratio"] = vrs
+            pdf["n_pitch_frames"] = nfs
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

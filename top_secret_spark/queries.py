@@ -6195,6 +6195,72 @@ ORDER BY cls
 """
 
 
+
+def q_pitch_stats(spark, sf_dir):
+    """[tier: quality_filter x audio] dominant-f0 pitch estimation
+    (operators/audio.py::with_pitch, kernel/spectral.py::batch_pitch):
+    normalized FFT-autocorrelation pooled per clip — the f0
+    distribution speaker-diversity balancing ranks by, and the
+    voiced/unvoiced triage between speech and noise.  Unbiased lag
+    normalization makes period multiples tie at ~1.0, and the
+    smallest-local-max rule resolves the subharmonic ambiguity — the
+    harmonic-rich class exists to prove the estimator reads the
+    FUNDAMENTAL, not the strongest partial.
+
+    Planted classes (sources/clips.py::pitch_rows_for_range, r % 4):
+    pure 100 Hz sine, pure 220 Hz sine, a 120 Hz harmonic stack
+    (f0 + 2f + 3f), and white noise.  Tonal classes must read their
+    planted f0 within 2% (lag-grid quantization) fully voiced
+    (voiced_ratio >= 0.9); noise must read unvoiced (f0 = 0,
+    voiced_ratio < 0.2).  Per-class counts the oracle recomputes
+    from r % 4."""
+    _prep(spark)
+    from .operators.audio import with_pitch
+    from .sources.clips import PITCH_F0, pitch_clips_df
+
+    clips = pitch_clips_df(spark, 120, partitions=8)
+    feats = with_pitch(clips)
+    exp_f0 = F.when(
+        F.col("transcript") == "tone100", F.lit(PITCH_F0["tone100"])
+    ).when(
+        F.col("transcript") == "tone220", F.lit(PITCH_F0["tone220"])
+    ).when(
+        F.col("transcript") == "harmonic120", F.lit(PITCH_F0["harmonic120"])
+    )
+    passed = (
+        F.when(
+            F.col("transcript") == "noise",
+            F.col("pitch_ok")
+            & (F.col("f0_hz") == 0.0)
+            & (F.col("voiced_ratio") < 0.2),
+        )
+        .otherwise(
+            F.col("pitch_ok")
+            & (F.abs(F.col("f0_hz") - exp_f0) <= 0.02 * exp_f0)
+            & (F.col("voiced_ratio") >= 0.9)
+        )
+    )
+    return (
+        feats.groupBy(F.col("transcript").alias("pitch_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(passed, 1)).alias("n_expected"),
+        )
+        .orderBy("pitch_class")
+    )
+
+
+Q_PITCH_STATS_SQL = """
+SELECT CASE r % 4 WHEN 0 THEN 'tone100' WHEN 1 THEN 'tone220'
+                  WHEN 2 THEN 'harmonic120' ELSE 'noise' END AS pitch_class,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_expected
+FROM (SELECT unnest(range(0, 120)) AS r)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6351,4 +6417,5 @@ QUERIES = {
     "q114_speaker_turns": (q_speaker_turns, Q_SPEAKER_TURNS_SQL),
     "q115_transcript_edit_dedup": (q_transcript_edit_dedup, Q_TRANSCRIPT_EDIT_SQL),
     "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
+    "q117_pitch_stats": (q_pitch_stats, Q_PITCH_STATS_SQL),
 }

@@ -1833,3 +1833,63 @@ def turns_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=STEREO_SCHEMA_DDL)
     )
+
+
+PITCH_CLASSES = ("tone100", "tone220", "harmonic120", "noise")  # r % 4
+PITCH_F0 = {"tone100": 100.0, "tone220": 220.0, "harmonic120": 120.0}
+
+
+def pitch_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted PITCH classes for the f0 estimator (q117),
+    keyed by ``r % 4`` (class name rides in the transcript): pure
+    100 Hz / 220 Hz sines (f0 must read the planted value within the
+    lag grid), a harmonic-rich 120 Hz stack (fundamental + 2f + 3f —
+    f0 must read the FUNDAMENTAL, the subharmonic-ambiguity case), and
+    white noise (must read unvoiced, f0 = 0).  All pcm16/16 kHz/4800
+    samples — per-class decisions a SQL oracle recomputes from r % 4."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 16000
+    n = 4800
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    for r in range(start, end):
+        cls = PITCH_CLASSES[r % 4]
+        if cls == "tone100":
+            pcm = 0.4 * np.sin(2.0 * np.pi * 100.0 * t)
+        elif cls == "tone220":
+            pcm = 0.4 * np.sin(2.0 * np.pi * 220.0 * t)
+        elif cls == "harmonic120":
+            pcm = (
+                0.25 * np.sin(2.0 * np.pi * 120.0 * t)
+                + 0.12 * np.sin(2.0 * np.pi * 240.0 * t)
+                + 0.06 * np.sin(2.0 * np.pi * 360.0 * t)
+            )
+        else:
+            rng = np.random.default_rng(SEED * 31_000_081 + r)
+            pcm = np.clip(0.15 * rng.standard_normal(n), -1.0, 1.0)
+        out["clip_id"].append(f"pi-{r:08d}")
+        out["bytes"].append(encode(pcm.astype(np.float32), "pcm16"))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(300)
+        out["codec"].append("pcm16")
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def pitch_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted pitch-class clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield pitch_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
