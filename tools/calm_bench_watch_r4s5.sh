@@ -51,8 +51,8 @@ print(f'{t1-t0:.3f}')")
     echo "[watch-r4s5] headline bench FAILED"; exit 1
   fi
 
-  echo "[watch-r4s5] scaling evidence (best-of-4, 1.2M clips)"
-  if TSS_SCALING_CLIPS=1200000 TSS_SCALING_REPEATS=4 \
+  echo "[watch-r4s5] scaling evidence (best-of-4, 2.4M clips)"
+  if TSS_SCALING_CLIPS=2400000 TSS_SCALING_REPEATS=4 \
      python tools/bench_scaling.py > /tmp/scaling_r4s5.txt 2>/tmp/scaling_r4s5.err; then
     DEG=$(python -c "import json; print(json.load(open('BENCH/SCALING.json'))['host_degraded'])")
     echo "[watch-r4s5] scaling recorded (host_degraded=${DEG}):"
