@@ -577,3 +577,94 @@ def test_with_pitch_operator_planted_classes_and_poison(spark):
     bad = with_pitch(spark.createDataFrame(rows, schema))
     for r in bad.collect():
         assert not r["pitch_ok"] and r["f0_hz"] == 0.0
+
+
+# --- reverberation (RT60 proxy) -------------------------------------------------
+
+
+def _reverb_clip(tau, seed, dur_s=3.0, sr=16000):
+    rng = np.random.default_rng(seed)
+    n = int(sr * dur_s)
+    x = np.zeros(n)
+    spacing = max(0.3, 9.0 * tau)
+    for b in range(max(2, int(dur_s / spacing))):
+        at = int(b * spacing * sr)
+        tail_n = min(int(7.0 * tau * sr), n - at)
+        if tail_n <= 0:
+            break
+        t = np.arange(tail_n) / sr
+        x[at:at + tail_n] += 0.3 * rng.standard_normal(tail_n) * np.exp(-t / tau)
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def test_reverb_closed_form_accuracy():
+    """rt60 must track 6.908*tau (60 dB energy drop for an amplitude
+    tail exp(-t/tau)) across the gate-relevant range."""
+    from top_secret_spark.kernel.spectral import reverb_features
+
+    for tau in (0.05, 0.1, 0.2):
+        rt, pairs, _ = reverb_features(_reverb_clip(tau, seed=11), 16000)
+        assert pairs >= 6
+        assert abs(rt - 6.908 * tau) <= 0.25 * 6.908 * tau, (tau, rt)
+
+
+def test_reverb_unmeasurable_classes():
+    from top_secret_spark.kernel.spectral import reverb_features
+
+    sr = 16000
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        rt, pairs, nf = reverb_features(rng.standard_normal(2 * sr) * 0.3, sr)
+        assert rt == 0.0 and pairs < 6, (seed, rt, pairs)
+    t = np.arange(sr) / sr
+    assert reverb_features(0.3 * np.sin(2 * np.pi * 220 * t), sr)[0] == 0.0
+    assert reverb_features(np.zeros(sr, dtype=np.float32), sr)[:2] == (0.0, 0)
+    assert reverb_features(np.zeros(10, dtype=np.float32), sr) == (0.0, 0, 0)
+
+
+def test_reverb_batch_matches_scalar():
+    from top_secret_spark.kernel.spectral import batch_reverb, reverb_features
+
+    sr = 16000
+    clips = [
+        _reverb_clip(0.05, seed=1),
+        np.random.default_rng(2).standard_normal(sr).astype(np.float32) * 0.3,
+        _reverb_clip(0.2, seed=3),
+        np.empty(0, dtype=np.float32),
+        np.zeros(100, dtype=np.float32),
+    ]
+    lens = np.array([len(c) for c in clips], dtype=np.int64)
+    rt, pairs, nf = batch_reverb(np.concatenate(clips), lens, sr)
+    for i, c in enumerate(clips):
+        s = reverb_features(c, sr)
+        np.testing.assert_allclose(rt[i], s[0], atol=1e-9)
+        assert pairs[i] == s[1] and nf[i] == s[2]
+
+
+def test_with_reverb_operator_and_poison(spark):
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import (
+        reverb_drop_reason_col,
+        with_reverb,
+    )
+    from top_secret_spark.sources.clips import reverb_clips_df
+
+    out = with_reverb(reverb_clips_df(spark, 16, partitions=2)).withColumn(
+        "reason", reverb_drop_reason_col(max_rt60_s=1.0)
+    )
+    assert "bytes" not in out.columns
+    for r in out.collect():
+        assert r["reverb_ok"]
+        if r["transcript"] == "steady":
+            assert r["n_decay_pairs"] < 6 and r["reason"] is None
+        elif r["transcript"] == "reverberant":
+            assert r["reason"] == "reverb"
+        else:
+            assert r["reason"] is None
+    rows = [Row(clip_id="bad", bytes=bytearray(b"\x01"), sr_hz=16000,
+                dur_ms=0, codec="pcm16", transcript="")]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    bad = with_reverb(spark.createDataFrame(rows, schema))
+    assert all(not r["reverb_ok"] for r in bad.collect())

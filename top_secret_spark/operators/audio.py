@@ -2930,3 +2930,86 @@ def with_pitch(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def with_reverb(
+    df: DataFrame,
+    frame_ms: int = 20,
+    min_run: int = 4,
+    min_pairs: int = 6,
+    drop_db: float = 0.25,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Append reverberation statistics (``kernel.spectral.
+    batch_reverb``): ``rt60_s`` (free-decay RT60 proxy from the energy
+    envelope; 0.0 when unmeasurable), ``n_decay_pairs`` (how many
+    qualifying decay-frame pairs supported the estimate — the
+    measurability signal), and ``reverb_ok``.  A boomy room smears
+    phone boundaries; speech curation drops heavily-reverberant clips
+    before ASR training.
+
+    Same conventions as ``with_pitch``: one concatenated decode per
+    (codec, sr_hz) group per Arrow batch, one vectorized envelope pass
+    (a single reduceat-style cumsum over the squared buffer — no
+    per-clip Python), poison rows reverb_ok=false, sub-frame clips
+    not-ok, ``bytes`` dropped unless ``keep_bytes``.  Steady noise,
+    tones, and silence legitimately read n_decay_pairs < min_pairs —
+    unmeasurable is NOT dry, so the gate column only fires on clips
+    that measured."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += (", reverb_ok boolean, rt60_s double, n_decay_pairs int, "
+               "n_reverb_frames int")
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import decode_sr_groups
+        from ..kernel.spectral import batch_reverb
+
+        for pdf in iterator:
+            n = len(pdf)
+            oks = np.zeros(n, dtype=bool)
+            rts = np.zeros(n, dtype=np.float64)
+            nps = np.zeros(n, dtype=np.int64)
+            nfs = np.zeros(n, dtype=np.int64)
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                rt, np_, nf = batch_reverb(
+                    samples, lengths, sr, frame_ms=frame_ms,
+                    min_run=min_run, min_pairs=min_pairs, drop_db=drop_db,
+                )
+                for k, i in enumerate(idx):
+                    rts[i] = float(rt[k])
+                    nps[i] = int(np_[k])
+                    nfs[i] = int(nf[k])
+                    oks[i] = int(nf[k]) > 0
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            pdf["reverb_ok"] = oks
+            pdf["rt60_s"] = rts
+            pdf["n_decay_pairs"] = nps
+            pdf["n_reverb_frames"] = nfs
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def reverb_drop_reason_col(
+    max_rt60_s: float = 1.0, min_pairs: int = 6
+) -> Column:
+    """Gate column over :func:`with_reverb`: ``reverb`` when the clip
+    MEASURED (n_decay_pairs >= min_pairs) and rt60 exceeds the budget;
+    unmeasurable clips keep — steady noise and tones are owned by the
+    spectral/SNR gates, not this one.  Codegen'd CASE."""
+    return F.when(
+        (F.col("n_decay_pairs") >= F.lit(int(min_pairs)))
+        & (F.col("rt60_s") > F.lit(float(max_rt60_s))),
+        F.lit("reverb"),
+    )

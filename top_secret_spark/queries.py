@@ -6261,6 +6261,83 @@ ORDER BY 1
 """
 
 
+
+def q_reverb_gate(spark, sf_dir):
+    """[tier: quality_filter x audio] reverberation gate
+    (operators/audio.py::with_reverb + reverb_drop_reason_col, kernel/
+    spectral.py::batch_reverb): a free-decay RT60 proxy from the
+    energy envelope — qualifying monotonic decay runs contribute
+    per-pair dB rates, the clip's rate is their lower median, and
+    rt60 = 60/rate.  A boomy room smears phone boundaries; curation
+    drops heavily-reverberant clips before ASR training.  Unmeasurable
+    clips (steady noise — no free decay anywhere) KEEP: unmeasurable
+    is not dry, and noise is owned by the spectral/SNR gates.
+
+    Planted classes (sources/clips.py::reverb_rows_for_range, r % 4):
+    exponential burst tails at tau = 20 ms (rt60 ~ 0.14 s), 100 ms
+    (~ 0.69 s), 200 ms (~ 1.38 s), and steady noise.  Expectations at
+    max_rt60 = 1.0: dry + moderate measure within 25% of 6.908 tau
+    and keep, reverberant measures and DROPS, steady reads
+    n_decay_pairs < 6 with reason NULL.  Per-class counts the oracle
+    recomputes from r % 4."""
+    _prep(spark)
+    from .operators.audio import reverb_drop_reason_col, with_reverb
+    from .sources.clips import REVERB_TAU, reverb_clips_df
+
+    clips = reverb_clips_df(spark, 120, partitions=8)
+    feats = with_reverb(clips).withColumn(
+        "reason", reverb_drop_reason_col(max_rt60_s=1.0)
+    )
+    exp_rt = F.when(
+        F.col("transcript") == "dry", F.lit(6.908 * REVERB_TAU["dry"])
+    ).when(
+        F.col("transcript") == "moderate",
+        F.lit(6.908 * REVERB_TAU["moderate"]),
+    ).when(
+        F.col("transcript") == "reverberant",
+        F.lit(6.908 * REVERB_TAU["reverberant"]),
+    )
+    passed = (
+        F.when(
+            F.col("transcript") == "steady",
+            F.col("reverb_ok")
+            & (F.col("n_decay_pairs") < 6)
+            & F.col("reason").isNull(),
+        )
+        .when(
+            F.col("transcript") == "reverberant",
+            F.col("reverb_ok")
+            & (F.abs(F.col("rt60_s") - exp_rt) <= 0.25 * exp_rt)
+            & (F.col("reason") == "reverb"),
+        )
+        .otherwise(
+            F.col("reverb_ok")
+            & (F.abs(F.col("rt60_s") - exp_rt) <= 0.25 * exp_rt)
+            & F.col("reason").isNull()
+        )
+    )
+    return (
+        feats.groupBy(F.col("transcript").alias("reverb_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(passed, 1)).alias("n_expected"),
+        )
+        .orderBy("reverb_class")
+    )
+
+
+Q_REVERB_GATE_SQL = """
+SELECT CASE r % 4 WHEN 0 THEN 'dry' WHEN 1 THEN 'moderate'
+                  WHEN 2 THEN 'reverberant' ELSE 'steady' END
+           AS reverb_class,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_expected
+FROM (SELECT unnest(range(0, 120)) AS r)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6418,4 +6495,5 @@ QUERIES = {
     "q115_transcript_edit_dedup": (q_transcript_edit_dedup, Q_TRANSCRIPT_EDIT_SQL),
     "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
     "q117_pitch_stats": (q_pitch_stats, Q_PITCH_STATS_SQL),
+    "q118_reverb_gate": (q_reverb_gate, Q_REVERB_GATE_SQL),
 }

@@ -1893,3 +1893,68 @@ def pitch_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+REVERB_CLASSES = ("dry", "moderate", "reverberant", "steady")  # r % 4
+REVERB_TAU = {"dry": 0.02, "moderate": 0.1, "reverberant": 0.2}
+
+
+def reverb_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted REVERB classes for the RT60-proxy gate
+    (q118), keyed by ``r % 4`` (class in the transcript): noise bursts
+    with exponential amplitude tails exp(-t/tau) at tau = 20 ms (dry,
+    rt60 ~ 0.14 s), 100 ms (moderate, ~ 0.69 s), 200 ms (reverberant,
+    ~ 1.38 s — must drop at max_rt60 = 1.0), and steady white noise
+    (must read UNMEASURABLE: n_decay_pairs < min_pairs, keeps).
+    Bursts are spaced >= 9 tau so tails never overlap (an overlapping
+    tail floors the apparent decay rate).  All pcm16/16 kHz/3 s."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 16000
+    dur_s = 3.0
+    n = int(sr_hz * dur_s)
+    for r in range(start, end):
+        cls = REVERB_CLASSES[r % 4]
+        rng = np.random.default_rng(SEED * 37_000_121 + r)
+        if cls == "steady":
+            pcm = 0.25 * rng.standard_normal(n)
+        else:
+            tau = REVERB_TAU[cls]
+            pcm = np.zeros(n)
+            spacing = max(0.3, 9.0 * tau)
+            for b in range(max(2, int(dur_s / spacing))):
+                at = int(b * spacing * sr_hz)
+                tail_n = min(int(7.0 * tau * sr_hz), n - at)
+                if tail_n <= 0:
+                    break
+                t = np.arange(tail_n) / sr_hz
+                pcm[at:at + tail_n] += (
+                    0.3 * rng.standard_normal(tail_n) * np.exp(-t / tau)
+                )
+        pcm = np.clip(pcm, -1.0, 1.0).astype(np.float32)
+        out["clip_id"].append(f"rv-{r:08d}")
+        out["bytes"].append(encode(pcm, "pcm16"))
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(int(dur_s * 1000))
+        out["codec"].append("pcm16")
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def reverb_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted reverb-class clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield reverb_rows_for_range(int(ids.min()), int(ids.max()) + 1)
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
