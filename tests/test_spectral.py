@@ -668,3 +668,59 @@ def test_with_reverb_operator_and_poison(spark):
               "codec string, transcript string")
     bad = with_reverb(spark.createDataFrame(rows, schema))
     assert all(not r["reverb_ok"] for r in bad.collect())
+
+
+def test_voice_health_equals_individual_operators(spark):
+    """The fused stage must emit byte-identical statistics to the three
+    individual operators (same kernels, same defaults) — fusion is an
+    execution-shape change, never a semantics change."""
+    from top_secret_spark.operators.audio import (
+        with_pitch,
+        with_reverb,
+        with_snr_estimate,
+        with_voice_health,
+    )
+    from top_secret_spark.sources.clips import (
+        pitch_clips_df,
+        reverb_clips_df,
+    )
+
+    clips = pitch_clips_df(spark, 12, partitions=2).unionByName(
+        reverb_clips_df(spark, 12, partitions=2)
+    )
+    fused = {r["clip_id"]: r for r in with_voice_health(clips).collect()}
+    for op, cols in (
+        (with_pitch, ["pitch_ok", "f0_hz", "voiced_ratio", "n_pitch_frames"]),
+        (with_reverb, ["reverb_ok", "rt60_s", "n_decay_pairs",
+                       "n_reverb_frames"]),
+        (with_snr_estimate, ["snr_ok", "snr_est_db", "snr_n_frames"]),
+    ):
+        for r in op(clips).collect():
+            f = fused[r["clip_id"]]
+            for c in cols:
+                assert f[c] == r[c], (r["clip_id"], c, f[c], r[c])
+
+
+def test_voice_health_single_python_boundary(spark):
+    """One fused stage = ONE Python evaluation node in the plan (the
+    composed form has three)."""
+    from top_secret_spark.operators.audio import (
+        with_pitch,
+        with_reverb,
+        with_snr_estimate,
+        with_voice_health,
+    )
+    from top_secret_spark.sources.clips import pitch_clips_df
+
+    clips = pitch_clips_df(spark, 8, partitions=2)
+    fused_plan = (
+        with_voice_health(clips)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert fused_plan.count("MapInPandas") == 1 + 1  # fixture gen + fused
+    composed = with_snr_estimate(
+        with_reverb(with_pitch(clips, keep_bytes=True), keep_bytes=True)
+    )
+    composed_plan = (
+        composed._jdf.queryExecution().executedPlan().toString()
+    )
+    assert composed_plan.count("MapInPandas") == 1 + 3

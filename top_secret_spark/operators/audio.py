@@ -3013,3 +3013,85 @@ def reverb_drop_reason_col(
         & (F.col("rt60_s") > F.lit(float(max_rt60_s))),
         F.lit("reverb"),
     )
+
+
+def with_voice_health(
+    df: DataFrame,
+    keep_bytes: bool = False,
+) -> DataFrame:
+    """Fused speech-health stage: pitch (f0 + voiced ratio), RT60
+    reverberation proxy, and the frame-energy SNR estimate behind ONE
+    decode boundary.  Composing ``with_pitch`` → ``with_reverb`` →
+    ``with_snr_estimate`` decodes every payload three times and
+    crosses Python↔JVM three times; at 10^12 clips decode IS the audio
+    pipeline's dominant cost (see BENCH pipeline_audio), so the fused
+    stage is the shape a production speech-curation gate actually
+    runs.  Column semantics are IDENTICAL to the three individual
+    operators (same kernels, same defaults) — equality is pytest-gated.
+
+    Emits: pitch_ok/f0_hz/voiced_ratio/n_pitch_frames,
+    reverb_ok/rt60_s/n_decay_pairs/n_reverb_frames,
+    snr_ok/snr_est_db/snr_n_frames.  Gate columns
+    (``reverb_drop_reason_col`` etc.) compose over the output
+    unchanged."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += (
+        ", pitch_ok boolean, f0_hz double, voiced_ratio double,"
+        " n_pitch_frames int"
+        ", reverb_ok boolean, rt60_s double, n_decay_pairs int,"
+        " n_reverb_frames int"
+        ", snr_ok boolean, snr_est_db double, snr_n_frames int"
+    )
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_snr_estimate, decode_sr_groups
+        from ..kernel.spectral import batch_pitch, batch_reverb
+
+        for pdf in iterator:
+            n = len(pdf)
+            cols = {
+                "pitch_ok": np.zeros(n, dtype=bool),
+                "f0_hz": np.zeros(n, dtype=np.float64),
+                "voiced_ratio": np.zeros(n, dtype=np.float64),
+                "n_pitch_frames": np.zeros(n, dtype=np.int64),
+                "reverb_ok": np.zeros(n, dtype=bool),
+                "rt60_s": np.zeros(n, dtype=np.float64),
+                "n_decay_pairs": np.zeros(n, dtype=np.int64),
+                "n_reverb_frames": np.zeros(n, dtype=np.int64),
+                "snr_ok": np.zeros(n, dtype=bool),
+                "snr_est_db": np.zeros(n, dtype=np.float64),
+                "snr_n_frames": np.zeros(n, dtype=np.int64),
+            }
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                f0, vr, pnf = batch_pitch(samples, lengths, sr)
+                rt, dp, rnf = batch_reverb(samples, lengths, sr)
+                snr, snf = batch_snr_estimate(samples, lengths, sr)
+                ii = np.asarray(idx, dtype=np.int64)
+                cols["f0_hz"][ii] = f0
+                cols["voiced_ratio"][ii] = vr
+                cols["n_pitch_frames"][ii] = pnf
+                cols["pitch_ok"][ii] = pnf > 0
+                cols["rt60_s"][ii] = rt
+                cols["n_decay_pairs"][ii] = dp
+                cols["n_reverb_frames"][ii] = rnf
+                cols["reverb_ok"][ii] = rnf > 0
+                cols["snr_est_db"][ii] = snr
+                cols["snr_n_frames"][ii] = snf
+                cols["snr_ok"][ii] = snf > 0
+            if not keep_bytes:
+                pdf = pdf.drop(columns=["bytes"])
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

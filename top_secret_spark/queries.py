@@ -6338,6 +6338,111 @@ ORDER BY 1
 """
 
 
+
+def q_voice_health(spark, sf_dir):
+    """[tier: quality_filter x audio] fused speech-health stage
+    (operators/audio.py::with_voice_health): pitch + reverberation +
+    SNR estimate behind ONE decode boundary — composing the three
+    individual operators decodes every payload three times, and at
+    10^12 clips decode IS the dominant audio cost, so the fused stage
+    is the shape a production gate runs.  Column semantics identical
+    to the individual operators (same kernels, same defaults;
+    equality pytest-gated) — this query proves the fused stage passes
+    BOTH fixture families' class rules in one plan.
+
+    Input: union of the pitch fixture (q117 classes) and the reverb
+    fixture (q118 classes), 120 clips each; per-class expectation =
+    that family's rule.  Per-class counts the oracle recomputes from
+    r % 4 per family."""
+    _prep(spark)
+    from .operators.audio import reverb_drop_reason_col, with_voice_health
+    from .sources.clips import (
+        PITCH_F0,
+        REVERB_TAU,
+        pitch_clips_df,
+        reverb_clips_df,
+    )
+
+    clips = pitch_clips_df(spark, 120, partitions=8).unionByName(
+        reverb_clips_df(spark, 120, partitions=8)
+    )
+    feats = with_voice_health(clips).withColumn(
+        "reason", reverb_drop_reason_col(max_rt60_s=1.0)
+    )
+    exp_f0 = F.when(
+        F.col("transcript") == "tone100", F.lit(PITCH_F0["tone100"])
+    ).when(
+        F.col("transcript") == "tone220", F.lit(PITCH_F0["tone220"])
+    ).when(
+        F.col("transcript") == "harmonic120", F.lit(PITCH_F0["harmonic120"])
+    )
+    exp_rt = F.when(
+        F.col("transcript") == "dry", F.lit(6.908 * REVERB_TAU["dry"])
+    ).when(
+        F.col("transcript") == "moderate",
+        F.lit(6.908 * REVERB_TAU["moderate"]),
+    ).when(
+        F.col("transcript") == "reverberant",
+        F.lit(6.908 * REVERB_TAU["reverberant"]),
+    )
+    passed = (
+        F.when(
+            F.col("transcript") == "noise",
+            F.col("pitch_ok") & (F.col("f0_hz") == 0.0)
+            & (F.col("voiced_ratio") < 0.2),
+        )
+        .when(
+            F.col("transcript").isin("tone100", "tone220", "harmonic120"),
+            F.col("pitch_ok")
+            & (F.abs(F.col("f0_hz") - exp_f0) <= 0.02 * exp_f0)
+            & (F.col("voiced_ratio") >= 0.9),
+        )
+        .when(
+            F.col("transcript") == "steady",
+            F.col("reverb_ok") & (F.col("n_decay_pairs") < 6)
+            & F.col("reason").isNull(),
+        )
+        .when(
+            F.col("transcript") == "reverberant",
+            F.col("reverb_ok")
+            & (F.abs(F.col("rt60_s") - exp_rt) <= 0.25 * exp_rt)
+            & (F.col("reason") == "reverb"),
+        )
+        .otherwise(
+            F.col("reverb_ok")
+            & (F.abs(F.col("rt60_s") - exp_rt) <= 0.25 * exp_rt)
+            & F.col("reason").isNull()
+        )
+    )
+    return (
+        feats.groupBy(F.col("transcript").alias("health_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(passed, 1)).alias("n_expected"),
+        )
+        .orderBy("health_class")
+    )
+
+
+Q_VOICE_HEALTH_SQL = """
+SELECT health_class,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_expected
+FROM (
+  SELECT CASE r % 4 WHEN 0 THEN 'tone100' WHEN 1 THEN 'tone220'
+                    WHEN 2 THEN 'harmonic120' ELSE 'noise' END
+             AS health_class
+  FROM (SELECT unnest(range(0, 120)) AS r)
+  UNION ALL
+  SELECT CASE r % 4 WHEN 0 THEN 'dry' WHEN 1 THEN 'moderate'
+                    WHEN 2 THEN 'reverberant' ELSE 'steady' END
+  FROM (SELECT unnest(range(0, 120)) AS r)
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6496,4 +6601,5 @@ QUERIES = {
     "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
     "q117_pitch_stats": (q_pitch_stats, Q_PITCH_STATS_SQL),
     "q118_reverb_gate": (q_reverb_gate, Q_REVERB_GATE_SQL),
+    "q119_voice_health": (q_voice_health, Q_VOICE_HEALTH_SQL),
 }
