@@ -238,6 +238,26 @@ def main():
     extras["log_mel_clips_per_sec"] = round(
         na / max(min(lmel_times), 1e-9), 1)
 
+    # NON-headline extra: the fused voice-health stage (pitch + RT60 +
+    # SNR behind ONE decode) — the per-clip speech-triage throughput a
+    # production gate pays.  Same best-of-2 warm protocol; map-only.
+    from top_secret_spark.operators.audio import with_voice_health
+
+    vh = lambda: with_voice_health(aclips).agg(
+        F.count(F.when(F.col("pitch_ok"), 1)),
+        F.avg("rt60_s"),
+        F.avg("snr_est_db"),
+    ).collect()
+    vh()
+    vh_times = []
+    for _ in range(2):
+        t0 = time.time()
+        vh()
+        vh_times.append(time.time() - t0)
+    extras["voice_health_sec"] = round(min(vh_times), 3)
+    extras["voice_health_clips_per_sec"] = round(
+        na / max(min(vh_times), 1e-9), 1)
+
     mask = lambda: time_masked_clips(aclips, mask_ms=200).agg(
         F.sum(F.length("bytes"))
     ).collect()

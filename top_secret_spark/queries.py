@@ -6465,13 +6465,18 @@ QUERIES = {
     # q51's broadcast probe, q19 latest-event window ~ q38's salted
     # per-key ranking window.
     "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
-    "q99_downmix": (q_downmix, Q_DOWNMIX_SQL),
+    "q119_voice_health": (q_voice_health, Q_VOICE_HEALTH_SQL),
     "q14_langid_planted": (q_langid_planted, Q_LANGID_SQL),
     "q15_perplexity_planted": (q_perplexity_planted, Q_PERPLEXITY_SQL),
     "q16_audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
     "q98_channel_stats": (q_channel_stats, Q_CHANNEL_STATS_SQL),
-    "q94_tempo_dedup": (q_tempo_dedup, Q_TEMPO_DEDUP_SQL),
-    "q97_offset_dedup": (q_offset_dedup, Q_OFFSET_DEDUP_SQL),
+    # driver-slot curation (the harness records the first 50): the
+    # envelope-fingerprint dedup family keeps q44 as its driver row
+    # (q94 tempo / q97 offset variants move to the local sweep), and
+    # q99 downmix is composed inside driver-checked q109; the slots
+    # fund this session's new flagships q117/q118/q119.
+    "q117_pitch_stats": (q_pitch_stats, Q_PITCH_STATS_SQL),
+    "q118_reverb_gate": (q_reverb_gate, Q_REVERB_GATE_SQL),
     "q20_dictionary_scrub": (q_dictionary_scrub, Q_DICTIONARY_SCRUB_SQL),
     # q88-q91 (this round's flagship gates) sit in driver-checked slots,
     # same policy as q86/q87 below; the four displaced queries (q21 ANN
@@ -6597,9 +6602,9 @@ QUERIES = {
     "q112_streaming_watermark": (q_streaming_watermark, Q_STREAMING_WATERMARK_SQL),
     "q113_pii_density_gate": (q_pii_density_gate, Q_PII_DENSITY_SQL),
     "q114_speaker_turns": (q_speaker_turns, Q_SPEAKER_TURNS_SQL),
+    "q94_tempo_dedup": (q_tempo_dedup, Q_TEMPO_DEDUP_SQL),
+    "q97_offset_dedup": (q_offset_dedup, Q_OFFSET_DEDUP_SQL),
+    "q99_downmix": (q_downmix, Q_DOWNMIX_SQL),
     "q115_transcript_edit_dedup": (q_transcript_edit_dedup, Q_TRANSCRIPT_EDIT_SQL),
     "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
-    "q117_pitch_stats": (q_pitch_stats, Q_PITCH_STATS_SQL),
-    "q118_reverb_gate": (q_reverb_gate, Q_REVERB_GATE_SQL),
-    "q119_voice_health": (q_voice_health, Q_VOICE_HEALTH_SQL),
 }
