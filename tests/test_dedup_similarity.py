@@ -1309,3 +1309,51 @@ def test_oov_rate_requires_lexicon(spark):
     df = spark.createDataFrame(_OOV_ROWS, ["clip_id", "transcript"])
     with pytest.raises(ValueError, match="lexicon"):
         with_oov_rate(df)
+
+
+# --- compressibility gate -----------------------------------------------------
+
+
+def test_compression_ratio_regimes(spark):
+    from top_secret_spark.operators.text_analysis import (
+        compression_reason_col,
+        with_compression_ratio,
+    )
+    from pyspark.sql import functions as F
+
+    para = ("natural language sits between the two failure regimes and "
+            "keeps its ratio in the calibrated band for document scale ")
+    rows = [
+        (0, (para * 10)[:600]),
+        (1, "ab " * 200),
+        (2, "k9Qx" * 2),        # short: header-dominated, high ratio
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "transcript"])
+    out = with_compression_ratio(df).withColumn(
+        "reason", compression_reason_col(min_ratio=0.1, max_ratio=0.6)
+    )
+    got = {r["doc_id"]: (r["comp_ratio"], r["reason"]) for r in out.collect()}
+    assert 0.1 < got[0][0] < 0.6 and got[0][1] is None
+    assert got[1][0] < 0.1 and got[1][1] == "repetitive"
+    assert got[2][0] > 0.6 and got[2][1] == "incompressible"
+    assert got[3] == (None, None) and got[4] == (None, None)
+
+
+def test_compression_ratio_matches_local_zlib(spark):
+    import zlib
+
+    from top_secret_spark.operators.text_analysis import (
+        with_compression_ratio,
+    )
+
+    texts = ["alpha bravo " * 30, "x", "0123456789" * 50]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "transcript"]
+    )
+    got = {r["doc_id"]: r["comp_ratio"]
+           for r in with_compression_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        assert abs(got[i] - len(zlib.compress(b, 6)) / len(b)) < 1e-12

@@ -7,8 +7,11 @@ scoring); Python only where a model/counting loop is genuinely needed
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # A BPE-ish pre-tokenizer regex (GPT-2 style word/number/punct splitting,
 # ASCII approximation) — used to approximate LLM token counts JVM-side.
@@ -348,3 +351,54 @@ def oov_reason_col(max_oov: float = 0.3, col: str = "oov_rate") -> Column:
     exceeds ``max_oov``, NULL (keep) otherwise — NULL rates (empty
     transcript) keep, the length gate owns those.  Codegen'd CASE."""
     return F.when(F.col(col) > F.lit(float(max_oov)), F.lit("oov"))
+
+
+def with_compression_ratio(
+    df: DataFrame,
+    text_col: str = "transcript",
+    out_col: str = "comp_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Append ``comp_ratio`` = len(zlib(utf8)) / len(utf8) — the
+    classic compressibility quality signal (MassiveText/Gopher-era
+    repetition rules are its descendants): machine-generated spam and
+    template farms compress far below natural language, while byte
+    noise rendered as text barely compresses at all.  One number
+    separates three failure regimes the word-level signals each miss.
+
+    Arrow-batched pandas UDF; the per-string zlib call is C-bound
+    (same posture as the codec kernels' per-clip encode).  NULL/empty
+    text → NULL ratio (the length gate owns empties).  Short strings
+    carry ~11 bytes of zlib header — thresholds are calibrated for
+    document-scale text, not tweets; callers gating short transcripts
+    should lower ``min_ratio`` accordingly."""
+    import zlib
+
+    @pandas_udf(T.DoubleType())
+    def ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.tolist():
+            if not t:
+                out.append(None)
+                continue
+            b = t.encode("utf-8")
+            out.append(len(zlib.compress(b, level)) / len(b))
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn(out_col, ratio(F.col(text_col)))
+
+
+def compression_reason_col(
+    min_ratio: float = 0.1,
+    max_ratio: float = 0.6,
+    col: str = "comp_ratio",
+) -> Column:
+    """Gate column over :func:`with_compression_ratio`:
+    ``repetitive`` below ``min_ratio`` (template/spam regime),
+    ``incompressible`` above ``max_ratio`` (byte-noise regime), NULL
+    (keep) otherwise — NULL ratios keep, the length gate owns empties.
+    Codegen'd CASE."""
+    c = F.col(col)
+    return F.when(c < F.lit(float(min_ratio)), F.lit("repetitive")).when(
+        c > F.lit(float(max_ratio)), F.lit("incompressible")
+    )

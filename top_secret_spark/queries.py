@@ -6443,6 +6443,81 @@ ORDER BY 1
 """
 
 
+
+COMPRESSION_PARA = (
+    "the quick brown fox jumps over the lazy dog while the lazy dog "
+    "watches the quick brown fox and wonders why the fox keeps jumping "
+    "over dogs instead of chasing rabbits through the quiet meadow "
+)
+
+
+def q_compression_gate(spark, sf_dir):
+    """[tier: quality_filter x audio] compressibility gate
+    (operators/text_analysis.py::with_compression_ratio +
+    compression_reason_col): zlib ratio separates three regimes one
+    number at a time — template/spam compresses far below natural
+    language ('repetitive'), byte noise rendered as text barely
+    compresses ('incompressible'), and natural language sits between.
+    The classic corpus-curation signal word-level rules each miss a
+    corner of.
+
+    Planted classes on the documents spine (r % 4): 0 a natural-ish
+    600-char paragraph (ratio ~0.22 — keeps), 1 'ab ' x 200 (~0.03 —
+    repetitive), 2 doc-seeded base64 noise (~0.82 — incompressible;
+    per-doc content proves per-row compute), 3 empty (NULL ratio —
+    keeps, the length gate owns empties).  Gate at (0.1, 0.6);
+    per-class verdict counts recomputed closed-form by the oracle."""
+    _prep(spark)
+    from .operators.text_analysis import (
+        compression_reason_col,
+        with_compression_ratio,
+    )
+
+    noise = F.substring(
+        F.concat(*[
+            F.base64(F.unhex(F.sha2(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f"-{k}")),
+                256,
+            )))
+            for k in range(14)
+        ]),
+        1, 600,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.substring(F.lit(COMPRESSION_PARA * 4), 1, 600))
+        .when(F.col("doc_id") % 4 == 1, F.repeat(F.lit("ab "), 200))
+        .when(F.col("doc_id") % 4 == 2, noise)
+        .otherwise(F.lit(""))
+        .alias("transcript"),
+    )
+    out = with_compression_ratio(docs).withColumn(
+        "reason", compression_reason_col(min_ratio=0.1, max_ratio=0.6)
+    )
+    return (
+        out.groupBy(
+            (F.col("doc_id") % 4).cast("int").alias("cls"),
+            F.coalesce("reason", F.lit("keep")).alias("verdict"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cls")
+    )
+
+
+Q_COMPRESSION_GATE_SQL = """
+SELECT cast(doc_id % 4 AS INTEGER) AS cls,
+       CASE cast(doc_id % 4 AS INTEGER)
+         WHEN 1 THEN 'repetitive'
+         WHEN 2 THEN 'incompressible'
+         ELSE 'keep' END AS verdict,
+       cast(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6607,4 +6682,5 @@ QUERIES = {
     "q99_downmix": (q_downmix, Q_DOWNMIX_SQL),
     "q115_transcript_edit_dedup": (q_transcript_edit_dedup, Q_TRANSCRIPT_EDIT_SQL),
     "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
+    "q120_compression_gate": (q_compression_gate, Q_COMPRESSION_GATE_SQL),
 }
