@@ -2338,3 +2338,81 @@ def test_speaker_turns_kernel_semantics():
     mono = np.full(100, 0.5, np.float32)
     t2, _ = batch_speaker_turns(mono, np.array([100]), 1, sr)
     assert list(t2) == [0]
+
+
+# --- codec-family verification ---------------------------------------------------
+
+
+def _speechish(seed=0, n=4800, sr=16000):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / sr
+    return (0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.1 * np.sin(2 * np.pi * 520 * t)
+            + 0.02 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_codec_family_rho_separation():
+    from top_secret_spark.kernel.audio import batch_codec_family, encode
+
+    x = _speechish()
+    rp, rc = batch_codec_family([encode(x, "pcm16"), encode(x, "ulaw"),
+                                 encode(x, "alaw")])
+    assert rp[0] > 0.95 and rc[0] < 0.5          # pcm16 bytes
+    assert rc[1] > 0.95 and rp[1] < rc[1] - 0.1  # ulaw bytes
+    assert rc[2] > 0.95 and rp[2] < rc[2] - 0.1  # alaw bytes (same family)
+
+
+def test_codec_family_degenerate_payloads_unassertable():
+    from top_secret_spark.kernel.audio import batch_codec_family
+
+    rp, rc = batch_codec_family([b"", None, b"\x00", b"\x00\x00" * 50])
+    # constant payloads have zero variance under both hypotheses
+    assert rp[0] == rc[0] == 0.0
+    assert rp[1] == rc[1] == 0.0
+    assert rp[2] == rc[2] == 0.0
+    assert rp[3] == 0.0 and rc[3] == 0.0
+
+
+def test_codec_family_segment_isolation():
+    """A short/degenerate clip between real clips must not leak into
+    its neighbours' statistics (cumsum-difference segmentation)."""
+    from top_secret_spark.kernel.audio import batch_codec_family, encode
+
+    x = _speechish(seed=1)
+    solo = batch_codec_family([encode(x, "ulaw")])
+    mixed = batch_codec_family(
+        [encode(x, "ulaw"), b"\x00", encode(x, "ulaw"), b""]
+    )
+    assert abs(mixed[1][0] - solo[1][0]) < 1e-12
+    assert abs(mixed[1][2] - solo[1][0]) < 1e-12
+
+
+def test_with_codec_verify_operator(spark):
+    from pyspark.sql import Row
+
+    from top_secret_spark.operators.audio import (
+        codec_mismatch_reason_col,
+        with_codec_verify,
+    )
+    from top_secret_spark.sources.clips import codec_lie_clips_df
+
+    out = with_codec_verify(codec_lie_clips_df(spark, 16, partitions=2))
+    out = out.withColumn("reason", codec_mismatch_reason_col())
+    assert "bytes" in out.columns  # runs BEFORE decode, keeps payloads
+    for r in out.collect():
+        assert r["codec_verified"]
+        if r["transcript"].startswith("lie"):
+            assert r["codec_mismatch"] and r["reason"] == "codec_mismatch"
+        else:
+            assert not r["codec_mismatch"] and r["reason"] is None
+    # unknown codec and NULL payload: unverifiable, never asserted
+    rows = [Row(clip_id="wav", bytes=bytearray(b"RIFF" * 300), sr_hz=16000,
+                dur_ms=0, codec="wav", transcript=""),
+            Row(clip_id="null", bytes=None, sr_hz=16000,
+                dur_ms=0, codec="pcm16", transcript="")]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    bad = with_codec_verify(spark.createDataFrame(rows, schema))
+    for r in bad.collect():
+        assert not r["codec_verified"] and not r["codec_mismatch"]
+        assert r["codec_family_detected"] is None

@@ -3095,3 +3095,79 @@ def with_voice_health(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+_CODEC_FAMILY = {"pcm16": "pcm16", "ulaw": "companded", "alaw": "companded"}
+
+
+def with_codec_verify(
+    df: DataFrame,
+    max_bytes: int = 4096,
+    min_rho: float = 0.9,
+    min_margin: float = 0.1,
+    keep_bytes: bool = True,
+) -> DataFrame:
+    """Metadata-lies detector for the codec column (``kernel.audio.
+    batch_codec_family``): the payload is decoded under each codec
+    FAMILY hypothesis (pcm16 vs companded — mu-law and A-law are
+    near-equal curves, so asserting between them would be guessing)
+    on a bounded prefix, and the family whose lag-1 autocorrelation
+    wins by ``min_margin`` with rho >= ``min_rho`` is the detected
+    family.  A crawler that mislabels mu-law telephony as pcm16 (or
+    vice versa) poisons every downstream decode with full-scale noise
+    that still PASSES rate/duration audits — this is the check that
+    catches it before the decode boundary trusts the label.
+
+    Emits ``codec_family_detected`` (NULL when unverifiable),
+    ``codec_verified`` (both thresholds met), and ``codec_mismatch``
+    (verified AND detected != declared family).  Rows with codecs
+    outside the raw families (containers, unknown codecs — q100/q101
+    own those) and payloads too smooth/noisy to discriminate read
+    verified=false, mismatch=false: unverifiable is never asserted.
+    ``bytes`` kept by default — this operator runs BEFORE decode."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if keep_bytes or f.name != "bytes"
+    )
+    schema += (", codec_family_detected string, codec_verified boolean, "
+               "codec_mismatch boolean")
+
+    def run(iterator):
+        import numpy as np
+
+        from ..kernel.audio import batch_codec_family
+
+        for pdf in iterator:
+            n = len(pdf)
+            rho_pcm, rho_comp = batch_codec_family(
+                pdf["bytes"].tolist(), max_bytes=max_bytes
+            )
+            win_pcm = rho_pcm >= rho_comp
+            win_rho = np.where(win_pcm, rho_pcm, rho_comp)
+            lose_rho = np.where(win_pcm, rho_comp, rho_pcm)
+            verified = (win_rho >= min_rho) & (
+                win_rho - lose_rho >= min_margin
+            )
+            detected = np.where(win_pcm, "pcm16", "companded")
+            declared = (
+                pdf["codec"].map(_CODEC_FAMILY).to_numpy(dtype=object)
+            )
+            known = np.array([d is not None for d in declared], dtype=bool)
+            verified = verified & known
+            mismatch = verified & (detected != declared.astype(str))
+            out = pdf if keep_bytes else pdf.drop(columns=["bytes"])
+            out["codec_family_detected"] = np.where(
+                verified, detected, None
+            )
+            out["codec_verified"] = verified
+            out["codec_mismatch"] = mismatch
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def codec_mismatch_reason_col() -> Column:
+    """Gate column over :func:`with_codec_verify`: ``codec_mismatch``
+    when the detector verified a family contradicting the declared
+    codec, NULL (keep) otherwise.  Codegen'd CASE."""
+    return F.when(F.col("codec_mismatch"), F.lit("codec_mismatch"))

@@ -6518,6 +6518,67 @@ ORDER BY cls
 """
 
 
+
+def q_codec_verify(spark, sf_dir):
+    """[tier: quality_filter x audio] codec-label verification
+    (operators/audio.py::with_codec_verify, kernel/audio.py::
+    batch_codec_family): the payload decoded under each codec-FAMILY
+    hypothesis on a bounded prefix; the family whose lag-1
+    autocorrelation wins by margin is detected, and a verified
+    contradiction of the declared codec flags ``codec_mismatch``.  A
+    crawler that labels mu-law telephony as pcm16 poisons every
+    downstream decode with full-scale noise that still passes
+    rate/duration audits — this check catches it BEFORE the decode
+    boundary trusts the label.  Unverifiable rows are never asserted.
+
+    Planted classes (sources/clips.py::codec_lie_rows_for_range,
+    r % 4): honest pcm16, honest mu-law, mu-law bytes declared pcm16,
+    pcm16 bytes declared mu-law.  Expectation: honest classes verify
+    with NO mismatch, lie classes verify WITH mismatch, and the
+    detected family always matches the bytes' true family.  Per-class
+    counts the oracle recomputes from r % 4."""
+    _prep(spark)
+    from .operators.audio import codec_mismatch_reason_col, with_codec_verify
+    from .sources.clips import codec_lie_clips_df
+
+    clips = codec_lie_clips_df(spark, 120, partitions=8)
+    out = with_codec_verify(clips).withColumn(
+        "reason", codec_mismatch_reason_col()
+    )
+    true_family = F.when(
+        F.col("transcript").isin("honest_pcm16", "lie_ulaw_is_pcm16"),
+        F.lit("pcm16"),
+    ).otherwise(F.lit("companded"))
+    passed = (
+        F.col("codec_verified")
+        & (F.col("codec_family_detected") == true_family)
+        & F.when(
+            F.col("transcript").startswith("lie"),
+            F.col("codec_mismatch") & (F.col("reason") == "codec_mismatch"),
+        ).otherwise(~F.col("codec_mismatch") & F.col("reason").isNull())
+    )
+    return (
+        out.groupBy(F.col("transcript").alias("codec_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(passed, 1)).alias("n_expected"),
+        )
+        .orderBy("codec_class")
+    )
+
+
+Q_CODEC_VERIFY_SQL = """
+SELECT CASE r % 4 WHEN 0 THEN 'honest_pcm16' WHEN 1 THEN 'honest_ulaw'
+                  WHEN 2 THEN 'lie_pcm16_is_ulaw'
+                  ELSE 'lie_ulaw_is_pcm16' END AS codec_class,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_expected
+FROM (SELECT unnest(range(0, 120)) AS r)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6683,4 +6744,5 @@ QUERIES = {
     "q115_transcript_edit_dedup": (q_transcript_edit_dedup, Q_TRANSCRIPT_EDIT_SQL),
     "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
     "q120_compression_gate": (q_compression_gate, Q_COMPRESSION_GATE_SQL),
+    "q121_codec_verify": (q_codec_verify, Q_CODEC_VERIFY_SQL),
 }

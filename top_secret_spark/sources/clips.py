@@ -1958,3 +1958,66 @@ def reverb_clips_df(spark, n_rows: int, partitions: int | None = None):
         spark.range(0, n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
     )
+
+
+CODEC_LIE_CLASSES = (
+    "honest_pcm16", "honest_ulaw", "lie_pcm16_is_ulaw", "lie_ulaw_is_pcm16",
+)  # r % 4
+
+
+def codec_lie_rows_for_range(start: int, end: int) -> pd.DataFrame:
+    """Clips with planted codec-label LIES for the family detector
+    (q121), keyed by ``r % 4`` (class in the transcript): honest
+    pcm16, honest mu-law, mu-law bytes DECLARED pcm16, and pcm16
+    bytes DECLARED mu-law.  Content is a speech-band tone mix with a
+    touch of noise (rho ~ 0.99 under the true family) at 16 kHz,
+    300 ms."""
+    out = {c: [] for c in CLIPS_COLUMNS}
+    sr_hz = 16000
+    n = 4800
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    for r in range(start, end):
+        cls = CODEC_LIE_CLASSES[r % 4]
+        rng = np.random.default_rng(SEED * 41_000_207 + r)
+        pcm = (
+            0.3 * np.sin(2.0 * np.pi * 220.0 * t)
+            + 0.1 * np.sin(2.0 * np.pi * 520.0 * t)
+            + 0.02 * rng.standard_normal(n)
+        ).astype(np.float32)
+        if cls == "honest_pcm16":
+            data, codec = encode(pcm, "pcm16"), "pcm16"
+        elif cls == "honest_ulaw":
+            data, codec = encode(pcm, "ulaw"), "ulaw"
+        elif cls == "lie_pcm16_is_ulaw":
+            data, codec = encode(pcm, "ulaw"), "pcm16"
+        else:
+            data, codec = encode(pcm, "pcm16"), "ulaw"
+        out["clip_id"].append(f"cl-{r:08d}")
+        out["bytes"].append(data)
+        out["sr_hz"].append(sr_hz)
+        out["dur_ms"].append(300)
+        out["codec"].append(codec)
+        out["transcript"].append(cls)
+    df = pd.DataFrame(out)
+    df["sr_hz"] = df["sr_hz"].astype("int32")
+    df["dur_ms"] = df["dur_ms"].astype("int32")
+    return df
+
+
+def codec_lie_clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed planted codec-lie clips (same no-shuffle range →
+    mapInPandas shape as ``clips_df``)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield codec_lie_rows_for_range(
+                    int(ids.min()), int(ids.max()) + 1
+                )
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA_DDL)
+    )
