@@ -403,3 +403,72 @@ def test_cap_per_key_equals_plain_window_under_skew(spark):
         cap_per_key(df, ["domain"], 0, ["doc_id"])
     with _pytest.raises(ValueError, match="required"):
         cap_per_key(df, [], 3, ["doc_id"])
+
+
+def test_split_by_cluster_no_family_straddles(spark):
+    """The leakage guarantee itself: every near-dup family lands whole
+    on one side, across fractions and seeds."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.sampling import split_by_cluster
+
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    # chain families of 3: {6k, 6k+1, 6k+2} via two edges
+    pairs = docs.filter(F.col("doc_id") % 6 == 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 1).alias("a"), (F.col("doc_id") + 2).alias("b")
+        )
+    )
+    for frac, seed in ((0.3, 0), (0.5, 7)):
+        out = split_by_cluster(
+            docs, pairs, holdout_fraction=frac, seed=seed
+        )
+        fam = out.filter(F.col("doc_id") % 6 <= 2).withColumn(
+            "family", (F.col("doc_id") / 6).cast("bigint")
+        )
+        straddles = (
+            fam.groupBy("family")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert straddles == 0
+        # family members share the family min id as split_key
+        bad_key = fam.filter(
+            F.col("split_key") != F.col("family") * 6
+        ).count()
+        assert bad_key == 0
+
+
+def test_split_by_cluster_singletons_match_with_split(spark):
+    """With no pairs at all, split_by_cluster degrades to exactly
+    with_split (same u, same seed)."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.sampling import (
+        split_by_cluster,
+        with_split,
+    )
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    a = split_by_cluster(docs, empty, holdout_fraction=0.25, seed=3)
+    b = with_split(docs, holdout_fraction=0.25, key_col="doc_id", seed=3)
+    diff = a.select("doc_id", "split").exceptAll(
+        b.select("doc_id", "split")
+    ).count()
+    assert diff == 0
+
+
+def test_split_by_cluster_rejects_bad_fraction(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.sampling import split_by_cluster
+
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    with pytest.raises(ValueError):
+        split_by_cluster(docs, empty, holdout_fraction=1.5)

@@ -479,3 +479,51 @@ def cap_per_key(
         survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= n)
     )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    holdout_fraction: float = 0.01,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    col_name: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/holdout split: every member of a near-dup
+    cluster lands on the SAME side.  Splitting by row id leaks — a
+    paraphrase or re-encode of a holdout document in the training set
+    inflates eval exactly where dedup was supposed to protect it — so
+    the split key is the cluster survivor id (connected components
+    over ``pairs``, min-id rule, ``dedup.near_duplicate_clusters``),
+    and unpaired rows are their own singleton clusters.
+
+    Same deterministic u as ``with_split`` (``sample_u_col``) keyed on
+    the cluster id: stable across runs, recomputable in plain SQL, and
+    holdout_fraction applies at CLUSTER granularity (big families move
+    as one — the price of no leakage).  Adds ``split_key`` (the
+    cluster id the decision hashed) and ``col_name``.
+
+    Scale: clusters are (node, cluster_id) longs; one join on the
+    8-byte id against the corpus, then a codegen'd hash CASE — the
+    corpus row (text, payloads) is never shuffled by this operator
+    beyond that id join; pairs volume is the LSH output, not O(n^2).
+    """
+    _check_fraction(holdout_fraction, "holdout_fraction")
+    from .dedup import near_duplicate_clusters
+
+    clusters = near_duplicate_clusters(pairs).withColumnRenamed(
+        "node", id_col
+    )
+    keyed = df.join(clusters, id_col, "left")
+    group_key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    u = sample_u_col(group_key, seed)
+    return (
+        keyed.withColumn("split_key", group_key.cast("bigint"))
+        .withColumn(
+            col_name,
+            F.when(u < F.lit(holdout_fraction), F.lit("holdout")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .drop("cluster_id")
+    )

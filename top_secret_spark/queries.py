@@ -6579,6 +6579,75 @@ ORDER BY 1
 """
 
 
+
+def q_leakage_safe_split(spark, sf_dir):
+    """[tier: quality_filter x audio] leakage-safe eval split
+    (operators/sampling.py::split_by_cluster): near-dup cluster
+    members land on the SAME side of the train/holdout split — a
+    paraphrase of a holdout document inside the training set inflates
+    eval exactly where dedup was supposed to protect it, so the split
+    hashes the cluster survivor id (connected components, min-id
+    rule), not the row id; singletons hash their own id.
+
+    Planted structure on the documents spine: docs with r % 4 in
+    {0, 1} form two-member near-dup families {4k, 4k+1} (the pairs
+    frame is built by construction — candidate generation is q11/q36's
+    job); r % 4 in {2, 3} are singletons.  holdout_fraction = 0.3.
+    The oracle re-derives every decision closed-form: family key =
+    doc_id - (doc_id % 4 = 1), singleton key = doc_id, then the exact
+    sample_u_col hash — per-split counts and id sums must match, which
+    they only can if NO family straddles the split (the straddle-free
+    property is additionally pytest-gated)."""
+    _prep(spark)
+    from .operators.sampling import split_by_cluster
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    fam = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    )
+    # keep only pairs whose b member exists in the table (tail safety)
+    fam = fam.join(docs.select(F.col("doc_id").alias("b")), "b")
+    out = split_by_cluster(docs, fam, holdout_fraction=0.3)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id").cast("bigint")).alias("sum_ids"),
+            F.sum(F.col("split_key").cast("bigint")).alias("sum_keys"),
+        )
+        .orderBy("split")
+    )
+
+
+Q_LEAKAGE_SPLIT_SQL = """
+WITH ids AS (SELECT doc_id FROM documents),
+-- a family key only applies when BOTH members exist: a 4k row whose
+-- 4k+1 partner is missing keys as its own id either way, and a 4k+1
+-- row without its 4k partner must stay a singleton (the LEFT JOIN
+-- mirrors the Spark side's existence filter on the pairs frame)
+keyed AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 4 = 1 AND p.doc_id IS NOT NULL
+              THEN d.doc_id - 1 ELSE d.doc_id END AS k
+  FROM ids d LEFT JOIN ids p
+    ON p.doc_id = d.doc_id - 1 AND d.doc_id % 4 = 1
+),
+dec AS (
+  SELECT doc_id, k,
+         (((xor(k >> 31, k) & 2147483647) * 2654435761)
+          % 4294967296) / 4294967296.0 AS u
+  FROM keyed
+)
+SELECT CASE WHEN u < 0.3 THEN 'holdout' ELSE 'train' END AS split,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(doc_id) AS BIGINT) AS sum_ids,
+       cast(sum(k) AS BIGINT) AS sum_keys
+FROM dec
+GROUP BY 1
+ORDER BY split
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6745,4 +6814,5 @@ QUERIES = {
     "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
     "q120_compression_gate": (q_compression_gate, Q_COMPRESSION_GATE_SQL),
     "q121_codec_verify": (q_codec_verify, Q_CODEC_VERIFY_SQL),
+    "q122_leakage_safe_split": (q_leakage_safe_split, Q_LEAKAGE_SPLIT_SQL),
 }
