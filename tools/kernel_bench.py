@@ -357,6 +357,35 @@ def main():
         lambda: batch_denoise(sp_samples, sp_lengths, 16000), iterations=3)
     dns_loop_sec = _timeit(denoise_loop, iterations=3)
 
+    # pitch / reverb / codec-family: session-5 kernels, same
+    # symmetric warm+average protocol
+    from top_secret_spark.kernel.audio import batch_codec_family, encode
+    from top_secret_spark.kernel.spectral import batch_pitch, batch_reverb
+
+    def pitch_loop():
+        for c in sp_clips:
+            batch_pitch(c, np.array([len(c)]), 16000)
+
+    pt_vec_sec = _timeit(lambda: batch_pitch(sp_samples, sp_lengths, 16000))
+    pt_loop_sec = _timeit(pitch_loop)
+
+    def reverb_loop():
+        for c in sp_clips:
+            batch_reverb(c, np.array([len(c)]), 16000)
+
+    rv_vec_sec = _timeit(lambda: batch_reverb(sp_samples, sp_lengths, 16000))
+    rv_loop_sec = _timeit(reverb_loop)
+
+    cf_datas = [encode(c, "pcm16" if i % 2 else "ulaw")
+                for i, c in enumerate(sp_clips)]
+
+    def codecfam_loop():
+        for d in cf_datas:
+            batch_codec_family([d])
+
+    cf_vec_sec = _timeit(lambda: batch_codec_family(cf_datas))
+    cf_loop_sec = _timeit(codecfam_loop)
+
     host_probe_after = _bandwidth_probe_sec()
     host_probe_sec = max(host_probe_before, host_probe_after)
 
@@ -428,6 +457,12 @@ def main():
         "mix_noise_loop_clips_per_sec": round(
             len(sp_clips) / nm_loop_sec, 1),
         "mix_noise_batched_speedup": round(nm_loop_sec / nm_vec_sec, 2),
+        "pitch_clips_per_sec": round(len(sp_clips) / pt_vec_sec, 1),
+        "pitch_batched_speedup": round(pt_loop_sec / pt_vec_sec, 2),
+        "reverb_clips_per_sec": round(len(sp_clips) / rv_vec_sec, 1),
+        "reverb_batched_speedup": round(rv_loop_sec / rv_vec_sec, 2),
+        "codec_family_clips_per_sec": round(len(cf_datas) / cf_vec_sec, 1),
+        "codec_family_batched_speedup": round(cf_loop_sec / cf_vec_sec, 2),
         "declip_batched_clips_per_sec": round(len(sp_clips) / dlp_vec_sec, 1),
         "declip_loop_clips_per_sec": round(len(sp_clips) / dlp_loop_sec, 1),
         "declip_batched_speedup": round(dlp_loop_sec / dlp_vec_sec, 2),

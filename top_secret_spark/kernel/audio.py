@@ -1513,43 +1513,42 @@ def _segmented_lag1_rho(
     sig: np.ndarray, lengths: np.ndarray
 ) -> np.ndarray:
     """Per-clip lag-1 autocorrelation (mean-removed) over a
-    concatenated buffer — fully vectorized via cumulative-sum
-    differences (exact segment sums even with zero/one-sample clips
-    interleaved, which reduceat mishandles), centered num/den from
-    num = P - mu*(H + T) + (n-1)*mu^2, den = Q - n*mu^2.
-    Clips with n < 2 or zero variance read 0.0."""
+    concatenated buffer of clips that are ALL length >= 2 (callers
+    filter degenerate clips out before concatenating — reduceat
+    silently merges zero-length segments, and cumsum-difference
+    segmentation, the previous fix, spends ~half the kernel in serial
+    cumsums).  Segment sums via reduceat; centered num/den from
+    num = P - mu*(H + T) + (n-1)*mu^2, den = Q - n*mu^2.  Zero
+    variance reads 0.0."""
     n_clips = len(lengths)
     rho = np.zeros(n_clips, dtype=np.float64)
     if n_clips == 0 or len(sig) == 0:
         return rho
     lengths = np.asarray(lengths, dtype=np.int64)
+    if (lengths < 2).any():
+        raise ValueError("_segmented_lag1_rho requires all lengths >= 2")
     starts = np.cumsum(lengths) - lengths
     ends = starts + lengths  # exclusive
     s = sig.astype(np.float64)
-    cs = np.concatenate(([0.0], np.cumsum(s)))
-    cq = np.concatenate(([0.0], np.cumsum(s * s)))
+    S = np.add.reduceat(s, starts)
+    Q = np.add.reduceat(s * s, starts)
     prod = s[:-1] * s[1:]
-    cp = np.concatenate(([0.0], np.cumsum(prod)))
-    has = lengths >= 2
-    if not has.any():
-        return rho
-    a, b = starts[has], ends[has]
-    S = cs[b] - cs[a]
-    Q = cq[b] - cq[a]
-    # within-clip pairs are prod[a .. b-2]
-    P = cp[b - 1] - cp[a]
-    first_v = s[a]
-    last_v = s[b - 1]
-    n = lengths[has].astype(np.float64)
+    # reduceat over prod includes the pair crossing into the next clip
+    # for every clip but the last; subtract it explicitly
+    P = np.add.reduceat(np.concatenate((prod, [0.0])), starts)
+    last = ends - 1
+    cross = last < len(prod)
+    P[cross] -= prod[last[cross]]
+    first_v = s[starts]
+    last_v = s[last]
+    n = lengths.astype(np.float64)
     mu = S / n
     H = S - last_v
     T = S - first_v
     num = P - mu * (H + T) + (n - 1.0) * mu * mu
     den = Q - n * mu * mu
     ok = den > 1e-12
-    out = np.zeros(len(n))
-    out[ok] = num[ok] / den[ok]
-    rho[has] = out
+    rho[ok] = num[ok] / den[ok]
     return rho
 
 
@@ -1574,25 +1573,22 @@ def batch_codec_family(
     blens = np.array([len(p) for p in pref], dtype=np.int64)
     if blens.sum() == 0:
         return np.zeros(n), np.zeros(n)
-    buf = (
-        np.frombuffer(b"".join(pref), dtype=np.uint8)
-        if n
-        else np.empty(0, dtype=np.uint8)
-    )
-    # companded hypothesis: one LUT gather over the whole byte buffer
-    comp = ulaw_decode(buf)
-    rho_comp = _segmented_lag1_rho(comp, blens)
-    # pcm16 hypothesis: even-truncated prefixes viewed as int16LE.
-    # Rebuild the segment layout because odd-length prefixes drop a byte.
     plens = blens // 2 * 2
-    starts = np.cumsum(blens) - blens
-    inc = np.zeros(len(buf) + 1, dtype=np.int32)
-    np.add.at(inc, starts, 1)
-    np.add.at(inc, starts + plens, -1)
-    keep = np.cumsum(inc[:-1]) > 0
-    pbuf = buf[keep]
-    pcm = pbuf.view(np.uint16).astype(np.int32)
-    # interpret as little-endian int16
-    pcm = np.where(pcm >= 32768, pcm - 65536, pcm).astype(np.float64)
-    rho_pcm = _segmented_lag1_rho(pcm, plens // 2)
+    rho_pcm = np.zeros(n, dtype=np.float64)
+    rho_comp = np.zeros(n, dtype=np.float64)
+    # each hypothesis concatenates ONLY its valid (>= 2 sample) clips
+    # so the reduceat-based rho sees no degenerate segments
+    chas = np.flatnonzero(blens >= 2)
+    if len(chas):
+        buf = np.frombuffer(
+            b"".join(pref[i] for i in chas), dtype=np.uint8
+        )
+        rho_comp[chas] = _segmented_lag1_rho(
+            ulaw_decode(buf), blens[chas]
+        )
+    phas = np.flatnonzero(plens >= 4)  # >= 2 int16 samples
+    if len(phas):
+        even = b"".join(pref[i][: plens[i]] for i in phas)
+        pcm = np.frombuffer(even, dtype="<i2").astype(np.float64)
+        rho_pcm[phas] = _segmented_lag1_rho(pcm, plens[phas] // 2)
     return rho_pcm, rho_comp
