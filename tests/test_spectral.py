@@ -724,3 +724,38 @@ def test_voice_health_single_python_boundary(spark):
         composed._jdf.queryExecution().executedPlan().toString()
     )
     assert composed_plan.count("MapInPandas") == 1 + 3
+
+
+def test_speech_curation_pipeline_two_python_boundaries(spark):
+    """The q123 composition must stay at exactly two Python stages
+    (codec verify + fused voice health) beyond the three fixture
+    generators — fusing health into one boundary is the point."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.audio import (
+        codec_mismatch_reason_col,
+        reverb_drop_reason_col,
+        with_codec_verify,
+        with_voice_health,
+    )
+    from top_secret_spark.sources.clips import (
+        codec_lie_clips_df,
+        pitch_clips_df,
+        reverb_clips_df,
+    )
+
+    clips = (
+        codec_lie_clips_df(spark, 8, partitions=2)
+        .unionByName(pitch_clips_df(spark, 8, partitions=2))
+        .unionByName(reverb_clips_df(spark, 8, partitions=2))
+    )
+    out = with_voice_health(with_codec_verify(clips)).withColumn(
+        "reason",
+        F.coalesce(
+            codec_mismatch_reason_col(),
+            reverb_drop_reason_col(max_rt60_s=1.0),
+        ),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 3 + 2  # 3 fixture gens + 2 stages
+    assert "Exchange" not in plan  # map-only until a caller aggregates

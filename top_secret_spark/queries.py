@@ -6648,6 +6648,85 @@ ORDER BY split
 """
 
 
+
+def q_speech_curation_pipeline(spark, sf_dir):
+    """[tier: quality_filter x audio] end-to-end speech-curation
+    composition of the session-5 operators: codec-label verification
+    FIRST (so no downstream decode trusts a lying label), then the
+    fused voice-health stage (pitch + RT60 + SNR in one decode), then
+    the verdict — codec_mismatch outranks reverb, everything else
+    keeps (noise/silence are owned by the SNR/spectral gates in the
+    full pipeline, q40/q59).  The whole chain is ONE Spark plan with
+    exactly TWO Python boundaries (verify + fused health — the
+    composition this session's fusion work exists to enable),
+    map-only until the final count.
+
+    Input: union of the codec-lie (q121), pitch (q117), and reverb
+    (q118) fixture families, 120 clips each; per-class verdicts are
+    fully determined, so the oracle recomputes every row closed-form."""
+    _prep(spark)
+    from .operators.audio import (
+        codec_mismatch_reason_col,
+        reverb_drop_reason_col,
+        with_codec_verify,
+        with_voice_health,
+    )
+    from .sources.clips import (
+        codec_lie_clips_df,
+        pitch_clips_df,
+        reverb_clips_df,
+    )
+
+    clips = (
+        codec_lie_clips_df(spark, 120, partitions=8)
+        .unionByName(pitch_clips_df(spark, 120, partitions=8))
+        .unionByName(reverb_clips_df(spark, 120, partitions=8))
+    )
+    verified = with_codec_verify(clips)
+    health = with_voice_health(verified)
+    out = health.withColumn(
+        "reason",
+        F.coalesce(
+            codec_mismatch_reason_col(),
+            reverb_drop_reason_col(max_rt60_s=1.0),
+        ),
+    )
+    return (
+        out.groupBy(
+            F.col("transcript").alias("cls"),
+            F.coalesce("reason", F.lit("keep")).alias("verdict"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cls", "verdict")
+    )
+
+
+Q_SPEECH_CURATION_SQL = """
+WITH classes AS (
+  SELECT CASE r % 4 WHEN 0 THEN 'honest_pcm16' WHEN 1 THEN 'honest_ulaw'
+                    WHEN 2 THEN 'lie_pcm16_is_ulaw'
+                    ELSE 'lie_ulaw_is_pcm16' END AS cls,
+         CASE WHEN r % 4 IN (2, 3) THEN 'codec_mismatch' ELSE 'keep' END
+             AS verdict
+  FROM (SELECT unnest(range(0, 120)) AS r)
+  UNION ALL
+  SELECT CASE r % 4 WHEN 0 THEN 'tone100' WHEN 1 THEN 'tone220'
+                    WHEN 2 THEN 'harmonic120' ELSE 'noise' END,
+         'keep'
+  FROM (SELECT unnest(range(0, 120)) AS r)
+  UNION ALL
+  SELECT CASE r % 4 WHEN 0 THEN 'dry' WHEN 1 THEN 'moderate'
+                    WHEN 2 THEN 'reverberant' ELSE 'steady' END,
+         CASE WHEN r % 4 = 2 THEN 'reverb' ELSE 'keep' END
+  FROM (SELECT unnest(range(0, 120)) AS r)
+)
+SELECT cls, verdict, CAST(count(*) AS BIGINT) AS n
+FROM classes
+GROUP BY 1, 2
+ORDER BY cls, verdict
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6815,4 +6894,5 @@ QUERIES = {
     "q120_compression_gate": (q_compression_gate, Q_COMPRESSION_GATE_SQL),
     "q121_codec_verify": (q_codec_verify, Q_CODEC_VERIFY_SQL),
     "q122_leakage_safe_split": (q_leakage_safe_split, Q_LEAKAGE_SPLIT_SQL),
+    "q123_speech_curation_pipeline": (q_speech_curation_pipeline, Q_SPEECH_CURATION_SQL),
 }
