@@ -87,3 +87,84 @@ def test_importance_partition_independent_and_alpha_guard(spark):
     assert run(1) == run(13)
     with pytest.raises(ValueError, match="alpha"):
         importance_weights(target, docs, alpha=0.0)
+
+
+# --- distributed n-gram LM fit (operators/lm.py) --------------------------------
+
+
+def test_fit_ngram_counts_equals_local_counting(spark):
+    """The distributed fit (partials -> groupBy sum) must equal one
+    local count_ngrams pass over the same texts, bucket for bucket."""
+    import numpy as np
+
+    from top_secret_spark.kernel.perplexity import count_ngrams, normalize
+    from top_secret_spark.operators.lm import (
+        collect_ngram_tables,
+        fit_ngram_counts,
+    )
+
+    texts = [
+        "the quick brown fox", "jumps over the lazy dog",
+        "pack my box with five dozen jugs", "", None,
+        "the quick brown fox",  # duplicate weight counts twice
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).repartition(4)
+    got = collect_ngram_tables(fit_ngram_counts(df))
+    want = count_ngrams([normalize(t or "") for t in texts])
+    for g, w in zip(got[:3], want):
+        assert np.array_equal(g, w.astype(np.float32))
+    assert got[3] == float(want[0].sum())
+
+
+def test_fit_partials_are_partition_invariant(spark):
+    import numpy as np
+
+    from top_secret_spark.operators.lm import (
+        collect_ngram_tables,
+        fit_ngram_counts,
+    )
+
+    texts = [(i, f"sentence number {i} about foxes and dogs")
+             for i in range(40)]
+    a = collect_ngram_tables(fit_ngram_counts(
+        spark.createDataFrame(texts, ["doc_id", "text"]).repartition(1)))
+    b = collect_ngram_tables(fit_ngram_counts(
+        spark.createDataFrame(texts, ["doc_id", "text"]).repartition(13)))
+    for x, y in zip(a[:3], b[:3]):
+        assert np.array_equal(x, y)
+
+
+def test_with_perplexity_from_separates_domains(spark):
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.lm import (
+        collect_ngram_tables,
+        fit_ngram_counts,
+        with_perplexity_from,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    model = collect_ngram_tables(fit_ngram_counts(corpus))
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "zzz qqq www xxx vvv")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["ppl_fit"]
+           for r in with_perplexity_from(ev, model).collect()}
+    assert got[0] < 10.0 < 50.0 < got[1]
+
+
+def test_fit_ngram_counts_rejects_unbounded_buckets(spark):
+    import pytest
+
+    from top_secret_spark.operators.lm import fit_ngram_counts
+
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="buckets"):
+        fit_ngram_counts(df, buckets=1 << 21)

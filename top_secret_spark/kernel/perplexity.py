@@ -52,14 +52,30 @@ def normalize(text: str) -> str:
     return t.strip()
 
 
-def _build_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
-    data, _ = encode_batch([normalize(_CORPUS)])
-    tables = []
+def count_ngrams(normed_texts, buckets: int = BUCKETS) -> list:
+    """Hashed n-gram count vectors (n = 1, 2, 3) over already-normalized
+    texts — the shared counting core of the built-in model AND the
+    distributed fit's per-partition partials (``operators.lm``).
+    In-document n-grams only: positions whose full n-gram crosses a
+    text boundary are excluded, so partial counts over any partitioning
+    of the corpus sum to exactly the single-machine count."""
+    data, lengths = encode_batch(normed_texts)
+    doc_id = np.repeat(np.arange(len(normed_texts), dtype=np.int64), lengths)
+    out = []
     for n in (1, 2, 3):
-        c = np.zeros(BUCKETS, dtype=np.float64)
-        h = raw_ngram_hashes(data, n, BUCKETS)
-        np.add.at(c, h, 1.0)
-        tables.append(c.astype(np.float32))
+        c = np.zeros(buckets, dtype=np.float64)
+        if len(data) >= n:
+            h = raw_ngram_hashes(data, n, buckets)
+            pos = np.arange(len(h))
+            valid = doc_id[pos] == doc_id[pos + n - 1]
+            np.add.at(c, h[valid], 1.0)
+        out.append(c)
+    return out
+
+
+def _build_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    c1, c2, c3 = count_ngrams([normalize(_CORPUS)])
+    tables = [c1.astype(np.float32), c2.astype(np.float32), c3.astype(np.float32)]
     return tables[0], tables[1], tables[2], float(tables[0].sum())
 
 
@@ -77,15 +93,23 @@ def tables():
 _MAX_PPL = 1e6
 
 
-def perplexity_batch(texts) -> np.ndarray:
+def perplexity_batch(texts, model=None) -> np.ndarray:
     """Perplexity per text, vectorized over the whole Arrow batch.
 
     Scored at every character position with ≥2 chars of in-document
     history.  Texts with no scorable position (normalized length < 3)
     get _MAX_PPL — they carry no fluency evidence and the keep/drop
     stage drops them on length anyway.
+
+    ``model`` overrides the embedded-seed-corpus tables with a
+    (c1, c2, c3, total1) tuple — e.g. one FIT FROM THE CORPUS ITSELF
+    by ``operators.lm.fit_ngram_counts`` (same hash space, same
+    interpolation).  Default keeps the deterministic built-in model.
     """
-    c1, c2, c3, total1 = tables()
+    c1, c2, c3, total1 = model if model is not None else tables()
+    # the hash space is the table size — a fitted model with a
+    # different bucket count stays self-consistent automatically
+    buckets = len(c1)
     normed = [normalize(x) for x in texts]
     data, lengths = encode_batch(normed)
     ndocs = len(normed)
@@ -94,9 +118,9 @@ def perplexity_batch(texts) -> np.ndarray:
     if L < 3:
         return out
 
-    h1 = raw_ngram_hashes(data, 1, BUCKETS)  # positions 0..L-1
-    h2 = raw_ngram_hashes(data, 2, BUCKETS)  # start positions 0..L-2
-    h3 = raw_ngram_hashes(data, 3, BUCKETS)  # start positions 0..L-3
+    h1 = raw_ngram_hashes(data, 1, buckets)  # positions 0..L-1
+    h2 = raw_ngram_hashes(data, 2, buckets)  # start positions 0..L-2
+    h3 = raw_ngram_hashes(data, 3, buckets)  # start positions 0..L-3
 
     doc_id = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
     # trigram start positions fully inside one document

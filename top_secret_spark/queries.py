@@ -6727,6 +6727,70 @@ ORDER BY cls, verdict
 """
 
 
+
+def q_corpus_fit_perplexity(spark, sf_dir):
+    """[tier: quality_filter x audio] corpus-fit perplexity
+    (operators/lm.py): the DSIR-style move the built-in scorer (q15)
+    cannot make — fit the hashed char-n-gram LM ON a trusted in-domain
+    corpus and score candidates against it, so low perplexity means
+    "looks like OUR data", not "looks like English".  Fit shape: one
+    count_ngrams pass per Arrow batch emitting non-zero (n, bucket,
+    cnt) partials, ONE groupBy sum (map-side partials; in-document
+    n-grams only, so partials over any partitioning sum exactly —
+    pytest-gated), dimension-bounded collect (<= 3 x buckets rows at
+    ANY corpus size), tables broadcast to the scoring stage.
+
+    Planted setup: the corpus is the documents spine carrying one
+    in-domain sentence per row (the fit is genuinely distributed);
+    eval classes (r % 4): 0 in-domain prefix (low ppl — keeps),
+    1 symbol soup (high — drops), 2 in-domain suffix (low — keeps),
+    3 empty (no scorable position -> MAX_PPL — drops; the length gate
+    would own it upstream).  Gate at max_ppl = 50; per-class verdict
+    counts recomputed closed-form by the oracle."""
+    _prep(spark)
+    from .operators.lm import (
+        collect_ngram_tables,
+        fit_ngram_counts,
+        with_perplexity_from,
+    )
+
+    corpus = _docs(spark, sf_dir).select(
+        F.lit("the quick brown fox jumps over the lazy dog").alias("text")
+    )
+    model = collect_ngram_tables(fit_ngram_counts(corpus))
+    ev = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("the quick brown fox"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("zzz qqq www xxx vvv"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("jumps over the lazy dog"))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    out = with_perplexity_from(ev, model).withColumn(
+        "verdict",
+        F.when(F.col("ppl_fit") > 50.0, F.lit("ppl")).otherwise(
+            F.lit("keep")
+        ),
+    )
+    return (
+        out.groupBy(
+            (F.col("doc_id") % 4).cast("int").alias("cls"), "verdict"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cls")
+    )
+
+
+Q_CORPUS_FIT_PPL_SQL = """
+SELECT cast(doc_id % 4 AS INTEGER) AS cls,
+       CASE WHEN doc_id % 4 IN (1, 3) THEN 'ppl' ELSE 'keep' END AS verdict,
+       cast(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6895,4 +6959,5 @@ QUERIES = {
     "q121_codec_verify": (q_codec_verify, Q_CODEC_VERIFY_SQL),
     "q122_leakage_safe_split": (q_leakage_safe_split, Q_LEAKAGE_SPLIT_SQL),
     "q123_speech_curation_pipeline": (q_speech_curation_pipeline, Q_SPEECH_CURATION_SQL),
+    "q124_corpus_fit_perplexity": (q_corpus_fit_perplexity, Q_CORPUS_FIT_PPL_SQL),
 }
