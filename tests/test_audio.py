@@ -2416,3 +2416,29 @@ def test_with_codec_verify_operator(spark):
     for r in bad.collect():
         assert not r["codec_verified"] and not r["codec_mismatch"]
         assert r["codec_family_detected"] is None
+
+
+def test_with_codec_verify_unknown_codec_smooth_payload_never_asserted(spark):
+    """Regression: a codec OUTSIDE the raw families whose payload IS
+    smooth audio (rho would verify) must still read verified=false —
+    pandas .map(dict) yields NaN for unmapped codecs and NaN is not
+    None, so an identity check silently asserted mismatches on e.g.
+    containers (q100/q101 own those)."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.kernel.audio import encode
+    from top_secret_spark.operators.audio import with_codec_verify
+
+    pcm = _speechish(seed=5)
+    rows = [
+        Row(clip_id="wavlike", bytes=bytearray(encode(pcm, "pcm16")),
+            sr_hz=16000, dur_ms=300, codec="wav", transcript=""),
+        Row(clip_id="nullcodec", bytes=bytearray(encode(pcm, "pcm16")),
+            sr_hz=16000, dur_ms=300, codec=None, transcript=""),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    out = with_codec_verify(spark.createDataFrame(rows, schema))
+    for r in out.collect():
+        assert not r["codec_verified"] and not r["codec_mismatch"], r
+        assert r["codec_family_detected"] is None

@@ -1357,3 +1357,14 @@ def test_compression_ratio_matches_local_zlib(spark):
     for i, t in enumerate(texts):
         b = t.encode()
         assert abs(got[i] - len(zlib.compress(b, 6)) / len(b)) < 1e-12
+
+
+def test_oov_rate_accepts_generator_lexicon(spark):
+    """Regression: a single-pass iterable must not be exhausted by the
+    size probe and silently read as an empty lexicon."""
+    from top_secret_spark.operators.text_analysis import with_oov_rate
+
+    df = spark.createDataFrame(_OOV_ROWS, ["clip_id", "transcript"])
+    out = with_oov_rate(df, lexicon=(w for w in _OOV_LEX))
+    got = {r["clip_id"]: r["oov_rate"] for r in out.collect()}
+    assert got == _oov_expected()

@@ -168,3 +168,19 @@ def test_fit_ngram_counts_rejects_unbounded_buckets(spark):
     df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="buckets"):
         fit_ngram_counts(df, buckets=1 << 21)
+
+
+def test_collect_ngram_tables_width_rides_with_fit(spark):
+    """Regression: the fit's hash space is stamped on the counts frame,
+    so collect assembles tables of exactly the fit width — a
+    non-default fit width cannot silently mis-hash scoring."""
+    from top_secret_spark.operators.lm import (
+        collect_ngram_tables,
+        fit_ngram_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox")], ["doc_id", "text"]
+    )
+    model = collect_ngram_tables(fit_ngram_counts(df, buckets=4096))
+    assert len(model[0]) == 4096

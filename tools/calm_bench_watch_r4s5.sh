@@ -6,8 +6,11 @@
 #   1. kernel micro-bench  -> BENCH/KERNEL.json   (only if host_degraded=false)
 #   2. headline suite      -> BENCH/local_r4_calm.json
 #   3. scaling evidence    -> BENCH/SCALING.json + BASELINE.md section
-#      (best-of-4 interleaved, 1.2 M clips — the committed protocol;
-#       only shipped if the run's own probes stayed calm)
+#      (best-of-4 interleaved, 2.4 M clips — 2x the r3 input: this
+#       round's kernel speedups shrank the parallel region at fixed
+#       input, so the input grows to keep the measurement
+#       steady-state-dominated, the regime the 10^12-row north rule
+#       targets; only shipped if the run's own probes stayed calm)
 set -u
 cd /root/repo
 THRESH=0.45

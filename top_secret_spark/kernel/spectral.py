@@ -557,8 +557,8 @@ def batch_denoise(
 
 # --- autocorrelation pitch (f0) estimation -------------------------------------
 
-# 1024 frames/block keeps the irfft intermediate (block x nfft float32,
-# ~4 MB at nfft 1024) L3-resident — at 8192 frames the 100+ MB
+# 1024 frames/block keeps the irfft intermediate (block x nfft
+# float64 — np.fft promotes internally — ~8 MB at nfft 1024) L3-resident — at 8192 frames the 100+ MB
 # autocorrelation matrix goes through DRAM and the batched path loses
 # to a per-clip loop whose intermediates never leave L2 (measured
 # 0.70x before this sizing; the same crossover the r3 segmented
@@ -637,11 +637,12 @@ def batch_pitch(
     voiced_frames = np.zeros(n, dtype=np.int64)
     for lo in range(0, total, max(1, block_frames)):
         hi = min(lo + max(1, block_frames), total)
-        # float32 through the FFT (the batch_spectral convention —
-        # halves memory traffic, which is what decides batch-vs-loop
-        # on short clips); accumulators stay float64.  Normalized
-        # autocorrelation tolerates the ~1e-7 relative FFT rounding:
-        # every decision threshold here carries >=0.05 margin.
+        # float32 gather/demean halves the frame-copy traffic;
+        # np.fft then promotes to float64/complex128 internally, so
+        # the irfft intermediate is full double precision — which is
+        # why PITCH_BLOCK_FRAMES is sized small enough that EVEN the
+        # float64 intermediate stays cache-resident (the block size,
+        # not the dtype, is what decides batch-vs-loop here).
         frames = windows_view[starts[lo:hi]].astype(np.float32)
         frames -= frames.mean(axis=1, keepdims=True)
         spec = np.fft.rfft(frames, nfft, axis=1)

@@ -3149,10 +3149,11 @@ def with_codec_verify(
                 win_rho - lose_rho >= min_margin
             )
             detected = np.where(win_pcm, "pcm16", "companded")
-            declared = (
-                pdf["codec"].map(_CODEC_FAMILY).to_numpy(dtype=object)
-            )
-            known = np.array([d is not None for d in declared], dtype=bool)
+            mapped = pdf["codec"].map(_CODEC_FAMILY)
+            # .map(dict) yields NaN (not None) for unmapped codecs —
+            # notna() is the only correct known-family test here
+            known = mapped.notna().to_numpy(dtype=bool)
+            declared = mapped.to_numpy(dtype=object)
             verified = verified & known
             mismatch = verified & (detected != declared.astype(str))
             out = pdf if keep_bytes else pdf.drop(columns=["bytes"])

@@ -74,18 +74,32 @@ def fit_ngram_counts(
     return (
         rows.groupBy("n", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+        # the fit's hash space rides WITH the counts so the collect
+        # step cannot silently assemble tables of a different width
+        .withColumn("buckets", F.lit(int(buckets)))
     )
 
 
 def collect_ngram_tables(
-    counts: DataFrame, buckets: int = BUCKETS
+    counts: DataFrame,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     """Materialize a ``fit_ngram_counts`` result into the (c1, c2, c3,
     total1) tuple ``kernel.perplexity.perplexity_batch`` consumes.
-    Driver memory is bounded by ``buckets`` (<= 3 x buckets rows), not
-    by the corpus."""
+    The table width comes from the fit itself (the ``buckets`` column
+    ``fit_ngram_counts`` stamps) — scoring derives its hash space from
+    the table size, so a mismatched width would silently mis-hash
+    every probe; carrying it with the counts makes that unexpressible.
+    Driver memory is bounded by the fit width (<= 3 x buckets rows),
+    not by the corpus."""
+    rows = counts.collect()
+    if not rows:
+        raise ValueError("empty fit: no n-gram counts to collect")
+    widths = {int(r["buckets"]) for r in rows}
+    if len(widths) != 1:
+        raise ValueError(f"mixed fit widths in counts: {sorted(widths)}")
+    buckets = widths.pop()
     c = [np.zeros(buckets, dtype=np.float32) for _ in range(3)]
-    for r in counts.collect():
+    for r in rows:
         n, b, k = int(r["n"]), int(r["bucket"]), float(r["cnt"])
         if not 1 <= n <= 3 or not 0 <= b < buckets:
             raise ValueError(f"counts row outside fit dimensions: {r}")

@@ -307,7 +307,11 @@ def with_oov_rate(
         raise ValueError("lexicon is required (iterable of terms or DataFrame)")
     src = F.col(text_col)
     tmp = "__words_oov"
-    small = not isinstance(lexicon, DataFrame) and len(list(lexicon)) <= max_literal
+    if not isinstance(lexicon, DataFrame):
+        # materialize ONCE: a generator argument would be exhausted by
+        # the length probe and silently read as an empty lexicon
+        lexicon = list(lexicon)
+    small = not isinstance(lexicon, DataFrame) and len(lexicon) <= max_literal
     if small:
         terms = sorted({str(t).lower() for t in lexicon})
         lex = F.array(*[F.lit(t) for t in terms])
