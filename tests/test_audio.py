@@ -2442,3 +2442,28 @@ def test_with_codec_verify_unknown_codec_smooth_payload_never_asserted(spark):
     for r in out.collect():
         assert not r["codec_verified"] and not r["codec_mismatch"], r
         assert r["codec_family_detected"] is None
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=3000),
+                  min_size=1, max_size=8),
+    seed=st.integers(min_value=0, max_value=500),
+)
+@settings(max_examples=15, deadline=None)
+def test_codec_family_batch_matches_single_over_random_layouts(lens, seed):
+    """Batched rho must equal per-clip calls for any layout, including
+    odd byte lengths and empty payloads interleaved."""
+    from top_secret_spark.kernel.audio import batch_codec_family
+
+    rng = np.random.default_rng(seed)
+    datas = []
+    for i, ln in enumerate(lens):
+        if ln == 0:
+            datas.append(b"" if i % 2 else None)
+        else:
+            datas.append(rng.integers(0, 256, ln, dtype=np.uint8).tobytes())
+    bp, bc = batch_codec_family(datas)
+    for i, d in enumerate(datas):
+        sp, sc = batch_codec_family([d])
+        np.testing.assert_allclose(bp[i], sp[0], atol=1e-12)
+        np.testing.assert_allclose(bc[i], sc[0], atol=1e-12)
