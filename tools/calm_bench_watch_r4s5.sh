@@ -1,8 +1,11 @@
 #!/bin/bash
 # Session-5 calm watcher: one sequential pass so the three measurements
-# never contend with each other.  Waits for two consecutive calm probes
-# (< 0.45 s — tighter than kernel_bench's own 0.5 s degraded threshold),
-# then records, in order:
+# never contend with each other.  Waits for ONE calm probe (< 0.45 s —
+# tighter than kernel_bench's own 0.5 s degraded threshold): calm windows
+# on this host are real but short (probe floor 0.047 s observed earlier
+# today vs 0.694 s over 56 probes this session), so the pre-gate is
+# single-probe and the POST-run host_degraded checks veto any window
+# that closed mid-run.  Then it records, in order:
 #   1. kernel micro-bench  -> BENCH/KERNEL.json   (only if host_degraded=false)
 #   2. headline suite      -> BENCH/local_r4_calm.json
 #   3. scaling evidence    -> BENCH/SCALING.json + BASELINE.md section
@@ -28,7 +31,7 @@ print(f'{t1-t0:.3f}')")
   else
     CALM_STREAK=0
   fi
-  if [ "$CALM_STREAK" -lt 2 ]; then sleep 90; continue; fi
+  if [ "$CALM_STREAK" -lt 1 ]; then sleep 60; continue; fi
 
   echo "[watch-r4s5] calm confirmed — kernel bench"
   if python tools/kernel_bench.py > /tmp/kernel_r4s5.json 2>/tmp/kernel_r4s5.err; then
