@@ -1368,3 +1368,85 @@ def test_oov_rate_accepts_generator_lexicon(spark):
     out = with_oov_rate(df, lexicon=(w for w in _OOV_LEX))
     got = {r["clip_id"]: r["oov_rate"] for r in out.collect()}
     assert got == _oov_expected()
+
+
+# --- text chunking + hard negatives ----------------------------------------------
+
+
+def test_chunk_text_reassembles_and_overlaps(spark):
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.text_analysis import chunk_text
+
+    text = "".join(chr(97 + i % 26) for i in range(100))
+    df = spark.createDataFrame(
+        [(0, text), (1, "short"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    out = chunk_text(df, max_chars=40, overlap_chars=10)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect()]
+    )
+    doc0 = [t for d, i, t in rows if d == 0]
+    # stride 30: chunks [0:40], [30:70], [60:100]
+    assert doc0 == [text[0:40], text[30:70], text[60:100]]
+    # overlap region is carried in BOTH neighbours
+    assert doc0[0][-10:] == doc0[1][:10]
+    # de-overlapped reassembly equals the original
+    assert doc0[0] + doc0[1][10:] + doc0[2][10:] == text
+    assert [t for d, i, t in rows if d == 1] == ["short"]
+    assert [t for d, i, t in rows if d == 2] == [""]
+    assert [t for d, i, t in rows if d == 3] == [""]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_chunk_text_validation(spark):
+    import pytest
+
+    from top_secret_spark.operators.text_analysis import chunk_text
+
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_chars"):
+        chunk_text(df, max_chars=0)
+    with pytest.raises(ValueError, match="overlap_chars"):
+        chunk_text(df, max_chars=10, overlap_chars=10)
+
+
+def test_hard_negatives_band_and_exactness(spark):
+    """The banded two-phase top-k must equal a local full ranking with
+    the same band — including across many partitions (the truncation
+    safety the band-before-topk ordering buys)."""
+    import numpy as np
+
+    from top_secret_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((200, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        ["vec_id", "embedding"],
+    ).repartition(8)
+    queries = [(0, [float(x) for x in vecs[0]])]
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in hard_negatives(
+            df, queries, k=5, lo=0.2, hi=0.9
+        ).orderBy("rank").collect()
+    ]
+    sims = vecs @ vecs[0]
+    cand = [(i, s) for i, s in enumerate(sims) if 0.2 <= s < 0.9]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    assert got == [(i, r + 1) for r, (i, _) in enumerate(cand[:5])]
+    # the anchor (sim 1.0) is outside the band
+    assert all(i != 0 for i, _ in got)
+
+
+def test_hard_negatives_rejects_bad_band(spark):
+    import pytest
+
+    from top_secret_spark.operators.similarity import hard_negatives
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="band"):
+        hard_negatives(df, [(0, [1.0, 0.0])], lo=0.9, hi=0.5)

@@ -76,6 +76,7 @@ def _partial_top_k(
     emb_col: str,
     cell_col: str | None = None,
     allowed: np.ndarray | None = None,
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Per-PARTITION top-k (phase one of two-phase top-k): mapInPandas
     keeps a running (score, id) top-k per query across the partition's
@@ -122,6 +123,13 @@ def _partial_top_k(
                 mask = np.zeros((n_q, len(cells)), dtype=bool)
                 mask[:, ok] = allowed[:, cells[ok]]
                 sims = np.where(mask, sims, -np.inf)
+            if band is not None:
+                # similarity band [lo, hi): applied BEFORE the running
+                # top-k so per-partition truncation cannot cut a row the
+                # banded global top-k would keep (hard-negative mining —
+                # the band excludes near-dups above hi and noise below lo)
+                in_band = (sims >= band[0]) & (sims < band[1])
+                sims = np.where(in_band, sims, -np.inf)
             for qi in range(n_q):
                 s = np.concatenate([top_s[qi], sims[qi]])
                 i = np.concatenate([top_i[qi], ids])
@@ -153,6 +161,7 @@ def brute_force_top_k(
     emb_col: str = "embedding",
     cell_col: str | None = None,
     allowed: np.ndarray | None = None,
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query → (query_id, vec_id, score, rank).
 
@@ -161,7 +170,9 @@ def brute_force_top_k(
     candidates per query (phase two).  At 10^11 corpus rows the single
     exchange carries k × n_queries rows per partition — scalar triples,
     never vectors, never the corpus."""
-    scored = _partial_top_k(df, queries, k, id_col, emb_col, cell_col, allowed)
+    scored = _partial_top_k(
+        df, queries, k, id_col, emb_col, cell_col, allowed, band
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -445,4 +456,32 @@ def with_text_embedding(
     this is one ArrowEvalPython stage fused over the scan."""
     return df.withColumn(
         out_col, make_text_embedding_udf(dim, orders)(F.col(text_col))
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 1,
+    lo: float = 0.3,
+    hi: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors whose cosine lies in [lo, hi) —
+    similar enough to be informative, below the near-duplicate
+    threshold so the "negative" is not secretly a positive (the
+    classic failure of random negatives on deduplicated-but-not-
+    perfectly corpora).  hi < 1.0 also excludes the anchor itself.
+
+    Exact and scalable: the same two-phase top-k as
+    ``brute_force_top_k`` with the band applied BEFORE the running
+    per-partition top-k (so truncation can never cut a row the banded
+    global ranking would keep); the one exchange carries
+    <= k x n_partitions scalar triples per query, never vectors."""
+    if not lo < hi <= 1.0 + 1e-9:
+        raise ValueError(f"band must satisfy lo < hi <= 1.0, got [{lo}, {hi})")
+    return brute_force_top_k(
+        df, queries, k, id_col, emb_col, band=(float(lo), float(hi))
     )

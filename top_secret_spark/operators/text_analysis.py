@@ -406,3 +406,46 @@ def compression_reason_col(
     return F.when(c < F.lit(float(min_ratio)), F.lit("repetitive")).when(
         c > F.lit(float(max_ratio)), F.lit("incompressible")
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 2048,
+    overlap_chars: int = 0,
+) -> DataFrame:
+    """Sliding-window document chunking — the text twin of audio
+    ``chunked_clips`` (q47): long documents split into training-window
+    chunks of at most ``max_chars`` with ``overlap_chars`` of context
+    carried across the boundary (stride = max - overlap), so a span
+    that straddles a cut still appears whole in one chunk.  Empty/NULL
+    documents pass through as one empty chunk (row count is preserved
+    per document — nothing silently vanishes).
+
+    Pure Catalyst: ``explode(sequence(0, n_chunks-1))`` +
+    ``substring`` — zero Python, no Exchange (plan-asserted in tests);
+    at 10^12 docs the chunker is a map-only projection.
+    Emits (id_col, chunk_idx, chunk_text)."""
+    if max_chars < 1:
+        raise ValueError(f"max_chars must be >= 1, got {max_chars}")
+    if not 0 <= overlap_chars < max_chars:
+        raise ValueError(
+            f"overlap_chars must be in [0, max_chars), got {overlap_chars}"
+        )
+    stride = max_chars - overlap_chars
+    n = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    n_chunks = F.when(n <= max_chars, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - max_chars) / F.lit(stride)).cast("int")
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    return (
+        df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t"), idx)
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(
+                F.col("__t"), F.col("chunk_idx") * stride + 1, max_chars
+            ).alias("chunk_text"),
+        )
+    )

@@ -6791,6 +6791,105 @@ ORDER BY cls
 """
 
 
+
+def q_chunk_text(spark, sf_dir):
+    """[tier: quality_filter x audio] sliding-window text chunking
+    (operators/text_analysis.py::chunk_text) — the text twin of audio
+    chunking (q47): long transcripts split into training-window chunks
+    with overlap carried across the boundary so a span straddling a
+    cut still appears whole in one chunk.  Pure Catalyst
+    (explode(sequence) + substring), zero Python, map-only.
+
+    Planted lengths on the documents spine (r % 4), max_chars=40,
+    overlap=10 (stride 30): 0 short 25 chars (1 chunk), 1 exactly 40
+    (1 chunk), 2 100 chars (3 chunks of 40/40/40 — the overlap makes
+    the sum 120 > 100), 3 empty (one empty chunk — row count per doc
+    is preserved).  Per-class chunk counts and summed chunk lengths
+    recomputed closed-form by the oracle."""
+    _prep(spark)
+    from .operators.text_analysis import chunk_text
+
+    base = F.substring(F.repeat(F.lit("abcdefghij"), 10), 1, 100)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.substring(base, 1, 25))
+        .when(F.col("doc_id") % 4 == 1, F.substring(base, 1, 40))
+        .when(F.col("doc_id") % 4 == 2, base)
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    chunks = chunk_text(docs, max_chars=40, overlap_chars=10)
+    return (
+        chunks.groupBy((F.col("doc_id") % 4).cast("int").alias("cls"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk_text").cast("bigint")).alias("sum_len"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_CHUNK_TEXT_SQL = """
+SELECT cast(doc_id % 4 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE doc_id % 4 WHEN 2 THEN 3 ELSE 1 END) AS BIGINT)
+           AS n_chunks,
+       cast(sum(CASE doc_id % 4 WHEN 0 THEN 25 WHEN 1 THEN 40
+                                WHEN 2 THEN 120 ELSE 0 END) AS BIGINT)
+           AS sum_len
+FROM documents
+GROUP BY 1
+ORDER BY cls
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """[tier: quality_filter x audio] hard-negative mining
+    (operators/similarity.py::hard_negatives): per anchor, the top-k
+    most-similar corpus vectors whose cosine lies in a [lo, hi) band —
+    similar enough to be informative for contrastive training, below
+    the near-dup threshold so the negative is not secretly a positive
+    (hi < 1 also excludes the anchor itself).  Exact: the q13
+    two-phase top-k with the band applied BEFORE the per-partition
+    running top-k, so truncation can never cut a row the banded global
+    ranking keeps; the one exchange carries scalar triples only.
+
+    Real-data oracle (the q13 scheme): DuckDB recomputes every banded
+    ranking with its own list_cosine_similarity over the same
+    embeddings parquet — no planted classes, full value equality on
+    (query_id, vec_id, rank)."""
+    _prep(spark)
+    from .operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return hard_negatives(emb, queries, k=3, lo=0.1, hi=0.9).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+Q_HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS s
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, vec_id) AS rank
+  FROM scored
+  WHERE s >= 0.1 AND s < 0.9
+) WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -6960,4 +7059,6 @@ QUERIES = {
     "q122_leakage_safe_split": (q_leakage_safe_split, Q_LEAKAGE_SPLIT_SQL),
     "q123_speech_curation_pipeline": (q_speech_curation_pipeline, Q_SPEECH_CURATION_SQL),
     "q124_corpus_fit_perplexity": (q_corpus_fit_perplexity, Q_CORPUS_FIT_PPL_SQL),
+    "q125_chunk_text": (q_chunk_text, Q_CHUNK_TEXT_SQL),
+    "q126_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
 }
