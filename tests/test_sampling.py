@@ -472,3 +472,40 @@ def test_split_by_cluster_rejects_bad_fraction(spark):
     empty = spark.createDataFrame([], "a bigint, b bigint")
     with pytest.raises(ValueError):
         split_by_cluster(docs, empty, holdout_fraction=1.5)
+
+
+def test_with_dedup_weights_sums_to_distinct_content(spark):
+    """Per-cluster weights sum to exactly 1.0, so the corpus's
+    effective size equals its distinct-content count."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.sampling import with_dedup_weights
+
+    docs = spark.range(0, 240).select(F.col("id").alias("doc_id"))
+    pairs = docs.filter(F.col("doc_id") % 6 == 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 1).alias("a"), (F.col("doc_id") + 2).alias("b")
+        )
+    )
+    out = with_dedup_weights(docs, pairs)
+    got = {r["doc_id"]: r["dedup_weight"] for r in out.collect()}
+    assert len(got) == 240  # no row lost, no row duplicated
+    for d, w in got.items():
+        expect = 1.0 / 3.0 if d % 6 <= 2 else 1.0
+        assert abs(w - expect) < 1e-12, (d, w)
+    total = sum(got.values())
+    n_distinct = 240 - 2 * 40  # each 3-family collapses to 1 effective
+    assert abs(total - n_distinct) < 1e-9
+
+
+def test_with_dedup_weights_no_pairs_all_ones(spark):
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.sampling import with_dedup_weights
+
+    docs = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    out = with_dedup_weights(docs, empty)
+    assert all(r["dedup_weight"] == 1.0 for r in out.collect())

@@ -527,3 +527,40 @@ def split_by_cluster(
         )
         .drop("cluster_id")
     )
+
+
+def with_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    col_name: str = "dedup_weight",
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, weight every
+    member of a near-dup cluster by 1/cluster_size — each distinct
+    content contributes exactly one effective sample (per-cluster
+    weights sum to 1.0), but the natural variation across members
+    (re-encodes, paraphrases, different speakers of one prompt) stays
+    available to training.  The standard soft alternative when hard
+    dedup would destroy diversity the variants carry; compose with
+    ``temperature_sample``/``select_until_budget`` by using the weight
+    as the value column.
+
+    Same scale shape as ``split_by_cluster``: clusters are
+    (node, cluster_id) longs, cluster sizes one groupBy on the 8-byte
+    cluster id, one id join back against the corpus — text/payloads
+    never shuffle.  Unpaired rows are singletons with weight 1.0."""
+    from .dedup import near_duplicate_clusters
+
+    clusters = near_duplicate_clusters(pairs).withColumnRenamed(
+        "node", id_col
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
+    keyed = df.join(clusters, id_col, "left").join(
+        sizes, "cluster_id", "left"
+    )
+    return keyed.withColumn(
+        col_name,
+        F.lit(1.0) / F.coalesce(F.col("__csize"), F.lit(1)).cast("double"),
+    ).drop("cluster_id", "__csize")

@@ -6890,6 +6890,88 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+
+def q_soft_dedup_weights(spark, sf_dir):
+    """[tier: quality_filter x audio] soft dedup
+    (operators/sampling.py::with_dedup_weights): near-dup cluster
+    members are WEIGHTED 1/cluster_size instead of dropped — each
+    distinct content contributes exactly one effective sample while
+    the variation across members (re-encodes, paraphrases, multiple
+    speakers of one prompt) stays available to training; per-cluster
+    weights sum to 1.0 by construction, so the corpus's effective size
+    equals its distinct-content count.
+
+    Planted families on the documents spine (r % 8): docs with
+    r % 8 = 0 anchor a 4-member chain {8k, 8k+1, 8k+2, 8k+3}
+    (weight 0.25 each, when all members exist), r % 8 in {4, 5} form
+    a pair {8k+4, 8k+5} (0.5 each), r % 8 in {6, 7} are singletons
+    (1.0).  The oracle re-derives every weight closed-form (partner
+    existence included) and gates per-class member counts plus
+    ppm-quantized weight sums."""
+    _prep(spark)
+    from .operators.sampling import with_dedup_weights
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    ids = docs.select(F.col("doc_id").alias("b"))
+    anchors = docs.filter(F.col("doc_id") % 8 == 0)
+    chain = None
+    for off in (1, 2, 3):
+        edge = anchors.select(
+            (F.col("doc_id") + off - 1).alias("a"),
+            (F.col("doc_id") + off).alias("b"),
+        ).join(ids, "b").join(docs.select(F.col("doc_id").alias("a")), "a")
+        chain = edge if chain is None else chain.unionByName(edge)
+    pair = docs.filter(F.col("doc_id") % 8 == 4).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    ).join(ids, "b")
+    out = with_dedup_weights(docs, chain.unionByName(pair))
+    return (
+        out.groupBy((F.col("doc_id") % 8).cast("int").alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("dedup_weight") * 1_000_000 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("sum_weight_ppm"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_SOFT_DEDUP_SQL = """
+WITH ids AS (SELECT doc_id FROM documents),
+sized AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN d.doc_id % 8 <= 3 THEN (
+             -- chain membership: the family is {8k .. 8k+3} clipped to
+             -- ids that exist; edges link consecutive members, so the
+             -- cluster is the contiguous run containing this doc
+             SELECT count(*) FROM ids m
+             WHERE m.doc_id - (m.doc_id % 8) = d.doc_id - (d.doc_id % 8)
+               AND m.doc_id % 8 <= 3
+           )
+           WHEN d.doc_id % 8 = 4 THEN
+             CASE WHEN EXISTS (SELECT 1 FROM ids p
+                               WHERE p.doc_id = d.doc_id + 1)
+                  THEN 2 ELSE 1 END
+           WHEN d.doc_id % 8 = 5 THEN
+             CASE WHEN EXISTS (SELECT 1 FROM ids p
+                               WHERE p.doc_id = d.doc_id - 1)
+                  THEN 2 ELSE 1 END
+           ELSE 1
+         END AS csize
+  FROM ids d
+)
+SELECT cast(doc_id % 8 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CAST(floor(1000000.0 / csize + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_weight_ppm
+FROM sized
+GROUP BY 1
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -7061,4 +7143,5 @@ QUERIES = {
     "q124_corpus_fit_perplexity": (q_corpus_fit_perplexity, Q_CORPUS_FIT_PPL_SQL),
     "q125_chunk_text": (q_chunk_text, Q_CHUNK_TEXT_SQL),
     "q126_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
+    "q127_soft_dedup_weights": (q_soft_dedup_weights, Q_SOFT_DEDUP_SQL),
 }
