@@ -1450,3 +1450,24 @@ def test_hard_negatives_rejects_bad_band(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="band"):
         hard_negatives(df, [(0, [1.0, 0.0])], lo=0.9, hi=0.5)
+
+
+def test_spoken_form_readout_and_plan(spark):
+    from top_secret_spark.operators.text_analysis import with_spoken_form
+
+    rows = [
+        (0, "42% & 5 + 3 @ home"),
+        (1, "no digits here"),
+        (2, ""),
+        (3, None),
+        (4, "2026-08-19"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "transcript"])
+    out = with_spoken_form(df)
+    got = {r["doc_id"]: r["spoken"] for r in out.collect()}
+    assert got[0] == "four two percent and five plus three at home"
+    assert got[1] == "no digits here"
+    assert got[2] == "" and got[3] == ""
+    assert got[4] == "two zero two six - zero eight - one nine"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

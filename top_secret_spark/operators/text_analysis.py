@@ -7,6 +7,8 @@ scoring); Python only where a model/counting loop is genuinely needed
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -449,3 +451,38 @@ def chunk_text(
             ).alias("chunk_text"),
         )
     )
+
+
+SPOKEN_FORM_MAP = (
+    ("0", "zero"), ("1", "one"), ("2", "two"), ("3", "three"),
+    ("4", "four"), ("5", "five"), ("6", "six"), ("7", "seven"),
+    ("8", "eight"), ("9", "nine"),
+    ("%", "percent"), ("&", "and"), ("+", "plus"), ("@", "at"),
+)
+
+
+def spoken_form_col(text) -> Column:
+    """Spoken-form normalization for ASR training text: every digit and
+    common symbol becomes its spoken word, digit-by-digit readout
+    ("42%" → "four two percent") — the cheap deterministic convention
+    when a full inverse-text-normalization model is unavailable.
+    Written text must match what the audio actually SAYS or the CTC/
+    attention alignment trains against noise; readout is the safe
+    default (it never invents a pronunciation the speaker may not have
+    used, unlike "forty-two").
+
+    Pure Catalyst: one codegen'd ``regexp_replace`` per mapped char
+    (padded with spaces) + one whitespace collapse + trim.  Zero
+    Python; the whole chain folds into the projection."""
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    for ch, word in SPOKEN_FORM_MAP:
+        c = F.regexp_replace(c, re.escape(ch), f" {word} ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def with_spoken_form(
+    df: DataFrame, text_col: str = "transcript", out_col: str = "spoken"
+) -> DataFrame:
+    """Append the spoken-form normalization of ``text_col`` (see
+    :func:`spoken_form_col`)."""
+    return df.withColumn(out_col, spoken_form_col(text_col))

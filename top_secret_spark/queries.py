@@ -6972,6 +6972,56 @@ ORDER BY cls
 """
 
 
+
+def q_spoken_form(spark, sf_dir):
+    """[tier: quality_filter x audio] spoken-form normalization
+    (operators/text_analysis.py::with_spoken_form): every digit and
+    common symbol becomes its spoken word, digit-by-digit readout
+    ("42%" -> "four two percent") — written text must match what the
+    audio actually says or the alignment trains against noise, and
+    readout is the deterministic convention that never invents a
+    pronunciation the speaker may not have used.  Pure Catalyst: one
+    codegen'd regexp_replace per mapped char + one whitespace
+    collapse, zero Python.
+
+    The oracle is STRING-EXACT: it rebuilds the same doc-seeded input
+    in SQL (digits vary per doc_id) and applies the same replace
+    chain — the full transformed transcript hashes into the value
+    comparison, not a summary statistic."""
+    _prep(spark)
+    from .operators.text_analysis import with_spoken_form
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("clip "),
+            F.col("doc_id").cast("string"),
+            F.lit(" rated 87% & 5 + 3 @ studio"),
+        ).alias("transcript"),
+    ).filter(F.col("doc_id") % 7 == 0)
+    return with_spoken_form(docs).select("doc_id", "spoken").orderBy(
+        "doc_id"
+    )
+
+
+_SPOKEN_CHAIN = "'clip ' || doc_id || ' rated 87% & 5 + 3 @ studio'"
+for _ch, _w in (
+    ("0", "zero"), ("1", "one"), ("2", "two"), ("3", "three"),
+    ("4", "four"), ("5", "five"), ("6", "six"), ("7", "seven"),
+    ("8", "eight"), ("9", "nine"),
+    ("%", "percent"), ("&", "and"), ("+", "plus"), ("@", "at"),
+):
+    _SPOKEN_CHAIN = f"replace({_SPOKEN_CHAIN}, '{_ch}', ' {_w} ')"
+
+Q_SPOKEN_FORM_SQL = f"""
+SELECT doc_id,
+       trim(regexp_replace({_SPOKEN_CHAIN}, '\\s+', ' ', 'g')) AS spoken
+FROM documents
+WHERE doc_id % 7 = 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -7144,4 +7194,5 @@ QUERIES = {
     "q125_chunk_text": (q_chunk_text, Q_CHUNK_TEXT_SQL),
     "q126_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
     "q127_soft_dedup_weights": (q_soft_dedup_weights, Q_SOFT_DEDUP_SQL),
+    "q128_spoken_form": (q_spoken_form, Q_SPOKEN_FORM_SQL),
 }
