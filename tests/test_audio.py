@@ -2467,3 +2467,72 @@ def test_codec_family_batch_matches_single_over_random_layouts(lens, seed):
         sp, sc = batch_codec_family([d])
         np.testing.assert_allclose(bp[i], sp[0], atol=1e-12)
         np.testing.assert_allclose(bc[i], sc[0], atol=1e-12)
+
+
+def test_padded_clips_byte_exactness_and_decode(spark):
+    """Padded payloads decode to the original samples followed by exact
+    digital silence; truncation decodes to the original prefix."""
+    from pyspark.sql import Row
+
+    from top_secret_spark.kernel.audio import decode, encode
+    from top_secret_spark.operators.audio import padded_clips
+
+    sr = 16000
+    x = _speechish(seed=2, n=1000)
+    rows = [
+        Row(clip_id="short_pcm", bytes=bytearray(encode(x, "pcm16")),
+            sr_hz=sr, dur_ms=62, codec="pcm16", transcript=""),
+        Row(clip_id="short_ulaw", bytes=bytearray(encode(x, "ulaw")),
+            sr_hz=sr, dur_ms=62, codec="ulaw", transcript=""),
+        Row(clip_id="long", bytes=bytearray(encode(_speechish(seed=3, n=9000), "pcm16")),
+            sr_hz=sr, dur_ms=562, codec="pcm16", transcript=""),
+        Row(clip_id="nullbytes", bytes=None,
+            sr_hz=sr, dur_ms=0, codec="pcm16", transcript=""),
+        Row(clip_id="unknown", bytes=bytearray(b"RIFFdata"),
+            sr_hz=sr, dur_ms=0, codec="wav", transcript=""),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    out = {r["clip_id"]: r for r in padded_clips(
+        spark.createDataFrame(rows, schema), target_ms=300
+    ).collect()}
+    target = 4800
+    for cid, codec, n0 in (("short_pcm", "pcm16", 1000),
+                           ("short_ulaw", "ulaw", 1000)):
+        r = out[cid]
+        assert r["pad_ok"] and r["n_pad_samples"] == target - n0
+        assert r["dur_ms"] == 300
+        pcm = decode(bytes(r["bytes"]), codec)
+        assert len(pcm) == target
+        np.testing.assert_array_equal(
+            pcm[:n0], decode(bytes(rows[0 if codec == "pcm16" else 1]["bytes"]), codec)
+        )
+        assert np.abs(pcm[n0:]).max() <= 1e-2  # digital-zero code
+    r = out["long"]
+    assert r["pad_ok"] and r["n_pad_samples"] == 0 and r["dur_ms"] == 300
+    assert len(decode(bytes(r["bytes"]), "pcm16")) == target
+    assert out["nullbytes"]["bytes"] is None
+    assert not out["nullbytes"]["pad_ok"]
+    assert bytes(out["unknown"]["bytes"]) == b"RIFFdata"
+    assert not out["unknown"]["pad_ok"]
+
+
+def test_padded_clips_plan_is_pure_catalyst(spark):
+    from top_secret_spark.operators.audio import padded_clips
+    from top_secret_spark.sources.clips import pitch_clips_df
+
+    out = padded_clips(pitch_clips_df(spark, 8, partitions=2), target_ms=400)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one MapInPandas = the fixture generator; the padding adds none
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_padded_clips_rejects_bad_target(spark):
+    import pytest
+
+    from top_secret_spark.operators.audio import padded_clips
+    from top_secret_spark.sources.clips import pitch_clips_df
+
+    with pytest.raises(ValueError, match="target_ms"):
+        padded_clips(pitch_clips_df(spark, 4, partitions=1), target_ms=0)

@@ -3172,3 +3172,60 @@ def codec_mismatch_reason_col() -> Column:
     when the detector verified a family contradicting the declared
     codec, NULL (keep) otherwise.  Codegen'd CASE."""
     return F.when(F.col("codec_mismatch"), F.lit("codec_mismatch"))
+
+
+def padded_clips(df: DataFrame, target_ms: int = 30_000) -> DataFrame:
+    """Fixed-length batching prep as a PURE-CATALYST byte op — every
+    clip becomes EXACTLY ``target_ms`` long: longer clips truncate
+    (byte slice), shorter clips pad with the codec's digital-zero code
+    (pcm16 ``0x0000``, G.711 u-law/A-law ``0x80`` — the
+    ``time_masked_clips`` convention), so a training loader gets
+    uniform tensors without a decode.  Zero Python, zero Exchange.
+
+    Emits ``n_pad_samples`` (how much silence was added; 0 when
+    truncated — the loss-masking input a trainer needs) and
+    ``pad_ok``.  Passthrough rows (NULL payload, unknown codec,
+    NULL/non-positive sr — padding is undefined) keep their payload
+    with pad_ok=false.  ``dur_ms`` is rewritten to ``target_ms`` on
+    padded rows; a trailing odd byte on a misaligned pcm16 payload is
+    dropped BY the slice (alignment is part of the contract here,
+    unlike the mask's ride-along: a padded batch must be exactly
+    bps x target samples)."""
+    if target_ms <= 0:
+        raise ValueError(f"padded_clips: target_ms must be positive, got {target_ms}")
+    b = F.col("bytes")
+    bps = (
+        F.when(F.col("codec") == "pcm16", F.lit(2))
+        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
+    )
+    zero_hex = F.when(F.col("codec") == "pcm16", F.lit("0000")).otherwise(
+        F.lit("80")
+    )
+    ok = (
+        b.isNotNull()
+        & bps.isNotNull()
+        & F.col("sr_hz").isNotNull()
+        & (F.col("sr_hz") > 0)
+    )
+    n = F.floor(F.length(b).cast("bigint") / bps).cast("bigint")
+    target = F.floor(
+        F.col("sr_hz").cast("bigint") * F.lit(int(target_ms)) / F.lit(1000)
+    ).cast("bigint")
+    pad = F.greatest(target - n, F.lit(0).cast("bigint"))
+    kept = F.least(n, target)
+    out_bytes = F.when(
+        ok,
+        F.concat(
+            b.substr(F.lit(1), (kept * bps).cast("int")),
+            F.unhex(F.repeat(zero_hex, pad.cast("int"))),
+        ),
+    ).otherwise(b)
+    return (
+        df.withColumn("n_pad_samples", F.when(ok, pad).otherwise(F.lit(0)).cast("int"))
+        .withColumn("pad_ok", ok)
+        .withColumn("bytes", out_bytes)
+        .withColumn(
+            "dur_ms",
+            F.when(ok, F.lit(int(target_ms))).otherwise(F.col("dur_ms")).cast("int"),
+        )
+    )

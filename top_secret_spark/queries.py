@@ -7022,6 +7022,70 @@ ORDER BY doc_id
 """
 
 
+
+def q_padded_clips(spark, sf_dir):
+    """[tier: quality_filter x audio] fixed-length padding
+    (operators/audio.py::padded_clips): every clip becomes exactly
+    target_ms — longer truncates (byte slice), shorter pads with the
+    codec's digital-zero code — so a training loader gets uniform
+    tensors without a decode, plus n_pad_samples for loss masking.
+    Pure Catalyst byte op (the time_masked_clips convention), zero
+    Python, zero Exchange.
+
+    Planted classes built in-plan on the documents spine (pcm16 @
+    16 kHz, target 300 ms = 4800 samples): 0 short 1000 samples
+    (pad 3800), 1 exactly 4800 (pad 0), 2 long 6000 (truncate to
+    4800), 3 NULL payload (passthrough, pad_ok=false).  Output byte
+    lengths and pad totals recomputed closed-form by the oracle."""
+    _prep(spark)
+    from .operators.audio import padded_clips
+
+    def pcm(n_samples):
+        return F.unhex(F.repeat(F.lit("abcd"), n_samples))
+
+    clips = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, pcm(1000))
+        .when(F.col("doc_id") % 4 == 1, pcm(4800))
+        .when(F.col("doc_id") % 4 == 2, pcm(6000))
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("bytes"),
+        F.lit(16000).alias("sr_hz"),
+        F.lit(0).alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+    ).withColumn("clip_id", F.col("doc_id").cast("string"))
+    out = padded_clips(clips, target_ms=300)
+    return (
+        out.groupBy((F.col("doc_id") % 4).cast("int").alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.length("bytes"), F.lit(0)).cast("bigint"))
+            .alias("sum_bytes"),
+            F.sum(F.col("n_pad_samples").cast("bigint")).alias("sum_pad"),
+            F.count(F.when(F.col("pad_ok"), 1)).alias("n_ok"),
+            F.sum(F.col("dur_ms").cast("bigint")).alias("sum_dur"),
+        )
+        .orderBy("cls")
+    )
+
+
+Q_PADDED_CLIPS_SQL = """
+SELECT cast(doc_id % 4 AS INTEGER) AS cls,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 9600 END) AS BIGINT)
+           AS sum_bytes,
+       cast(sum(CASE doc_id % 4 WHEN 0 THEN 3800 ELSE 0 END) AS BIGINT)
+           AS sum_pad,
+       cast(sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_ok,
+       cast(sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 300 END) AS BIGINT)
+           AS sum_dur
+FROM documents
+GROUP BY 1
+ORDER BY cls
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -7195,4 +7259,5 @@ QUERIES = {
     "q126_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
     "q127_soft_dedup_weights": (q_soft_dedup_weights, Q_SOFT_DEDUP_SQL),
     "q128_spoken_form": (q_spoken_form, Q_SPOKEN_FORM_SQL),
+    "q129_padded_clips": (q_padded_clips, Q_PADDED_CLIPS_SQL),
 }
