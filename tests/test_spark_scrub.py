@@ -176,3 +176,47 @@ def test_pii_density_gate(spark):
     assert out["repeat"].n_pii == 1
     assert out["dense"].n_pii == 5 and out["dense"].reason == "pii_dense"
     assert out["null"].n_pii == 0 and out["null"].pii_density == 0.0
+
+
+# --- keyed pseudonymization -------------------------------------------------------
+
+
+def test_pseudonyms_stable_distinct_and_null_preserving(spark):
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.scrub import with_pseudonyms
+
+    df = spark.createDataFrame(
+        [(0, "alice", "dev1"), (1, "bob", "dev2"), (2, "alice", "dev1"),
+         (3, None, "dev3")],
+        ["row_id", "speaker_id", "device_id"],
+    )
+    out = with_pseudonyms(
+        df, {"speaker_id": "spk", "device_id": "dev"}, secret="s3cr3t"
+    ).collect()
+    got = {r["row_id"]: (r["speaker_id"], r["device_id"]) for r in out}
+    # stable: same input -> same token
+    assert got[0] == got[2]
+    # distinct inputs -> distinct tokens
+    assert got[0][0] != got[1][0] and got[0][1] != got[1][1]
+    # prefixes + NULL preserved
+    assert got[0][0].startswith("spk_") and got[0][1].startswith("dev_")
+    assert got[3][0] is None
+    # raw values are gone from the frame
+    assert all("alice" not in (v or "") for v, _ in got.values())
+
+
+def test_pseudonym_secret_changes_mapping_and_is_required(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.scrub import pseudonym_col
+
+    df = spark.createDataFrame([("alice",)], ["speaker_id"])
+    a = df.select(pseudonym_col("speaker_id", "k1").alias("t")).first()["t"]
+    b = df.select(pseudonym_col("speaker_id", "k2").alias("t")).first()["t"]
+    assert a != b  # unkeyed rainbow tables can't invert either
+    with pytest.raises(ValueError, match="secret"):
+        pseudonym_col("speaker_id", "")
+    with pytest.raises(ValueError, match="length"):
+        pseudonym_col("speaker_id", "k", length=64)

@@ -265,3 +265,47 @@ def pii_density_reason_col(
         | (F.col("n_pii") > F.lit(int(max_count))),
         F.lit("pii_dense"),
     )
+
+
+def pseudonym_col(
+    col, secret: str, prefix: str = "id", length: int = 16
+) -> Column:
+    """Keyed pseudonymization for identifier COLUMNS — the metadata
+    counterpart of the text scrub: speaker ids, device ids, and clip
+    ids must be de-identified before a corpus is shared, but training
+    still needs them STABLE (same speaker → same token, so speaker
+    statistics and per-speaker caps survive).  token =
+    ``prefix_<hex>`` where hex is the truncated keyed digest of the
+    value; without ``secret`` the mapping is not invertible by
+    rainbow-table lookup of the raw id space.
+
+    Pure Catalyst (md5 + substring + concat — codegen'd); NULL ids
+    stay NULL (a fabricated token for a missing id would create a
+    phantom speaker every NULL row shares).  Truncation trades
+    collision resistance for length: 16 hex chars = 64 bits, fine for
+    10^12 ids (~3e-14 pair collision at 10^6 speakers); raise
+    ``length`` toward 32 for larger id spaces."""
+    if not secret:
+        raise ValueError("pseudonym_col requires a non-empty secret")
+    if not 4 <= length <= 32:
+        raise ValueError(f"length must be in [4, 32], got {length}")
+    c = col if isinstance(col, Column) else F.col(col)
+    digest = F.md5(F.concat(F.lit(secret), F.lit(":"), c.cast("string")))
+    return F.when(
+        c.isNotNull(),
+        F.concat(F.lit(prefix), F.lit("_"), F.substring(digest, 1, length)),
+    )
+
+
+def with_pseudonyms(
+    df: DataFrame,
+    cols: dict,
+    secret: str,
+) -> DataFrame:
+    """Replace each column in ``cols`` (name → token prefix) with its
+    keyed pseudonym (see :func:`pseudonym_col`).  One projection, all
+    columns at once."""
+    return df.withColumns(
+        {name: pseudonym_col(name, secret, prefix)
+         for name, prefix in cols.items()}
+    )

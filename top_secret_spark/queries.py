@@ -7086,6 +7086,49 @@ ORDER BY cls
 """
 
 
+
+def q_pseudonymize_ids(spark, sf_dir):
+    """[reference-core extension] keyed pseudonymization
+    (operators/scrub.py::pseudonym_col / with_pseudonyms): the
+    metadata counterpart of the text scrub — speaker/device/clip ids
+    de-identify before a corpus is shared, but stay STABLE (same
+    speaker → same token) so per-speaker statistics and caps survive.
+    Pure Catalyst (keyed md5 + substring, codegen'd); NULL ids stay
+    NULL rather than minting a phantom shared speaker.
+
+    The oracle is STRING-EXACT: DuckDB computes the identical keyed
+    digest chain over the same derived speaker ids — every token
+    hashes into the value comparison.  Stability is implied (both
+    engines recompute the same mapping independently); the same-
+    speaker-same-token property is additionally pytest-gated."""
+    _prep(spark)
+    from .operators.scrub import with_pseudonyms
+
+    rows = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 4, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit("speaker-"), (F.col("doc_id") % 5).cast("string"))
+        ).alias("speaker_id"),
+    ).filter(F.col("doc_id") % 9 == 0)
+    out = with_pseudonyms(rows, {"speaker_id": "spk"}, secret="k7")
+    return out.select("doc_id", "speaker_id").orderBy("doc_id")
+
+
+Q_PSEUDONYMIZE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'spk_' || substring(
+                   md5('k7:' || 'speaker-' || cast(doc_id % 5 AS VARCHAR)),
+                   1, 16)
+       END AS speaker_id
+FROM documents
+WHERE doc_id % 9 = 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
     "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
@@ -7260,4 +7303,5 @@ QUERIES = {
     "q127_soft_dedup_weights": (q_soft_dedup_weights, Q_SOFT_DEDUP_SQL),
     "q128_spoken_form": (q_spoken_form, Q_SPOKEN_FORM_SQL),
     "q129_padded_clips": (q_padded_clips, Q_PADDED_CLIPS_SQL),
+    "q130_pseudonymize_ids": (q_pseudonymize_ids, Q_PSEUDONYMIZE_SQL),
 }
