@@ -822,7 +822,7 @@ def test_trimmed_clips_operator(spark):
         [Row(clip_id="x", bytes=bytearray(b"\x00\x01"), sr_hz=8000,
              dur_ms=1, codec="opus", transcript="t")]
     )
-    with pytest.raises(Exception, match="unsupported codec"):
+    with pytest.raises(Exception, match="not byte-sliceable"):
         trimmed_clips(bad).collect()
 
 

@@ -386,6 +386,30 @@ def main():
     cf_vec_sec = _timeit(lambda: batch_codec_family(cf_datas))
     cf_loop_sec = _timeit(codecfam_loop)
 
+    # IMA-ADPCM decode: the dispatcher's two arms measured against each
+    # other — audioop's C loop (the fast path when the stdlib has it)
+    # vs the self-contained numpy sample-major scan (the durable 3.13+
+    # fallback).  The scan pays per-iteration numpy overhead on every
+    # SAMPLE index and only amortizes across the batch axis, so the C
+    # loop wins by construction; the record documents how much the
+    # fallback costs, it is not a batched-must-win gate.
+    from top_secret_spark.kernel import audio as _ka
+    from top_secret_spark.kernel.audio import batch_adpcm_decode
+
+    ad_datas = [encode(c, "adpcm") for c in sp_clips]
+
+    def adpcm_numpy_scan():
+        saved = _ka._audioop
+        _ka._audioop = None
+        try:
+            batch_adpcm_decode(ad_datas)
+        finally:
+            _ka._audioop = saved
+
+    ad_c_sec = _timeit(lambda: batch_adpcm_decode(ad_datas))
+    ad_scan_sec = _timeit(adpcm_numpy_scan, iterations=2)
+    adpcm_c_available = _ka._audioop is not None
+
     host_probe_after = _bandwidth_probe_sec()
     host_probe_sec = max(host_probe_before, host_probe_after)
 
@@ -477,6 +501,12 @@ def main():
         "denoise_batched_clips_per_sec": round(len(sp_clips) / dns_vec_sec, 1),
         "denoise_loop_clips_per_sec": round(len(sp_clips) / dns_loop_sec, 1),
         "denoise_batched_speedup": round(dns_loop_sec / dns_vec_sec, 2),
+        "adpcm_decode_clips_per_sec": round(len(sp_clips) / ad_c_sec, 1),
+        "adpcm_scan_fallback_clips_per_sec": round(
+            len(sp_clips) / ad_scan_sec, 1),
+        "adpcm_dispatch_speedup_vs_fallback": round(
+            ad_scan_sec / ad_c_sec, 2),
+        "adpcm_c_arm_available": adpcm_c_available,
         "iterations": ITERATIONS,
         "protocol": "symmetric: both arms warmed once, best-of-iterations",
         "host_probe_before_sec": round(host_probe_before, 3),

@@ -574,12 +574,21 @@ def _pcm16_payloads(samples, lengths) -> list:
 
 def _encoded_payloads(samples, lengths, codec: str) -> list:
     """Encode a concatenated float buffer to ``codec`` and slice it back
-    into one bytes payload per clip.  One companding/quantize transform
-    over the whole buffer (``alaw_encode``/``ulaw_encode``/
-    ``float_to_pcm16``); the only per-clip work is the byte slicing."""
+    into one bytes payload per clip.  For the stateless sample codecs
+    one companding/quantize transform runs over the whole buffer
+    (``alaw_encode``/``ulaw_encode``/``float_to_pcm16``) and the only
+    per-clip work is the byte slicing; IMA ADPCM is stateful, so its
+    kernel (``batch_adpcm_encode``) restarts predictor state per clip —
+    encode-then-slice over the concatenation would corrupt every clip
+    after the first."""
     import numpy as np
 
-    from ..kernel.audio import alaw_encode, float_to_pcm16, ulaw_encode
+    from ..kernel.audio import (
+        alaw_encode,
+        batch_adpcm_encode,
+        float_to_pcm16,
+        ulaw_encode,
+    )
 
     if codec == "pcm16":
         enc = float_to_pcm16(samples)
@@ -587,10 +596,12 @@ def _encoded_payloads(samples, lengths, codec: str) -> list:
         enc = ulaw_encode(samples)
     elif codec == "alaw":
         enc = alaw_encode(samples)
+    elif codec == "adpcm":
+        return batch_adpcm_encode(samples, lengths)
     else:
         raise NotImplementedError(
             f"codec '{codec}' requires an external encoder not present "
-            f"in this container; supported: pcm16, ulaw, alaw"
+            f"in this container; supported: pcm16, ulaw, alaw, adpcm"
         )
     bounds = np.cumsum(lengths)
     out, start = [], 0
@@ -612,17 +623,24 @@ def transcode_clips(df: DataFrame, target_codec: str = "pcm16") -> DataFrame:
     zero decode work (re-encoding a decoded G.711 signal reproduces the
     source bytes exactly, so the skip changes nothing but cost).  All
     codec pairs here preserve SNR ≥ 35 dB vs the source signal (G.711
-    8-bit companding floor, measured; pcm16 targets are ≥ 85 dB), above
-    the north-rule 30 dB invariant.  Same batching/contract as
+    8-bit companding floor, measured; pcm16 targets are ≥ 85 dB) except
+    IMA ADPCM targets: a 4-bit predictive quantizer trades fidelity for
+    2x compression and measures 19–31 dB depending on signal content
+    (q131 gates its floor at ≥ 15 dB on the transcode fixture) — BELOW
+    the 30 dB north-rule passthrough invariant, so adpcm is an ingest/
+    storage codec here; route training audio through pcm16/G.711
+    targets.  ADPCM payloads hold a whole number of bytes (2 samples
+    each): an odd-length source is repeat-padded by one sample and
+    decodes to the even-rounded count.  Same batching/contract as
     :func:`resampled_clips`: one concatenated kernel pass per source
     codec per Arrow batch, undecodable payloads raise loudly (transform,
     not a gate).  NULL payloads pass through NULL (there is nothing to
     transcode), matching ``time_masked_clips``/``chunked_clips``."""
-    if target_codec not in _BYTES_PER_SAMPLE:
+    _encodable = sorted(set(_BYTES_PER_SAMPLE) | {"adpcm"})
+    if target_codec not in _encodable:
         raise NotImplementedError(
             f"codec '{target_codec}' requires an external encoder not "
-            f"present in this container; supported: "
-            f"{sorted(_BYTES_PER_SAMPLE)}"
+            f"present in this container; supported: {_encodable}"
         )
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
 
@@ -667,7 +685,8 @@ def trimmed_clips(
     Decode runs only to FIND the bounds (`kernel.batch_trim_bounds`:
     one flatnonzero + two searchsorted per codec per Arrow batch); the
     retained region is then a BYTE SLICE of the original payload —
-    every supported codec is fixed-bytes-per-sample — so the codec
+    every SEEKABLE codec is fixed-bytes-per-sample (adpcm is not:
+    decode state is sequential, so this op raises for it) — the codec
     column is preserved and retained samples are bit-identical to the
     input (no decode→re-encode generation loss).  ``dur_ms`` is
     rewritten from the retained sample count.  All-silent clips come
@@ -698,9 +717,13 @@ def trimmed_clips(
                 bps = _BYTES_PER_SAMPLE.get(codec)
                 if bps is None:
                     raise ValueError(
-                        f"trimmed_clips: unsupported codec {codec!r} — "
+                        f"trimmed_clips: codec {codec!r} is not "
+                        "byte-sliceable — trim keeps retained samples "
+                        "bit-identical via a payload slice, which only "
+                        "fixed-width codecs (SEEKABLE_CODECS) survive; "
                         "gate undecodable rows out upstream "
-                        "(with_audio_keep_drop) before transforming"
+                        "(with_audio_keep_drop), and transcode stateful "
+                        "codecs (adpcm) to pcm16/ulaw/alaw first"
                     )
                 idx = np.flatnonzero((codecs == codec) & nonnull)
                 if (srs[idx] <= 0).any():
@@ -950,8 +973,11 @@ def split_clips_on_silence(
             ):
                 if _BYTES_PER_SAMPLE.get(codec) is None:
                     raise ValueError(
-                        f"split_clips_on_silence: unsupported codec "
-                        f"{codec!r} — gate undecodable rows out upstream"
+                        f"split_clips_on_silence: codec {codec!r} is not "
+                        "byte-sliceable (segments are payload slices; "
+                        "stateful codecs like adpcm need a transcode to "
+                        "pcm16/ulaw/alaw first) — gate undecodable rows "
+                        "out upstream"
                     )
                 if sr <= 0:
                     raise ValueError(
@@ -1909,13 +1935,17 @@ def with_speaking_rate(
     vad = with_speech_activity(
         df, threshold=threshold, gap_ms=gap_ms, keep_bytes=True
     )
-    bps = (
-        F.when(F.col("codec") == "pcm16", F.lit(2))
-        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
+    # samples from payload length — ratio form so the nibble codec is
+    # exact (adpcm packs 2 samples/byte); VAD above decodes the same
+    # codec set, so the two sides of speech_ratio x n_samples agree
+    spb = (
+        F.when(F.col("codec") == "pcm16", F.lit(0.5))
+        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1.0))
+        .when(F.col("codec") == "adpcm", F.lit(2.0))
     )
     n_samples = F.when(
-        F.col("bytes").isNotNull() & bps.isNotNull(),
-        (F.length("bytes") / bps).cast("long"),
+        F.col("bytes").isNotNull() & spb.isNotNull(),
+        (F.length("bytes") * spb).cast("long"),
     ).otherwise(F.lit(0))
     voiced = F.when(
         F.col("vad_ok") & (F.col("sr_hz") > 0),
@@ -2070,7 +2100,7 @@ def redact_audio_pii(
         import pandas as pd
 
         from ..kernel.audio import (
-            SUPPORTED_CODECS,
+            SEEKABLE_CODECS,
             alaw_encode,
             ulaw_encode,
         )
@@ -2101,9 +2131,14 @@ def redact_audio_pii(
                 if not mapping:
                     continue
                 data, codec, sr = new_bytes[i], codecs[i], srs[i]
+                # SEEKABLE only: silence is written as a per-sample byte
+                # splice, which a stateful codec (adpcm) cannot survive —
+                # such rows pass through with the scrubbed transcript but
+                # n_redacted_spans = 0 (transcode to a fixed-width codec
+                # upstream to redact audio too)
                 if (
                     data is None
-                    or codec not in SUPPORTED_CODECS
+                    or codec not in SEEKABLE_CODECS
                     or sr is None
                     or sr <= 0
                 ):
@@ -2339,7 +2374,7 @@ def downmix_to_mono(df: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ..kernel.audio import batch_downmix, decode_sr_nch_groups, encode
+        from ..kernel.audio import batch_downmix, decode_sr_nch_groups
 
         for pdf in iterator:
             datas = pdf["bytes"].tolist()
@@ -2356,12 +2391,12 @@ def downmix_to_mono(df: DataFrame) -> DataFrame:
                 decode_sr_nch_groups(datas, codecs, srs, nchs)
             ):
                 mono, mlen = batch_downmix(samples, lengths, nch)
-                width = 2 if codec == "pcm16" else 1
-                encoded = memoryview(encode(mono, codec))
-                ends = np.cumsum(mlen) * width
-                starts = ends - mlen * width
-                for k, i in enumerate(idx):
-                    out_bytes[i] = bytes(encoded[starts[k]:ends[k]])
+                # per-codec re-encode + per-clip slice in one helper —
+                # handles the stateful adpcm case (fresh state per clip)
+                for k, payload in enumerate(
+                    _encoded_payloads(mono, mlen, codec)
+                ):
+                    out_bytes[idx[k]] = payload
                 nch_out[idx] = 1
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
@@ -2543,7 +2578,7 @@ def declipped_clips(df: DataFrame, level: float = 0.95) -> DataFrame:
     def run(iterator):
         import numpy as np
 
-        from ..kernel.audio import batch_declip, decode_sr_groups, encode
+        from ..kernel.audio import batch_declip, decode_sr_groups
 
         for pdf in iterator:
             n = len(pdf)
@@ -2558,12 +2593,10 @@ def declipped_clips(df: DataFrame, level: float = 0.95) -> DataFrame:
             ):
                 codec = str(codecs[idx[0]])
                 rep, nc, nr = batch_declip(samples, lengths, level=level)
-                width = 2 if codec == "pcm16" else 1
-                encoded = memoryview(encode(rep, codec))
-                ends = np.cumsum(lengths) * width
-                starts = ends - lengths * width
-                for k, i in enumerate(idx):
-                    out_bytes[i] = bytes(encoded[starts[k]:ends[k]])
+                for k, payload in enumerate(
+                    _encoded_payloads(rep, lengths, codec)
+                ):
+                    out_bytes[idx[k]] = payload
                 ncs[idx] = nc
                 nrs[idx] = nr
             pdf = pdf.copy()
@@ -2614,7 +2647,11 @@ def pack_audio_examples(
         )
     codec, sr = kinds[0].codec, int(kinds[0].sr_hz)
     if codec not in ("pcm16", "ulaw", "alaw"):
-        raise ValueError(f"unsupported codec for packing: {codec!r}")
+        raise ValueError(
+            f"unsupported codec for packing: {codec!r} — packing slices "
+            "payload bytes, so only fixed-width seekable codecs qualify "
+            "(transcode adpcm first)"
+        )
     width = 2 if codec == "pcm16" else 1
     size = int(example_ms * sr / 1000)  # samples per example
     if size <= 0:
@@ -2734,7 +2771,7 @@ def denoised_clips(
     def run(iterator):
         import numpy as np
 
-        from ..kernel.audio import decode_sr_groups, encode
+        from ..kernel.audio import decode_sr_groups
         from ..kernel.spectral import batch_denoise
 
         for pdf in iterator:
@@ -2753,12 +2790,10 @@ def denoised_clips(
                     samples, lengths, sr,
                     alpha=alpha, beta=beta, quiet_frac=quiet_frac,
                 )
-                width = 2 if codec == "pcm16" else 1
-                encoded = memoryview(encode(den, codec))
-                ends = np.cumsum(lengths) * width
-                starts = ends - lengths * width
-                for k, i in enumerate(idx):
-                    out_bytes[i] = bytes(encoded[starts[k]:ends[k]])
+                for k, payload in enumerate(
+                    _encoded_payloads(den, lengths, codec)
+                ):
+                    out_bytes[idx[k]] = payload
                 oks[idx] = True
                 nfs[idx] = nf
             pdf = pdf.copy()

@@ -40,32 +40,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# codec -> bytes per sample for the fixed-rate codecs this engine
-# decodes (kernel/audio.py SUPPORTED_CODECS); anything else is
-# unknown_codec here and decode_error at the decode boundary
-_BYTES_PER_SAMPLE = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+# codec -> samples per payload byte for every codec this engine decodes
+# (kernel/audio.py SUPPORTED_CODECS); anything else is unknown_codec
+# here and decode_error at the decode boundary.  The ratio (not
+# bytes-per-sample) keeps the nibble codec exact: IMA ADPCM packs two
+# 4-bit samples per byte, so its payload→sample relation is x2 — still
+# pure Catalyst arithmetic, no decode needed for the audit.
+_SAMPLES_PER_BYTE = {"pcm16": 0.5, "ulaw": 1.0, "alaw": 1.0, "adpcm": 2.0}
 
 SR_MIN, SR_MAX = 4_000, 192_000
 
 
-def _bytes_per_sample_col() -> Column:
-    expr = F.lit(None).cast("int")
-    for codec, bps in _BYTES_PER_SAMPLE.items():
-        expr = F.when(F.col("codec") == codec, F.lit(bps)).otherwise(expr)
+def _samples_per_byte_col() -> Column:
+    expr = F.lit(None).cast("double")
+    for codec, spb in _SAMPLES_PER_BYTE.items():
+        expr = F.when(F.col("codec") == codec, F.lit(spb)).otherwise(expr)
     return expr
 
 
 def meta_violation_col(tol_ms: int = 20) -> Column:
     """First-match violation name (NULL = consistent), pure Catalyst."""
-    bps = _bytes_per_sample_col()
+    spb = _samples_per_byte_col()
     nbytes = F.length(F.col("bytes"))
     implied_ms = (
         F.lit(1000.0)
-        * (nbytes / bps).cast("double")
+        * (nbytes * spb).cast("double")
         / F.col("sr_hz").cast("double")
     )
     return (
-        F.when(bps.isNull(), F.lit("unknown_codec"))
+        F.when(spb.isNull(), F.lit("unknown_codec"))
         .when(
             F.col("sr_hz").isNull()
             | F.col("dur_ms").isNull()
@@ -100,9 +103,9 @@ def with_metadata_audit(df: DataFrame, tol_ms: int = 20) -> DataFrame:
     quarantine sink; every downstream Arrow boundary then only ever
     sees rows whose payload matches its own metadata."""
     violation = meta_violation_col(tol_ms)
-    bps = _bytes_per_sample_col()
+    spb = _samples_per_byte_col()
     computable = (
-        bps.isNotNull()
+        spb.isNotNull()
         & F.col("sr_hz").isNotNull()
         & (F.col("sr_hz") >= SR_MIN)
         & (F.col("sr_hz") <= SR_MAX)
@@ -112,7 +115,7 @@ def with_metadata_audit(df: DataFrame, tol_ms: int = 20) -> DataFrame:
         computable,
         F.round(
             F.lit(1000.0)
-            * (F.length("bytes") / bps).cast("double")
+            * (F.length("bytes") * spb).cast("double")
             / F.col("sr_hz").cast("double"),
             3,
         ),

@@ -2419,6 +2419,107 @@ ORDER BY arm, seg_class
 """
 
 
+def q_adpcm_transcode(spark, sf_dir):
+    """[tier: quality_filter × audio] IMA-ADPCM codec support under the
+    oracle (kernel/audio.py batch_adpcm_encode / batch_adpcm_decode —
+    the standard IMA/DVI 4-bit algorithm, bit-exact vs the stdlib's
+    independent C implementation in tests/test_adpcm.py).  The same
+    mixed-codec fixture q66 uses is transcoded to the STATEFUL adpcm
+    target: per-clip fresh predictor state, sample-major vectorized
+    encode, odd-length sources repeat-padded by one sample so every
+    payload holds a whole number of bytes (2 samples/byte exactly).
+
+    Gated per source codec, all closed-form for the SQL oracle:
+      * out_bytes    — sum of ceil(n/2) payload bytes (n = 400 + 37*r)
+      * n_pad        — odd-n clips whose decode returns n+1 samples
+        (these pairs report -inf from batch_pair_snr's equal-length
+        guard, BY DESIGN — counted, not hidden)
+      * n_snr_ge_15  — even-n pairs clearing the measured 4-bit
+        predictive-quantizer floor (fixture min 19.1 dB; gate 15 dB —
+        adpcm trades fidelity for 2x compression and sits BELOW the
+        30 dB passthrough invariant, which is why transcode_clips
+        documents it as an ingest/storage codec)
+      * n_len_ok     — every payload's Catalyst-computable sample count
+        (2 x byte length) equals the even-rounded source count."""
+    _prep(spark)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.audio import transcode_clips
+    from .sources.clips import transcode_clips_df
+
+    clips = transcode_clips_df(spark, 180, partitions=8)
+    out = transcode_clips(
+        clips.withColumn("codec_orig", F.col("codec")), "adpcm"
+    )
+    orig = clips.select(
+        F.col("clip_id"),
+        F.col("bytes").alias("bytes_src"),
+        F.col("codec").alias("codec_src"),
+    )
+
+    @pandas_udf("double")
+    def pair_snr(ba, bb, ca, cb):
+        from .kernel.audio import batch_pair_snr
+
+        return pd.Series(
+            batch_pair_snr(
+                ba.tolist(), bb.tolist(), ca.tolist(), cb.tolist()
+            )
+        )
+
+    r = F.substring("clip_id", 4, 8).cast("long")
+    n_src = F.lit(400) + F.lit(37) * r
+    n_even = n_src + n_src % 2
+    joined = (
+        out.join(orig, "clip_id")
+        .withColumn(
+            "snr_db",
+            pair_snr(
+                F.col("bytes_src"), F.col("bytes"),
+                F.col("codec_src"), F.col("codec"),
+            ),
+        )
+        .withColumn("_n_src", n_src)
+        .withColumn("_len_ok", (F.length("bytes") * 2 == n_even))
+    )
+    return (
+        joined.groupBy("codec_orig")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.length("bytes")).alias("out_bytes"),
+            F.sum((F.col("_n_src") % 2 == 1).cast("long")).alias("n_pad"),
+            F.sum(
+                ((F.col("_n_src") % 2 == 0) & (F.col("snr_db") >= 15.0))
+                .cast("long")
+            ).alias("n_snr_ge_15"),
+            F.sum(F.col("_len_ok").cast("long")).alias("n_len_ok"),
+        )
+        .orderBy("codec_orig")
+    )
+
+
+Q_ADPCM_TRANSCODE_SQL = """
+WITH p AS (
+  SELECT r,
+         CASE r % 3 WHEN 0 THEN 'pcm16' WHEN 1 THEN 'ulaw' ELSE 'alaw'
+         END AS codec_orig,
+         400 + 37 * r AS n
+  FROM (SELECT unnest(range(0, 180)) AS r)
+)
+SELECT codec_orig,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum((n + 1) // 2) AS BIGINT) AS out_bytes,
+       CAST(sum(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pad,
+       CAST(sum(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_snr_ge_15,
+       CAST(count(*) AS BIGINT) AS n_len_ok
+FROM p
+GROUP BY codec_orig
+ORDER BY codec_orig
+"""
+
+
 def q_transcode(spark, sf_dir):
     """[tier: quality_filter × audio] codec normalization — transcode a
     mixed-codec corpus (pcm16 / ulaw / alaw by ``r % 3``) to one target
@@ -7304,4 +7405,5 @@ QUERIES = {
     "q128_spoken_form": (q_spoken_form, Q_SPOKEN_FORM_SQL),
     "q129_padded_clips": (q_padded_clips, Q_PADDED_CLIPS_SQL),
     "q130_pseudonymize_ids": (q_pseudonymize_ids, Q_PSEUDONYMIZE_SQL),
+    "q131_adpcm_transcode": (q_adpcm_transcode, Q_ADPCM_TRANSCODE_SQL),
 }

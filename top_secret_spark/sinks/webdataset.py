@@ -51,7 +51,8 @@ MANIFEST_SCHEMA = (
     "tar_bytes long, sha256 string"
 )
 
-CODEC_EXT = {"pcm16": "pcm16", "ulaw": "ulaw", "alaw": "alaw"}
+CODEC_EXT = {"pcm16": "pcm16", "ulaw": "ulaw", "alaw": "alaw",
+             "adpcm": "adpcm"}
 
 
 class _HashingWriter:
