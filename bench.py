@@ -153,13 +153,25 @@ def main():
     ]
 
     extras["host_probe_before_sec"] = _bandwidth_probe_sec()
+    # Degraded window at launch: widen the interleaved best-of so at
+    # least one round has a chance to land in a calm stretch (the
+    # shared VM's noise comes in bursts of a few minutes).  Explicit
+    # $SPARK_GRAFT_BENCH_REPEATS always wins.
+    if ("SPARK_GRAFT_BENCH_REPEATS" not in os.environ
+            and extras["host_probe_before_sec"] > 1.0):
+        repeats = 6
     results: dict[str, int] = {}
     per_round: dict[str, list[float]] = {name: [] for name, _ in arms}
+    round_probes: list[float] = []
     for _rep in range(repeats):
+        # untimed per-round probe: each best-of round carries its own
+        # host-health context in the record
+        round_probes.append(_bandwidth_probe_sec())
         for name, fn in arms:
             t0 = time.time()
             results[name] = fn()
             per_round[name].append(time.time() - t0)
+    extras["round_probes_sec"] = round_probes
     extras["host_probe_after_sec"] = _bandwidth_probe_sec()
     for name, _ in arms:
         timings[name] = round(min(per_round[name]), 3)

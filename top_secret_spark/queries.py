@@ -7281,7 +7281,11 @@ QUERIES = {
     "q29_ivf_ann": (q_ivf_ann, Q_IVF_ANN_SQL),
     "q30_dedup_near": (q_dedup_near, Q_DEDUP_NEAR_SQL),
     "q31_filter_composition": (q_filter_composition, Q_FILTER_COMPOSITION_SQL),
-    "q32_url_scrub": (q_url_scrub, Q_URL_SCRUB_SQL),
+    # Session-6 flagship rotated into the driver-checked 50 (slot 32):
+    # the stateful-codec transcode is the decode universe's only
+    # predictor-state path; q32_url_scrub keeps its local row below and
+    # the scrub family keeps five driver rows (q03/q20/q23/q33/q96).
+    "q131_adpcm_transcode": (q_adpcm_transcode, Q_ADPCM_TRANSCODE_SQL),
     "q33_ner_model_scrub": (q_ner_model_scrub, Q_NER_MODEL_SCRUB_SQL),
     "q34_checkpointed_stage": (q_checkpointed_stage, Q_CHECKPOINTED_STAGE_SQL),
     "q90_survivor_policy": (q_survivor_policy, Q_SURVIVOR_POLICY_SQL),
@@ -7405,5 +7409,5 @@ QUERIES = {
     "q128_spoken_form": (q_spoken_form, Q_SPOKEN_FORM_SQL),
     "q129_padded_clips": (q_padded_clips, Q_PADDED_CLIPS_SQL),
     "q130_pseudonymize_ids": (q_pseudonymize_ids, Q_PSEUDONYMIZE_SQL),
-    "q131_adpcm_transcode": (q_adpcm_transcode, Q_ADPCM_TRANSCODE_SQL),
+    "q32_url_scrub": (q_url_scrub, Q_URL_SCRUB_SQL),
 }
