@@ -62,6 +62,16 @@ def _numpy_scan_decode(datas):
         ka._audioop = saved
 
 
+def _numpy_scan_encode(samples, lengths):
+    """Force the self-contained numpy encode path regardless of audioop."""
+    saved = ka._audioop
+    ka._audioop = None
+    try:
+        return batch_adpcm_encode(samples, lengths)
+    finally:
+        ka._audioop = saved
+
+
 # --- cross-implementation bit-exactness ---------------------------------------
 
 
@@ -72,10 +82,11 @@ def test_encode_bit_exact_vs_audioop():
         n = int(rng.integers(1, 500)) * 2
         x = _rand_int16(rng, n, smooth=bool(trial % 2))
         ref, _ = audioop.lin2adpcm(x.astype("<i2").tobytes(), 2, None)
-        mine = batch_adpcm_encode(
-            x.astype(np.float64) / 32767.0, np.array([n])
-        )[0]
-        assert mine == ref
+        f = x.astype(np.float64) / 32767.0
+        # BOTH dispatch arms: the default (C loop when present) and the
+        # forced numpy sample-major scan must each match the stdlib
+        assert batch_adpcm_encode(f, np.array([n]))[0] == ref
+        assert _numpy_scan_encode(f, np.array([n]))[0] == ref
 
 
 @needs_audioop
@@ -116,6 +127,31 @@ def test_ragged_batch_decode_matches_per_clip():
                 float_to_pcm16(s[off:off + L]), ref.astype(np.int16)
             )
             off += L
+
+
+def test_grouped_scan_matches_ungrouped_on_skewed_batch(monkeypatch):
+    # one long clip + many short: the dense scans run in length-sorted
+    # groups bounded by _ADPCM_GROUP_ELEMS so the padded matrix is never
+    # O(n_clips × max_len); a tiny budget forces MANY groups and the
+    # result must be bit-identical, in input order, to the single-group
+    # run (budget of one group per clip is the degenerate extreme)
+    rng = np.random.default_rng(23)
+    clips = [rng.random(int(rng.integers(0, 90))).astype(np.float32) * 2 - 1
+             for _ in range(40)]
+    clips.insert(7, rng.random(4001).astype(np.float32) * 2 - 1)  # odd + long
+    flat = np.concatenate(clips)
+    lens = np.array([len(c) for c in clips], dtype=np.int64)
+
+    ref_enc = _numpy_scan_encode(flat, lens)
+    ref_dec = _numpy_scan_decode(ref_enc)
+    monkeypatch.setattr(ka, "_ADPCM_GROUP_ELEMS", 512)
+    got_enc = _numpy_scan_encode(flat, lens)
+    got_dec = _numpy_scan_decode(ref_enc)
+    assert got_enc == ref_enc
+    assert np.array_equal(ref_dec[1], got_dec[1])
+    assert np.array_equal(
+        float_to_pcm16(ref_dec[0]), float_to_pcm16(got_dec[0])
+    )
 
 
 def test_numpy_scan_matches_dispatch_default():
@@ -243,3 +279,48 @@ def test_transcode_adpcm_to_pcm16_holds_decoded_signal(spark, adpcm_clips):
         got = decode(bytes(row["bytes"]), "pcm16")
         assert len(got) == len(ref)
         assert snr_db(ref, got) >= 80.0  # pcm16 re-quantization only
+
+
+def test_chunk_and_mask_flag_adpcm_passthrough(spark, adpcm_clips):
+    """adpcm DECODES fine downstream, so a byte-slice operator that
+    skips it must say so in-band: chunked_clips emits the row as one
+    chunk with chunked=false, time_masked_clips leaves the payload
+    byte-identical with masked=false — without the flags an over-length
+    or augmentation-free adpcm corpus would sail through every gate."""
+    from top_secret_spark.operators.audio import (
+        chunked_clips,
+        time_masked_clips,
+    )
+
+    chunks = chunked_clips(adpcm_clips, max_dur_ms=10).toPandas()
+    assert len(chunks) == 24  # one passthrough chunk per clip
+    assert (~chunks["chunked"]).all()
+    assert (chunks["chunk_idx"] == 0).all()
+
+    src = adpcm_clips.toPandas().set_index("clip_id")
+    masked = time_masked_clips(adpcm_clips, mask_ms=50).toPandas()
+    assert (~masked["masked"]).all()
+    for _, row in masked.iterrows():
+        assert bytes(row["bytes"]) == bytes(src.loc[row["clip_id"], "bytes"])
+
+
+def test_chunk_and_mask_flag_true_for_seekable(spark):
+    import pandas as pd
+
+    from top_secret_spark.operators.audio import (
+        chunked_clips,
+        time_masked_clips,
+    )
+
+    pcm = synth_pcm(42, 8000, 8000)
+    pdf = pd.DataFrame([
+        {"clip_id": "pc-0", "bytes": encode(pcm, "pcm16"), "sr_hz": 8000,
+         "dur_ms": 1000, "codec": "pcm16", "transcript": "x"},
+    ])
+    pdf["sr_hz"] = pdf["sr_hz"].astype("int32")
+    pdf["dur_ms"] = pdf["dur_ms"].astype("int32")
+    df = spark.createDataFrame(pdf)
+    chunks = chunked_clips(df, max_dur_ms=100).toPandas()
+    assert chunks["chunked"].all() and len(chunks) == 10
+    masked = time_masked_clips(df, mask_ms=50).toPandas()
+    assert masked["masked"].all()

@@ -32,6 +32,15 @@ SUPPORTED_CODECS = ("pcm16", "ulaw", "alaw", "adpcm")
 # SUPPORTED_CODECS and handle adpcm with per-clip fresh-state kernels.
 SEEKABLE_CODECS = ("pcm16", "ulaw", "alaw")
 
+# Bytes per sample for every SEEKABLE codec — the ONE map byte-slice
+# operators derive their Catalyst when-chains and slice arithmetic
+# from.  Adding a codec here (and only here) flows to trim / chunk /
+# time-mask / pad / redact / speaking-rate and the integrity audit;
+# adpcm deliberately has no entry (4-bit nibbles, 2 samples/byte, and
+# not byte-sliceable anyway — see SEEKABLE_CODECS above).
+BYTES_PER_SAMPLE = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+assert tuple(BYTES_PER_SAMPLE) == SEEKABLE_CODECS
+
 _MU = 255.0
 _A = 87.6
 _LN_A = float(np.log(_A))
@@ -144,6 +153,30 @@ except Exception:  # pragma: no cover - 3.13+ containers
     _audioop = None
 
 
+# Dense-matrix budget for the numpy sample-major scans: each group's
+# (group_size × group_max_len) intermediates stay under this many
+# elements (~16M ≈ 64-112 MB across the scan's matrices), so ONE long
+# clip in an otherwise-short Arrow batch can never inflate every row's
+# padded width into an O(n × max) allocation (10k short clips + one
+# 10-minute 16 kHz clip would otherwise demand a ~384 GB matrix).
+_ADPCM_GROUP_ELEMS = 1 << 24
+
+
+def _adpcm_length_groups(lengths: np.ndarray):
+    """Yield index arrays over ``lengths`` (a per-clip padded-width
+    array) grouping clips so each group's dense matrix stays under
+    ``_ADPCM_GROUP_ELEMS`` elements.  Descending length-sorted, so a
+    group's width is its FIRST member's length and padding waste within
+    a group is bounded; a single over-budget clip gets its own group."""
+    order = np.argsort(-lengths, kind="stable")
+    start = 0
+    while start < len(order):
+        width = max(int(lengths[order[start]]), 1)
+        count = max(1, _ADPCM_GROUP_ELEMS // width)
+        yield order[start : start + count]
+        start += count
+
+
 def batch_adpcm_decode(datas: list) -> tuple[np.ndarray, np.ndarray]:
     """Decode MANY IMA-ADPCM clips (fresh decoder state per clip) →
     (float32 samples concatenated in input order, per-clip lengths).
@@ -154,7 +187,9 @@ def batch_adpcm_decode(datas: list) -> tuple[np.ndarray, np.ndarray]:
     Dispatch: audioop's C loop per clip when the stdlib provides it
     (sequential recurrences belong in C); otherwise the numpy
     sample-major scan — one vectorized step per sample index across the
-    whole batch, bit-identical output (cross-checked in tests)."""
+    batch, run in length-sorted groups whose dense matrices stay under
+    ``_ADPCM_GROUP_ELEMS`` — bit-identical output (cross-checked in
+    tests)."""
     n = len(datas)
     lens_b = np.fromiter((len(d) for d in datas), np.int64, count=n)
     lengths = 2 * lens_b
@@ -168,6 +203,20 @@ def batch_adpcm_decode(datas: list) -> tuple[np.ndarray, np.ndarray]:
         ]
         flat = np.concatenate(chunks) if chunks else np.empty(0, "<i2")
         return pcm16_to_float(flat), lengths
+    parts: list = [None] * n
+    for idx in _adpcm_length_groups(lens_b):
+        sub = _adpcm_decode_scan([datas[i] for i in idx], lens_b[idx])
+        for k, i in enumerate(idx):
+            parts[i] = sub[k]
+    flat = np.concatenate(parts) if parts else np.empty(0, "<i2")
+    return pcm16_to_float(flat), lengths
+
+
+def _adpcm_decode_scan(datas: list, lens_b: np.ndarray) -> list:
+    """Numpy sample-major IMA-ADPCM scan over one dense group →
+    per-clip int16 arrays (fresh decoder state per clip)."""
+    n = len(datas)
+    lengths = 2 * lens_b
     max_b = int(lens_b.max())
     buf = np.zeros((n, max_b), np.uint8)
     for i, d in enumerate(datas):
@@ -193,8 +242,7 @@ def batch_adpcm_decode(datas: list) -> tuple[np.ndarray, np.ndarray]:
         pred = pred + (1 - ((delta >> 3) & 1) * 2) * vpdiff
         np.clip(pred, -32768, 32767, out=pred)
         out[:, t] = pred
-    mask = np.arange(2 * max_b)[None, :] < lengths[:, None]
-    return pcm16_to_float(out[mask]), lengths
+    return [out[i, : lengths[i]] for i in range(n)]
 
 
 def batch_adpcm_encode(
@@ -206,30 +254,66 @@ def batch_adpcm_encode(
     G.711 paths, a single encode-then-slice over the concatenation
     would corrupt every clip after the first).
 
-    Sample-major vectorized: the recurrence steps once per sample index
-    over a (n_clips, max_len) int32 matrix.  Odd-length clips are
-    padded by repeating their last sample so every payload holds a
-    whole number of bytes (2 samples/byte exactly) — decoding returns
-    the even-rounded count.  audioop instead silently DROPS a trailing
-    odd sample; a curation transform must not lose signal, so we pad.
-    Bit-exact vs audioop.lin2adpcm for even lengths (pytest-gated)."""
+    Odd-length clips are padded by repeating their last sample so every
+    payload holds a whole number of bytes (2 samples/byte exactly) —
+    decoding returns the even-rounded count.  audioop instead silently
+    DROPS a trailing odd sample; a curation transform must not lose
+    signal, so we pad BEFORE either implementation runs.
+
+    Dispatch mirrors decode: audioop's C loop per clip when the stdlib
+    provides it (sequential recurrences belong in C — same ~40× as the
+    decode direction); otherwise the sample-major numpy scan, one
+    vectorized recurrence step per sample index, run in length-sorted
+    groups whose (group × max_len) matrices stay under
+    ``_ADPCM_GROUP_ELEMS``.  Both bit-exact vs audioop.lin2adpcm for
+    even lengths (pytest-gated)."""
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
     if n == 0:
         return []
-    x = float_to_pcm16(samples).astype(np.int32)
+    x16 = float_to_pcm16(samples)
     even = lengths + (lengths & 1)
-    max_len = int(even.max(initial=0))
-    if max_len == 0:
+    if int(even.max(initial=0)) == 0:
         return [b""] * n
-    mat = np.zeros((n, max_len), np.int32)
     bounds = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=bounds[1:])
-    for i in range(n):
+    if _audioop is not None:
+        out: list[bytes] = []
+        for i in range(n):
+            li = int(lengths[i])
+            if li == 0:
+                out.append(b"")
+                continue
+            seg = x16[bounds[i] : bounds[i + 1]]
+            if li & 1:  # repeat-pad so no trailing nibble is lost
+                seg = np.concatenate([seg, seg[-1:]])
+            out.append(_audioop.lin2adpcm(seg.tobytes(), 2, None)[0])
+        return out
+    results: list[bytes] = [b""] * n
+    for idx in _adpcm_length_groups(even):
+        sub = _adpcm_encode_scan(x16, bounds, lengths, idx)
+        for k, i in enumerate(idx):
+            results[i] = sub[k]
+    return results
+
+
+def _adpcm_encode_scan(
+    x16: np.ndarray, bounds: np.ndarray, lengths: np.ndarray,
+    idx: np.ndarray,
+) -> list[bytes]:
+    """Numpy sample-major IMA-ADPCM encode over one dense group
+    (clips ``idx`` of the concatenated int16 buffer) → per-clip
+    payload bytes (fresh encoder state per clip)."""
+    n = len(idx)
+    sub_len = lengths[idx]
+    even = sub_len + (sub_len & 1)
+    max_len = int(even.max(initial=0))
+    mat = np.zeros((n, max_len), np.int32)
+    for k, i in enumerate(idx):
         li = int(lengths[i])
-        mat[i, :li] = x[bounds[i] : bounds[i + 1]]
+        mat[k, :li] = x16[bounds[i] : bounds[i + 1]]
         if li & 1:  # repeat-pad to even so no trailing nibble is lost
-            mat[i, li] = mat[i, li - 1]
+            mat[k, li] = mat[k, li - 1]
     pred = np.zeros(n, np.int32)
     index = np.zeros(n, np.int32)
     nib = np.zeros((n, max_len), np.uint8)
@@ -504,8 +588,8 @@ def batch_decode(datas: list[bytes], codec: str) -> tuple[np.ndarray, np.ndarray
     loop (per-clip numpy-call overhead dominates once clips are short).
     ``lengths[i]`` is clip i's sample count; samples are contiguous in
     input order."""
-    joined = b"".join(datas)
     if codec == "pcm16":
+        joined = b"".join(datas)
         lengths = np.fromiter((len(d) // 2 for d in datas), dtype=np.int64,
                               count=len(datas))
         # every odd-length payload contributes exactly one byte to this
@@ -521,17 +605,18 @@ def batch_decode(datas: list[bytes], codec: str) -> tuple[np.ndarray, np.ndarray
             )
         samples = pcm16_to_float(np.frombuffer(joined, dtype="<i2"))
     elif codec == "ulaw":
-        samples = ulaw_decode(np.frombuffer(joined, dtype=np.uint8))
+        samples = ulaw_decode(np.frombuffer(b"".join(datas), dtype=np.uint8))
         lengths = np.fromiter((len(d) for d in datas), dtype=np.int64,
                               count=len(datas))
     elif codec == "alaw":
-        samples = alaw_decode(np.frombuffer(joined, dtype=np.uint8))
+        samples = alaw_decode(np.frombuffer(b"".join(datas), dtype=np.uint8))
         lengths = np.fromiter((len(d) for d in datas), dtype=np.int64,
                               count=len(datas))
     elif codec == "adpcm":
         # stateful codec: per-clip fresh decoder state — the kernel
         # batches internally (C loop or sample-major scan), it just
         # cannot use the one-frombuffer-over-the-concatenation trick
+        # (and must never pay a joined copy it would not use)
         samples, lengths = batch_adpcm_decode(datas)
     else:
         raise NotImplementedError(

@@ -15,6 +15,9 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..kernel.audio import BYTES_PER_SAMPLE as _BYTES_PER_SAMPLE
+from ..kernel.audio import SUPPORTED_CODECS as _SUPPORTED_CODECS
+
 _FEATURES_SCHEMA_SUFFIX = (
     "decode_ok boolean, rms double, zcr double, dur_ms_measured int, "
     "silence_ratio double, clipping_ratio double"
@@ -562,7 +565,16 @@ def noise_mixed_clips(
     return keyed.mapInPandas(run, schema=schema)
 
 
-_BYTES_PER_SAMPLE = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+def _bps_col() -> Column:
+    """Bytes-per-sample when-chain over ``codec`` — NULL for every
+    non-seekable codec (unknown containers AND adpcm), which is the
+    signal byte-slice operators key their passthrough/flag logic on.
+    Derived from the kernel's one ``BYTES_PER_SAMPLE`` map so a new
+    codec lands in every slice operator at once."""
+    expr = F.lit(None).cast("int")
+    for codec, w in _BYTES_PER_SAMPLE.items():
+        expr = F.when(F.col("codec") == codec, F.lit(w)).otherwise(expr)
+    return expr
 
 
 def _pcm16_payloads(samples, lengths) -> list:
@@ -636,7 +648,7 @@ def transcode_clips(df: DataFrame, target_codec: str = "pcm16") -> DataFrame:
     codec per Arrow batch, undecodable payloads raise loudly (transform,
     not a gate).  NULL payloads pass through NULL (there is nothing to
     transcode), matching ``time_masked_clips``/``chunked_clips``."""
-    _encodable = sorted(set(_BYTES_PER_SAMPLE) | {"adpcm"})
+    _encodable = sorted(_SUPPORTED_CODECS)
     if target_codec not in _encodable:
         raise NotImplementedError(
             f"codec '{target_codec}' requires an external encoder not "
@@ -766,7 +778,7 @@ def chunked_clips(
     fixed-window segmentation ASR/training front-ends run before
     feature extraction (e.g. 30 s windows).
 
-    ZERO decode and ZERO Python: every supported codec here is
+    ZERO decode and ZERO Python: every SEEKABLE codec is
     fixed-bytes-per-sample (pcm16 = 2, G.711 mu/A-law = 1), so a
     sample-aligned chunk is a byte slice — ``explode(sequence(...))`` +
     ``substring`` on the binary column, pure Catalyst, whole-stage
@@ -775,21 +787,23 @@ def chunked_clips(
     transform that needs neither.
 
     Emitted per chunk: ``chunk_id`` (``<clip_id>#<idx>``), ``chunk_idx``,
-    re-derived ``dur_ms`` from the actual slice length, and the parent's
+    re-derived ``dur_ms`` from the actual slice length, ``chunked``
+    (true iff the row was actually sliced to spec), and the parent's
     metadata.  The transcript is NOT alignable to chunks without a
     forced-alignment model, so it stays on chunk 0 only (NULL on the
     rest) — downstream cross-modal gates (rate consistency) must run
-    BEFORE chunking or on chunk 0 only.  Codecs outside the
-    fixed-rate set pass through as a single chunk (idx 0) for the gate
-    to flag — a structural transform must not drop or corrupt rows.
-    Empty payloads likewise emit their single (empty) chunk."""
-    bps = (
-        F.when(F.col("codec") == "pcm16", F.lit(2))
-        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
-        .otherwise(F.lit(None).cast("int"))
-    )
-    # samples per chunk at this clip's rate; NULL bps (unknown codec)
-    # propagates NULL chunk_bytes → single passthrough chunk
+    BEFORE chunking or on chunk 0 only.  Codecs outside the seekable
+    set — unknown containers AND adpcm, whose predictor-state stream
+    cannot be byte-sliced — pass through as a single chunk (idx 0) with
+    ``chunked = false`` so the violation of the window contract is
+    observable (adpcm DECODES fine downstream, so without the flag an
+    over-length clip would sail through every gate — filter
+    ``~chunked`` or transcode to a seekable codec first).  A structural
+    transform must not drop or corrupt rows.  Empty payloads likewise
+    emit their single (empty) chunk."""
+    bps = _bps_col()
+    # samples per chunk at this clip's rate; NULL bps (non-seekable
+    # codec) propagates NULL chunk_bytes → single passthrough chunk
     chunk_bytes = (
         F.floor(F.col("sr_hz").cast("bigint") * F.lit(max_dur_ms) / F.lit(1000))
         .cast("bigint") * bps
@@ -842,6 +856,9 @@ def chunked_clips(
         .withColumn(
             "chunk_id",
             F.format_string("%s#%04d", F.col(id_col), F.col("chunk_idx")),
+        )
+        .withColumn(
+            "chunked", F.col("_cb").isNotNull() & (F.col("_cb") > 0)
         )
         .drop("_cb", "_nc")
     )
@@ -1075,12 +1092,18 @@ def time_masked_clips(
     explicit bigint column when an external oracle must replay the
     placement (the q63 pattern).
 
-    Passthrough (payload unchanged) for NULL payloads, unknown codecs,
+    Passthrough (payload unchanged) for NULL payloads, non-seekable
+    codecs (unknown containers AND adpcm — splicing zeros into a
+    predictor-state stream would corrupt everything after the splice),
     non-positive sample rates, empty clips, and masks that quantize to
     zero samples — an augmentation must never poison rows it cannot
-    process.  Clips shorter than ``mask_ms`` are fully masked.  A
-    trailing odd byte on a misaligned pcm16 payload rides along
-    untouched (the tail slice keeps everything after the mask).
+    process.  Every row carries ``masked`` (true iff the splice was
+    applied): adpcm decodes fine downstream, so an unflagged skip would
+    silently yield an augmentation-free corpus — filter ``~masked`` or
+    transcode to a seekable codec first.  Clips shorter than
+    ``mask_ms`` are fully masked.  A trailing odd byte on a misaligned
+    pcm16 payload rides along untouched (the tail slice keeps
+    everything after the mask).
     """
     if mask_ms <= 0:
         raise ValueError(f"time_masked_clips: mask_ms must be positive, got {mask_ms}")
@@ -1093,10 +1116,7 @@ def time_masked_clips(
     # ANSI CAST_OVERFLOW that kills the job
     ).try_cast("bigint")
     b = F.col("bytes")
-    bps = (
-        F.when(F.col("codec") == "pcm16", F.lit(2))
-        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
-    )
+    bps = _bps_col()
     # per-SAMPLE zero code as hex text: repeat()'s string output turns
     # binary concat into string corruption, but unhex(repeat(hex, m))
     # stays binary end to end
@@ -1126,8 +1146,9 @@ def time_masked_clips(
         & (n > 0)
         & (m > 0)
     )
-    return df.withColumn(
-        "bytes", F.when(applicable, masked).otherwise(b)
+    # flag first: `applicable` reads the ORIGINAL payload column
+    return df.withColumn("masked", applicable).withColumn(
+        "bytes", F.when(F.col("masked"), masked).otherwise(b)
     )
 
 
@@ -1853,10 +1874,7 @@ def strip_repeated_segments(
     )
     out = df.join(drops, "clip_id", "left")
 
-    bps = (
-        F.when(F.col("codec") == "pcm16", F.lit(2))
-        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
-    )
+    bps = _bps_col()
     win_bytes = (
         F.greatest(
             F.lit(1),
@@ -2106,12 +2124,14 @@ def redact_audio_pii(
         )
         from ..kernel.scrub import pii_char_spans, scan_text, substitute_text
 
+        from ..kernel.audio import BYTES_PER_SAMPLE as bps
+
         fill = {
             "pcm16": b"\x00\x00",
             "ulaw": bytes(ulaw_encode(np.zeros(1, np.float32)).tobytes()),
             "alaw": bytes(alaw_encode(np.zeros(1, np.float32)).tobytes()),
         }
-        bps = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+        assert tuple(fill) == tuple(bps)
 
         for pdf in iterator:
             n = len(pdf)
@@ -2646,13 +2666,13 @@ def pack_audio_examples(
             "normalize first (resampled_clips)."
         )
     codec, sr = kinds[0].codec, int(kinds[0].sr_hz)
-    if codec not in ("pcm16", "ulaw", "alaw"):
+    if codec not in _BYTES_PER_SAMPLE:
         raise ValueError(
             f"unsupported codec for packing: {codec!r} — packing slices "
             "payload bytes, so only fixed-width seekable codecs qualify "
             "(transcode adpcm first)"
         )
-    width = 2 if codec == "pcm16" else 1
+    width = _BYTES_PER_SAMPLE[codec]
     size = int(example_ms * sr / 1000)  # samples per example
     if size <= 0:
         raise ValueError("example_ms too small for this sample rate")
@@ -3229,10 +3249,7 @@ def padded_clips(df: DataFrame, target_ms: int = 30_000) -> DataFrame:
     if target_ms <= 0:
         raise ValueError(f"padded_clips: target_ms must be positive, got {target_ms}")
     b = F.col("bytes")
-    bps = (
-        F.when(F.col("codec") == "pcm16", F.lit(2))
-        .when(F.col("codec").isin("ulaw", "alaw"), F.lit(1))
-    )
+    bps = _bps_col()
     zero_hex = F.when(F.col("codec") == "pcm16", F.lit("0000")).otherwise(
         F.lit("80")
     )

@@ -40,13 +40,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..kernel.audio import BYTES_PER_SAMPLE
+
 # codec -> samples per payload byte for every codec this engine decodes
 # (kernel/audio.py SUPPORTED_CODECS); anything else is unknown_codec
 # here and decode_error at the decode boundary.  The ratio (not
 # bytes-per-sample) keeps the nibble codec exact: IMA ADPCM packs two
 # 4-bit samples per byte, so its payload→sample relation is x2 — still
 # pure Catalyst arithmetic, no decode needed for the audit.
-_SAMPLES_PER_BYTE = {"pcm16": 0.5, "ulaw": 1.0, "alaw": 1.0, "adpcm": 2.0}
+_SAMPLES_PER_BYTE = {
+    # derived from the kernel's one bytes-per-sample map...
+    **{c: 1.0 / w for c, w in BYTES_PER_SAMPLE.items()},
+    # ...plus the nibble codec, which that int map cannot carry: IMA
+    # ADPCM packs two 4-bit samples per byte
+    "adpcm": 2.0,
+}
 
 SR_MIN, SR_MAX = 4_000, 192_000
 
