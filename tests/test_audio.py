@@ -2536,3 +2536,43 @@ def test_padded_clips_rejects_bad_target(spark):
 
     with pytest.raises(ValueError, match="target_ms"):
         padded_clips(pitch_clips_df(spark, 4, partitions=1), target_ms=0)
+
+
+def test_padded_clips_degenerate_sr_passes_through(spark):
+    """sr_hz metadata so low that target quantizes to ZERO samples must
+    pass through (pad_ok=false, payload untouched) — truncating to an
+    empty payload while claiming pad_ok would poison a training loader."""
+    import pandas as pd
+
+    from top_secret_spark.kernel.audio import encode, synth_pcm
+    from top_secret_spark.operators.audio import padded_clips
+
+    pcm = synth_pcm(3, 800, 8000)
+    pdf = pd.DataFrame([
+        {"clip_id": "lo-0", "bytes": encode(pcm, "pcm16"), "sr_hz": 1,
+         "dur_ms": 100, "codec": "pcm16", "transcript": None},
+    ])
+    pdf["sr_hz"] = pdf["sr_hz"].astype("int32")
+    pdf["dur_ms"] = pdf["dur_ms"].astype("int32")
+    out = padded_clips(spark.createDataFrame(pdf), target_ms=300).collect()[0]
+    assert out["pad_ok"] is False
+    assert bytes(out["bytes"]) == bytes(pdf["bytes"].iloc[0])
+    assert out["dur_ms"] == 100 and out["n_pad_samples"] == 0
+
+
+def test_digital_zero_hex_matches_codec_encoders():
+    """The _DIGITAL_ZERO_HEX map the byte-splice operators write silence
+    with must equal each codec's actual encoding of silence."""
+    import numpy as np
+
+    from top_secret_spark.kernel.audio import encode
+    from top_secret_spark.operators.audio import (
+        _BYTES_PER_SAMPLE,
+        _DIGITAL_ZERO_HEX,
+    )
+
+    assert tuple(_DIGITAL_ZERO_HEX) == tuple(_BYTES_PER_SAMPLE)
+    for codec, hexcode in _DIGITAL_ZERO_HEX.items():
+        assert encode(np.zeros(4, np.float32), codec) == bytes.fromhex(
+            hexcode
+        ) * 4

@@ -1471,3 +1471,24 @@ def test_spoken_form_readout_and_plan(spark):
     assert got[4] == "two zero two six - zero eight - one nine"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_hard_negatives_excludes_anchor_even_at_hi_one(spark):
+    """hi=1.0 is a legal band, and the anchor must STILL never return:
+    a normalized self-cosine can evaluate to 0.99999999... < 1.0, so
+    exclusion is by id, not by the band."""
+    import numpy as np
+
+    from top_secret_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((60, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        ["vec_id", "embedding"],
+    ).repartition(6)
+    queries = [(7, [float(x) for x in vecs[7]])]
+    got = hard_negatives(df, queries, k=60, lo=-1.0, hi=1.0).collect()
+    assert all(r["vec_id"] != 7 for r in got)
+    assert len(got) == 59  # every non-anchor row is inside [-1, 1)

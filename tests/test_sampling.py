@@ -509,3 +509,26 @@ def test_with_dedup_weights_no_pairs_all_ones(spark):
     empty = spark.createDataFrame([], "a bigint, b bigint")
     out = with_dedup_weights(docs, empty)
     assert all(r["dedup_weight"] == 1.0 for r in out.collect())
+
+
+def test_with_dedup_weights_filtered_subset_still_sums_to_one(spark):
+    """Cluster sizes must be counted over members PRESENT in df: when a
+    quality gate dropped one member of a mined cluster, the survivors
+    still sum to 1.0 (sizing from the pairs graph would leave a
+    2-member cluster's lone survivor at weight 1/2)."""
+    from pyspark.sql import functions as F
+
+    from top_secret_spark.operators.sampling import with_dedup_weights
+
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    # clusters {0,1,2}, {10,11}, singletons elsewhere
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a bigint, b bigint"
+    )
+    filtered = docs.filter(~F.col("doc_id").isin(1, 11))  # gate drops 1, 11
+    got = {r["doc_id"]: r["dedup_weight"]
+           for r in with_dedup_weights(filtered, pairs).collect()}
+    assert len(got) == 58
+    assert abs(got[0] - 0.5) < 1e-12 and abs(got[2] - 0.5) < 1e-12
+    assert abs(got[10] - 1.0) < 1e-12  # lone survivor of a mined pair
+    assert abs(sum(got.values()) - (1.0 + 1.0 + 55)) < 1e-9

@@ -577,6 +577,21 @@ def _bps_col() -> Column:
     return expr
 
 
+# per-SAMPLE digital-zero code of every seekable codec as hex text
+# (unhex(repeat(hex, m)) keeps binary concat binary end to end); 0x80
+# is the zero code of THIS repo's continuous-companding G.711 form —
+# pytest-gated against encode(zeros) per codec so the two can't drift
+_DIGITAL_ZERO_HEX = {"pcm16": "0000", "ulaw": "80", "alaw": "80"}
+assert tuple(_DIGITAL_ZERO_HEX) == tuple(_BYTES_PER_SAMPLE)
+
+
+def _zero_hex_col() -> Column:
+    expr = F.lit(None).cast("string")
+    for codec, h in _DIGITAL_ZERO_HEX.items():
+        expr = F.when(F.col("codec") == codec, F.lit(h)).otherwise(expr)
+    return expr
+
+
 def _pcm16_payloads(samples, lengths) -> list:
     """Encode a concatenated float buffer to pcm16 and slice it back
     into one bytes payload per clip — the shared re-encode tail of every
@@ -1117,12 +1132,7 @@ def time_masked_clips(
     ).try_cast("bigint")
     b = F.col("bytes")
     bps = _bps_col()
-    # per-SAMPLE zero code as hex text: repeat()'s string output turns
-    # binary concat into string corruption, but unhex(repeat(hex, m))
-    # stays binary end to end
-    zero_hex = F.when(F.col("codec") == "pcm16", F.lit("0000")).otherwise(
-        F.lit("80")
-    )
+    zero_hex = _zero_hex_col()
     n = F.floor(F.length(b).cast("bigint") / bps).cast("bigint")
     m = F.least(
         F.floor(
@@ -3250,19 +3260,21 @@ def padded_clips(df: DataFrame, target_ms: int = 30_000) -> DataFrame:
         raise ValueError(f"padded_clips: target_ms must be positive, got {target_ms}")
     b = F.col("bytes")
     bps = _bps_col()
-    zero_hex = F.when(F.col("codec") == "pcm16", F.lit("0000")).otherwise(
-        F.lit("80")
-    )
+    zero_hex = _zero_hex_col()
+    target = F.floor(
+        F.col("sr_hz").cast("bigint") * F.lit(int(target_ms)) / F.lit(1000)
+    ).cast("bigint")
     ok = (
         b.isNotNull()
         & bps.isNotNull()
         & F.col("sr_hz").isNotNull()
         & (F.col("sr_hz") > 0)
+        # degenerate sr metadata (e.g. sr_hz=1 at target_ms<1000) makes
+        # target quantize to ZERO samples — padding would truncate the
+        # payload to nothing while claiming pad_ok; passthrough instead
+        & (target > 0)
     )
     n = F.floor(F.length(b).cast("bigint") / bps).cast("bigint")
-    target = F.floor(
-        F.col("sr_hz").cast("bigint") * F.lit(int(target_ms)) / F.lit(1000)
-    ).cast("bigint")
     pad = F.greatest(target - n, F.lit(0).cast("bigint"))
     kept = F.least(n, target)
     out_bytes = F.when(

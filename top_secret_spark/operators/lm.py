@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernel.perplexity import BUCKETS, _MAX_PPL  # noqa: F401
+from ..kernel.perplexity import BUCKETS
 
 MAX_FIT_BUCKETS = 1 << 20
 

@@ -545,16 +545,25 @@ def with_dedup_weights(
     ``temperature_sample``/``select_until_budget`` by using the weight
     as the value column.
 
+    Cluster sizes are counted over members PRESENT IN ``df``, not over
+    the pairs graph: when ``df`` is a filtered subset of the corpus the
+    pairs were mined on (the usual case — quality gates run between
+    mining and weighting), the survivors of a cluster still sum to
+    exactly 1.0; sizing from the graph would silently undercount the
+    corpus's effective size by every filtered-out member's share.
+
     Same scale shape as ``split_by_cluster``: clusters are
     (node, cluster_id) longs, cluster sizes one groupBy on the 8-byte
-    cluster id, one id join back against the corpus — text/payloads
-    never shuffle.  Unpaired rows are singletons with weight 1.0."""
+    cluster id over a narrow (id, cluster) projection of the joined
+    frame, one id join back against the corpus — text/payloads never
+    shuffle.  Unpaired rows are singletons with weight 1.0."""
     from .dedup import near_duplicate_clusters
 
     clusters = near_duplicate_clusters(pairs).withColumnRenamed(
         "node", id_col
     )
-    sizes = clusters.groupBy("cluster_id").agg(
+    member = df.select(id_col).join(clusters, id_col, "inner")
+    sizes = member.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("__csize")
     )
     keyed = df.join(clusters, id_col, "left").join(

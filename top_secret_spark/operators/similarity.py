@@ -77,6 +77,7 @@ def _partial_top_k(
     cell_col: str | None = None,
     allowed: np.ndarray | None = None,
     band: tuple[float, float] | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Per-PARTITION top-k (phase one of two-phase top-k): mapInPandas
     keeps a running (score, id) top-k per query across the partition's
@@ -95,6 +96,7 @@ def _partial_top_k(
     query to its OWN probe cells: pooled probing filters the scan, the
     mask keeps per-query semantics exact."""
     qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qraw = [q[0] for q in queries]  # original ids for self-exclusion
     qmat = _normalize_rows(np.array([q[1] for q in queries], dtype=np.float64))
     n_q, dim = qmat.shape
     id_type = df.schema[id_col].dataType.simpleString()
@@ -123,6 +125,12 @@ def _partial_top_k(
                 mask = np.zeros((n_q, len(cells)), dtype=bool)
                 mask[:, ok] = allowed[:, cells[ok]]
                 sims = np.where(mask, sims, -np.inf)
+            if exclude_self:
+                # drop each anchor from its OWN candidate set by id —
+                # relying on a cosine band's hi < 1.0 is FP-fragile
+                # (a self-dot can evaluate to 0.9999999999999998)
+                for qi in range(n_q):
+                    sims[qi, ids == qraw[qi]] = -np.inf
             if band is not None:
                 # similarity band [lo, hi): applied BEFORE the running
                 # top-k so per-partition truncation cannot cut a row the
@@ -162,6 +170,7 @@ def brute_force_top_k(
     cell_col: str | None = None,
     allowed: np.ndarray | None = None,
     band: tuple[float, float] | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query → (query_id, vec_id, score, rank).
 
@@ -171,7 +180,8 @@ def brute_force_top_k(
     exchange carries k × n_queries rows per partition — scalar triples,
     never vectors, never the corpus."""
     scored = _partial_top_k(
-        df, queries, k, id_col, emb_col, cell_col, allowed, band
+        df, queries, k, id_col, emb_col, cell_col, allowed, band,
+        exclude_self,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
@@ -473,7 +483,11 @@ def hard_negatives(
     similar enough to be informative, below the near-duplicate
     threshold so the "negative" is not secretly a positive (the
     classic failure of random negatives on deduplicated-but-not-
-    perfectly corpora).  hi < 1.0 also excludes the anchor itself.
+    perfectly corpora).  The anchor itself is excluded BY ID (its
+    query_id vs the corpus id column) before scoring — relying on
+    ``hi < 1.0`` alone is floating-point-fragile, since a normalized
+    self-cosine can evaluate to 0.9999999999999998 < 1.0 and leak the
+    anchor back as its own rank-1 "hard negative".
 
     Exact and scalable: the same two-phase top-k as
     ``brute_force_top_k`` with the band applied BEFORE the running
@@ -483,5 +497,6 @@ def hard_negatives(
     if not lo < hi <= 1.0 + 1e-9:
         raise ValueError(f"band must satisfy lo < hi <= 1.0, got [{lo}, {hi})")
     return brute_force_top_k(
-        df, queries, k, id_col, emb_col, band=(float(lo), float(hi))
+        df, queries, k, id_col, emb_col, band=(float(lo), float(hi)),
+        exclude_self=True,
     )
