@@ -2576,3 +2576,63 @@ def test_digital_zero_hex_matches_codec_encoders():
         assert encode(np.zeros(4, np.float32), codec) == bytes.fromhex(
             hexcode
         ) * 4
+
+
+class TestWavSpecConformant:
+    """Real-tool WAV layouts the fixed-offset parser used to misread:
+    G.711 files carry an 18-byte fmt (cbSize) plus a fact chunk, and
+    interposed chunks may have ODD sizes (RIFF pads them to even)."""
+
+    def _df(self, spark, data):
+        return spark.createDataFrame(
+            [("w", bytearray(data), 8000, 1000, "wav", None)],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string",
+        )
+
+    def test_g711_fmt18_with_fact_chunk_parses(self, spark):
+        import struct
+
+        from top_secret_spark.kernel.audio import encode, synth_pcm
+        from top_secret_spark.operators.audio import (
+            unwrap_wav,
+            with_wav_header,
+        )
+        from top_secret_spark.sources.clips import _wav_bytes
+
+        payload = encode(synth_pcm(11, 8000, 8000), "ulaw")
+        fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 8000)
+        data = _wav_bytes(
+            payload, 7, 1, 8000, 8, extra_chunk=fact,
+            fmt_ext=struct.pack("<H", 0),  # cbSize=0 -> 18-byte fmt
+        )
+        r = with_wav_header(self._df(spark, data)).collect()[0]
+        assert r.wav_issue is None and r.fmt_code == 7
+        assert r.data_len == len(payload)
+        u = unwrap_wav(self._df(spark, data)).collect()[0]
+        assert bytes(u.bytes) == payload and u.codec == "ulaw"
+
+    def test_odd_size_interposed_chunk_padded(self, spark):
+        from top_secret_spark.kernel.audio import encode, synth_pcm
+        from top_secret_spark.operators.audio import with_wav_header
+        from top_secret_spark.sources.clips import _wav_bytes
+
+        payload = encode(synth_pcm(12, 4000, 8000), "pcm16")
+        odd = b"LIST" + (11).to_bytes(4, "little") + b"INFOisft-te" + b"\x00"
+        data = _wav_bytes(payload, 1, 1, 8000, 16, extra_chunk=odd)
+        r = with_wav_header(self._df(spark, data)).collect()[0]
+        assert r.wav_issue is None and r.data_len == len(payload)
+
+    def test_short_fmt_reads_bad_fmt(self, spark):
+        import struct
+
+        from top_secret_spark.operators.audio import with_wav_header
+
+        # hand-build a 14-byte fmt chunk (below the 16 mandatory bytes)
+        fmt_body = struct.pack("<HHIIH", 1, 1, 8000, 16000, 2)
+        chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        chunks += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        data = (b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks + b"\x00" * 10)
+        r = with_wav_header(self._df(spark, data)).collect()[0]
+        assert r.wav_issue == "bad_fmt"

@@ -36,7 +36,13 @@ def test_psi_identical_snapshots_near_zero(spark):
 
     df = spark.range(0, 1000).select((F.col("id") % 7 * 100.0).alias("v"))
     out = psi_drift(df, df, "v", [0, 100, 300, 700]).collect()
-    assert len(out) == 3
+    # 3 value buckets plus the always-present NULL bucket (-1) — the
+    # spine keeps it even when both snapshots have zero NULLs so a
+    # missing-field regression reads as its own bucket moving
+    assert len(out) == 4
+    assert {r.bucket for r in out} == {-1, 0, 1, 2}
+    null_row = next(r for r in out if r.bucket == -1)
+    assert null_row.n_before == 0 and null_row.n_after == 0
     assert all(r.psi_total == 0.0 for r in out)
 
 
@@ -51,8 +57,11 @@ def test_psi_matches_hand_computation(spark):
         F.when(F.col("id") < 20, 10.0).otherwise(150.0).alias("v"))
     out = {r.bucket: r for r in psi_drift(
         before, after, "v", [0, 100, 200]).collect()}
-    p0, q0 = 50.5 / 101.0, 20.5 / 101.0
-    p1, q1 = 50.5 / 101.0, 80.5 / 101.0
+    # Laplace denominator counts the NULL bucket too: 2 value buckets
+    # + NULL = 3 buckets, so sum + 3 * 0.5.  The NULL bucket's own
+    # term is p == q -> contributes exactly 0 here.
+    p0, q0 = 50.5 / 101.5, 20.5 / 101.5
+    p1, q1 = 50.5 / 101.5, 80.5 / 101.5
     expect = (p0 - q0) * math.log(p0 / q0) + (p1 - q1) * math.log(p1 / q1)
     assert out[0].n_before == 50 and out[0].n_after == 20
     assert abs(out[0].psi_total - round(expect, 6)) < 1e-9

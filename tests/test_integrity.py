@@ -63,10 +63,12 @@ def test_metadata_audit_null_metadata_named(spark):
         .select("clip_id", "meta_violation", "implied_dur_ms")
         .collect()
     }
-    # NULL codec has no bytes-per-sample -> named unknown_codec first
+    # NULL codec is MISSING metadata (the documented taxonomy), not an
+    # unrecognized tag — unknown_codec is reserved for present-but-
+    # unsupported codec strings
     assert rows["a"]["meta_violation"] == "missing_metadata"
     assert rows["b"]["meta_violation"] == "missing_metadata"
-    assert rows["c"]["meta_violation"] == "unknown_codec"
+    assert rows["c"]["meta_violation"] == "missing_metadata"
     assert rows["a"]["implied_dur_ms"] is None  # sr unknown
     assert rows["b"]["implied_dur_ms"] == 1000.0  # computable, dur missing
 

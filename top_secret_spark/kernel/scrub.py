@@ -207,6 +207,7 @@ def pii_char_spans(
     text: str,
     entities: list[dict] | None = None,
     config: ScrubConfig = DEFAULT_CONFIG,
+    mapping: list[tuple[str, str]] | None = None,
 ) -> list[tuple[int, int, str]]:
     """Character spans the single-pass substitution would consume, as
     ``(start, end, label)`` — the SAME event scan as ``substitute_text``
@@ -215,8 +216,13 @@ def pii_char_spans(
     a span-driven redactor (audio bleep, highlight UI) is guaranteed to
     cover exactly the characters the text scrub replaces — no more, no
     less.  Labels follow ``value_to_label`` (last writer wins for
-    duplicate values), identical to the emitted placeholder."""
-    mapping = scan_text(text, entities, config)
+    duplicate values), identical to the emitted placeholder.
+
+    Pass ``mapping`` when the caller already ran ``scan_text`` on this
+    exact (text, entities, config) — the regex scan dominates the scrub
+    stage's cost and must not run twice per row."""
+    if mapping is None:
+        mapping = scan_text(text, entities, config)
     if not mapping:
         return []
     value_to_label: dict[str, str] = {}

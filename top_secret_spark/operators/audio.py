@@ -1810,7 +1810,9 @@ def repeated_audio_segments(
     8-byte hash, the flag join is hash-on-hash, and PCM never leaves
     the decode task.  At 10^12 clips this is the difference between
     shuffling ~20 B and ~4 kB per window."""
-    per_clip = _repeated_windows_per_clip(df, win_ms, min_clips)
+    per_clip = _repeated_windows_per_clip(
+        df, win_ms, min_clips, include_drop_wins=False
+    )
     return (
         df.select("clip_id")
         .join(per_clip, "clip_id", "left")
@@ -1822,11 +1824,15 @@ def repeated_audio_segments(
 
 
 def _repeated_windows_per_clip(
-    df: DataFrame, win_ms: int, min_clips: int
+    df: DataFrame, win_ms: int, min_clips: int,
+    include_drop_wins: bool = True,
 ) -> DataFrame:
     """Shared detect stage of the repeated-segment operators: one narrow
     row per clip that HAS repeats — (clip_id, n_repeated_windows,
-    first_repeated_win, _drop_wins).  The window table is persisted for
+    first_repeated_win[, _drop_wins]).  ``_drop_wins`` (the
+    sort_array(collect_list) the splice consumes) is built only when
+    asked: the detect-only caller must not shuffle, checkpoint, or
+    expose a per-clip window-index array it never reads.  The window table is persisted for
     its two passes (hash groupBy + flag join), the per-clip result is
     eagerly materialized (bounded: one short row per flagged clip), and
     the cache is released before returning — same persist →
@@ -1846,7 +1852,11 @@ def _repeated_windows_per_clip(
         .agg(
             F.count(F.lit(1)).alias("n_repeated_windows"),
             F.min("win_idx").alias("first_repeated_win"),
-            F.sort_array(F.collect_list("win_idx")).alias("_drop_wins"),
+            *(
+                [F.sort_array(F.collect_list("win_idx")).alias("_drop_wins")]
+                if include_drop_wins
+                else []
+            ),
         )
         .localCheckpoint(eager=True)
     )
@@ -2170,6 +2180,9 @@ def redact_audio_pii(
                     data is None
                     or codec not in SEEKABLE_CODECS
                     or sr is None
+                    or sr != sr  # NULL sr_hz arrives from Arrow as NaN,
+                    # which passes both the None and <= 0 tests and
+                    # would pour NaN into red_ms below
                     or sr <= 0
                 ):
                     continue
@@ -2177,7 +2190,9 @@ def redact_audio_pii(
                 n_samp = len(data) // w
                 if n_samp == 0:
                     continue
-                spans = pii_char_spans(t, None, cfg)
+                # reuse the mapping already scanned above — the regex
+                # scan dominates this stage's cost, never pay it twice
+                spans = pii_char_spans(t, None, cfg, mapping=mapping)
                 buf = bytearray(data)
                 tn = len(t)
                 for a, b, _label in spans:
@@ -2468,12 +2483,19 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     (1-based payload location), and ``wav_issue``: NULL for a
     well-formed container, else the first failing check in document
     order — ``null_payload``, ``not_riff``, ``not_wave``, ``no_fmt``,
-    ``no_data`` (data
-    chunk absent after skipping at most one interposed chunk, e.g.
-    LIST), or ``truncated_data`` (declared data length runs past the
-    payload).  Canonical 44-byte headers hit the fast path; one
-    interposed chunk (LIST/INFO metadata, the overwhelmingly common
-    real-world variant) is skipped declaratively.
+    ``bad_fmt`` (fmt chunk shorter than the 16 mandatory bytes),
+    ``no_data`` (data chunk absent after skipping at most one
+    interposed chunk, e.g. LIST or fact), or ``truncated_data``
+    (declared data length runs past the payload).
+
+    The fmt chunk's DECLARED size is honored, not assumed 16: G.711 and
+    extensible WAVs written by standard tools carry an 18- or 40-byte
+    fmt (cbSize field) and usually a fact chunk before data — a
+    fixed-offset probe would land mid-fmt and misreport ``no_data`` on
+    spec-conformant files.  RIFF odd-size padding is applied when
+    walking past fmt and the interposed chunk.  The mandatory first 16
+    fmt bytes hold every field this audit reads, so field offsets stay
+    fixed; only the chunk WALK is size-dependent.
 
     Reference parity: the reference has no container handling (audio is
     the graft axis); this is the ingest-side twin of q88's metadata
@@ -2481,27 +2503,34 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     b = F.col(bytes_col)
     blen = F.length(b)
     fmt_code = _le_uint(b, 21, 2)
-    chunk1_id = F.substring(b, 37, 4)
-    chunk1_size = _le_uint(b, 41, 4)
-    # one-chunk skip: if chunk 37 isn't `data`, look past it once.
-    # CLAMP before the int cast: a malformed/lying 32-bit chunk size
-    # (up to 2^32-1) would overflow the cast under ANSI mode and kill
-    # the stage — a poison ROW must never be a poison STAGE.  A clamped
-    # offset lands past any real payload, substring reads empty, and
-    # the row resolves to `no_data`, the verdict it deserves.
+    # chunk walk honors the DECLARED fmt size (+ RIFF odd-size pad).
+    # CLAMP every derived offset before the int cast: a malformed/lying
+    # 32-bit size (up to 2^32-1) would overflow the cast under ANSI
+    # mode and kill the stage — a poison ROW must never be a poison
+    # STAGE.  A clamped offset lands past any real payload, substring
+    # reads empty, and the row resolves to `no_data`/`bad_fmt`, the
+    # verdict it deserves.
+    _CLAMP = F.lit(2_000_000_000)
+    fmt_size = _le_uint(b, 17, 4)
+    fmt_padded = fmt_size + F.pmod(fmt_size, 2)
+    chunk1_off = F.least(F.lit(21) + fmt_padded, _CLAMP).cast("int")
+    chunk1_id = F.substring(b, chunk1_off, 4)
+    chunk1_size = _le_uint(
+        b, F.least(chunk1_off + 4, _CLAMP).cast("int"), 4
+    )
+    # one-chunk skip: if the chunk after fmt isn't `data` (fact, LIST,
+    # INFO — the common real-world interposers), look past it once
     chunk2_off = F.least(
-        F.lit(45) + chunk1_size, F.lit(2_000_000_000)
+        chunk1_off + 8 + chunk1_size + F.pmod(chunk1_size, 2), _CLAMP
     ).cast("int")
     chunk2_id = F.substring(b, chunk2_off, 4)
     chunk2_size = _le_uint(
-        b,
-        F.least(F.lit(49) + chunk1_size, F.lit(2_000_000_000)).cast("int"),
-        4,
+        b, F.least(chunk2_off + 4, _CLAMP).cast("int"), 4
     )
     is_data1 = chunk1_id == F.lit(b"data")
     is_data2 = chunk2_id == F.lit(b"data")
     data_off = (
-        F.when(is_data1, F.lit(45))
+        F.when(is_data1, chunk1_off + 8)
         .when(is_data2, chunk2_off + 8)
         .otherwise(F.lit(None))
         .cast("int")
@@ -2518,6 +2547,7 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .when(F.substring(b, 1, 4) != F.lit(b"RIFF"), F.lit("not_riff"))
         .when(F.substring(b, 9, 4) != F.lit(b"WAVE"), F.lit("not_wave"))
         .when(F.substring(b, 13, 4) != F.lit(b"fmt "), F.lit("no_fmt"))
+        .when(fmt_size < 16, F.lit("bad_fmt"))
         .when(~is_data1 & ~is_data2, F.lit("no_data"))
         .when(data_off + data_len - 1 > blen, F.lit("truncated_data"))
         .otherwise(F.lit(None))
@@ -2764,7 +2794,15 @@ def dedup_cross_modal(
     )
     keyed = fp.select(
         F.col(id_col),
-        fingerprint_col(text_col).alias("_tfp"),
+        # NULL transcript gets the same cannot-verify fallback as
+        # undecodable audio: xxhash64(NULL) is a seed CONSTANT, so
+        # without the guard every transcript-less row would share one
+        # text key and collapse on audio alone — asserting a text
+        # match that was never verified
+        F.when(
+            F.col(text_col).isNotNull(), fingerprint_col(text_col)
+        ).otherwise(F.xxhash64(F.col(id_col), F.lit(1)))
+        .alias("_tfp"),
         F.when(F.col("fp_ok"), F.col("tempo_fp"))
         .otherwise(F.xxhash64(F.col(id_col)))
         .alias("_afp"),

@@ -79,14 +79,28 @@ def dedup_exact_keep_best(
 
     Scale: identical plan to ``dedup_exact`` — the groupBy shuffles
     only (fingerprint, quality, id), three fixed-width columns, and
-    ``max_by`` folds map-side, so winner selection never moves document
+    ``min_by`` folds map-side, so winner selection never moves document
     bodies; the winners join is on the 8-byte (fingerprint, id) pair.
-    NULL quality loses to any non-NULL quality (Spark struct ordering
-    sorts NULL first under max)."""
+    NULL quality loses to any non-NULL quality (coalesced to -inf, so
+    its negation sorts LAST under min).
+
+    The ordering key is ``(-quality, id)`` under ``min_by`` — quality
+    is numeric so negation is safe, while the id column may be a
+    STRING: negating it (the max_by-with-negated-id formulation) would
+    cast to double → NULL for every 'doc-0001'-style id and hand the
+    tie to partition order, the exact nondeterminism this operator
+    exists to prevent."""
     fp = with_fingerprint(df, text_col)
     winners = fp.groupBy("fingerprint").agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col(quality_col), -F.col(id_col))
+        F.min_by(
+            F.col(id_col),
+            F.struct(
+                -F.coalesce(
+                    F.col(quality_col).cast("double"),
+                    F.lit(float("-inf")),
+                ),
+                F.col(id_col),
+            ),
         ).alias(id_col)
     )
     return fp.join(winners, ["fingerprint", id_col], "inner").drop("fingerprint")
@@ -1342,7 +1356,7 @@ def flag_contaminated_bloom(
     bench_text_col: str = "text",
     n: int = 8,
     id_col: str = "doc_id",
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k: int = 4,
     max_bench_grams: int = 2_000_000,
 ) -> DataFrame:
@@ -1368,8 +1382,15 @@ def flag_contaminated_bloom(
     defaults, same output schema, same guarantees as the exact
     operator; benchmark sides bigger than ``max_bench_grams`` raise
     (eval sets are small by contract — this is the documented
-    bounded-input API, like ``batch_scrub``'s guard)."""
-    m = int(m_bits)
+    bounded-input API, like ``batch_scrub``'s guard).
+
+    ``m_bits=None`` (the default) sizes the bitmap to the MEASURED gram
+    count — the next power of two >= 10 bits/gram, clamped to
+    [2^20, 2^28] — because a fixed default silently saturates: 500k
+    grams x 4 probes into 2^20 bits is ~0.5 bits/gram, fill ratio ~1,
+    fpp ~1, and the verify join quietly sees the full traffic the bloom
+    exists to cut.  Pass an explicit ``m_bits`` to pin the size (tests
+    pin tiny blooms to prove saturation-correctness)."""
     bench_grams = (
         benchmark.select(
             F.explode(_word_ngrams(bench_text_col, n)).alias("_gram")
@@ -1377,6 +1398,12 @@ def flag_contaminated_bloom(
         .distinct()
     )
     n_grams = bench_grams.count()
+    if m_bits is None:
+        m = 1 << 20
+        while m < 10 * n_grams and m < (1 << 28):
+            m <<= 1
+    else:
+        m = int(m_bits)
     if n_grams > max_bench_grams:
         raise ValueError(
             f"benchmark has {n_grams} distinct {n}-grams > max_bench_grams="

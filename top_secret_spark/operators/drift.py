@@ -34,11 +34,15 @@ def bucketize(col: Column, edges: list[float]) -> Column:
     """Bucket index for ``col`` under explicit ascending ``edges``:
     bucket i covers [edges[i], edges[i+1]); values below edges[0] land
     in bucket 0, values >= edges[-1] in bucket len(edges)-1.  NULL
-    values fall through every comparison into the TOP bucket — coalesce
-    upstream (as q103 does) when NULL deserves its own treatment.  Explicit
-    edges keep the monitor deterministic and oracle-recomputable; at
-    scale, take them once from the BASELINE snapshot's quantiles and
-    pin them in config (re-deriving edges per run would hide drift)."""
+    values get their OWN bucket, -1: a drift monitor must SURFACE a
+    crawler regression that starts emitting NULLs, and letting NULLs
+    fall through the comparisons into the top bucket would instead
+    report 'long documents increased' — the silent misread this class
+    exists to catch.  Coalesce upstream when NULL genuinely means a
+    known value (q103 coalesces length to 0).  Explicit edges keep the
+    monitor deterministic and oracle-recomputable; at scale, take them
+    once from the BASELINE snapshot's quantiles and pin them in config
+    (re-deriving edges per run would hide drift)."""
     if len(edges) < 2 or sorted(edges) != list(edges):
         raise ValueError("edges must be >= 2 ascending values")
     # default = the LAST bucket id (len(edges)-2): >= edges[-1] clamps
@@ -46,7 +50,7 @@ def bucketize(col: Column, edges: list[float]) -> Column:
     expr = F.lit(len(edges) - 2)
     for i in range(len(edges) - 1, 0, -1):
         expr = F.when(col < F.lit(float(edges[i])), F.lit(i - 1)).otherwise(expr)
-    return expr.cast("int")
+    return F.when(col.isNull(), F.lit(-1)).otherwise(expr).cast("int")
 
 
 def psi_drift(
@@ -62,7 +66,10 @@ def psi_drift(
     pass).  ``value_col`` may be any Catalyst expression (a column, a
     ``length(text)``, a computed signal)."""
     col = F.col(value_col) if isinstance(value_col, str) else value_col
-    n_buckets = len(edges) - 1
+    # value buckets plus the NULL bucket (-1) — always in the spine so
+    # a missing-field regression reads as ITS OWN bucket moving, and
+    # the smoothing denominator is snapshot-independent
+    n_buckets = len(edges)
     b = bucketize(col, edges).alias("bucket")
     cb = before.groupBy(b).agg(F.count(F.lit(1)).alias("n_before"))
     ca = after.groupBy(b).agg(F.count(F.lit(1)).alias("n_after"))
@@ -71,7 +78,7 @@ def psi_drift(
     # output: under smoothing their contribution is small but NONZERO
     # whenever the totals differ, and silently dropping them would
     # understate the index.
-    spine = before.sparkSession.range(n_buckets).select(
+    spine = before.sparkSession.range(-1, n_buckets - 1).select(
         F.col("id").cast("int").alias("bucket")
     )
     j = (

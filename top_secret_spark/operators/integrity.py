@@ -76,13 +76,20 @@ def meta_violation_col(tol_ms: int = 20) -> Column:
         / F.col("sr_hz").cast("double")
     )
     return (
-        F.when(spb.isNull(), F.lit("unknown_codec"))
+        # NULL payload first: every later arm compares against
+        # length(bytes), and NULL comparisons silently skip a when() —
+        # the corrupt-shard state this audit exists to quarantine must
+        # never read as consistent
+        F.when(F.col("bytes").isNull(), F.lit("missing_payload"))
         .when(
+            # before unknown_codec: a NULL codec is MISSING metadata
+            # (the documented taxonomy), not an unrecognized tag
             F.col("sr_hz").isNull()
             | F.col("dur_ms").isNull()
             | F.col("codec").isNull(),
             F.lit("missing_metadata"),
         )
+        .when(spb.isNull(), F.lit("unknown_codec"))
         .when(
             (F.col("sr_hz") < SR_MIN) | (F.col("sr_hz") > SR_MAX),
             F.lit("bad_sample_rate"),

@@ -5405,8 +5405,8 @@ def q_psi_drift(spark, sf_dir):
     length >= 200 filter (a real curation change), so the first two
     buckets empty out and the index reads ~1.5 (far past the 0.25
     'shifted' convention).  The only shuffles are two tiny bucket-key
-    groupBys (map-side partials to <= 5 rows); every PSI term then
-    computes on the joined 5-row frame.  The oracle RECOMPUTES the
+    groupBys (map-side partials to <= 6 rows incl. the NULL bucket);
+    every PSI term then computes on the joined 6-row frame.  The oracle RECOMPUTES the
     whole index — counts, Laplace-smoothed shares, ln terms — from the
     same parquet in DuckDB, value-gated to 6 decimals."""
     _prep(spark)
@@ -5419,7 +5419,7 @@ def q_psi_drift(spark, sf_dir):
 
 
 Q_PSI_DRIFT_SQL = """
-WITH spine AS (SELECT cast(unnest(range(0, 5)) AS INTEGER) AS bucket),
+WITH spine AS (SELECT cast(unnest(range(-1, 5)) AS INTEGER) AS bucket),
   vb AS (
     SELECT CASE WHEN coalesce(length(text), 0) < 100 THEN 0
                 WHEN coalesce(length(text), 0) < 200 THEN 1
@@ -5443,8 +5443,8 @@ WITH spine AS (SELECT cast(unnest(range(0, 5)) AS INTEGER) AS bucket),
     FROM spine s LEFT JOIN cb USING (bucket) LEFT JOIN ca USING (bucket)),
   sh AS (
     SELECT bucket, n_before, n_after,
-           (n_before + 0.5) / (sum(n_before) OVER () + 2.5) AS p,
-           (n_after + 0.5) / (sum(n_after) OVER () + 2.5) AS q
+           (n_before + 0.5) / (sum(n_before) OVER () + 3.0) AS p,
+           (n_after + 0.5) / (sum(n_after) OVER () + 3.0) AS q
     FROM j)
 SELECT cast(bucket AS INTEGER) AS bucket,
        cast(n_before AS BIGINT) AS n_before,

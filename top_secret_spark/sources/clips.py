@@ -1410,17 +1410,26 @@ WAV_CLASS_PERIOD = 6  # row r's planted container class = r % 6
 def _wav_bytes(
     payload: bytes, fmt_code: int, nch: int, sr: int, bits: int,
     extra_chunk: bytes = b"", data_len_override: int | None = None,
+    fmt_ext: bytes | None = None,
 ) -> bytes:
     """Canonical RIFF/WAVE container around ``payload`` (optionally with
-    one interposed chunk before `data`, or a lying data-length field)."""
+    one interposed chunk before `data`, a lying data-length field, or a
+    non-16-byte fmt chunk — ``fmt_ext`` appends extension bytes after
+    the 16 mandatory ones, e.g. ``b"\\x00\\x00"`` for the cbSize=0
+    18-byte fmt G.711 writers emit; odd fmt sizes get the RIFF pad)."""
     import struct
 
     block_align = max(1, nch * (bits // 8))
     byte_rate = sr * block_align
     dlen = len(payload) if data_len_override is None else data_len_override
-    chunks = b"fmt " + struct.pack(
-        "<IHHIIHH", 16, fmt_code, nch, sr, byte_rate, block_align, bits
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt_code, nch, sr, byte_rate, block_align, bits
     )
+    if fmt_ext is not None:
+        fmt_body += fmt_ext
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if len(fmt_body) % 2:
+        chunks += b"\x00"  # RIFF odd-size pad byte
     chunks += extra_chunk
     chunks += b"data" + struct.pack("<I", dlen) + payload
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
