@@ -1,0 +1,162 @@
+"""Poison-row chaos sweep over the audio operator surface.
+
+The engine's poison-row contract (operators/audio.py module doc, north
+rule): a malformed row must never kill a 1000-executor stage — analysis
+operators flag it (ok=false) or skip it observably; pure-Catalyst
+transforms pass it through.  Per-operator tests pin individual poison
+classes; this sweep drives EVERY audio-facing operator over one frame
+holding the full cross-product of malformed inputs (NULL/empty/odd
+payloads, unknown/NULL codecs, zero/negative/NULL rates and durations,
+NULL transcripts, bad channel counts) so a missed guard in any operator
+fails here even before its own test grows the class.
+
+Found-by-sweep regression this file pins: frame_energy_df and
+decoded_pcm_df crashed the stage on an odd-length pcm16 payload
+(frombuffer alignment) instead of skipping it.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType([
+    StructField("clip_id", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("sr_hz", IntegerType()),
+    StructField("dur_ms", IntegerType()),
+    StructField("codec", StringType()),
+    StructField("transcript", StringType()),
+    StructField("n_channels", IntegerType()),
+])
+
+_RNG = np.random.default_rng(7)
+PCM = (_RNG.standard_normal(1600) * 3000).astype("<i2").tobytes()
+BY8 = bytes(_RNG.integers(0, 256, 1600, dtype=np.uint8))
+
+ROWS = [
+    ("ok_pcm16",      PCM,   16000, 100,  "pcm16", "a clean test clip", 1),
+    ("ok_ulaw",       BY8,   8000,  200,  "ulaw",  "mu law clip", 1),
+    ("ok_alaw",       BY8,   8000,  200,  "alaw",  "a law clip", 1),
+    ("ok_adpcm",      BY8,   16000, 200,  "adpcm", "adpcm clip", 1),
+    ("null_bytes",    None,  16000, 100,  "pcm16", "text", 1),
+    ("empty_bytes",   b"",   16000, 0,    "pcm16", "text", 1),
+    ("odd_pcm16",     PCM + b"\x01", 16000, 100, "pcm16", "text", 1),
+    ("one_byte",      b"\x05", 16000, 0,  "pcm16", "text", 1),
+    ("two_byte",      b"\x05\x01", 16000, 0, "pcm16", "text", 1),
+    ("unknown_codec", PCM,   16000, 100,  "opus",  "text", 1),
+    ("null_codec",    PCM,   16000, 100,  None,    "text", 1),
+    ("zero_sr",       PCM,   0,     100,  "pcm16", "text", 1),
+    ("neg_sr",        PCM,   -8000, 100,  "pcm16", "text", 1),
+    ("null_sr",       PCM,   None,  100,  "pcm16", "text", 1),
+    ("zero_dur",      PCM,   16000, 0,    "pcm16", "text", 1),
+    ("null_dur",      PCM,   16000, None, "pcm16", "text", 1),
+    ("neg_dur",       PCM,   16000, -5,   "pcm16", "text", 1),
+    ("null_tx",       PCM,   16000, 100,  "pcm16", None, 1),
+    ("empty_tx",      PCM,   16000, 100,  "pcm16", "", 1),
+    ("dur_mismatch",  PCM,   16000, 5000, "pcm16", "text", 1),
+    ("nch0",          PCM,   16000, 100,  "pcm16", "text", 0),
+    ("nch_null",      PCM,   16000, 100,  "pcm16", "text", None),
+    ("nch3",          PCM,   16000, 100,  "pcm16", "text", 3),
+    ("nch2_oddframes", PCM + b"\x00\x01", 16000, 100, "pcm16", "text", 2),
+    ("nch2_ok",       PCM,   16000, 50,   "pcm16", "text", 2),
+]
+
+ALL_IDS = {r[0] for r in ROWS}
+# undecodable at the payload/codec level (any sr)
+UNDECODABLE = {"null_bytes", "odd_pcm16", "one_byte", "unknown_codec",
+               "null_codec"}
+BAD_SR = {"zero_sr", "neg_sr", "null_sr"}
+
+
+@pytest.fixture(scope="module")
+def chaos(spark):
+    return spark.createDataFrame(ROWS, SCHEMA).repartition(3).cache()
+
+
+def _ops():
+    import top_secret_spark.operators.audio as A
+
+    return [
+        ("with_audio_features",    lambda d: A.with_audio_features(d)),
+        ("with_spectral_features", lambda d: A.with_spectral_features(d)),
+        ("with_log_mel",           lambda d: A.with_log_mel(d)),
+        ("with_mfcc",              lambda d: A.with_mfcc(d)),
+        ("with_snr_estimate",      lambda d: A.with_snr_estimate(d)),
+        ("with_bandwidth",         lambda d: A.with_bandwidth(d)),
+        ("with_speech_activity",   lambda d: A.with_speech_activity(d)),
+        ("with_pitch",             lambda d: A.with_pitch(d)),
+        ("with_reverb",            lambda d: A.with_reverb(d)),
+        ("with_voice_health",      lambda d: A.with_voice_health(d)),
+        ("with_channel_stats",     lambda d: A.with_channel_stats(d)),
+        ("with_speaker_turns",     lambda d: A.with_speaker_turns(d)),
+        ("with_tempo_fingerprint", lambda d: A.with_tempo_fingerprint(d)),
+        ("with_codec_verify",      lambda d: A.with_codec_verify(d)),
+        ("with_speaking_rate",     lambda d: A.with_speaking_rate(d)),
+        ("with_wav_header",        lambda d: A.with_wav_header(d)),
+        ("with_audio_keep_drop",   lambda d: A.with_audio_keep_drop(d)),
+        ("frame_energy_df",        lambda d: A.frame_energy_df(d)),
+        ("audio_window_hashes",    lambda d: A.audio_window_hashes(d)),
+        ("audio_cdc_segments",     lambda d: A.audio_cdc_segments(d)),
+        ("decoded_pcm_df",         lambda d: A.decoded_pcm_df(d)),
+        ("chunked_clips",          lambda d: A.chunked_clips(d, 50)),
+        ("time_masked_clips",      lambda d: A.time_masked_clips(d)),
+        ("padded_clips",           lambda d: A.padded_clips(d, 80)),
+        ("unwrap_wav",             lambda d: A.unwrap_wav(d)),
+        ("declipped_clips",        lambda d: A.declipped_clips(d)),
+        ("denoised_clips",         lambda d: A.denoised_clips(d)),
+        ("downmix_to_mono",        lambda d: A.downmix_to_mono(d)),
+    ]
+
+
+def test_no_audio_operator_dies_on_poison(chaos):
+    """Every analysis operator and passthrough transform must fully
+    materialize the chaos frame — a poison row is flagged or skipped,
+    never a stage kill."""
+    failures = []
+    for name, fn in _ops():
+        try:
+            fn(chaos).count()
+        except Exception as e:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+def test_decode_ok_flags_exactly_the_decodable_rows(chaos):
+    from top_secret_spark.operators.audio import with_audio_features
+
+    rows = with_audio_features(chaos).select("clip_id", "decode_ok").collect()
+    ok = {r["clip_id"] for r in rows if r["decode_ok"]}
+    assert ok == ALL_IDS - UNDECODABLE
+
+
+def test_decoded_pcm_df_skips_poison_rows_observably(chaos):
+    from top_secret_spark.operators.audio import decoded_pcm_df
+
+    rows = decoded_pcm_df(chaos).collect()
+    emitted = {r["clip_id"] for r in rows}
+    # codec/payload guard only — sr does not matter for raw decode
+    assert emitted == ALL_IDS - UNDECODABLE
+    by_id = {r["clip_id"]: r["pcm"] for r in rows}
+    # the clean pcm16 row decodes to the planted samples
+    want = np.frombuffer(PCM, dtype="<i2").astype(np.float64) / 32767.0
+    got = np.array(by_id["ok_pcm16"], dtype=np.float64)
+    assert np.allclose(got, want, atol=1e-6)
+    assert by_id["empty_bytes"] == []
+
+
+def test_frame_energy_df_skips_poison_and_bad_sr(chaos):
+    from top_secret_spark.operators.audio import frame_energy_df
+
+    rows = frame_energy_df(chaos).collect()
+    emitted = {r["clip_id"] for r in rows}
+    # frame length is sr-derived, so bad-sr rows are unmeasurable too
+    assert emitted == ALL_IDS - UNDECODABLE - BAD_SR
+    by_id = {r["clip_id"]: r["frame_db"] for r in rows}
+    assert len(by_id["ok_pcm16"]) > 0
+    assert by_id["empty_bytes"] == []

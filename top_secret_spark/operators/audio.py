@@ -1165,47 +1165,83 @@ def time_masked_clips(
 def frame_energy_df(
     df: DataFrame, frame_ms: int = 25, hop_ms: int = 10
 ) -> DataFrame:
-    """clip_id + per-frame RMS energy in dB (the audio 'frame-sample')."""
+    """clip_id + per-frame RMS energy in dB (the audio 'frame-sample').
+
+    One row per DECODABLE clip: poison rows (NULL / odd-length pcm16
+    payload, unsupported or NULL codec, NULL / non-positive sr) are
+    SKIPPED, never a stage kill — the ``audio_window_hashes``
+    convention; verification paths meet the same poison-row bar as the
+    production operators."""
 
     def run(iterator):
+        import numpy as np
         import pandas as pd
 
-        from ..kernel.audio import decode, frame_features
+        from ..kernel.audio import decode_sr_groups, frame_features
 
         for pdf in iterator:
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "frame_db": [
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            srs = pdf["sr_hz"].to_numpy(dtype="float64", na_value=np.nan)
+            clip_ids = pdf["clip_id"].tolist()
+            ids: list = []
+            frames: list = []
+            for idx, samples, lengths, sr in decode_sr_groups(
+                datas, codecs, srs
+            ):
+                bounds = np.concatenate([[0], np.cumsum(lengths)])
+                for k, i in enumerate(idx):
+                    ids.append(clip_ids[i])
+                    frames.append(
                         frame_features(
-                            decode(bytes(b), c), int(sr), frame_ms, hop_ms
+                            samples[bounds[k]:bounds[k + 1]], sr,
+                            frame_ms, hop_ms,
                         ).tolist()
-                        for b, c, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
-                    ],
-                }
-            )
+                    )
+            yield pd.DataFrame({"clip_id": ids, "frame_db": frames})
 
     return df.mapInPandas(run, schema="clip_id string, frame_db array<float>")
 
 
 def decoded_pcm_df(df: DataFrame) -> DataFrame:
-    """clip_id + decoded PCM as array<float> — test/verification path only."""
+    """clip_id + decoded PCM as array<float> — test/verification path
+    only.  One row per DECODABLE clip (supported codec, non-NULL
+    payload, pcm16 byte-aligned); poison rows are SKIPPED, never a
+    stage kill."""
 
     def run(iterator):
+        import numpy as np
         import pandas as pd
 
-        from ..kernel.audio import decode
+        from ..kernel.audio import (
+            SUPPORTED_CODECS,
+            batch_decode,
+            pcm16_aligned_indices,
+        )
 
         for pdf in iterator:
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "pcm": [
-                        decode(bytes(b), c).tolist()
-                        for b, c in zip(pdf["bytes"], pdf["codec"])
-                    ],
-                }
+            datas = pdf["bytes"].tolist()
+            codecs = pdf["codec"].to_numpy()
+            clip_ids = pdf["clip_id"].tolist()
+            has_data = np.fromiter(
+                (d is not None for d in datas), dtype=bool, count=len(datas)
             )
+            ids: list = []
+            pcms: list = []
+            for codec in SUPPORTED_CODECS:
+                cidx = np.flatnonzero((codecs == codec) & has_data)
+                if codec == "pcm16":
+                    cidx = pcm16_aligned_indices(datas, cidx)
+                if not len(cidx):
+                    continue
+                samples, lengths = batch_decode(
+                    [bytes(datas[i]) for i in cidx], codec
+                )
+                bounds = np.concatenate([[0], np.cumsum(lengths)])
+                for k, i in enumerate(cidx):
+                    ids.append(clip_ids[i])
+                    pcms.append(samples[bounds[k]:bounds[k + 1]].tolist())
+            yield pd.DataFrame({"clip_id": ids, "pcm": pcms})
 
     return df.mapInPandas(run, schema="clip_id string, pcm array<float>")
 
