@@ -150,6 +150,94 @@ def test_decoded_pcm_df_skips_poison_rows_observably(chaos):
     assert by_id["empty_bytes"] == []
 
 
+TEXT_ROWS = [
+    ("ok", "A normal clean document with some words in it. " * 3),
+    ("null_tx", None),
+    ("empty", ""),
+    ("ws_only", " \t\n   "),
+    ("huge", "word " * 50000),
+    ("one_char", "x"),
+    ("unicode", "héllo wörld — ∑∆ 中文 📣 ́​﻿"),
+    ("newlines", "\n\n\n\n"),
+    ("control", "a\x00b\x07c\x1bd"),
+    ("rtl", "مرحبا بالعالم שלום עולם"),
+    ("long_word", "a" * 20000),
+    ("digits", "1234567890 " * 50),
+    ("symbols", "!@#$%^&*()_+ " * 40),
+]
+
+
+def test_no_text_operator_dies_on_poison(spark):
+    """Same sweep discipline over the text surface: NULL / empty /
+    whitespace-only / huge / control-char / RTL / zero-width documents
+    through every text-facing operator family — flagged or defaulted,
+    never a stage kill."""
+    import pyspark.sql.functions as F
+
+    import top_secret_spark.operators.dedup as D
+    import top_secret_spark.operators.lm as L
+    import top_secret_spark.operators.quality as Q
+    import top_secret_spark.operators.repetition as R
+    import top_secret_spark.operators.sampling as SA
+    import top_secret_spark.operators.similarity as S
+    import top_secret_spark.operators.text_analysis as T
+    from top_secret_spark.operators.scrub import with_restore, with_scrub
+    from top_secret_spark.pipeline import PipelineConfig, run_pipeline
+
+    df = spark.createDataFrame(TEXT_ROWS, ["doc_id", "text"]).repartition(3)
+    tx = (df.withColumnRenamed("text", "transcript")
+            .withColumn("clip_id", F.col("doc_id"))
+            .withColumn("dur_ms", F.lit(100)))
+
+    ops = [
+        ("with_clean_text", lambda: T.with_clean_text(df, text_col="text")),
+        ("collapse_repeated_lines",
+         lambda: T.collapse_repeated_lines(df, text_col="text")),
+        ("top_terms", lambda: T.top_terms(df, text_col="text", k=5)),
+        ("with_text_analysis", lambda: T.with_text_analysis(df)),
+        ("with_oov_rate",
+         lambda: T.with_oov_rate(tx, lexicon=["the", "a", "word"])),
+        ("with_compression_ratio", lambda: T.with_compression_ratio(tx)),
+        ("chunk_text",
+         lambda: T.chunk_text(df, text_col="text", max_chars=40,
+                              overlap_chars=10)),
+        ("with_spoken_form", lambda: T.with_spoken_form(tx)),
+        ("with_quality_signals", lambda: Q.with_quality_signals(tx)),
+        ("quality_rule_audit", lambda: Q.quality_rule_audit(tx)),
+        ("with_repetition_signals",
+         lambda: R.with_repetition_signals(tx, text_col="transcript")),
+        ("dedup_exact", lambda: D.dedup_exact(df, text_col="text")),
+        ("dedup_lines", lambda: D.dedup_lines(df, text_col="text")),
+        ("minhash", lambda: D.near_duplicates_minhash(
+            df, text_col="text", id_col="doc_id")),
+        ("simhash", lambda: D.near_duplicates_simhash(
+            df, text_col="text", id_col="doc_id")),
+        ("with_text_embedding",
+         lambda: S.with_text_embedding(df, text_col="text")),
+        ("scrub_restore",
+         lambda: with_restore(with_scrub(df, text_col="text"))),
+        ("pipeline_text",
+         lambda: run_pipeline(tx, PipelineConfig(include_audio=False))),
+        ("fit_ngram_counts", lambda: L.fit_ngram_counts(df, text_col="text")),
+        ("with_split", lambda: SA.with_split(df, key_col="doc_id")),
+    ]
+    failures = []
+    for name, fn in ops:
+        try:
+            fn().count()
+        except Exception as e:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+    # poison documents reach a decision, not an error: NULL text drops
+    out = run_pipeline(tx, PipelineConfig(include_audio=False))
+    got = {r["doc_id"]: r for r in
+           out.select("doc_id", "keep", "drop_reason").collect()}
+    assert len(got) == len(TEXT_ROWS)
+    assert not got["null_tx"]["keep"]
+    assert not got["empty"]["keep"]
+
+
 def test_frame_energy_df_skips_poison_and_bad_sr(chaos):
     from top_secret_spark.operators.audio import frame_energy_df
 
