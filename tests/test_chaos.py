@@ -238,6 +238,85 @@ def test_no_text_operator_dies_on_poison(spark):
     assert not got["empty"]["keep"]
 
 
+def _emb_rows(dim):
+    def v(seed):
+        r = np.random.default_rng(seed).standard_normal(dim)
+        return (r / np.linalg.norm(r)).astype("float32").tolist()
+
+    return [
+        (1, v(1), "ok1"), (2, v(2), "ok2"), (3, v(3), "ok3"),
+        (12, v(1), "dup_of_1"),
+        (4, [0.0] * dim, "zero_vec"),
+        (5, None, "null_emb"),
+        (6, [], "empty_arr"),
+        (7, v(7)[: dim // 2], "short_dim"),
+        (8, v(8) + [0.1] * 4, "long_dim"),
+        (9, [float("nan")] * dim, "nan_vec"),
+        (10, [float("inf")] + [0.0] * (dim - 1), "inf_vec"),
+        (11, [1e30] * dim, "huge_vals"),
+    ]
+
+
+def test_embedding_poison_never_pairs_or_ranks(spark):
+    """Ragged / zero-norm / non-finite embeddings through the vector
+    surface.  Pins three found-by-sweep defects: (1) make_lsh_bucket_udf
+    crashed the batch on ragged rows (inhomogeneous np.array); (2) the
+    Catalyst cosine aborted the job on a zero-norm vector under ANSI
+    mode (DIVIDE_BY_ZERO); (3) a NaN cosine PASSED the >= threshold
+    filter (Spark orders NaN above every number), silently pairing the
+    poison row with every bucket-mate."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import top_secret_spark.operators.dedup as D
+    import top_secret_spark.operators.similarity as S
+
+    dim = 8
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("kind", StringType()),
+    ])
+    df = spark.createDataFrame(_emb_rows(dim), schema).repartition(3)
+    poison_ids = {4, 5, 6, 7, 8, 9, 10}
+
+    for exact in (False, True):
+        pairs = D.embedding_near_duplicates(
+            df, dim=dim, threshold=0.9, id_col="vec_id", exact=exact
+        ).collect()
+        got = {(r["a"], r["b"]) for r in pairs}
+        assert (1, 12) in got
+        assert not {p for p in got if p[0] in poison_ids or p[1] in poison_ids}
+        assert all(r["cos"] == r["cos"] for r in pairs)  # no NaN survives
+
+    queries = [(100, _emb_rows(dim)[0][1])]
+    for fn in (
+        lambda: S.brute_force_top_k(df, queries, k=3),
+        lambda: S.ann_top_k(df, queries, dim=dim, k=3),
+        lambda: S.ivf_top_k(
+            df, queries,
+            S.train_ivf_centroids(
+                df.filter(F.col("vec_id") <= 3), dim=dim, n_cells=2
+            ),
+            k=3,
+        ),
+    ):
+        rows = fn().collect()
+        assert {r["vec_id"] for r in rows if r["rank"] <= 2} == {1, 12}
+        assert not {r["vec_id"] for r in rows} & poison_ids
+
+    # train refuses a width-poisoned SAMPLE loudly (documented contract:
+    # a silent skip would hide a config error at index-build time)
+    with pytest.raises(ValueError, match="width mismatch"):
+        S.train_ivf_centroids(df, dim=dim, n_cells=2)
+
+
 def test_frame_energy_df_skips_poison_and_bad_sr(chaos):
     from top_secret_spark.operators.audio import frame_energy_df
 

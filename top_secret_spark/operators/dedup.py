@@ -1219,9 +1219,17 @@ def embedding_near_duplicates(
         F.transform("ea", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(
         F.transform("eb", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    # try_divide: a zero-norm vector (all-zeros embedding) must read
+    # cos=NULL and fall out of the threshold filter — under ANSI mode
+    # (Spark 4 default) a plain division would abort the whole job on
+    # DIVIDE_BY_ZERO for one degenerate row.  The explicit NaN guard
+    # matters because Spark orders NaN ABOVE every number: a NaN cosine
+    # (non-finite embedding component) would pass any >= threshold
+    # filter and silently pair the poison row with every candidate.
+    cos = F.try_divide(dot, na * nb)
     return (
-        pairs.withColumn("cos", dot / (na * nb))
-        .filter(F.col("cos") >= threshold)
+        pairs.withColumn("cos", cos)
+        .filter((~F.isnan(F.col("cos"))) & (F.col("cos") >= threshold))
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
 

@@ -203,17 +203,40 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
 
 def make_lsh_bucket_udf(dim: int, n_bits: int = 16, seed: int = 42):
     """Random-hyperplane signature: embedding → int bucket (n_bits sign
-    bits packed)."""
+    bits packed).  NULL / wrong-width embeddings get a NULL bucket —
+    masked per row like ``_partial_top_k``, so one ragged vector can
+    neither kill the batch (the old np.array over a ragged list raised
+    "inhomogeneous shape") nor land in a real bucket: NULL never equals
+    NULL in the bucket self-join, and probe IN-lists never match it, so
+    poison rows fall out of the candidate space observably."""
     planes = _hyperplanes(dim, n_bits, seed)
     weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     @pandas_udf(T.LongType())
     def bucket(embs: pd.Series) -> pd.Series:
-        mat = np.array(embs.tolist(), dtype=np.float64)
-        if mat.ndim != 2 or len(mat) == 0:
-            return pd.Series([0] * len(embs))
-        bits = (mat @ planes.T) > 0
-        return pd.Series((bits @ weights).astype(np.int64))
+        vals = embs.tolist()
+        n = len(vals)
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool, count=n,
+        )
+        out = pd.array([None] * n, dtype="Int64")
+        if valid.any():
+            mat = np.array(
+                [vals[i] for i in np.flatnonzero(valid)], dtype=np.float64
+            )
+            # non-finite components (NaN/Inf) would hash to an arbitrary
+            # REAL bucket and then score NaN against every bucket-mate —
+            # and Spark orders NaN above every number, so a NaN cosine
+            # would pass any >= threshold filter; poison them to NULL
+            # here instead
+            finite = np.isfinite(mat).all(axis=1)
+            codes = (
+                ((mat @ planes.T) > 0) @ weights
+            ).astype(np.int64)
+            keep = np.flatnonzero(valid)[finite]
+            out[keep] = codes[finite]
+        return pd.Series(out)
 
     return bucket
 
