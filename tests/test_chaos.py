@@ -111,7 +111,18 @@ def _ops():
         ("declipped_clips",        lambda d: A.declipped_clips(d)),
         ("denoised_clips",         lambda d: A.denoised_clips(d)),
         ("downmix_to_mono",        lambda d: A.downmix_to_mono(d)),
+        ("with_metadata_audit",    _metadata_audit),
     ]
+
+
+def _metadata_audit(d):
+    # ANSI-mode hazard this pins: the duration-mismatch arm divides by
+    # sr_hz; zero/negative rates must be caught by the earlier
+    # bad_sample_rate CASE arm (CaseWhen short-circuits), never reach
+    # the division
+    from top_secret_spark.operators.integrity import with_metadata_audit
+
+    return with_metadata_audit(d)
 
 
 def test_no_audio_operator_dies_on_poison(chaos):
