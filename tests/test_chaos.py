@@ -230,7 +230,10 @@ def test_no_text_operator_dies_on_poison(spark):
         ("pipeline_text",
          lambda: run_pipeline(tx, PipelineConfig(include_audio=False))),
         ("fit_ngram_counts", lambda: L.fit_ngram_counts(df, text_col="text")),
-        ("with_split", lambda: SA.with_split(df, key_col="doc_id")),
+        # string ids must be hashed before keyed sampling (the
+        # plan-time integral-key gate's documented remedy)
+        ("with_split", lambda: SA.with_split(
+            df.withColumn("key", F.xxhash64("doc_id")), key_col="key")),
     ]
     failures = []
     for name, fn in ops:
@@ -326,6 +329,88 @@ def test_embedding_poison_never_pairs_or_ranks(spark):
     # a silent skip would hide a config error at index-build time)
     with pytest.raises(ValueError, match="width mismatch"):
         S.train_ivf_centroids(df, dim=dim, n_cells=2)
+
+
+def test_sampling_poison_values_and_plan_time_key_gate(spark):
+    """Pathological sampling inputs: NULL strata/keys/sizes, negative
+    and 10^12 sizes, NaN weights.  Pins two found-by-sweep defects in
+    select_until_budget — a NULL-id row silently ATE budget then
+    vanished at the id join, and a negative size REFUNDED budget — and
+    the plan-time integral-key gate (under ANSI a string key would fail
+    with CAST_INVALID_INPUT mid-job, inside a task, instead of at plan
+    time on the driver)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import top_secret_spark.operators.packing as P
+    import top_secret_spark.operators.sampling as SA
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("domain", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("importance", DoubleType()),
+    ])
+    rows = [
+        (1, "web", 100, 1.0), (2, "web", 50, 0.5), (3, "books", 10, 2.0),
+        (4, None, 30, 1.0),            # NULL stratum
+        (5, "web", None, 1.0),         # NULL size
+        (6, "web", 0, 1.0),            # zero size
+        (7, "web", -20, 1.0),          # negative size
+        (8, "books", 40, float("nan")),
+        (9, "books", 40, None),
+        (10, "books", 10**12, 1.0),    # huge size
+        (None, "web", 25, 1.0),        # NULL key
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(3)
+
+    for name, fn in [
+        ("deterministic", lambda: SA.deterministic_sample(df, 0.5)),
+        ("stratified", lambda: SA.stratified_sample(
+            df, {"web": 0.5, "books": 1.0}, "domain")),
+        ("temperature", lambda: SA.temperature_sample(df, "domain", 0.5)),
+        ("mixture", lambda: SA.mixture_sample(
+            df, "domain", {"web": 0.7, "books": 0.3})),
+        ("split", lambda: SA.with_split(df)),
+        ("epochs", lambda: SA.repeat_epochs(
+            df, {"web": 2.5, "books": 1.0}, strata_col="domain")),
+        ("cap", lambda: SA.cap_per_key(df, ["domain"], 2, [F.col("doc_id")])),
+        ("pack", lambda: P.pack_sequences(df, 120)),
+        ("shard", lambda: P.shard_by_size(
+            df, 100, order_col="doc_id", size_col="n_tokens")),
+    ]:
+        fn().count()  # must materialize, never raise
+
+    # NULL-id rows must not eat budget: the NULL-key row (25 tokens)
+    # sorts first but can never return through the id join — with it
+    # wrongly in the prefix sum, doc 1 (100) would miss a budget of
+    # exactly 100 (25+100 > 100); excluded, doc 1 fits exactly
+    kept = SA.select_until_budget(
+        df, 100, "n_tokens", [F.col("doc_id")]
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1]
+
+    # negative sizes must not REFUND budget: with raw values doc 22's
+    # -60 would pull the running total back under budget and admit
+    # doc 23; clamped to 0 the prefix stays spent
+    refund = spark.createDataFrame(
+        [(21, "web", 100, 1.0), (22, "web", -60, 1.0),
+         (23, "web", 10, 1.0)], schema)
+    kept2 = SA.select_until_budget(
+        refund, 100, "n_tokens", [F.col("doc_id")]
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept2) == [21, 22]
+
+    with pytest.raises(ValueError, match="integral"):
+        SA.with_split(
+            df.withColumn("sid", F.col("doc_id").cast("string")),
+            key_col="sid",
+        )
 
 
 def test_frame_energy_df_skips_poison_and_bad_sr(chaos):

@@ -59,6 +59,27 @@ def _check_fraction(fraction: float, name: str = "fraction") -> None:
         raise ValueError(f"{name} must be in [0, 1], got {fraction}")
 
 
+_INTEGRAL_TYPES = ("byte", "tinyint", "short", "smallint", "int", "integer",
+                   "bigint", "long")
+
+
+def _check_integral_key(df: DataFrame, key_col: str) -> None:
+    """Plan-time type gate for every ``sample_u_col`` entry point: the
+    key arithmetic casts to bigint, and under ANSI mode (Spark 4
+    default) a string/double key would fail with CAST_INVALID_INPUT or
+    overflow MID-JOB inside a task — hours into a 10^12-row run — for
+    an error that is knowable from the schema before any task launches.
+    Raise here, at plan time, like the scrub path's MalformedLabel."""
+    dt = df.schema[key_col].dataType.simpleString()
+    if dt not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"sampling key column {key_col!r} must be an integral type "
+            f"(byte/short/int/long), got {dt}: the deterministic key hash "
+            "is bigint arithmetic (and its SQL-oracle twin). Hash "
+            "non-integral keys first, e.g. F.xxhash64(col)."
+        )
+
+
 def deterministic_sample(
     df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 0
 ) -> DataFrame:
@@ -66,6 +87,7 @@ def deterministic_sample(
     run regardless of partitioning.  Different ``seed`` values give
     independent samples over the same corpus."""
     _check_fraction(fraction)
+    _check_integral_key(df, key_col)
     return df.filter(sample_u_col(F.col(key_col), seed) < F.lit(fraction))
 
 
@@ -88,6 +110,7 @@ def stratified_sample(
         thresh = F.when(F.col(strata_col) == F.lit(value), F.lit(fr)).otherwise(
             thresh
         )
+    _check_integral_key(df, key_col)
     return df.filter(sample_u_col(F.col(key_col), seed) < thresh)
 
 
@@ -183,6 +206,7 @@ def _rate_threshold_sample(
     shuffles either way.  NULL strata are matched null-safely."""
     if not rates:
         return df
+    _check_integral_key(df, key_col)
     u = sample_u_col(F.col(key_col), seed)
     if len(rates) <= CASE_STRATA_MAX:
         # small stratum sets (languages, codecs): plan-time CASE keeps
@@ -315,6 +339,7 @@ def with_split(
     an eval split must have so no holdout document ever leaks into a
     later training run."""
     _check_fraction(holdout_fraction, "holdout_fraction")
+    _check_integral_key(df, key_col)
     u = sample_u_col(F.col(key_col), seed)
     return df.withColumn(
         col_name,
@@ -366,11 +391,23 @@ def select_until_budget(
     # compute a bigint.  ``id_col`` must be unique (it is the join key).
     ordc = "_sel_ord"
     cols = [F.col(c) if isinstance(c, str) else c for c in priority_cols]
-    narrow = df.select(
-        F.col(id_col), F.col(value_col), F.struct(*cols).alias(ordc)
+    # Degenerate-input posture (both auditable in plain SQL):
+    #  - NULL-id rows can never come back through the id join, so they
+    #    must not enter the prefix sum either — otherwise they silently
+    #    EAT budget and vanish;
+    #  - NULL / negative values clamp to 0 in the SAME projection the
+    #    cumsum reads, so the running total and the fits-whole filter
+    #    always agree (a negative "size" must not refund budget).
+    val_clamped = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.coalesce(F.col(value_col).cast("bigint"), F.lit(0).cast("bigint")),
+    )
+    narrow = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col), val_clamped.alias(value_col),
+        F.struct(*cols).alias(ordc),
     )
     offs = with_global_offset(narrow, ordc, value_col, out_col=out_col)
-    val = F.coalesce(F.col(value_col), F.lit(0)).cast("bigint")
+    val = F.col(value_col).cast("bigint")
     kept = offs.where(F.col(out_col) + val <= F.lit(int(budget))).select(
         id_col, out_col
     )
@@ -428,6 +465,7 @@ def repeat_epochs(
             raise ValueError(f"epochs must be >= 0, got {epochs}")
         ep = F.lit(float(epochs))
     flo = F.floor(ep).cast("long")
+    _check_integral_key(df, key_col)
     u = sample_u_col(F.col(key_col), seed)
     n = flo + (u < (ep - flo)).cast("long")
     copies = F.when(
@@ -509,6 +547,7 @@ def split_by_cluster(
     beyond that id join; pairs volume is the LSH output, not O(n^2).
     """
     _check_fraction(holdout_fraction, "holdout_fraction")
+    _check_integral_key(df, id_col)
     from .dedup import near_duplicate_clusters
 
     clusters = near_duplicate_clusters(pairs).withColumnRenamed(
