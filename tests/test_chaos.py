@@ -330,6 +330,23 @@ def test_embedding_poison_never_pairs_or_ranks(spark):
     with pytest.raises(ValueError, match="width mismatch"):
         S.train_ivf_centroids(df, dim=dim, n_cells=2)
 
+    # degenerate structures: zero queries is the empty set (typed empty
+    # frame, not a numpy AxisError); empty training corpus refuses loudly
+    clean = df.filter(F.col("vec_id").isin(1, 2, 3, 12))
+    cents = S.train_ivf_centroids(clean, dim=dim, n_cells=2)
+    for empty_q in (
+        lambda: S.brute_force_top_k(clean, [], k=3),
+        lambda: S.ann_top_k(clean, [], dim=dim, k=3),
+        lambda: S.ivf_top_k(clean, [], cents, k=3),
+    ):
+        out = empty_q()
+        assert out.count() == 0
+        assert set(out.columns) == {"query_id", "vec_id", "score", "rank"}
+    with pytest.raises(ValueError, match="empty"):
+        S.train_ivf_centroids(
+            clean.filter(F.col("vec_id") < 0), dim=dim, n_cells=2
+        )
+
 
 def test_sampling_poison_values_and_plan_time_key_gate(spark):
     """Pathological sampling inputs: NULL strata/keys/sizes, negative

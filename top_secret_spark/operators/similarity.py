@@ -161,6 +161,16 @@ def _partial_top_k(
     return df.select(*cols).mapInPandas(part_topk, out_ddl)
 
 
+def _empty_topk(df: "DataFrame", id_col: str) -> "DataFrame":
+    """Typed empty result for a top-k call with zero queries — the
+    top-k of no queries is the empty set, not a numpy AxisError from
+    stacking an empty query matrix."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        [], f"query_id long, {id_col} {id_type}, score double, rank int"
+    )
+
+
 def brute_force_top_k(
     df: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -179,6 +189,8 @@ def brute_force_top_k(
     candidates per query (phase two).  At 10^11 corpus rows the single
     exchange carries k × n_queries rows per partition — scalar triples,
     never vectors, never the corpus."""
+    if not queries:
+        return _empty_topk(df, id_col)
     scored = _partial_top_k(
         df, queries, k, id_col, emb_col, cell_col, allowed, band,
         exclude_self,
@@ -266,6 +278,8 @@ def ann_top_k(
     but scoring masks each query down to its OWN probe buckets, so a
     query never returns hits from another query's probe set and results
     do not depend on which queries are co-batched."""
+    if not queries:
+        return _empty_topk(df, id_col)
     planes = _hyperplanes(dim, n_bits)
     weights = 1 << np.arange(n_bits, dtype=np.int64)
 
@@ -320,6 +334,13 @@ def train_ivf_centroids(
         df.orderBy(id_col).limit(sample).select(emb_col).collect()
     )
     vecs = [r[0] for r in rows if r[0] is not None]
+    if not vecs:
+        # loud refusal like the LM fit's empty-fit raise: centroids
+        # from nothing would silently misfile every future vector
+        raise ValueError(
+            "IVF training sample is empty: corpus has no non-NULL "
+            "embeddings to train centroids on"
+        )
     if any(len(v) != dim for v in vecs):
         raise ValueError(
             f"embedding width mismatch: expected dim={dim}, sample contains "
@@ -388,6 +409,8 @@ def ivf_top_k(
     cells (one pruned scan serves the batch), but scoring masks each
     query to its OWN nprobe cells, so results are identical whether a
     query runs alone or co-batched."""
+    if not queries:
+        return _empty_topk(df, id_col)
     allowed, probe = _probe_mask(queries, centroids, nprobe)
     celled = with_ivf_cell(df, centroids, emb_col)
     probed = celled.filter(F.col("ivf_cell").isin(*probe))
@@ -447,8 +470,10 @@ def ivf_top_k_indexed(
     ``ivf_cell=<probed>`` paths appear).  Scoring carries the same
     per-query cell masks as ``ivf_top_k``, so results are identical to
     the unindexed path on the same data."""
-    allowed, probe = _probe_mask(queries, centroids, nprobe)
     df = spark.read.parquet(path)
+    if not queries:
+        return _empty_topk(df, id_col)
+    allowed, probe = _probe_mask(queries, centroids, nprobe)
     probed = df.filter(F.col("ivf_cell").isin(*probe))
     return brute_force_top_k(
         probed, queries, k, id_col, emb_col,
