@@ -132,7 +132,11 @@ def test_no_audio_operator_dies_on_poison(chaos):
     failures = []
     for name, fn in _ops():
         try:
-            fn(chaos).count()
+            # collect(), not count(): Catalyst prunes unreferenced
+            # computed columns under count(), so a count-only sweep
+            # never executes pure-Catalyst poison expressions (ANSI
+            # divisions, CASE arms) — exactly the class this pins
+            fn(chaos).collect()
         except Exception as e:  # noqa: BLE001 — collecting the sweep
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
@@ -238,7 +242,7 @@ def test_no_text_operator_dies_on_poison(spark):
     failures = []
     for name, fn in ops:
         try:
-            fn().count()
+            fn().collect()  # collect: count() would prune Catalyst exprs
         except Exception as e:  # noqa: BLE001 — collecting the sweep
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
@@ -264,6 +268,8 @@ def _emb_rows(dim):
         (5, None, "null_emb"),
         (6, [], "empty_arr"),
         (7, v(7)[: dim // 2], "short_dim"),
+        (13, v(7)[: dim // 2], "short_dim_twin"),  # SAME wrong width —
+        # exact=True must not pair two matching-width ragged vectors
         (8, v(8) + [0.1] * 4, "long_dim"),
         (9, [float("nan")] * dim, "nan_vec"),
         (10, [float("inf")] + [0.0] * (dim - 1), "inf_vec"),
@@ -298,7 +304,7 @@ def test_embedding_poison_never_pairs_or_ranks(spark):
         StructField("kind", StringType()),
     ])
     df = spark.createDataFrame(_emb_rows(dim), schema).repartition(3)
-    poison_ids = {4, 5, 6, 7, 8, 9, 10}
+    poison_ids = {4, 5, 6, 7, 8, 9, 10, 13}
 
     for exact in (False, True):
         pairs = D.embedding_near_duplicates(
@@ -345,6 +351,13 @@ def test_embedding_poison_never_pairs_or_ranks(spark):
     with pytest.raises(ValueError, match="empty"):
         S.train_ivf_centroids(
             clean.filter(F.col("vec_id") < 0), dim=dim, n_cells=2
+        )
+    # a non-finite vector in the sample must refuse loudly too: NaN
+    # centroids + argmax's NaN-is-max would silently file EVERY vector
+    # into one cell
+    with pytest.raises(ValueError, match="non-finite"):
+        S.train_ivf_centroids(
+            df.filter(F.col("vec_id").isin(1, 2, 9)), dim=dim, n_cells=2
         )
 
 
@@ -401,7 +414,7 @@ def test_sampling_poison_values_and_plan_time_key_gate(spark):
         ("shard", lambda: P.shard_by_size(
             df, 100, order_col="doc_id", size_col="n_tokens")),
     ]:
-        fn().count()  # must materialize, never raise
+        fn().collect()  # full materialization (count() prunes columns)
 
     # NULL-id rows must not eat budget: the NULL-key row (25 tokens)
     # sorts first but can never return through the id join — with it

@@ -1200,6 +1200,24 @@ def batch_snr_estimate(
     return snr, nfs
 
 
+def decodable_indices(datas: list, codecs, codec: str, base_ok=None):
+    """Indices of rows decodable as ``codec``: matching codec tag,
+    non-NULL payload, pcm16 byte alignment — the ONE poison-row guard
+    shared by every decode scaffold (``decode_sr_groups`` and the
+    sr-agnostic verification paths), so an alignment rule for a new
+    codec is added in exactly one place.  ``base_ok`` ANDs a caller
+    mask (e.g. a positive-sample-rate requirement)."""
+    ok = np.fromiter(
+        (d is not None for d in datas), dtype=bool, count=len(datas)
+    )
+    if base_ok is not None:
+        ok &= base_ok
+    cidx = np.flatnonzero((codecs == codec) & ok)
+    if codec == "pcm16":
+        cidx = pcm16_aligned_indices(datas, cidx)
+    return cidx
+
+
 def decode_sr_groups(datas: list, codecs, srs):
     """Yield ``(idx, samples, lengths, sr)`` for every decodable
     (codec, sample-rate) group of an Arrow batch — the ONE shared
@@ -1213,13 +1231,8 @@ def decode_sr_groups(datas: list, codecs, srs):
     ``srs`` a float64 array with NaN for NULL rates."""
     srs = np.asarray(srs, dtype=np.float64)
     sr_ok = np.isfinite(srs) & (srs > 0)
-    has_data = np.fromiter(
-        (d is not None for d in datas), dtype=bool, count=len(datas)
-    )
     for codec in SUPPORTED_CODECS:
-        cidx = np.flatnonzero((codecs == codec) & sr_ok & has_data)
-        if codec == "pcm16":
-            cidx = pcm16_aligned_indices(datas, cidx)
+        cidx = decodable_indices(datas, codecs, codec, base_ok=sr_ok)
         if not len(cidx):
             continue
         for sr in np.unique(srs[cidx]):

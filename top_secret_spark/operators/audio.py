@@ -1216,22 +1216,17 @@ def decoded_pcm_df(df: DataFrame) -> DataFrame:
         from ..kernel.audio import (
             SUPPORTED_CODECS,
             batch_decode,
-            pcm16_aligned_indices,
+            decodable_indices,
         )
 
         for pdf in iterator:
             datas = pdf["bytes"].tolist()
             codecs = pdf["codec"].to_numpy()
             clip_ids = pdf["clip_id"].tolist()
-            has_data = np.fromiter(
-                (d is not None for d in datas), dtype=bool, count=len(datas)
-            )
             ids: list = []
             pcms: list = []
             for codec in SUPPORTED_CODECS:
-                cidx = np.flatnonzero((codecs == codec) & has_data)
-                if codec == "pcm16":
-                    cidx = pcm16_aligned_indices(datas, cidx)
+                cidx = decodable_indices(datas, codecs, codec)
                 if not len(cidx):
                     continue
                 samples, lengths = batch_decode(

@@ -1192,6 +1192,13 @@ def embedding_near_duplicates(
     inputs and for measuring LSH recall."""
     from .similarity import with_lsh_bucket
 
+    # width gate BEFORE either path: the LSH path NULL-buckets ragged
+    # vectors, but the exact=True O(n^2) join would happily pair two
+    # wrong-width vectors of MATCHING width (zip_with truncates to the
+    # shorter array) — and exact mode is the LSH-recall baseline, so an
+    # overcount there corrupts the recall measurement itself
+    df = df.filter(F.size(F.col(emb_col)) == dim)
+
     if exact:
         left = df.select(F.col(id_col).alias("a"), F.col(emb_col).alias("ea"))
         right = df.select(F.col(id_col).alias("b"), F.col(emb_col).alias("eb"))

@@ -346,7 +346,18 @@ def train_ivf_centroids(
             f"embedding width mismatch: expected dim={dim}, sample contains "
             f"widths {sorted({len(v) for v in vecs})}"
         )
-    mat = _normalize_rows(np.array(vecs, dtype=np.float64))
+    mat = np.array(vecs, dtype=np.float64)
+    if not np.isfinite(mat).all():
+        # same loud-refusal class as the width check: one NaN/Inf vector
+        # in the sample turns a centroid all-NaN on the first Lloyd
+        # iteration, then np.argmax (NaN-is-max) assigns EVERY vector to
+        # that cell — silent recall collapse with no error downstream
+        raise ValueError(
+            "IVF training sample contains non-finite embedding "
+            "components (NaN/Inf); filter or repair them before "
+            "training centroids"
+        )
+    mat = _normalize_rows(mat)
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
     for _ in range(iters):
