@@ -443,6 +443,33 @@ def test_sampling_poison_values_and_plan_time_key_gate(spark):
         )
 
 
+def test_multimodal_null_payload_fails_with_precise_error(spark):
+    """Multimodal is the one fail-loud transform family (stub decoders
+    by design — no codec libs in this environment).  The contract is a
+    PRECISE error from decode, not an incidental TypeError from the
+    same-shape stacking heuristic — which is what a NULL payload used
+    to produce (len(None))."""
+    import pytest as _pytest
+
+    import top_secret_spark.operators.multimodal as M
+    from top_secret_spark.kernel.media import decode_image, decode_video
+
+    with _pytest.raises(ValueError, match="NULL image payload"):
+        decode_image(None, "raw_rgb8", 8, 8)
+    with _pytest.raises(ValueError, match="NULL video payload"):
+        decode_video(None, "raw_rgb8_frames", 8, 8, 2)
+
+    base = M.media_df(spark, 4)
+    img = next(r for r in base.collect() if r["kind"] == "image")
+    row_cls = type(img)
+    rows = [img, row_cls(media_id="p_null", kind="image", bytes=None,
+                         codec=img["codec"], width=8, height=8,
+                         n_frames=1, fps=0.0)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    with _pytest.raises(Exception, match="NULL image payload"):
+        M.with_media_features(df).collect()
+
+
 def test_frame_energy_df_skips_poison_and_bad_sr(chaos):
     from top_secret_spark.operators.audio import frame_energy_df
 

@@ -56,6 +56,10 @@ def encode_image(img: np.ndarray, codec: str = RAW_IMAGE_CODEC) -> bytes:
 
 def decode_image(data: bytes, codec: str, width: int, height: int) -> np.ndarray:
     """binary + metadata → (h, w, 3) uint8.  Stub for non-raw codecs."""
+    if data is None:
+        # precise loud failure (the operator contract) instead of the
+        # incidental TypeError np.frombuffer raises on None
+        raise ValueError("NULL image payload: nothing to decode")
     if codec == RAW_IMAGE_CODEC:
         arr = np.frombuffer(data, dtype=np.uint8)
         if arr.size != width * height * 3:
@@ -110,6 +114,8 @@ def encode_video(frames: np.ndarray, codec: str = RAW_VIDEO_CODEC) -> bytes:
 def decode_video(
     data: bytes, codec: str, width: int, height: int, n_frames: int
 ) -> np.ndarray:
+    if data is None:
+        raise ValueError("NULL video payload: nothing to decode")
     if codec == RAW_VIDEO_CODEC:
         arr = np.frombuffer(data, dtype=np.uint8)
         if arr.size != n_frames * width * height * 3:

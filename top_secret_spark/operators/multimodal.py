@@ -181,7 +181,8 @@ def with_media_features(df: DataFrame) -> DataFrame:
                     else -1
                 )
                 if expected > 0 and all(
-                    len(b) == expected for b in grp["bytes"]
+                    b is not None and len(b) == expected
+                    for b in grp["bytes"]
                 ):
                     buf = np.frombuffer(
                         b"".join(grp["bytes"]), dtype=np.uint8
