@@ -18,6 +18,21 @@ neighbor interference; see BENCH/BASELINE.md's host-probe protocol).
 Arms of one comparison run back-to-back so a host-degradation window
 hits both or neither.
 
+Calm gating is PER COMPARISON, not per run (round-4 tail change): the
+shared VM's calm windows last tens of seconds while the full suite
+takes minutes, so a single before/after probe pair around the whole
+run could never land a calm record — every attempt shipped
+``host_degraded: true`` even though each individual comparison only
+needs a few seconds of quiet.  ``_gated`` probes immediately before
+and after the arms of ONE comparison and retries just that comparison
+(up to ``$KERNEL_BENCH_TRIES``, default 8, waiting
+``$KERNEL_BENCH_WAIT`` s between tries) until its own window is calm,
+keeping the least-degraded attempt as the fallback.  The symmetric
+back-to-back guarantee is unchanged — both arms always share one
+window.  ``arm_probes`` in the output records the winning window's
+probe per comparison; ``host_degraded`` is true iff ANY comparison
+never landed calm.
+
 Prints one JSON line.
 """
 
@@ -43,6 +58,15 @@ MESSAGES = [
 
 ITERATIONS = 5
 
+# Per-comparison calm gate (see module docstring).  The 0.45 s gate
+# matches the calm watcher's threshold; a calm probe is ~0.05 s.
+CALM_GATE_SEC = float(os.environ.get("KERNEL_BENCH_CALM_GATE", "0.45"))
+MAX_TRIES = int(os.environ.get("KERNEL_BENCH_TRIES", "8"))
+RETRY_WAIT_SEC = float(os.environ.get("KERNEL_BENCH_WAIT", "15"))
+
+# comparison name -> max(probe_before, probe_after) of the kept attempt
+ARM_PROBES: dict[str, float] = {}
+
 
 def _timeit(fn, iterations: int = ITERATIONS) -> float:
     """Symmetric arm timer: one untimed warmup, then best-of-N timed
@@ -57,15 +81,45 @@ def _timeit(fn, iterations: int = ITERATIONS) -> float:
     return best
 
 
+def _gated(name: str, *arms):
+    """Time the arms of ONE comparison back-to-back inside a single
+    probed calm window, retrying the whole comparison when the window
+    degrades.  Each arm is ``(fn, iterations)``; returns the list of
+    per-arm ``_timeit`` results from the least-degraded attempt.  The
+    winning attempt's probe lands in ``ARM_PROBES[name]``."""
+    from bench import _bandwidth_probe_sec
+
+    best_probe = None
+    best_times = None
+    for attempt in range(MAX_TRIES):
+        p0 = _bandwidth_probe_sec()
+        if p0 > CALM_GATE_SEC and attempt < MAX_TRIES - 1:
+            time.sleep(RETRY_WAIT_SEC)
+            continue
+        times = [_timeit(fn, iterations=iters) for fn, iters in arms]
+        probe = max(p0, _bandwidth_probe_sec())
+        if best_probe is None or probe < best_probe:
+            best_probe, best_times = probe, times
+        if probe <= CALM_GATE_SEC:
+            break
+        if attempt < MAX_TRIES - 1:
+            time.sleep(RETRY_WAIT_SEC)
+    ARM_PROBES[name] = round(best_probe, 3)
+    return best_times
+
+
 def main():
     from bench import _bandwidth_probe_sec
 
     host_probe_before = _bandwidth_probe_sec()
 
-    individual_sec = _timeit(lambda: [filter_text(m) for m in MESSAGES])
-    batch_sec = _timeit(lambda: filter_all_local(MESSAGES))
     gmap, items = filter_all_local(MESSAGES)
-    restore_sec = _timeit(lambda: restore_text(items[0][0], gmap))
+    individual_sec, batch_sec, restore_sec = _gated(
+        "scrub",
+        (lambda: [filter_text(m) for m in MESSAGES], ITERATIONS),
+        (lambda: filter_all_local(MESSAGES), ITERATIONS),
+        (lambda: restore_text(items[0][0], gmap), ITERATIONS),
+    )
 
     # pair-Jaccard verify kernel: vectorized batch pass vs the per-pair
     # set loop it replaced (this UDF sits on the
@@ -98,8 +152,11 @@ def main():
             out.append(len(sa & sb) / union if union else 1.0)
         return out
 
-    jac_vec_sec = _timeit(lambda: pair_jaccard(pa, pb))
-    jac_loop_sec = _timeit(lambda: jaccard_loop(pa, pb), iterations=3)
+    jac_vec_sec, jac_loop_sec = _gated(
+        "jaccard",
+        (lambda: pair_jaccard(pa, pb), ITERATIONS),
+        (lambda: jaccard_loop(pa, pb), 3),
+    )
 
     # audio feature kernel: one concatenated decode + segmented
     # reductions (the with_audio_features hot path, now including the
@@ -132,8 +189,9 @@ def main():
             audio_features(pcm, 8000)
             gate_ratios(pcm)
 
-    audio_vec_sec = _timeit(audio_batched)
-    audio_loop_sec = _timeit(audio_loop)
+    audio_vec_sec, audio_loop_sec = _gated(
+        "audio_features",
+        (audio_batched, ITERATIONS), (audio_loop, ITERATIONS))
 
     # pairwise-SNR verify kernel: grouped concatenated decode + cumsum
     # segment powers vs the naive per-pair decode loop
@@ -157,8 +215,10 @@ def main():
         for da, db in zip(pairs_a, pairs_b):
             snr_db(decode(da, "pcm16"), decode(db, "ulaw"))
 
-    snr_vec_sec = _timeit(lambda: batch_pair_snr(pairs_a, pairs_b, ca, cb))
-    snr_loop_sec = _timeit(snr_loop)
+    snr_vec_sec, snr_loop_sec = _gated(
+        "pair_snr",
+        (lambda: batch_pair_snr(pairs_a, pairs_b, ca, cb), ITERATIONS),
+        (snr_loop, ITERATIONS))
 
     # uniform-rate resample kernel (resampled_clips hot path).  The
     # kernel is REGIME-ADAPTIVE (kernel/audio.py BATCH_RESAMPLE_SHORT_CLIP):
@@ -183,9 +243,11 @@ def main():
         for c, sr in zip(rs_clips, rs_srs):
             resample(c, int(sr), 16000)
 
-    rs_vec_sec = _timeit(
-        lambda: batch_resample(rs_samples, rs_lengths, rs_srs, 16000))
-    rs_loop_sec = _timeit(resample_loop)
+    rs_vec_sec, rs_loop_sec = _gated(
+        "resample",
+        (lambda: batch_resample(rs_samples, rs_lengths, rs_srs, 16000),
+         ITERATIONS),
+        (resample_loop, ITERATIONS))
 
     # loudness-normalize kernel: one reduceat + repeat-multiply pass
     # (normalized_clips hot path) vs a per-clip loop.  SHORT clips, like
@@ -207,9 +269,11 @@ def main():
         for c in ng_clips:
             batch_normalize_gain(c, np.array([len(c)]), 0.1, 100.0)
 
-    ng_vec_sec = _timeit(
-        lambda: batch_normalize_gain(ng_samples, ng_lengths, 0.1, 100.0))
-    ng_loop_sec = _timeit(normalize_loop)
+    ng_vec_sec, ng_loop_sec = _gated(
+        "normalize",
+        (lambda: batch_normalize_gain(ng_samples, ng_lengths, 0.1, 100.0),
+         ITERATIONS),
+        (normalize_loop, ITERATIONS))
 
     # silence-trim + voiced-segment kernels: one flatnonzero/diff/
     # searchsorted pass over the concatenated buffer vs per-clip scans
@@ -240,17 +304,21 @@ def main():
         for c in tb_clips:
             batch_trim_bounds(c, np.array([len(c)]), 0.01)
 
-    tb_vec_sec = _timeit(
-        lambda: batch_trim_bounds(tb_samples, tb_lengths, 0.01))
-    tb_loop_sec = _timeit(trim_loop)
+    tb_vec_sec, tb_loop_sec = _gated(
+        "trim",
+        (lambda: batch_trim_bounds(tb_samples, tb_lengths, 0.01),
+         ITERATIONS),
+        (trim_loop, ITERATIONS))
 
     def seg_loop():
         for c in tb_clips:
             batch_voiced_segments(c, np.array([len(c)]), 0.01, 200)
 
-    sg_vec_sec = _timeit(
-        lambda: batch_voiced_segments(tb_samples, tb_lengths, 0.01, 200))
-    sg_loop_sec = _timeit(seg_loop)
+    sg_vec_sec, sg_loop_sec = _gated(
+        "segments",
+        (lambda: batch_voiced_segments(tb_samples, tb_lengths, 0.01, 200),
+         ITERATIONS),
+        (seg_loop, ITERATIONS))
 
     # spectral: blocked multi-clip FFT vs per-clip kernel calls
     from top_secret_spark.kernel.spectral import batch_spectral
@@ -264,8 +332,10 @@ def main():
         for c in sp_clips:
             batch_spectral(c, np.array([len(c)]), 16000)
 
-    sp_vec_sec = _timeit(lambda: batch_spectral(sp_samples, sp_lengths, 16000))
-    sp_loop_sec = _timeit(spectral_loop)
+    sp_vec_sec, sp_loop_sec = _gated(
+        "spectral",
+        (lambda: batch_spectral(sp_samples, sp_lengths, 16000), ITERATIONS),
+        (spectral_loop, ITERATIONS))
 
     # log-mel / MFCC: one blocked FFT + matmul vs per-clip kernel calls
     from top_secret_spark.kernel.spectral import batch_log_mel, batch_mfcc
@@ -274,10 +344,14 @@ def main():
         for c in sp_clips:
             batch_log_mel(c, np.array([len(c)]), 16000)
 
-    lm_vec_sec = _timeit(lambda: batch_log_mel(sp_samples, sp_lengths, 16000))
-    lm_loop_sec = _timeit(logmel_loop)
+    lm_vec_sec, lm_loop_sec = _gated(
+        "log_mel",
+        (lambda: batch_log_mel(sp_samples, sp_lengths, 16000), ITERATIONS),
+        (logmel_loop, ITERATIONS))
 
-    mc_vec_sec = _timeit(lambda: batch_mfcc(sp_samples, sp_lengths, 16000))
+    (mc_vec_sec,) = _gated(
+        "mfcc",
+        (lambda: batch_mfcc(sp_samples, sp_lengths, 16000), ITERATIONS))
 
     # SNR estimate: one lexsort/prefix-sum pass vs per-clip kernel calls
     from top_secret_spark.kernel.audio import batch_snr_estimate
@@ -286,22 +360,28 @@ def main():
         for c in sp_clips:
             batch_snr_estimate(c, np.array([len(c)]), 16000)
 
-    se_vec_sec = _timeit(
-        lambda: batch_snr_estimate(sp_samples, sp_lengths, 16000))
-    se_loop_sec = _timeit(snrest_loop)
+    se_vec_sec, se_loop_sec = _gated(
+        "snr_est",
+        (lambda: batch_snr_estimate(sp_samples, sp_lengths, 16000),
+         ITERATIONS),
+        (snrest_loop, ITERATIONS))
 
     # rolloff + DC removal: batched vs per-clip kernel calls
     from top_secret_spark.kernel.audio import batch_remove_dc
     from top_secret_spark.kernel.spectral import batch_rolloff
 
-    ro_vec_sec = _timeit(lambda: batch_rolloff(sp_samples, sp_lengths, 16000))
+    (ro_vec_sec,) = _gated(
+        "rolloff",
+        (lambda: batch_rolloff(sp_samples, sp_lengths, 16000), ITERATIONS))
 
     def dc_loop():
         for c in sp_clips:
             batch_remove_dc(c, np.array([len(c)]), 16000)
 
-    dcv_sec = _timeit(lambda: batch_remove_dc(sp_samples, sp_lengths, 16000))
-    dcl_sec = _timeit(dc_loop)
+    dcv_sec, dcl_sec = _gated(
+        "remove_dc",
+        (lambda: batch_remove_dc(sp_samples, sp_lengths, 16000), ITERATIONS),
+        (dc_loop, ITERATIONS))
 
     # noise mix: one counter-based RNG pass vs per-clip kernel calls
     from top_secret_spark.kernel.audio import batch_mix_noise
@@ -312,9 +392,11 @@ def main():
         for i, c in enumerate(sp_clips):
             batch_mix_noise(c, np.array([len(c)]), nm_keys[i:i + 1], 20.0)
 
-    nm_vec_sec = _timeit(
-        lambda: batch_mix_noise(sp_samples, sp_lengths, nm_keys, 20.0))
-    nm_loop_sec = _timeit(mix_loop)
+    nm_vec_sec, nm_loop_sec = _gated(
+        "mix_noise",
+        (lambda: batch_mix_noise(sp_samples, sp_lengths, nm_keys, 20.0),
+         ITERATIONS),
+        (mix_loop, ITERATIONS))
 
     # round-4 session-4 kernels: declip, downmix, channel blocks, denoise
     from top_secret_spark.kernel.audio import (
@@ -329,33 +411,40 @@ def main():
             batch_declip(c, np.array([len(c)]))[0] for c in sp_clips
         ])
 
-    dlp_vec_sec = _timeit(lambda: batch_declip(sp_samples, sp_lengths))
-    dlp_loop_sec = _timeit(declip_loop)
+    dlp_vec_sec, dlp_loop_sec = _gated(
+        "declip",
+        (lambda: batch_declip(sp_samples, sp_lengths), ITERATIONS),
+        (declip_loop, ITERATIONS))
 
     def downmix_loop():
         np.concatenate([
             batch_downmix(c, np.array([len(c)]), 2)[0] for c in sp_clips
         ])
 
-    dmx_vec_sec = _timeit(lambda: batch_downmix(sp_samples, sp_lengths, 2))
-    dmx_loop_sec = _timeit(downmix_loop)
+    dmx_vec_sec, dmx_loop_sec = _gated(
+        "downmix",
+        (lambda: batch_downmix(sp_samples, sp_lengths, 2), ITERATIONS),
+        (downmix_loop, ITERATIONS))
 
     def channel_loop():
         for c in sp_clips:
             batch_channel_blocks(c, np.array([len(c)]), 2, 8000)
 
-    chb_vec_sec = _timeit(
-        lambda: batch_channel_blocks(sp_samples, sp_lengths, 2, 8000))
-    chb_loop_sec = _timeit(channel_loop)
+    chb_vec_sec, chb_loop_sec = _gated(
+        "channel_blocks",
+        (lambda: batch_channel_blocks(sp_samples, sp_lengths, 2, 8000),
+         ITERATIONS),
+        (channel_loop, ITERATIONS))
 
     def denoise_loop():
         np.concatenate([
             batch_denoise(c, np.array([len(c)]), 16000)[0] for c in sp_clips
         ])
 
-    dns_vec_sec = _timeit(
-        lambda: batch_denoise(sp_samples, sp_lengths, 16000), iterations=3)
-    dns_loop_sec = _timeit(denoise_loop, iterations=3)
+    dns_vec_sec, dns_loop_sec = _gated(
+        "denoise",
+        (lambda: batch_denoise(sp_samples, sp_lengths, 16000), 3),
+        (denoise_loop, 3))
 
     # pitch / reverb / codec-family: session-5 kernels, same
     # symmetric warm+average protocol
@@ -366,15 +455,19 @@ def main():
         for c in sp_clips:
             batch_pitch(c, np.array([len(c)]), 16000)
 
-    pt_vec_sec = _timeit(lambda: batch_pitch(sp_samples, sp_lengths, 16000))
-    pt_loop_sec = _timeit(pitch_loop)
+    pt_vec_sec, pt_loop_sec = _gated(
+        "pitch",
+        (lambda: batch_pitch(sp_samples, sp_lengths, 16000), ITERATIONS),
+        (pitch_loop, ITERATIONS))
 
     def reverb_loop():
         for c in sp_clips:
             batch_reverb(c, np.array([len(c)]), 16000)
 
-    rv_vec_sec = _timeit(lambda: batch_reverb(sp_samples, sp_lengths, 16000))
-    rv_loop_sec = _timeit(reverb_loop)
+    rv_vec_sec, rv_loop_sec = _gated(
+        "reverb",
+        (lambda: batch_reverb(sp_samples, sp_lengths, 16000), ITERATIONS),
+        (reverb_loop, ITERATIONS))
 
     cf_datas = [encode(c, "pcm16" if i % 2 else "ulaw")
                 for i, c in enumerate(sp_clips)]
@@ -383,8 +476,10 @@ def main():
         for d in cf_datas:
             batch_codec_family([d])
 
-    cf_vec_sec = _timeit(lambda: batch_codec_family(cf_datas))
-    cf_loop_sec = _timeit(codecfam_loop)
+    cf_vec_sec, cf_loop_sec = _gated(
+        "codec_family",
+        (lambda: batch_codec_family(cf_datas), ITERATIONS),
+        (codecfam_loop, ITERATIONS))
 
     # IMA-ADPCM decode: the dispatcher's two arms measured against each
     # other — audioop's C loop (the fast path when the stdlib has it)
@@ -406,12 +501,18 @@ def main():
         finally:
             _ka._audioop = saved
 
-    ad_c_sec = _timeit(lambda: batch_adpcm_decode(ad_datas))
-    ad_scan_sec = _timeit(adpcm_numpy_scan, iterations=2)
+    ad_c_sec, ad_scan_sec = _gated(
+        "adpcm",
+        (lambda: batch_adpcm_decode(ad_datas), ITERATIONS),
+        (adpcm_numpy_scan, 2))
     adpcm_c_available = _ka._audioop is not None
 
     host_probe_after = _bandwidth_probe_sec()
-    host_probe_sec = max(host_probe_before, host_probe_after)
+    # validity is per comparison: the record is degraded iff some
+    # comparison never landed inside its own calm window (run-level
+    # before/after probes stay in the record for continuity, but on a
+    # flappy host they say nothing about any individual comparison)
+    worst_arm_probe = max(ARM_PROBES.values())
 
     per_message_ms = individual_sec / len(MESSAGES) * 1000
     # the reference's speedup definition (bin/benchmark:54-58):
@@ -508,14 +609,20 @@ def main():
             ad_scan_sec / ad_c_sec, 2),
         "adpcm_c_arm_available": adpcm_c_available,
         "iterations": ITERATIONS,
-        "protocol": "symmetric: both arms warmed once, best-of-iterations",
+        "protocol": (
+            "symmetric best-of-iterations, per-comparison calm gating: "
+            "both arms of a comparison run back-to-back inside one "
+            "probed window (<= %.2f s gate), each comparison retried "
+            "until its window is calm" % CALM_GATE_SEC
+        ),
         "host_probe_before_sec": round(host_probe_before, 3),
         "host_probe_after_sec": round(host_probe_after, 3),
-        "host_probe_sec": round(host_probe_sec, 3),
+        "arm_probes": ARM_PROBES,
+        "worst_arm_probe_sec": round(worst_arm_probe, 3),
         # self-describing validity: per BENCH/BASELINE.md, a probe in the
-        # seconds is measuring the neighbor VM, not the engine — treat
-        # every timing in this record as invalid for cross-run comparison
-        "host_degraded": bool(host_probe_sec > 0.5),
+        # seconds is measuring the neighbor VM, not the engine — degraded
+        # iff ANY comparison's own window never came in under the gate
+        "host_degraded": bool(worst_arm_probe > 0.5),
         "note": (
             "reference gates measured with a real MITIE NER model; this "
             "kernel runs regex-only (NER entities are injected upstream), "
