@@ -22,6 +22,13 @@ is always a warm measurement.  Instrumentation (dedup candidate-pair
 stats: an extra persist + count + collapse probe) runs in a separate
 UNTIMED invocation after the timed rounds — signatures are
 deterministic, so the stats describe exactly the timed computation.
+
+Adaptive rounds (round-4 tail): after the configured rounds, the loop
+keeps adding interleaved rounds (cap $SPARK_GRAFT_BENCH_MAX_ROUNDS,
+default 10) until at least one round ran bracketed by calm
+bandwidth probes (both fenceposts <= 0.45 s).  `calm_round` in the
+record says whether that happened, so a record whose every sample was
+taken inside a neighbor-noise burst self-identifies.
 """
 
 from __future__ import annotations
@@ -153,25 +160,36 @@ def main():
     ]
 
     extras["host_probe_before_sec"] = _bandwidth_probe_sec()
-    # Degraded window at launch: widen the interleaved best-of so at
-    # least one round has a chance to land in a calm stretch (the
-    # shared VM's noise comes in bursts of a few minutes).  Explicit
-    # $SPARK_GRAFT_BENCH_REPEATS always wins.
-    if ("SPARK_GRAFT_BENCH_REPEATS" not in os.environ
-            and extras["host_probe_before_sec"] > 1.0):
-        repeats = 6
     results: dict[str, int] = {}
     per_round: dict[str, list[float]] = {name: [] for name, _ in arms}
-    round_probes: list[float] = []
-    for _rep in range(repeats):
-        # untimed per-round probe: each best-of round carries its own
-        # host-health context in the record
-        round_probes.append(_bandwidth_probe_sec())
+    # Adaptive rounds: run the configured interleaved rounds, then keep
+    # adding rounds (up to $SPARK_GRAFT_BENCH_MAX_ROUNDS, default 10)
+    # until at least one round is BRACKETED by calm probes — the shared
+    # VM's noise comes in bursts of a few minutes, so a fixed round
+    # count launched inside a burst ships a record where every best-of
+    # sample is contaminated.  `round_probes_sec` is the fencepost list
+    # (probe before round i = probes[i], after = probes[i+1]); a round
+    # counts as calm iff both of its fenceposts are under the gate.
+    calm_gate = 0.45
+    max_rounds = max(repeats, int(os.environ.get(
+        "SPARK_GRAFT_BENCH_MAX_ROUNDS", "10")))
+    probes = [_bandwidth_probe_sec()]
+    rep = 0
+
+    def _any_calm_round() -> bool:
+        return any(max(probes[i], probes[i + 1]) <= calm_gate
+                   for i in range(rep))
+
+    while rep < repeats or (rep < max_rounds and not _any_calm_round()):
         for name, fn in arms:
             t0 = time.time()
             results[name] = fn()
             per_round[name].append(time.time() - t0)
-    extras["round_probes_sec"] = round_probes
+        probes.append(_bandwidth_probe_sec())
+        rep += 1
+    repeats = rep
+    extras["round_probes_sec"] = probes
+    extras["calm_round"] = _any_calm_round()
     extras["host_probe_after_sec"] = _bandwidth_probe_sec()
     for name, _ in arms:
         timings[name] = round(min(per_round[name]), 3)
