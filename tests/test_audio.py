@@ -2250,9 +2250,9 @@ class TestCrossModalDedup:
 
 
 def test_regime_split_kernels_bit_identical(monkeypatch):
-    """declip / downmix / denoise long-clip per-clip regime must equal
-    the full-batch path bit for bit (per-clip independence makes the
-    split a pure layout change)."""
+    """declip / downmix long-clip per-clip regime, and denoise's
+    clip-aligned chunking, must equal the full-batch path bit for bit
+    (per-clip independence makes each a pure layout change)."""
     import numpy as np
 
     import top_secret_spark.kernel.audio as ka
@@ -2274,7 +2274,11 @@ def test_regime_split_kernels_bit_identical(monkeypatch):
     assert lens.mean() > ka.SEGMENT_LONG_CLIP  # split path active below
     a2 = ka.batch_declip(buf.copy(), lens)
     d2 = ka.batch_downmix(buf.copy(), lens, 2)
+    # force denoise's chunk path (tiny bound -> one clip per chunk; an
+    # oversize clip still gets its own chunk)
+    monkeypatch.setattr(ks, "DENOISE_CHUNK_SAMPLES", 4096)
     n2 = ks.batch_denoise(buf.copy(), lens, 16000)
+    monkeypatch.undo()
 
     np.testing.assert_array_equal(a1[0], a2[0])
     assert list(a1[1]) == list(a2[1]) and list(a1[2]) == list(a2[2])

@@ -1069,12 +1069,14 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 # ~8 same-length temporaries; full-buffer vectorization over a 20k-clip
 # Arrow batch streams ~10 passes of multi-hundred-MB traffic through
 # memory, while a per-clip loop keeps everything cache-resident and WINS
-# (the batch_resample long-clip lesson).  Clip-aligned ~256k-sample
-# blocks keep the temporaries ~2 MB (cache-friendly) at ~10 numpy calls
-# per block — vectorized throughput without the memory-traffic tax.
+# (the batch_resample long-clip lesson).  Clip-aligned 64k-sample
+# blocks keep each temporary ~0.5 MB — the whole ~8-array set
+# L2/L3-resident — at ~10 numpy calls per block.  Sized by sweep:
+# 256k blocks (~2 MB each, ~16 MB set) measured a TIE with the
+# per-clip loop; 64k measures ~1.4x (128k 1.29x, 32k 1.36x).
 # Blocking never changes values: every sample's noise is a pure function
 # of (key, within-clip index).
-MIX_NOISE_BLOCK_SAMPLES = 1 << 18
+MIX_NOISE_BLOCK_SAMPLES = 1 << 16
 
 
 def batch_mix_noise(

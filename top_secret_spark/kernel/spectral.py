@@ -427,11 +427,19 @@ def batch_rolloff(
 
 # --- spectral-subtraction denoise (restoration counterpart of noise mixing) ---
 
-# Smaller FFT blocks than the feature kernels: the OLA scatter below
-# materializes one (block x frame) int64 position matrix, so 8192
-# frames x 512 samples keeps that matrix at 32 MiB and total working
-# memory ~0.2 GiB per task.
-DENOISE_BLOCK_FRAMES = 8192
+# Sized to the INTERMEDIATES, not the input (the batch_pitch lesson):
+# pass 2 keeps ~10 per-frame temporaries alive (frames, spec, mag,
+# target, gain, y, pos, plus the FFT workspace) — at 1024 frames x 512
+# samples each is ~2-4 MiB, so the whole set stays L3-resident; the
+# previous 8192-frame blocks streamed ~150 MiB of float64 per block
+# through DRAM and the batched arm measured a TIE against the per-clip
+# loop it exists to beat.
+DENOISE_BLOCK_FRAMES = 1024
+
+# Chunk bound for the total-sized temporaries (see the chunking note in
+# batch_denoise): 4 M samples keeps each ~32 MiB, ~160 MiB working set
+# per task at any Arrow batch size.
+DENOISE_CHUNK_SAMPLES = 1 << 22
 
 
 def batch_denoise(
@@ -471,25 +479,36 @@ def batch_denoise(
     Returns ``(denoised, n_frames)``."""
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
-    # regime split (audio.SEGMENT_LONG_CLIP crossover): the noise
-    # estimate and OLA are per-clip independent, so long clips take a
-    # per-clip loop — the full-batch path streams several total-sized
-    # float64 temporaries (cumsum, num, den) through DRAM that the
-    # per-clip path keeps cache-resident.  Bit-identical outputs.
-    from .audio import SEGMENT_LONG_CLIP
-
-    if n > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
-        offs = np.cumsum(lengths) - lengths
+    # Clip-aligned CHUNKING, not a per-clip regime: the noise estimate
+    # and OLA are per-clip independent, so splitting the batch into
+    # groups of clips is a pure layout change, and it bounds the five
+    # total-sized float64 temporaries (out/x64/csum2/num/den, ~40 B per
+    # sample) at ~DENOISE_CHUNK_SAMPLES each without giving up the
+    # batched FFT.  The previous mean-length per-clip split made the
+    # "batched" path a per-clip loop at realistic 0.2-0.3 s clip
+    # lengths and it measured ~0.6x the plain loop (recursion setup per
+    # clip); chunked full-batch measures ~1.3x ON THE SAME INPUT.  An
+    # oversize clip gets its own chunk (same work as per-clip).
+    if n > 1 and int(lengths.sum()) > DENOISE_CHUNK_SAMPLES:
+        ends = np.cumsum(lengths)
+        offs = ends - lengths
         out = np.empty(int(lengths.sum()), dtype=np.float32)
         nfs = np.zeros(n, dtype=np.int64)
-        for i in range(n):
+        start = 0
+        while start < n:
+            base = int(ends[start - 1]) if start else 0
+            stop = int(np.searchsorted(
+                ends, base + DENOISE_CHUNK_SAMPLES, side="right"))
+            stop = max(stop, start + 1)
+            lo, hi = int(offs[start]), int(ends[stop - 1])
             o1, nf1 = batch_denoise(
-                samples[offs[i]:offs[i] + lengths[i]], lengths[i:i + 1],
-                sr_hz, frame_ms=frame_ms, alpha=alpha, beta=beta,
+                samples[lo:hi], lengths[start:stop], sr_hz,
+                frame_ms=frame_ms, alpha=alpha, beta=beta,
                 quiet_frac=quiet_frac, block_frames=block_frames,
             )
-            out[offs[i]:offs[i] + lengths[i]] = o1
-            nfs[i] = nf1[0]
+            out[lo:hi] = o1
+            nfs[start:stop] = nf1
+            start = stop
         return out, nfs
     out = samples.astype(np.float64, copy=True)
     frame = max(4, int(sr_hz * frame_ms / 1000)) & ~1
@@ -535,6 +554,15 @@ def batch_denoise(
     num = np.zeros(len(samples), dtype=np.float64)
     den = np.zeros(len(samples), dtype=np.float64)
     pos_base = np.arange(frame, dtype=np.int64)
+    # At 50 % overlap (frame == 2*hop exactly) a sample is covered by AT
+    # MOST two frames — consecutive local indices, hence opposite
+    # parity — so frames of one parity never collide and the OLA can use
+    # unique-index fancy `+=` instead of np.add.at (whose duplicate-safe
+    # scatter loop cost rivals the FFT itself here).  Bit-identical:
+    # each sample receives the same <= 2 addends, and two-term float
+    # addition is commutative.
+    parity = _concat_aranges(n_frames) & 1
+    w2 = window * window
     for lo in range(0, total, max(1, block_frames)):
         hi = min(lo + max(1, block_frames), total)
         frames = windows_view[starts[lo:hi]].astype(np.float64) * window
@@ -546,10 +574,15 @@ def batch_denoise(
         with np.errstate(invalid="ignore", divide="ignore"):
             gain = np.where(mag > 0, target / mag, 0.0)
         y = np.fft.irfft(spec * gain, n=frame, axis=1) * window
-        pos = (starts[lo:hi, None] + pos_base[None, :]).ravel()
-        np.add.at(num, pos, y.ravel())
-        np.add.at(den, pos, np.broadcast_to(
-            window * window, (hi - lo, frame)).ravel())
+        par = parity[lo:hi]
+        for p in (0, 1):
+            rows = np.flatnonzero(par == p)
+            if len(rows):
+                pos = (
+                    starts[lo + rows, None] + pos_base[None, :]
+                ).ravel()
+                num[pos] += y[rows].ravel()
+                den[pos] += np.tile(w2, len(rows))
     covered = den > 0.1  # hann^2 interior coverage is >= 0.5
     out[covered] = num[covered] / den[covered]
     return out.astype(np.float32), n_frames
