@@ -472,6 +472,41 @@ class TestDenoise:
         assert rms(out) > 0.5 * rms(noisy)
 
 
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=6000),
+                  min_size=2, max_size=8),
+    seed=st.integers(min_value=0, max_value=1000),
+    chunk=st.sampled_from([1, 4097, 20000]),
+    block=st.sampled_from([3, 1024]),
+)
+@settings(max_examples=20, deadline=None)
+def test_denoise_chunking_bit_identical_over_random_layouts(
+    lens, seed, chunk, block
+):
+    """Clip-aligned chunking and FFT block size are pure layout
+    choices: any (chunk, block) combination must reproduce the
+    unchunked full-batch output bit for bit (per-clip independence;
+    each OLA sample receives the same <= 2 addends)."""
+    import top_secret_spark.kernel.spectral as ks
+    from top_secret_spark.kernel.audio import synth_pcm
+
+    clips = [synth_pcm(seed + i, ln, 16000) if ln else
+             np.empty(0, dtype=np.float32) for i, ln in enumerate(lens)]
+    buf = (np.concatenate(clips) if any(lens)
+           else np.empty(0, dtype=np.float32))
+    lens_a = np.array(lens, dtype=np.int64)
+    ref_out, ref_nf = ks.batch_denoise(buf.copy(), lens_a, 16000)
+    old = ks.DENOISE_CHUNK_SAMPLES
+    try:
+        ks.DENOISE_CHUNK_SAMPLES = chunk
+        got_out, got_nf = ks.batch_denoise(
+            buf.copy(), lens_a, 16000, block_frames=block)
+    finally:
+        ks.DENOISE_CHUNK_SAMPLES = old
+    np.testing.assert_array_equal(ref_out, got_out)
+    np.testing.assert_array_equal(ref_nf, got_nf)
+
+
 # --- pitch (f0) estimation ----------------------------------------------------
 
 
