@@ -2250,9 +2250,9 @@ class TestCrossModalDedup:
 
 
 def test_regime_split_kernels_bit_identical(monkeypatch):
-    """declip / downmix long-clip per-clip regime, and denoise's
-    clip-aligned chunking, must equal the full-batch path bit for bit
-    (per-clip independence makes each a pure layout change)."""
+    """declip / downmix / denoise clip-aligned chunking must equal the
+    unchunked full-batch path bit for bit (per-clip independence makes
+    it a pure layout change)."""
     import numpy as np
 
     import top_secret_spark.kernel.audio as ka
@@ -2266,17 +2266,19 @@ def test_regime_split_kernels_bit_identical(monkeypatch):
     buf = np.concatenate(clips)
     lens = np.array([len(c) for c in clips])
 
-    monkeypatch.setattr(ka, "SEGMENT_LONG_CLIP", 10 ** 9)
+    monkeypatch.setattr(ka, "DECLIP_CHUNK_SAMPLES", 10 ** 12)
+    monkeypatch.setattr(ka, "DOWNMIX_CHUNK_SAMPLES", 10 ** 12)
     a1 = ka.batch_declip(buf.copy(), lens)
     d1 = ka.batch_downmix(buf.copy(), lens, 2)
     n1 = ks.batch_denoise(buf.copy(), lens, 16000)
     monkeypatch.undo()
-    assert lens.mean() > ka.SEGMENT_LONG_CLIP  # split path active below
+    # force every chunk path (tiny bound -> one clip per chunk; an
+    # oversize clip still gets its own chunk)
+    monkeypatch.setattr(ka, "DECLIP_CHUNK_SAMPLES", 4096)
+    monkeypatch.setattr(ka, "DOWNMIX_CHUNK_SAMPLES", 4096)
+    monkeypatch.setattr(ks, "DENOISE_CHUNK_SAMPLES", 4096)
     a2 = ka.batch_declip(buf.copy(), lens)
     d2 = ka.batch_downmix(buf.copy(), lens, 2)
-    # force denoise's chunk path (tiny bound -> one clip per chunk; an
-    # oversize clip still gets its own chunk)
-    monkeypatch.setattr(ks, "DENOISE_CHUNK_SAMPLES", 4096)
     n2 = ks.batch_denoise(buf.copy(), lens, 16000)
     monkeypatch.undo()
 

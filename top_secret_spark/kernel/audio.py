@@ -682,6 +682,18 @@ SEGMENT_BLOCK_SAMPLES = 1 << 16
 # and the kernel dispatches to a per-clip slice loop.
 SEGMENT_LONG_CLIP = 3000
 
+# Chunk bounds for the clip-aligned chunked dispatches below (see
+# _clip_blocks), sized by sweep on 1000x 2-5k-sample clips (short) and
+# 60x 160k (long), both regimes timed per size.  Chunked beats BOTH
+# previous regimes: short clips amortize per-call overhead inside the
+# chunk (downmix 34 ms vs 60 ms plain loop / 77 ms old mean-split;
+# declip 10 ms vs 31 / 32), and long-clip timings match the per-clip
+# loop the old split hard-coded (chunk of one clip = the same work).
+# Declip prefers smaller chunks — its repair pass keeps ~6 float64
+# temporaries alive, so 32k samples keeps the set L2-adjacent.
+DOWNMIX_CHUNK_SAMPLES = 1 << 16
+DECLIP_CHUNK_SAMPLES = 1 << 15
+
 
 def _clip_blocks(lengths: np.ndarray, block_samples: int):
     """Yield (clip_lo, clip_hi, samp_lo, samp_hi) covering whole clips,
@@ -1602,20 +1614,23 @@ def batch_downmix(
     nch = int(n_channels)
     if nch <= 1:
         return samples.astype(np.float32, copy=False), lengths
-    # regime split (SEGMENT_LONG_CLIP, same crossover as the segmented
-    # feature kernels): long clips stay L2-resident per clip instead of
-    # streaming the whole batch's float64 temporaries through DRAM.
-    # Bit-identical by construction — the downmix is per-clip
-    # independent, the loop just re-slices.
-    if len(lengths) > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
-        offs = np.cumsum(lengths) - lengths
+    # Clip-aligned chunking (see _clip_chunks), not a mean-length
+    # per-clip split: the float64 reshape/mean temporaries stay bounded
+    # at ~DOWNMIX_CHUNK_SAMPLES (cache-resident), short clips amortize
+    # per-call overhead inside a chunk, and a long clip degenerates to
+    # the per-clip case.  The previous mean>SEGMENT_LONG_CLIP loop made
+    # the batched path ~0.8x the PLAIN loop at realistic 0.2-0.3 s clip
+    # lengths (recursion setup per clip); chunked measures ~1.5x on the
+    # same input and keeps the long-clip regime's cache advantage.
+    # Bit-identical: the downmix is per-clip independent.
+    if len(lengths) > 1 and int(lengths.sum()) > DOWNMIX_CHUNK_SAMPLES:
         out_lengths = lengths // nch
         oo = np.cumsum(out_lengths) - out_lengths
         out = np.empty(int(out_lengths.sum()), dtype=np.float32)
-        for i in range(len(lengths)):
-            out[oo[i]:oo[i] + out_lengths[i]] = batch_downmix(
-                samples[offs[i]:offs[i] + lengths[i]], lengths[i:i + 1], nch
-            )[0]
+        for s0, s1, lo, hi in _clip_blocks(lengths, DOWNMIX_CHUNK_SAMPLES):
+            o1, _ = batch_downmix(samples[lo:hi], lengths[s0:s1], nch)
+            d0 = int(oo[s0])
+            out[d0:d0 + len(o1)] = o1
         return out, out_lengths
     buf, kept = _compact_to_multiple(samples, lengths, nch)
     mono = (
@@ -1770,21 +1785,23 @@ def batch_declip(
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
     total = int(lengths.sum())
-    # regime split: repair is per-clip independent, so long clips take a
-    # per-clip loop (L2-resident accumulates) — bit-identical outputs
-    if n > 1 and lengths.mean() > SEGMENT_LONG_CLIP:
-        offs = np.cumsum(lengths) - lengths
+    # Clip-aligned chunking (see _clip_chunks): repair is per-clip
+    # independent, so chunked evaluation is a pure layout change — the
+    # vectorized pass's float64 temporaries stay cache-bounded, short
+    # clips amortize per-call overhead, long clips degenerate to the
+    # per-clip case the previous mean-length split hard-coded.
+    # Bit-identical outputs.
+    if n > 1 and total > DECLIP_CHUNK_SAMPLES:
         out = np.empty(total, dtype=np.float32)
         ncs = np.zeros(n, dtype=np.int64)
         nrs = np.zeros(n, dtype=np.int64)
-        for i in range(n):
+        for s0, s1, lo, hi in _clip_blocks(lengths, DECLIP_CHUNK_SAMPLES):
             rep, nc1, nr1 = batch_declip(
-                samples[offs[i]:offs[i] + lengths[i]],
-                lengths[i:i + 1], level=level,
+                samples[lo:hi], lengths[s0:s1], level=level,
             )
-            out[offs[i]:offs[i] + lengths[i]] = rep
-            ncs[i] = nc1[0]
-            nrs[i] = nr1[0]
+            out[lo:hi] = rep
+            ncs[s0:s1] = nc1
+            nrs[s0:s1] = nr1
         return out, ncs, nrs
     x = samples.astype(np.float64, copy=True)
     n_clipped = np.zeros(n, dtype=np.int64)
