@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--with-audio", action="store_true")
     ap.add_argument("--input", default=None,
                     help="pre-generated clips parquet dir (overrides generation)")
+    # 60k-row Arrow batches measured ~1.3x the 20k default at local[32]:
+    # the kernels chunk internally (langid._CHUNK_BYTES) so batch size no
+    # longer drives their working set, and fewer crossings = less fixed
+    # per-batch cost (serialization setup, pandas assembly)
+    ap.add_argument("--arrow-batch", type=int, default=60_000)
+    ap.add_argument("--partitions-per-core", type=int, default=4)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -37,7 +43,7 @@ def main():
     spark = (
         SparkSession.builder.appName("tss-pipeline-bench")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(args.arrow_batch))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -58,7 +64,7 @@ def main():
         # timed section; 4 partitions per core for stragglerless scaling
         clips = clips_df(
             spark, args.n_clips, with_audio=args.with_audio,
-            partitions=cores * 4,
+            partitions=cores * args.partitions_per_core,
         ).cache()
         n = clips.count()
 

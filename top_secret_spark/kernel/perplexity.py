@@ -27,7 +27,7 @@ import re
 import numpy as np
 
 from .hashing import encode_batch, raw_ngram_hashes
-from .langid import _SEEDS
+from .langid import _SEEDS, chunk_spans
 
 BUCKETS = 1 << 16
 _ALPHA = 0.01
@@ -114,38 +114,53 @@ def perplexity_batch(texts, model=None) -> np.ndarray:
     data, lengths = encode_batch(normed)
     ndocs = len(normed)
     out = np.full(ndocs, _MAX_PPL, dtype=np.float64)
-    L = len(data)
-    if L < 3:
+    if len(data) < 3:
         return out
-
-    h1 = raw_ngram_hashes(data, 1, buckets)  # positions 0..L-1
-    h2 = raw_ngram_hashes(data, 2, buckets)  # start positions 0..L-2
-    h3 = raw_ngram_hashes(data, 3, buckets)  # start positions 0..L-3
-
-    doc_id = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
-    # trigram start positions fully inside one document
-    p = np.arange(L - 2)
-    valid = doc_id[p] == doc_id[p + 2]
-    p = p[valid]
-    if len(p) == 0:
-        return out
-
-    a, v = _ALPHA, _VOCAB
-    p1 = (c1[h1[p + 2]].astype(np.float64) + a) / (total1 + a * v)
-    p2 = (c2[h2[p + 1]].astype(np.float64) + a) / (
-        c1[h1[p + 1]].astype(np.float64) + a * v
-    )
-    p3 = (c3[h3[p]].astype(np.float64) + a) / (c2[h2[p]].astype(np.float64) + a * v)
-    prob = _LAMBDAS[0] * p1 + _LAMBDAS[1] * p2 + _LAMBDAS[2] * p3
 
     nll = np.zeros(ndocs, dtype=np.float64)
     cnt = np.zeros(ndocs, dtype=np.float64)
-    # p is sorted → doc_id[p] nondecreasing → segment sums via reduceat
-    dp = doc_id[p]
-    starts = np.flatnonzero(np.r_[True, dp[1:] != dp[:-1]])
-    present = dp[starts]
-    nll[present] = np.add.reduceat(-np.log(prob), starts)
-    cnt[present] = np.diff(np.r_[starts, len(dp)])
+    # Score in cache-resident chunks (see langid._CHUNK_BYTES): the
+    # whole-batch form materialized ~20 buffer-sized temporaries (three
+    # hash buffers, five table gathers + float64 promotions, the
+    # interpolation arrays) — fresh mmap-backed allocations whose page
+    # zeroing + TLB shootdowns serialize across cores (measured
+    # NEGATIVE scaling 8→32 procs, eff 0.17; chunked: 0.5+ and ~2x the
+    # absolute single-arm rate).  Valid scoring positions never cross a
+    # doc boundary, so doc-aligned chunks are bit-identical.
+    for s0, s1, b0, b1 in chunk_spans(lengths):
+        cdata = data[b0:b1]
+        clen = lengths[s0:s1]
+        L = len(cdata)
+        if L < 3:
+            continue
+        h1 = raw_ngram_hashes(cdata, 1, buckets)  # positions 0..L-1
+        h2 = raw_ngram_hashes(cdata, 2, buckets)  # start positions 0..L-2
+        h3 = raw_ngram_hashes(cdata, 3, buckets)  # start positions 0..L-3
+
+        doc_id = np.repeat(np.arange(len(clen), dtype=np.int64), clen)
+        # trigram start positions fully inside one document
+        p = np.arange(L - 2)
+        valid = doc_id[p] == doc_id[p + 2]
+        p = p[valid]
+        if len(p) == 0:
+            continue
+
+        a, v = _ALPHA, _VOCAB
+        p1 = (c1[h1[p + 2]].astype(np.float64) + a) / (total1 + a * v)
+        p2 = (c2[h2[p + 1]].astype(np.float64) + a) / (
+            c1[h1[p + 1]].astype(np.float64) + a * v
+        )
+        p3 = (c3[h3[p]].astype(np.float64) + a) / (
+            c2[h2[p]].astype(np.float64) + a * v
+        )
+        prob = _LAMBDAS[0] * p1 + _LAMBDAS[1] * p2 + _LAMBDAS[2] * p3
+
+        # p is sorted → doc_id[p] nondecreasing → segment sums via reduceat
+        dp = doc_id[p]
+        starts = np.flatnonzero(np.r_[True, dp[1:] != dp[:-1]])
+        present = dp[starts] + s0
+        nll[present] = np.add.reduceat(-np.log(prob), starts)
+        cnt[present] = np.diff(np.r_[starts, len(dp)])
     ok = cnt > 0
     out[ok] = np.exp(nll[ok] / cnt[ok])
     return np.minimum(out, _MAX_PPL)

@@ -181,31 +181,45 @@ def batch_char_signals(texts):
     ascii_doc = _np.ones(n, dtype=bool)
     nonempty = lengths > 0
     if data.size and nonempty.any():
-        offsets = _np.zeros(n, dtype=_np.int64)
-        _np.cumsum(lengths[:-1], out=offsets[1:])
-        starts = offsets[nonempty]
-        ascii_doc[nonempty] = (
-            _np.maximum.reduceat(data, starts) < 128
-        )
-        # LUT signals computed for EVERY doc in one pass (values for
-        # non-ASCII docs are discarded and recomputed below — cheaper
-        # than slicing the buffer)
-        ws = _WS_BYTES[data]
-        # a word starts at a non-ws byte whose predecessor is ws or a
-        # document boundary
-        prev_ws = _np.empty(len(ws), dtype=bool)
-        prev_ws[0] = True
-        prev_ws[1:] = ws[:-1]
-        prev_ws[starts] = True
-        word_start = (~ws) & prev_ws
-        n_words[nonempty] = _np.add.reduceat(
-            word_start.astype(_np.int64), starts)
-        n_alsp[nonempty] = _np.add.reduceat(
-            _ALNUM_SPACE_BYTES[data].astype(_np.int64), starts)
-        n_dig[nonempty] = _np.add.reduceat(
-            ((data >= 48) & (data <= 57)).astype(_np.int64), starts)
-        has_nl[nonempty] = _np.add.reduceat(
-            (data == 10).astype(_np.int64), starts) > 0
+        # cache-resident chunks (langid.chunk_spans): whole-batch LUT
+        # gathers + astype(int64) promotions materialize 4-5 buffer-sized
+        # temporaries per batch, whose fresh-mmap page-zero + TLB-shootdown
+        # cost serializes across cores (same pathology as langid/ppl —
+        # measured eff 0.52 at 8→32 procs unchunked); doc-aligned chunks
+        # are bit-identical per-doc reductions
+        from .langid import chunk_spans
+
+        for c0, c1, b0, b1 in chunk_spans(lengths):
+            cdata = data[b0:b1]
+            clen = lengths[c0:c1]
+            cne = clen > 0
+            if not (len(cdata) and cne.any()):
+                continue
+            offsets = _np.zeros(len(clen), dtype=_np.int64)
+            _np.cumsum(clen[:-1], out=offsets[1:])
+            starts = offsets[cne]
+            ascii_doc[c0:c1][cne] = (
+                _np.maximum.reduceat(cdata, starts) < 128
+            )
+            # LUT signals computed for EVERY doc in one pass (values for
+            # non-ASCII docs are discarded and recomputed below — cheaper
+            # than slicing the buffer)
+            ws = _WS_BYTES[cdata]
+            # a word starts at a non-ws byte whose predecessor is ws or a
+            # document boundary
+            prev_ws = _np.empty(len(ws), dtype=bool)
+            prev_ws[0] = True
+            prev_ws[1:] = ws[:-1]
+            prev_ws[starts] = True
+            word_start = (~ws) & prev_ws
+            n_words[c0:c1][cne] = _np.add.reduceat(
+                word_start.astype(_np.int64), starts)
+            n_alsp[c0:c1][cne] = _np.add.reduceat(
+                _ALNUM_SPACE_BYTES[cdata].astype(_np.int64), starts)
+            n_dig[c0:c1][cne] = _np.add.reduceat(
+                ((cdata >= 48) & (cdata <= 57)).astype(_np.int64), starts)
+            has_nl[c0:c1][cne] = _np.add.reduceat(
+                (cdata == 10).astype(_np.int64), starts) > 0
     if not ascii_doc.all():
         sub = s[~ascii_doc]
         n_chars[~ascii_doc] = sub.str.len().to_numpy(dtype=_np.int64)
