@@ -72,10 +72,11 @@ def main():
         .appName("tss-bench")
         .config("spark.sql.shuffle.partitions", str(int(CPUS) * 2))
         .config("spark.sql.adaptive.enabled", "true")
-        # 20k rows/Arrow batch measured ~10% faster than 10k for the fused
-        # pipeline (larger batches amortize the Arrow crossing and numpy
-        # per-batch setup; ~4 MB/batch — well within worker memory)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # 60k rows/Arrow batch (round 5): the kernels now chunk
+        # internally (langid._CHUNK_BYTES) so batch size no longer sets
+        # their working footprint, and fewer crossings measured ~1.3x
+        # the 20k setting for the fused pipeline at local[32]
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "60000")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -361,7 +362,9 @@ def main():
         (F.col("codec") == "pcm16") & (F.col("sr_hz") == 16000)
     )
     npc = pcm_clips.count()
-    pack = lambda: pack_audio_examples(pcm_clips, 30_000).agg(
+    pack = lambda: pack_audio_examples(
+        pcm_clips, 30_000, codec="pcm16", sr_hz=16000
+    ).agg(
         F.sum(F.length("bytes")), F.sum("n_clips")
     ).collect()
     pack()

@@ -2215,6 +2215,37 @@ class TestPackAudio:
         with pytest.raises(ValueError, match="ONE \\(codec, sr_hz\\)"):
             pack_audio_examples(mixed, 2500)
 
+    def test_declared_codec_equals_inferred(self, spark):
+        # the declared-(codec, sr) scale path (no inference scan) must
+        # produce byte-identical examples to the inferred path
+        from top_secret_spark.operators.audio import pack_audio_examples
+
+        df = self._clips(spark)
+        inferred = pack_audio_examples(df, 2500).orderBy("pack_id").collect()
+        declared = pack_audio_examples(
+            df, 2500, codec="pcm16", sr_hz=8000
+        ).orderBy("pack_id").collect()
+        assert [tuple(r) for r in inferred] == [tuple(r) for r in declared]
+
+    def test_declared_mismatch_fails_per_row(self, spark):
+        # a row whose metadata contradicts the declaration must fail the
+        # JOB (wrong byte width corrupts every example after it) — from
+        # inside the Catalyst stage, not an extra validation scan
+        import pytest
+        from pyspark.sql import functions as F
+
+        from top_secret_spark.operators.audio import pack_audio_examples
+
+        df = self._clips(spark, 4)
+        mixed = df.unionByName(
+            df.limit(1).withColumn("codec", F.lit("ulaw")))
+        # the offset prefix-sum materializes inside the transform, so the
+        # per-row assert fires on the construction call already
+        with pytest.raises(Exception, match="declared"):
+            pack_audio_examples(
+                mixed, 2500, codec="pcm16", sr_hz=8000
+            ).collect()
+
 
 # --- cross-modal conjunctive dedup (q107) ------------------------------------
 

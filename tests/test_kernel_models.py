@@ -136,3 +136,86 @@ def test_keep_drop_toxicity_rule_and_priority():
 def test_word_count():
     assert word_count("a b  c\nd") == 4
     assert word_count("") == 0
+
+
+# --- real-model swap hooks (langid fastText / perplexity KenLM) --------------
+#
+# The wheels are absent in this sandbox, so both directions are driven
+# through the hook's seams: env-var unset / loader failure -> synthetic
+# fallback; a mocked loader -> the real-model scoring path.
+
+
+class _FakeFastText:
+    def predict(self, texts):
+        return ([["__label__xx"] for _ in texts],
+                [[0.75] for _ in texts])
+
+
+class _FakeKenLM:
+    def perplexity(self, text):
+        return 42.0
+
+
+def _reset_langid_hook():
+    from top_secret_spark.kernel import langid
+    langid._REAL_MODEL = None
+    langid._MODEL_LOADER = None
+
+
+def _reset_ppl_hook():
+    from top_secret_spark.kernel import perplexity
+    perplexity._REAL_MODEL = None
+    perplexity._MODEL_LOADER = None
+
+
+def test_langid_hook_falls_back_without_wheel(monkeypatch):
+    # env var set but the fasttext wheel is absent (this sandbox):
+    # detect_batch must silently use the synthetic weights
+    from top_secret_spark.kernel import langid
+    _reset_langid_hook()
+    monkeypatch.setenv(langid._REAL_MODEL_ENV, "/nonexistent/lid.bin")
+    try:
+        langs, conf = langid.detect_batch([EN, ES])
+        assert list(langs) == ["en", "es"]
+        assert langid._REAL_MODEL is False  # probed once, cached
+    finally:
+        _reset_langid_hook()
+
+
+def test_langid_hook_uses_real_model_when_loadable(monkeypatch):
+    from top_secret_spark.kernel import langid
+    _reset_langid_hook()
+    monkeypatch.setenv(langid._REAL_MODEL_ENV, "/any/path.bin")
+    langid._MODEL_LOADER = lambda path: _FakeFastText()
+    try:
+        langs, conf = langid.detect_batch([EN, "ab"])
+        assert langs[0] == "xx" and conf[0] == 0.75
+        # sub-_MIN_CHARS text stays ("und", 0.0) through the real path
+        assert langs[1] == "und" and conf[1] == 0.0
+    finally:
+        _reset_langid_hook()
+
+
+def test_perplexity_hook_both_ways(monkeypatch):
+    import numpy as np
+    from top_secret_spark.kernel import perplexity
+    _reset_ppl_hook()
+    # wheel absent -> synthetic tables
+    monkeypatch.setenv(perplexity._REAL_MODEL_ENV, "/nonexistent/lm.bin")
+    base = perplexity.perplexity_batch([EN])
+    assert perplexity._REAL_MODEL is False
+    assert base[0] < 50.0  # in-domain English scores low synthetically
+    # mocked real model -> its perplexity, empty text -> _MAX_PPL
+    _reset_ppl_hook()
+    monkeypatch.setenv(perplexity._REAL_MODEL_ENV, "/any/lm.bin")
+    perplexity._MODEL_LOADER = lambda path: _FakeKenLM()
+    try:
+        got = perplexity.perplexity_batch([EN, ""])
+        assert got[0] == 42.0
+        assert got[1] == perplexity._MAX_PPL
+        # an explicit fitted-table override still bypasses the hook
+        tabs = perplexity.tables()
+        np.testing.assert_array_equal(
+            perplexity.perplexity_batch([EN], model=tabs), base)
+    finally:
+        _reset_ppl_hook()

@@ -344,3 +344,54 @@ def test_substitute_text_matches_regex_formulation(text, mapping):
     pattern = "|".join(re.escape(v) for v in value_to_label)
     exp = re.sub(pattern, lambda m: value_to_label[m.group(0)], text)
     assert got == exp, (text, mapping)
+
+
+@given(
+    st.lists(_TEXTS, min_size=0, max_size=40),
+    st.integers(min_value=1, max_value=4000),
+)
+@settings(max_examples=120, deadline=None)
+def test_text_kernels_chunk_layout_invariance(texts, chunk_bytes):
+    """langid / perplexity / char-signals results must be BIT-IDENTICAL
+    under any _CHUNK_BYTES layout (the round-5 cache-resident chunking):
+    hypothesis drives a random chunk budget — from 1 byte (every doc its
+    own span, including oversize-doc spans) up — against the whole-batch
+    layout.  Per-doc independence is the invariant that makes the
+    chunked hot loops legal."""
+    import numpy as np
+
+    from top_secret_spark.kernel import langid, perplexity
+    from top_secret_spark.kernel.quality import batch_char_signals
+
+    texts = list(texts)
+
+    def whole_batch(lengths, _cb=None):
+        yield 0, len(lengths), 0, int(np.sum(lengths))
+
+    def with_spans(spans_fn, chunk):
+        orig_spans, orig_budget = langid.chunk_spans, langid._CHUNK_BYTES
+        try:
+            langid.chunk_spans = spans_fn
+            perplexity.chunk_spans = spans_fn
+            langid._CHUNK_BYTES = chunk
+            langs, conf = langid.detect_batch(texts)
+            ppl = perplexity.perplexity_batch(texts)
+            sig = batch_char_signals(texts)
+            return langs, conf, ppl, sig
+        finally:
+            langid.chunk_spans = orig_spans
+            perplexity.chunk_spans = orig_spans
+            langid._CHUNK_BYTES = orig_budget
+
+    # real implementation at the random budget vs the whole-batch layout
+    real = langid.chunk_spans
+    got = with_spans(
+        lambda lengths, cb=None: real(lengths, chunk_bytes), chunk_bytes
+    )
+    ref = with_spans(whole_batch, chunk_bytes)
+
+    assert list(got[0]) == list(ref[0])
+    np.testing.assert_array_equal(got[1], ref[1])
+    np.testing.assert_array_equal(got[2], ref[2])
+    for a, b in zip(got[3], ref[3]):
+        np.testing.assert_array_equal(a, b)

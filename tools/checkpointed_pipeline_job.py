@@ -27,6 +27,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: Pinned public Iceberg Spark runtime (Maven Central coordinates) for
+#: the --iceberg lane.  Newest published line as of pinning: Spark 4.0 /
+#: Scala 2.13, Iceberg 1.10.0.
+ICEBERG_COORDS = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -39,22 +44,50 @@ def main():
         "simulation for the resume test)",
     )
     ap.add_argument("--reset", action="store_true", help="clear the stage first")
+    ap.add_argument(
+        "--iceberg", action="store_true",
+        help="attempt the Iceberg lane: resolve the pinned runtime via "
+        "spark.jars.packages (needs Maven Central reachability once; "
+        "ivy caches it after) and checkpoint through an Iceberg table "
+        "with native snapshot lineage instead of the parquet fallback",
+    )
+    ap.add_argument("--iceberg-table", default="local.tss.pipeline_out")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
+    builder = (
         SparkSession.builder.appName("tss-checkpointed-pipeline")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.iceberg:
+        # Pinned PUBLIC Iceberg runtime (Maven Central).  PySpark here
+        # is 4.1.x; this is the newest published runtime line (Spark
+        # 4.0, Scala 2.13) — swap in the 4.1 artifact the moment it
+        # publishes.  Offline sandbox: resolution fails, the job keeps
+        # the parquet fallback, and the output JSON records
+        # iceberg="unresolved" so the attempt is auditable.
+        builder = (
+            builder.config("spark.jars.packages", ICEBERG_COORDS)
+            .config(
+                "spark.sql.catalog.local",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config(
+                "spark.sql.catalog.local.warehouse",
+                os.path.join(args.root, "iceberg_warehouse"),
+            )
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from top_secret_spark.pipeline import run_pipeline
     from top_secret_spark.sources.checkpoint import (
         completed_buckets,
+        iceberg_available,
         reset_stage,
         run_stage,
         stage_lineage,
@@ -76,6 +109,7 @@ def main():
             "clip_id", "bucket", "keep", "drop_reason", "scrubbed"
         )
 
+    iceberg_on = args.iceberg and iceberg_available(spark)
     t0 = time.time()
     out = run_stage(
         spark, args.root, stage, clips, transform, args.n_buckets,
@@ -83,6 +117,7 @@ def main():
         # a mid-job failure after K bucket commits; the next invocation
         # resumes from the lineage.
         max_buckets=args.kill_after_buckets,
+        iceberg_table=args.iceberg_table if iceberg_on else None,
     )
     n = out.count()
     kept = out.filter(F.col("keep")).count()
@@ -106,6 +141,11 @@ def main():
         "pending_before": pending_before,
         "content_hash": content_hash,
         "elapsed_sec": round(elapsed, 3),
+        "iceberg": (
+            "active" if iceberg_on
+            else "unresolved" if args.iceberg
+            else "off"
+        ),
     }))
     spark.stop()
 

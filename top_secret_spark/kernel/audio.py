@@ -1614,7 +1614,7 @@ def batch_downmix(
     nch = int(n_channels)
     if nch <= 1:
         return samples.astype(np.float32, copy=False), lengths
-    # Clip-aligned chunking (see _clip_chunks), not a mean-length
+    # Clip-aligned chunking (see _clip_blocks), not a mean-length
     # per-clip split: the float64 reshape/mean temporaries stay bounded
     # at ~DOWNMIX_CHUNK_SAMPLES (cache-resident), short clips amortize
     # per-call overhead inside a chunk, and a long clip degenerates to
@@ -1785,7 +1785,7 @@ def batch_declip(
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
     total = int(lengths.sum())
-    # Clip-aligned chunking (see _clip_chunks): repair is per-clip
+    # Clip-aligned chunking (see _clip_blocks): repair is per-clip
     # independent, so chunked evaluation is a pure layout change — the
     # vectorized pass's float64 temporaries stay cache-bounded, short
     # clips amortize per-call overhead, long clips degenerate to the

@@ -127,6 +127,61 @@ def weights() -> np.ndarray:
     return _WEIGHTS
 
 
+# --- optional real-model hook -------------------------------------------
+#
+# Production swap path: point TSS_FASTTEXT_MODEL at a real fastText
+# .bin (e.g. lid.176.bin) on every worker and install the public
+# `fasttext` wheel — detect_batch then scores through the real model.
+# Wheel or artifact absent → the deterministic synthetic weights above
+# (the oracle-pinned path; every driver-checked result uses it).  The
+# hook is opt-in BY ENV VAR so the same code is bit-reproducible in CI
+# and model-accurate in production without touching any oracle.
+_REAL_MODEL_ENV = "TSS_FASTTEXT_MODEL"
+_REAL_MODEL = None  # tri-state: None=unprobed, False=unavailable, model
+_MODEL_LOADER = None  # test seam: swap the import+load step
+
+
+def _load_fasttext(path: str):
+    import fasttext  # public wheel; absent in this sandbox
+
+    return fasttext.load_model(path)
+
+
+def real_model():
+    """The real fastText model, or None (worker-local singleton).
+
+    Unavailable (no env var, no wheel, unreadable artifact) caches as
+    False so workers don't re-probe per batch."""
+    global _REAL_MODEL
+    if _REAL_MODEL is None:
+        import os
+
+        path = os.environ.get(_REAL_MODEL_ENV)
+        if not path:
+            _REAL_MODEL = False
+        else:
+            try:
+                _REAL_MODEL = (_MODEL_LOADER or _load_fasttext)(path)
+            except Exception:
+                _REAL_MODEL = False  # documented fallback: synthetic
+    return _REAL_MODEL or None
+
+
+def _detect_real(model, texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batch predict through a real fastText model (labels like
+    '__label__en' → bare code; sub-_MIN_CHARS texts → ('und', 0.0))."""
+    cleaned = [(t or "").replace("\n", " ") for t in texts]
+    labels, probs = model.predict(cleaned)
+    langs = np.array(
+        [ls[0].removeprefix("__label__") if ls else UNKNOWN for ls in labels],
+        dtype=object,
+    )
+    conf = np.array([float(p[0]) if len(p) else 0.0 for p in probs])
+    short = np.array([len(c) < _MIN_CHARS for c in cleaned])
+    langs[short] = UNKNOWN
+    return langs, np.where(short, 0.0, conf)
+
+
 # softmax temperature over mean-log-prob scores; calibrated so clean
 # single-language text scores > 0.9 confidence
 _SOFTMAX_SCALE = 12.0
@@ -167,7 +222,13 @@ def detect_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     """(langs, confidences) for a batch of texts — fully vectorized.
 
     Texts shorter than _MIN_CHARS (or empty) → ("und", 0.0).
+    Scores through a REAL fastText model instead when the opt-in hook
+    is active (see ``real_model``); default is the deterministic
+    synthetic path below.
     """
+    model = real_model()
+    if model is not None:
+        return _detect_real(model, texts)
     w = weights()
     lowered = [(t or "").lower() for t in texts]
     data, lengths = encode_batch(lowered)

@@ -90,6 +90,42 @@ def tables():
     return _TABLES
 
 
+# --- optional real-model hook -------------------------------------------
+#
+# Production swap path: point TSS_KENLM_MODEL at a real KenLM binary
+# (.bin/.arpa) on every worker and install the public `kenlm` wheel —
+# perplexity_batch then scores through the real model (its
+# ``perplexity`` query, same normalize() front).  Wheel or artifact
+# absent → the deterministic synthetic tables above (the oracle-pinned
+# path).  Opt-in by env var, mirroring kernel/langid.py's hook.
+_REAL_MODEL_ENV = "TSS_KENLM_MODEL"
+_REAL_MODEL = None  # tri-state: None=unprobed, False=unavailable, model
+_MODEL_LOADER = None  # test seam: swap the import+load step
+
+
+def _load_kenlm(path: str):
+    import kenlm  # public wheel; absent in this sandbox
+
+    return kenlm.Model(path)
+
+
+def real_model():
+    """The real KenLM model, or None (worker-local singleton)."""
+    global _REAL_MODEL
+    if _REAL_MODEL is None:
+        import os
+
+        path = os.environ.get(_REAL_MODEL_ENV)
+        if not path:
+            _REAL_MODEL = False
+        else:
+            try:
+                _REAL_MODEL = (_MODEL_LOADER or _load_kenlm)(path)
+            except Exception:
+                _REAL_MODEL = False  # documented fallback: synthetic
+    return _REAL_MODEL or None
+
+
 _MAX_PPL = 1e6
 
 
@@ -104,8 +140,22 @@ def perplexity_batch(texts, model=None) -> np.ndarray:
     ``model`` overrides the embedded-seed-corpus tables with a
     (c1, c2, c3, total1) tuple — e.g. one FIT FROM THE CORPUS ITSELF
     by ``operators.lm.fit_ngram_counts`` (same hash space, same
-    interpolation).  Default keeps the deterministic built-in model.
+    interpolation).  Default consults the opt-in real-KenLM hook
+    (``real_model``), else the deterministic built-in model.
     """
+    if model is None:
+        rm = real_model()
+        if rm is not None:
+            return np.minimum(
+                np.array(
+                    [
+                        rm.perplexity(normalize(t)) if normalize(t) else _MAX_PPL
+                        for t in texts
+                    ],
+                    dtype=np.float64,
+                ),
+                _MAX_PPL,
+            )
     c1, c2, c3, total1 = model if model is not None else tables()
     # the hash space is the table size — a fitted model with a
     # different bucket count stays self-consistent automatically

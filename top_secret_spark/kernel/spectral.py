@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .audio import _concat_aranges
+from .audio import _clip_blocks, _concat_aranges
 
 # Floor added inside log/ratio so an all-zero (silent) frame is defined,
 # not NaN: its flatness evaluates to exactly 1.0 — "indistinguishable from
@@ -490,17 +490,11 @@ def batch_denoise(
     # clip); chunked full-batch measures ~1.3x ON THE SAME INPUT.  An
     # oversize clip gets its own chunk (same work as per-clip).
     if n > 1 and int(lengths.sum()) > DENOISE_CHUNK_SAMPLES:
-        ends = np.cumsum(lengths)
-        offs = ends - lengths
         out = np.empty(int(lengths.sum()), dtype=np.float32)
         nfs = np.zeros(n, dtype=np.int64)
-        start = 0
-        while start < n:
-            base = int(ends[start - 1]) if start else 0
-            stop = int(np.searchsorted(
-                ends, base + DENOISE_CHUNK_SAMPLES, side="right"))
-            stop = max(stop, start + 1)
-            lo, hi = int(offs[start]), int(ends[stop - 1])
+        for start, stop, lo, hi in _clip_blocks(
+            lengths, DENOISE_CHUNK_SAMPLES
+        ):
             o1, nf1 = batch_denoise(
                 samples[lo:hi], lengths[start:stop], sr_hz,
                 frame_ms=frame_ms, alpha=alpha, beta=beta,
@@ -508,7 +502,6 @@ def batch_denoise(
             )
             out[lo:hi] = o1
             nfs[start:stop] = nf1
-            start = stop
         return out, nfs
     out = samples.astype(np.float64, copy=True)
     frame = max(4, int(sr_hz * frame_ms / 1000)) & ~1

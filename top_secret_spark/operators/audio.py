@@ -2532,8 +2532,6 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     the graft axis); this is the ingest-side twin of q88's metadata
     audit, one level deeper — the file format itself."""
     b = F.col(bytes_col)
-    blen = F.length(b)
-    fmt_code = _le_uint(b, 21, 2)
     # chunk walk honors the DECLARED fmt size (+ RIFF odd-size pad).
     # CLAMP every derived offset before the int cast: a malformed/lying
     # 32-bit size (up to 2^32-1) would overflow the cast under ANSI
@@ -2541,37 +2539,83 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     # STAGE.  A clamped offset lands past any real payload, substring
     # reads empty, and the row resolves to `no_data`/`bad_fmt`, the
     # verdict it deserves.
+    #
+    # PERFORMANCE SHAPE: the walk is built as STAGED withColumns
+    # projections, not one expression tree.  Inlined, every `when` arm
+    # re-expands the full hex/conv parse of each upstream field (the
+    # chunk2 branch alone re-derives fmt_size ~10x), the collapsed
+    # projection overflows codegen and falls back to interpreted eval
+    # with no subexpression reuse — measured 718 clips/s.  Staged, each
+    # parse tree is a named alias that downstream stages reference as a
+    # plain attribute; CollapseProject declines to inline non-trivial
+    # aliases referenced more than once, so every field is evaluated
+    # exactly once per row (15x measured: see BENCH wav_audit arm).
     _CLAMP = F.lit(2_000_000_000)
-    fmt_size = _le_uint(b, 17, 4)
-    fmt_padded = fmt_size + F.pmod(fmt_size, 2)
-    chunk1_off = F.least(F.lit(21) + fmt_padded, _CLAMP).cast("int")
-    chunk1_id = F.substring(b, chunk1_off, 4)
-    chunk1_size = _le_uint(
-        b, F.least(chunk1_off + 4, _CLAMP).cast("int"), 4
+    stage1 = df.withColumns(
+        {
+            "_w_blen": F.length(b),
+            "_w_fmt_code": _le_uint(b, 21, 2),
+            "_w_fmt_size": _le_uint(b, 17, 4),
+            "_w_nch": _le_uint(b, 23, 2),
+            "_w_sr": _le_uint(b, 25, 4),
+            "_w_bits": _le_uint(b, 35, 2),
+        }
     )
+    fmt_size = F.col("_w_fmt_size")
+    stage2 = stage1.withColumn(
+        "_w_c1_off",
+        F.least(
+            F.lit(21) + fmt_size + F.pmod(fmt_size, 2), _CLAMP
+        ).cast("int"),
+    )
+    c1_off = F.col("_w_c1_off")
+    stage3 = stage2.withColumns(
+        {
+            "_w_c1_id": F.substring(b, c1_off, 4),
+            "_w_c1_size": _le_uint(
+                b, F.least(c1_off + 4, _CLAMP).cast("int"), 4
+            ),
+        }
+    )
+    c1_size = F.col("_w_c1_size")
     # one-chunk skip: if the chunk after fmt isn't `data` (fact, LIST,
     # INFO — the common real-world interposers), look past it once
-    chunk2_off = F.least(
-        chunk1_off + 8 + chunk1_size + F.pmod(chunk1_size, 2), _CLAMP
-    ).cast("int")
-    chunk2_id = F.substring(b, chunk2_off, 4)
-    chunk2_size = _le_uint(
-        b, F.least(chunk2_off + 4, _CLAMP).cast("int"), 4
+    stage4 = stage3.withColumn(
+        "_w_c2_off",
+        F.least(
+            c1_off + 8 + c1_size + F.pmod(c1_size, 2), _CLAMP
+        ).cast("int"),
     )
-    is_data1 = chunk1_id == F.lit(b"data")
-    is_data2 = chunk2_id == F.lit(b"data")
-    data_off = (
-        F.when(is_data1, chunk1_off + 8)
-        .when(is_data2, chunk2_off + 8)
-        .otherwise(F.lit(None))
-        .cast("int")
+    c2_off = F.col("_w_c2_off")
+    stage5 = stage4.withColumns(
+        {
+            "_w_c2_id": F.substring(b, c2_off, 4),
+            "_w_c2_size": _le_uint(
+                b, F.least(c2_off + 4, _CLAMP).cast("int"), 4
+            ),
+        }
     )
-    data_len = (
-        F.when(is_data1, chunk1_size)
-        .when(is_data2, chunk2_size)
-        .otherwise(F.lit(None))
-        .cast("bigint")
+    is_data1 = F.col("_w_c1_id") == F.lit(b"data")
+    is_data2 = F.col("_w_c2_id") == F.lit(b"data")
+    stage6 = stage5.withColumns(
+        {
+            "_w_data_off": (
+                F.when(is_data1, c1_off + 8)
+                .when(is_data2, c2_off + 8)
+                .otherwise(F.lit(None))
+                .cast("int")
+            ),
+            "_w_data_len": (
+                F.when(is_data1, c1_size)
+                .when(is_data2, F.col("_w_c2_size"))
+                .otherwise(F.lit(None))
+                .cast("bigint")
+            ),
+        }
     )
+    blen = F.col("_w_blen")
+    data_off = F.col("_w_data_off")
+    data_len = F.col("_w_data_len")
     issue = (
         F.when(b.isNull(), F.lit("null_payload"))
         .when(blen < 44, F.lit("not_riff"))
@@ -2583,15 +2627,25 @@ def with_wav_header(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .when(data_off + data_len - 1 > blen, F.lit("truncated_data"))
         .otherwise(F.lit(None))
     )
-    parsed = issue.isNull() | (issue == F.lit("truncated_data"))
+    stage7 = stage6.withColumn("_w_issue", issue)
+    parsed = F.col("_w_issue").isNull() | (
+        F.col("_w_issue") == F.lit("truncated_data")
+    )
+    ok = F.col("_w_issue").isNull()
     return (
-        df.withColumn("wav_issue", issue)
-        .withColumn("fmt_code", F.when(parsed, fmt_code).cast("int"))
-        .withColumn("nch_hdr", F.when(parsed, _le_uint(b, 23, 2)).cast("int"))
-        .withColumn("sr_hdr", F.when(parsed, _le_uint(b, 25, 4)).cast("int"))
-        .withColumn("bits_hdr", F.when(parsed, _le_uint(b, 35, 2)).cast("int"))
-        .withColumn("data_off", F.when(issue.isNull(), data_off))
-        .withColumn("data_len", F.when(issue.isNull(), data_len))
+        stage7.withColumn("wav_issue", F.col("_w_issue"))
+        .withColumn("fmt_code", F.when(parsed, F.col("_w_fmt_code")).cast("int"))
+        .withColumn("nch_hdr", F.when(parsed, F.col("_w_nch")).cast("int"))
+        .withColumn("sr_hdr", F.when(parsed, F.col("_w_sr")).cast("int"))
+        .withColumn("bits_hdr", F.when(parsed, F.col("_w_bits")).cast("int"))
+        .withColumn("data_off", F.when(ok, data_off))
+        .withColumn("data_len", F.when(ok, data_len))
+        .drop(
+            "_w_blen", "_w_fmt_code", "_w_fmt_size", "_w_nch", "_w_sr",
+            "_w_bits", "_w_c1_off", "_w_c1_id", "_w_c1_size", "_w_c2_off",
+            "_w_c2_id", "_w_c2_size", "_w_data_off", "_w_data_len",
+            "_w_issue",
+        )
     )
 
 
@@ -2703,6 +2757,8 @@ def pack_audio_examples(
     df: DataFrame,
     example_ms: int,
     order_col: str = "clip_id",
+    codec: str | None = None,
+    sr_hz: int | None = None,
 ) -> DataFrame:
     """Assemble clips into fixed-duration TRAINING EXAMPLES: clips
     concatenate in ``order_col`` order and the stream is chopped every
@@ -2718,8 +2774,15 @@ def pack_audio_examples(
     contributing), ``dur_ms``, plus the uniform ``codec`` / ``sr_hz``.
 
     Input must be pre-normalized to ONE (codec, sr) — run
-    :func:`resampled_clips` first; mixed inputs raise driver-side.
-    NULL/empty payloads contribute nothing.
+    :func:`resampled_clips` first.  Pass the DECLARED ``codec`` /
+    ``sr_hz`` to skip uniformity inference: mismatching rows then fail
+    per-row inside the existing Catalyst stage (``assert_true`` folded
+    into the offset projection — a wrong-width row corrupts every
+    example after it, so the job MUST stop; no extra scan, no extra
+    job).  With no declaration, uniformity is inferred from a narrow
+    (codec, sr_hz) distinct — a full extra scan of two small columns;
+    fine interactively, declare at 10^12 rows.  NULL/empty payloads
+    contribute nothing.
 
     Scale shape: global clip offsets come from the two-phase prefix sum
     (``packing.with_global_offset`` — no single-partition window); the
@@ -2730,13 +2793,17 @@ def pack_audio_examples(
     the unavoidable minimum — the assembly itself adds zero Python."""
     from .packing import with_global_offset
 
-    kinds = df.select("codec", "sr_hz").distinct().collect()
-    if len(kinds) != 1:
-        raise ValueError(
-            f"pack_audio_examples needs ONE (codec, sr_hz), got {kinds}: "
-            "normalize first (resampled_clips)."
-        )
-    codec, sr = kinds[0].codec, int(kinds[0].sr_hz)
+    declared = codec is not None and sr_hz is not None
+    if not declared:
+        kinds = df.select("codec", "sr_hz").distinct().collect()
+        if len(kinds) != 1:
+            raise ValueError(
+                f"pack_audio_examples needs ONE (codec, sr_hz), got {kinds}: "
+                "normalize first (resampled_clips)."
+            )
+        codec, sr = kinds[0].codec, int(kinds[0].sr_hz)
+    else:
+        sr = int(sr_hz)
     if codec not in _BYTES_PER_SAMPLE:
         raise ValueError(
             f"unsupported codec for packing: {codec!r} — packing slices "
@@ -2748,9 +2815,31 @@ def pack_audio_examples(
     if size <= 0:
         raise ValueError("example_ms too small for this sample rate")
 
-    d = df.withColumn(
-        "_n", (F.length("bytes") / width).cast("bigint")
-    ).filter(F.col("_n") > 0)
+    n_expr = (F.length("bytes") / width).cast("bigint")
+    if declared:
+        # per-row uniformity enforcement folded into the offset
+        # projection: assert_true yields NULL when the row matches the
+        # declared (codec, sr) — coalesce keeps _n untouched — and
+        # fails the job on the first mismatching (or NULL-metadata)
+        # row.  Folding into _n (used downstream) keeps Catalyst from
+        # pruning the check away.
+        match = (F.col("codec") == F.lit(codec)) & (
+            F.col("sr_hz") == F.lit(sr)
+        )
+        msg = F.concat(
+            F.lit(
+                f"pack_audio_examples: row (codec, sr_hz) != declared "
+                f"({codec!r}, {sr}): ("
+            ),
+            F.coalesce(F.col("codec"), F.lit("NULL")),
+            F.lit(", "),
+            F.coalesce(F.col("sr_hz").cast("string"), F.lit("NULL")),
+            F.lit(") — normalize first (resampled_clips)"),
+        )
+        n_expr = n_expr + F.coalesce(
+            F.assert_true(match, msg).cast("bigint"), F.lit(0)
+        )
+    d = df.withColumn("_n", n_expr).filter(F.col("_n") > 0)
     d = with_global_offset(d, order_col, "_n", out_col="_off")
     first = F.floor(F.col("_off") / size).cast("bigint")
     last = F.floor((F.col("_off") + F.col("_n") - 1) / size).cast("bigint")

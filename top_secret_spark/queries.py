@@ -5527,7 +5527,12 @@ def q_pack_audio(spark, sf_dir):
     from .operators.audio import pack_audio_examples
     from .sources.clips import pack_clips_df
 
-    out = pack_audio_examples(pack_clips_df(spark, 240, partitions=4), 2500)
+    # declared (codec, sr): the scan-free scale path — per-row
+    # assert_true enforcement instead of the inference distinct
+    out = pack_audio_examples(
+        pack_clips_df(spark, 240, partitions=4), 2500,
+        codec="pcm16", sr_hz=8000,
+    )
     return (
         out.select(
             "pack_id",
@@ -7231,102 +7236,35 @@ ORDER BY doc_id
 
 
 QUERIES = {
-    "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
-    "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
+    # ROUND-5 DRIVER-SLOT ROTATION.  The driver's correctness harness
+    # records the FIRST 50 registered queries; rounds 1-4 left 65 of the
+    # 131 registered queries without a driver record (all green under
+    # the identical local gate, tools/check_oracles.py).  This round's
+    # first 50 = a 10-query CORE REGRESSION SET covering every kernel
+    # family touched this session (scrub q03, global labels q06, minhash
+    # q11, decode q16, fused pipeline e2e q22 — langid/perplexity/
+    # signals chunking, cluster dedup q30, checkpoint q34, audio gate
+    # q40, streaming q86, and the reworked WAV audit q100) + 40 NEVER-
+    # DRIVER-CHECKED queries (80% of the slate).  Every displaced query
+    # keeps its name and its oracle below, still gated locally at every
+    # scale; the 25 never-checked queries that remain local-only are
+    # each a sibling of a driver-gated family member (compositions of
+    # gated stages, or parameter variants of a gated operator).
     "q03_scrub_substitution": (q_scrub_substitution, Q_SCRUB_SUBSTITUTION_SQL),
-    "q04_restore_roundtrip": (q_restore_roundtrip, Q_RESTORE_ROUNDTRIP_SQL),
-    "q05_categories_present": (q_categories_present, Q_CATEGORIES_PRESENT_SQL),
     "q06_global_labels": (q_global_labels, Q_GLOBAL_LABELS_SQL),
-    "q07_keep_drop": (q_keep_drop, Q_KEEP_DROP_SQL),
-    "q08_quality_signals": (q_quality_signals, Q_QUALITY_SIGNALS_SQL),
-    "q09_token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
-    "q10_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "q11_minhash_neardup": (q_minhash_neardup, Q_MINHASH_SQL),
-    # The session-4 audio flagships (q93 pairing gate, q94 tempo dedup,
-    # q96 cross-modal redaction, q97 offset-robust CDC dedup) take
-    # driver-checked slots, same displacement policy as q88-q91 below;
-    # the four displaced queries move to the tail, still under the
-    # identical local gate: q12 simhash ~ q36 (end-to-end Hamming<=3,
-    # strictly stronger), q26 fingerprint groups ~ q10 exact dedup +
-    # q43's fingerprint index, q18 join-agg ~ q43's bucketed join and
-    # q51's broadcast probe, q19 latest-event window ~ q38's salted
-    # per-key ranking window.
-    "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
-    "q119_voice_health": (q_voice_health, Q_VOICE_HEALTH_SQL),
-    "q14_langid_planted": (q_langid_planted, Q_LANGID_SQL),
-    "q15_perplexity_planted": (q_perplexity_planted, Q_PERPLEXITY_SQL),
     "q16_audio_decode": (q_audio_decode, Q_AUDIO_DECODE_SQL),
-    "q98_channel_stats": (q_channel_stats, Q_CHANNEL_STATS_SQL),
-    # driver-slot curation (the harness records the first 50): the
-    # envelope-fingerprint dedup family keeps q44 as its driver row
-    # (q94 tempo / q97 offset variants move to the local sweep), and
-    # q99 downmix is composed inside driver-checked q109; the slots
-    # fund this session's new flagships q117/q118/q119.
-    "q117_pitch_stats": (q_pitch_stats, Q_PITCH_STATS_SQL),
-    "q118_reverb_gate": (q_reverb_gate, Q_REVERB_GATE_SQL),
-    "q20_dictionary_scrub": (q_dictionary_scrub, Q_DICTIONARY_SCRUB_SQL),
-    # q88-q91 (this round's flagship gates) sit in driver-checked slots,
-    # same policy as q86/q87 below; the four displaced queries (q21 ANN
-    # ~ q13 brute cosine, q25 jaccard-verify ~ q11's verify path, q35
-    # ivf-indexed ~ q29 ivf, q37 ~ q24+q39) move to the tail and stay
-    # under the identical local gate.
-    "q88_metadata_audit": (q_metadata_audit, Q_METADATA_AUDIT_SQL),
     "q22_pipeline_e2e": (q_pipeline_e2e, Q_PIPELINE_E2E_SQL),
-    "q23_ner_scrub": (q_ner_scrub, Q_NER_SCRUB_SQL),
-    "q24_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
-    "q89_vad_gate": (q_vad_gate, Q_VAD_GATE_SQL),
-    "q96_audio_redact": (q_audio_redact, Q_AUDIO_REDACT_SQL),
-    "q27_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
-    "q28_toxicity": (q_toxicity, Q_TOXICITY_SQL),
-    "q29_ivf_ann": (q_ivf_ann, Q_IVF_ANN_SQL),
     "q30_dedup_near": (q_dedup_near, Q_DEDUP_NEAR_SQL),
-    "q31_filter_composition": (q_filter_composition, Q_FILTER_COMPOSITION_SQL),
-    # Session-6 flagship rotated into the driver-checked 50 (slot 32):
-    # the stateful-codec transcode is the decode universe's only
-    # predictor-state path; q32_url_scrub keeps its local row below and
-    # the scrub family keeps five driver rows (q03/q20/q23/q33/q96).
-    "q131_adpcm_transcode": (q_adpcm_transcode, Q_ADPCM_TRANSCODE_SQL),
-    "q33_ner_model_scrub": (q_ner_model_scrub, Q_NER_MODEL_SCRUB_SQL),
     "q34_checkpointed_stage": (q_checkpointed_stage, Q_CHECKPOINTED_STAGE_SQL),
-    "q90_survivor_policy": (q_survivor_policy, Q_SURVIVOR_POLICY_SQL),
-    "q36_simhash_hamming": (q_simhash_hamming_neardup, Q_SIMHASH_HAMMING_SQL),
-    "q91_repeated_segments": (q_repeated_segments, Q_REPEATED_SEGMENTS_SQL),
-    "q38_salted_topk": (q_salted_per_key_topk, Q_SALTED_TOPK_SQL),
-    "q39_text_ann_topk": (q_text_ann_topk, Q_TEXT_ANN_SQL),
     "q40_audio_quality_gate": (q_audio_quality_gate, Q_AUDIO_GATE_SQL),
-    "q41_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
-    "q100_wav_audit": (q_wav_audit, Q_WAV_AUDIT_SQL),
-    "q43_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
-    "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
-    "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
-    # q108 (spectral-subtraction denoise, this session's heaviest new
-    # kernel) takes q46's slot: the resample kernel stays gated via its
-    # q57 speed-perturb sibling (same batch_resample path) and q46 joins
-    # the tail under the identical local protocol.
-    "q108_denoise": (q_denoise, Q_DENOISE_SQL),
-    # q109 (this session's composition flagship) takes q47's slot:
-    # chunking's pure-Catalyst byte-splice mechanics stay driver-gated
-    # via q92 (strip-repeated splice), and q47 joins its q52/q65
-    # segmentation siblings at the tail under the identical local gate.
-    "q109_call_pipeline": (q_call_pipeline, Q_CALL_PIPELINE_SQL),
-    "q48_loudness_normalize": (q_loudness_normalize, Q_LOUDNESS_SQL),
-    # The driver's correctness harness records the FIRST 50 registered
-    # queries; the round-4 flagship gates (streaming dedup, paraphrase
-    # decontamination — the two surfaces the r3 review called out as
-    # lacking a hard row) are placed in slots 49-50 so they get driver
-    # rows.  q49/q50 keep their names and move after q87 — still under
-    # the identical local gate (tools/check_oracles.py, all scales).
     "q86_streaming_dedup": (q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
-    "q87_fuzzy_paraphrase": (
-        q_fuzzy_decontamination_paraphrase,
-        Q_FUZZY_PARAPHRASE_SQL,
-    ),
+    "q100_wav_audit": (q_wav_audit, Q_WAV_AUDIT_SQL),
+    # --- the 40 never-before-driver-checked slots ---
     "q51_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "q52_split_on_silence": (q_split_on_silence, Q_SPLIT_SILENCE_SQL),
     "q53_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q54_clean_text": (q_clean_text, Q_CLEAN_TEXT_SQL),
-    "q55_curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
-    "q56_audio_prep_pipeline": (q_audio_prep_pipeline, Q_AUDIO_PREP_SQL),
     "q57_speed_perturb": (q_speed_perturb, Q_SPEED_PERTURB_SQL),
     "q58_dedup_spans": (q_dedup_spans, Q_DEDUP_SPANS_SQL),
     "q59_spectral_gate": (q_spectral_gate, Q_SPECTRAL_GATE_SQL),
@@ -7334,33 +7272,95 @@ QUERIES = {
         q_temperature_rebalance,
         Q_TEMPERATURE_REBALANCE_SQL,
     ),
-    "q61_rule_audit": (q_rule_audit, Q_RULE_AUDIT_SQL),
-    "q62_shard_by_size": (q_shard_by_size, Q_SHARD_BY_SIZE_SQL),
     "q63_time_mask": (q_time_mask, Q_TIME_MASK_SQL),
     "q64_noise_mix": (q_noise_mix, Q_NOISE_MIX_SQL),
     "q65_merge_segments": (q_merge_segments, Q_MERGE_SEGMENTS_SQL),
     "q66_transcode": (q_transcode, Q_TRANSCODE_SQL),
     "q67_collapse_lines": (q_collapse_lines, Q_COLLAPSE_LINES_SQL),
-    "q68_top_terms": (q_top_terms, Q_TOP_TERMS_SQL),
     "q69_importance_weight": (q_importance_weight, Q_IMPORTANCE_SQL),
-    "q70_mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
     "q71_log_mel": (q_log_mel, Q_LOG_MEL_SQL),
     "q72_repetition_signals": (q_repetition_signals, Q_REPETITION_SQL),
     "q73_snr_estimate": (q_snr_estimate, Q_SNR_ESTIMATE_SQL),
     "q74_webdataset_manifest": (q_webdataset_manifest, Q_WEBDATASET_SQL),
     "q75_budget_select": (q_budget_select, Q_BUDGET_SELECT_SQL),
-    "q76_mfcc": (q_mfcc, Q_MFCC_SQL),
-    "q77_dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     "q78_repeat_epochs": (q_repeat_epochs, Q_REPEAT_EPOCHS_SQL),
     "q79_cap_per_key": (q_cap_per_key, Q_CAP_PER_KEY_SQL),
+    "q84_bandwidth_gate": (q_bandwidth_gate, Q_BANDWIDTH_SQL),
+    "q101_wav_unwrap": (q_wav_unwrap, Q_WAV_UNWRAP_SQL),
+    "q102_bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
+    "q103_psi_drift": (q_psi_drift, Q_PSI_DRIFT_SQL),
+    "q104_declip_repair": (q_declip_repair, Q_DECLIP_REPAIR_SQL),
+    "q105_pack_audio": (q_pack_audio, Q_PACK_AUDIO_SQL),
+    "q106_lang_consistency": (q_lang_consistency, Q_LANG_CONSISTENCY_SQL),
+    "q107_cross_modal_dedup": (q_cross_modal_dedup, Q_CROSS_MODAL_DEDUP_SQL),
+    "q110_incremental_audio_dedup": (q_incremental_audio_dedup, Q_INCREMENTAL_AUDIO_DEDUP_SQL),
+    "q112_streaming_watermark": (q_streaming_watermark, Q_STREAMING_WATERMARK_SQL),
+    "q113_pii_density_gate": (q_pii_density_gate, Q_PII_DENSITY_SQL),
+    "q114_speaker_turns": (q_speaker_turns, Q_SPEAKER_TURNS_SQL),
+    "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
+    "q120_compression_gate": (q_compression_gate, Q_COMPRESSION_GATE_SQL),
+    "q121_codec_verify": (q_codec_verify, Q_CODEC_VERIFY_SQL),
+    "q122_leakage_safe_split": (q_leakage_safe_split, Q_LEAKAGE_SPLIT_SQL),
+    "q124_corpus_fit_perplexity": (q_corpus_fit_perplexity, Q_CORPUS_FIT_PPL_SQL),
+    "q127_soft_dedup_weights": (q_soft_dedup_weights, Q_SOFT_DEDUP_SQL),
+    "q130_pseudonymize_ids": (q_pseudonymize_ids, Q_PSEUDONYMIZE_SQL),
+    # --- displaced to local-only gating (identical protocol) ---
+    "q01_email_extract": (q_email_extract, Q_EMAIL_EXTRACT_SQL),
+    "q02_category_extract_counts": (q_category_extract_counts, Q_CATEGORY_EXTRACT_SQL),
+    "q04_restore_roundtrip": (q_restore_roundtrip, Q_RESTORE_ROUNDTRIP_SQL),
+    "q05_categories_present": (q_categories_present, Q_CATEGORIES_PRESENT_SQL),
+    "q07_keep_drop": (q_keep_drop, Q_KEEP_DROP_SQL),
+    "q08_quality_signals": (q_quality_signals, Q_QUALITY_SIGNALS_SQL),
+    "q09_token_counts": (q_token_counts, Q_TOKEN_COUNTS_SQL),
+    "q10_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "q93_pairing_gate": (q_pairing_gate, Q_PAIRING_GATE_SQL),
+    "q119_voice_health": (q_voice_health, Q_VOICE_HEALTH_SQL),
+    "q14_langid_planted": (q_langid_planted, Q_LANGID_SQL),
+    "q15_perplexity_planted": (q_perplexity_planted, Q_PERPLEXITY_SQL),
+    "q98_channel_stats": (q_channel_stats, Q_CHANNEL_STATS_SQL),
+    "q117_pitch_stats": (q_pitch_stats, Q_PITCH_STATS_SQL),
+    "q118_reverb_gate": (q_reverb_gate, Q_REVERB_GATE_SQL),
+    "q20_dictionary_scrub": (q_dictionary_scrub, Q_DICTIONARY_SCRUB_SQL),
+    "q88_metadata_audit": (q_metadata_audit, Q_METADATA_AUDIT_SQL),
+    "q23_ner_scrub": (q_ner_scrub, Q_NER_SCRUB_SQL),
+    "q24_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
+    "q89_vad_gate": (q_vad_gate, Q_VAD_GATE_SQL),
+    "q96_audio_redact": (q_audio_redact, Q_AUDIO_REDACT_SQL),
+    "q27_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
+    "q28_toxicity": (q_toxicity, Q_TOXICITY_SQL),
+    "q29_ivf_ann": (q_ivf_ann, Q_IVF_ANN_SQL),
+    "q31_filter_composition": (q_filter_composition, Q_FILTER_COMPOSITION_SQL),
+    "q131_adpcm_transcode": (q_adpcm_transcode, Q_ADPCM_TRANSCODE_SQL),
+    "q33_ner_model_scrub": (q_ner_model_scrub, Q_NER_MODEL_SCRUB_SQL),
+    "q90_survivor_policy": (q_survivor_policy, Q_SURVIVOR_POLICY_SQL),
+    "q36_simhash_hamming": (q_simhash_hamming_neardup, Q_SIMHASH_HAMMING_SQL),
+    "q91_repeated_segments": (q_repeated_segments, Q_REPEATED_SEGMENTS_SQL),
+    "q38_salted_topk": (q_salted_per_key_topk, Q_SALTED_TOPK_SQL),
+    "q39_text_ann_topk": (q_text_ann_topk, Q_TEXT_ANN_SQL),
+    "q41_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "q43_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
+    "q44_audio_neardup": (q_audio_neardup, Q_AUDIO_NEARDUP_SQL),
+    "q45_rate_consistency": (q_rate_consistency, Q_RATE_CONSISTENCY_SQL),
+    "q108_denoise": (q_denoise, Q_DENOISE_SQL),
+    "q109_call_pipeline": (q_call_pipeline, Q_CALL_PIPELINE_SQL),
+    "q48_loudness_normalize": (q_loudness_normalize, Q_LOUDNESS_SQL),
+    "q87_fuzzy_paraphrase": (
+        q_fuzzy_decontamination_paraphrase,
+        Q_FUZZY_PARAPHRASE_SQL,
+    ),
+    "q55_curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
+    "q56_audio_prep_pipeline": (q_audio_prep_pipeline, Q_AUDIO_PREP_SQL),
+    "q61_rule_audit": (q_rule_audit, Q_RULE_AUDIT_SQL),
+    "q62_shard_by_size": (q_shard_by_size, Q_SHARD_BY_SIZE_SQL),
+    "q68_top_terms": (q_top_terms, Q_TOP_TERMS_SQL),
+    "q70_mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
+    "q76_mfcc": (q_mfcc, Q_MFCC_SQL),
+    "q77_dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     "q80_fuzzy_decontamination": (q_fuzzy_decontamination, Q_FUZZY_DECON_SQL),
     "q81_corpus_diff": (q_corpus_diff, Q_CORPUS_DIFF_SQL),
     "q82_audio_export_pipeline": (q_audio_export_pipeline, Q_AUDIO_EXPORT_SQL),
     "q83_data_card": (q_data_card, Q_DATA_CARD_SQL),
-    "q84_bandwidth_gate": (q_bandwidth_gate, Q_BANDWIDTH_SQL),
     "q85_dc_removal": (q_dc_removal, Q_DC_REMOVAL_SQL),
-    # moved after the round-4 flagship gates (see the q86/q87 note
-    # above); names unchanged, still locally gated at every scale
     "q49_trim_silence": (q_trim_silence, Q_TRIM_SILENCE_SQL),
     "q50_dedup_lines": (q_dedup_lines, Q_DEDUP_LINES_SQL),
     "q21_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
@@ -7379,35 +7379,17 @@ QUERIES = {
     "q17_tpch_pricing_summary": (q_tpch_pricing_summary, Q_TPCH_PRICING_SQL),
     "q13_cosine_topk": (q_cosine_topk, Q_COSINE_TOPK_SQL),
     "q42_corpus_profile": (q_corpus_profile, Q_CORPUS_PROFILE_SQL),
-    "q101_wav_unwrap": (q_wav_unwrap, Q_WAV_UNWRAP_SQL),
-    "q102_bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
-    "q103_psi_drift": (q_psi_drift, Q_PSI_DRIFT_SQL),
-    "q104_declip_repair": (q_declip_repair, Q_DECLIP_REPAIR_SQL),
-    "q105_pack_audio": (q_pack_audio, Q_PACK_AUDIO_SQL),
-    "q106_lang_consistency": (q_lang_consistency, Q_LANG_CONSISTENCY_SQL),
-    "q107_cross_modal_dedup": (q_cross_modal_dedup, Q_CROSS_MODAL_DEDUP_SQL),
     "q46_resample_uniform": (q_resample_uniform, Q_RESAMPLE_UNIFORM_SQL),
     "q47_chunked_clips": (q_chunked_clips, Q_CHUNKED_CLIPS_SQL),
-    "q110_incremental_audio_dedup": (q_incremental_audio_dedup, Q_INCREMENTAL_AUDIO_DEDUP_SQL),
     "q111_restoration_lift": (q_restoration_lift, Q_RESTORATION_LIFT_SQL),
-    "q112_streaming_watermark": (q_streaming_watermark, Q_STREAMING_WATERMARK_SQL),
-    "q113_pii_density_gate": (q_pii_density_gate, Q_PII_DENSITY_SQL),
-    "q114_speaker_turns": (q_speaker_turns, Q_SPEAKER_TURNS_SQL),
     "q94_tempo_dedup": (q_tempo_dedup, Q_TEMPO_DEDUP_SQL),
     "q97_offset_dedup": (q_offset_dedup, Q_OFFSET_DEDUP_SQL),
     "q99_downmix": (q_downmix, Q_DOWNMIX_SQL),
     "q115_transcript_edit_dedup": (q_transcript_edit_dedup, Q_TRANSCRIPT_EDIT_SQL),
-    "q116_oov_gate": (q_oov_gate, Q_OOV_GATE_SQL),
-    "q120_compression_gate": (q_compression_gate, Q_COMPRESSION_GATE_SQL),
-    "q121_codec_verify": (q_codec_verify, Q_CODEC_VERIFY_SQL),
-    "q122_leakage_safe_split": (q_leakage_safe_split, Q_LEAKAGE_SPLIT_SQL),
     "q123_speech_curation_pipeline": (q_speech_curation_pipeline, Q_SPEECH_CURATION_SQL),
-    "q124_corpus_fit_perplexity": (q_corpus_fit_perplexity, Q_CORPUS_FIT_PPL_SQL),
     "q125_chunk_text": (q_chunk_text, Q_CHUNK_TEXT_SQL),
     "q126_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
-    "q127_soft_dedup_weights": (q_soft_dedup_weights, Q_SOFT_DEDUP_SQL),
     "q128_spoken_form": (q_spoken_form, Q_SPOKEN_FORM_SQL),
     "q129_padded_clips": (q_padded_clips, Q_PADDED_CLIPS_SQL),
-    "q130_pseudonymize_ids": (q_pseudonymize_ids, Q_PSEUDONYMIZE_SQL),
     "q32_url_scrub": (q_url_scrub, Q_URL_SCRUB_SQL),
 }
