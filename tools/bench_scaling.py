@@ -74,15 +74,26 @@ def run_once(master_cores: int, zip_path: str) -> dict:
     )
 
 
+_PROBE_WARM = False
+
+
 def host_probe() -> float:
     """Memory-bandwidth probe (seconds; calm host ≈ 0.15-0.45 on this VM).
 
     The same probe kernel tools/kernel_bench.py uses to set its
     host_degraded flag — a 160 MB numpy multiply is bandwidth-bound, so a
-    noisy co-tenant VM shows up directly in the timing.
+    noisy co-tenant VM shows up directly in the timing.  The first call
+    in a fresh process runs once untimed: a cold numpy (allocator pools,
+    fault-in) reads 1.5-2 s even on a calm host — two prior records
+    carried host_degraded=true from exactly that artifact while every
+    subsequent probe read ~0.05 s.
     """
     import numpy as np
 
+    global _PROBE_WARM
+    if not _PROBE_WARM:
+        (np.random.rand(20_000_000) * 1.5).sum()
+        _PROBE_WARM = True
     a = np.random.rand(20_000_000)
     t0 = time.perf_counter()
     a * 1.5
@@ -107,30 +118,15 @@ def _control_worker(args) -> tuple[int, float]:
     return reps * ARROW_BATCH, time.perf_counter() - t0
 
 
-def host_control(reps: int = 3) -> dict:
-    """No-Spark scaling control with the job's own kernel: P independent
-    processes each looping fused_text_frame over a private 60k-text
-    batch.  If this scales below 1.0 across 8→32, that shortfall is the
-    HOST's (shared L3 / memory system / steal) — the job cannot scale
-    better than embarrassingly parallel processes running its kernel.
-    On a real multi-executor cluster each executor owns its cache and
-    memory channels, so the control ratio is the correct normalizer for
-    sandbox-measured efficiency."""
+def control_rate(p: int, reps: int = 2) -> float:
+    """Aggregate kernel rate of P independent control processes —
+    sum of per-worker TIMED-SECTION rates, so pool spawn and input
+    generation (untimed in the job, too) stay out of the number."""
     from concurrent.futures import ProcessPoolExecutor
 
-    out = {}
-    for p in ARMS:
-        with ProcessPoolExecutor(max_workers=p) as ex:
-            t0 = time.perf_counter()
-            res = list(ex.map(_control_worker, [(i, reps) for i in range(p)]))
-            wall = time.perf_counter() - t0
-        out[p] = sum(r[0] for r in res) / wall
-    eff = out[HIGH] / ((HIGH / LOW) * out[LOW])
-    return {
-        "low_rate": round(out[LOW], 1),
-        "high_rate": round(out[HIGH], 1),
-        "control_eff": round(eff, 3),
-    }
+    with ProcessPoolExecutor(max_workers=p) as ex:
+        res = list(ex.map(_control_worker, [(i, reps) for i in range(p)]))
+    return sum(n / dt for n, dt in res)
 
 
 def main():
@@ -138,7 +134,13 @@ def main():
 
     zip_path = make_zip(os.path.join("/tmp", "top_secret_spark_submit.zip"))
 
+    # The no-Spark control INTERLEAVES with the job arms under the same
+    # best-of-REPEATS protocol: an end-of-run one-shot control sampled
+    # whatever window it happened to land in (measured swing 0.56-0.87
+    # across records), while the arms it normalizes were best-of-four.
+    # Sampling both through the same windows makes the ratio meaningful.
     results = {}
+    ctl = {c: 0.0 for c in ARMS}
     probes = [round(host_probe(), 3)]
     t0 = time.time()
     for _ in range(REPEATS):
@@ -146,11 +148,17 @@ def main():
             r = run_once(cores, zip_path)
             if cores not in results or r["clips_per_sec"] > results[cores]["clips_per_sec"]:
                 results[cores] = r
+        for cores in ARMS:
+            ctl[cores] = max(ctl[cores], control_rate(cores))
         probes.append(round(host_probe(), 3))
     for cores in ARMS:
         results[cores]["wall_sec"] = round(time.time() - t0, 1)
     host_degraded = max(probes) > 0.5
-    control = host_control()
+    control = {
+        "low_rate": round(ctl[LOW], 1),
+        "high_rate": round(ctl[HIGH], 1),
+        "control_eff": round(ctl[HIGH] / ((HIGH / LOW) * ctl[LOW]), 3),
+    }
 
     tp = {c: results[c]["clips_per_sec"] for c in ARMS}
     eff = tp[HIGH] / ((HIGH / LOW) * tp[LOW])
@@ -182,12 +190,15 @@ repeats per arm.
 (`fused_text_frame` — langid + perplexity + signals + scrub, the exact
 code inside the job's Arrow stage) in P independent Python processes,
 each looping over a private {ARROW_BATCH:,}-text batch — no Spark, no
-serialization, embarrassingly parallel by construction.  8 procs:
-{control['low_rate']:,.0f} clips/s; 32 procs: {control['high_rate']:,.0f}
-clips/s; control efficiency **{control['control_eff']:.3f}**.  The job
-cannot scale better than independent processes running its own kernel
-on this shared-cache host, so the control is the host's ceiling for
-this workload; **control-normalized job efficiency =
+serialization, embarrassingly parallel by construction, INTERLEAVED
+with the job arms under the same best-of-{REPEATS} protocol (a one-shot
+end-of-run control sampled whatever window it landed in; swing 0.56-0.87
+observed across records).  8 procs: {control['low_rate']:,.0f} clips/s;
+32 procs: {control['high_rate']:,.0f} clips/s; control efficiency
+**{control['control_eff']:.3f}**.  The job cannot scale better than
+independent processes running its own kernel on this shared-cache host,
+so the control is the host's ceiling for this workload;
+**control-normalized job efficiency =
 {eff:.3f} / {control['control_eff']:.3f} = {normalized:.3f}**.
 
 Host state during this record: bandwidth probes {probes}
