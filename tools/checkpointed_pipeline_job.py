@@ -46,10 +46,17 @@ def main():
     ap.add_argument("--reset", action="store_true", help="clear the stage first")
     ap.add_argument(
         "--iceberg", action="store_true",
-        help="attempt the Iceberg lane: resolve the pinned runtime via "
-        "spark.jars.packages (needs Maven Central reachability once; "
-        "ivy caches it after) and checkpoint through an Iceberg table "
-        "with native snapshot lineage instead of the parquet fallback",
+        help="attempt the Iceberg lane: configure the catalog and "
+        "checkpoint through an Iceberg table with native snapshot "
+        "lineage instead of the parquet fallback.  Under spark-submit, "
+        "ALSO pass `--packages " + ICEBERG_COORDS + "` on the submit "
+        "command line (builder-time spark.jars.packages lands after "
+        "the JVM launches and is ignored there; the builder config "
+        "covers in-process SparkSession creation, e.g. pytest).  "
+        "Attempted 2026-08-21 in this sandbox: ivy resolution reached "
+        "out and failed with 'Host repo1.maven.org not found' — no "
+        "network egress; the lane activates the moment the jar is "
+        "resolvable or pre-dropped on the classpath.",
     )
     ap.add_argument("--iceberg-table", default="local.tss.pipeline_out")
     args = ap.parse_args()
