@@ -13,13 +13,21 @@ Only the three tables the headline bench reads are produced:
 * ``embeddings`` — 10 copies, ``id`` offset.  Brute-force cosine top-k
   cost is linear in corpus rows; duplicate vectors only introduce ties,
   which the rank tiebreak already handles.
-* ``documents`` — 10 copies, ``doc_id`` offset, and every whitespace
-  run in replica k>0 is rewritten to `` rk<k> ``: each replica's
-  shingles then all contain the replica token, so CROSS-replica Jaccard
-  collapses to ~0 while WITHIN-replica duplicate structure is preserved
-  — the minhash arm sees 10x the rows with the same per-replica dup
-  ratio instead of a fabricated 10x10 near-dup family blow-up (which
-  would measure an input artifact, not the operator).
+* ``documents`` — 10 copies, ``doc_id`` offset, and replica k>0 is
+  passed through a per-replica LETTER-SUBSTITUTION cipher (Caesar
+  rotation by k, case-preserving) — bijective on CHARACTERS, so all
+  within-replica structure (exact dups, char-shingle Jaccard, lengths,
+  whitespace, word boundaries) is preserved EXACTLY while
+  cross-replica character n-grams decorrelate.  The minhash arm then
+  sees 10x the rows with the identical per-replica dup/similarity
+  distribution.  (Two rejected designs, kept for the record: rewriting
+  whitespace runs to a shared `` rk<k> `` token collapsed
+  whitespace-variant near-dups into exact dups and put the replica
+  token into every shingle — candidates exploded 250x; prefixing each
+  word ``rk<k>`` was bijective on WORDS but the shingles are character
+  n-grams, which mostly survive a short shared prefix — candidates
+  still exploded 210x.  Both measured the input artifact, not the
+  operator.)
 
 This is a THROUGHPUT scale point, not a correctness scale: oracles stay
 at sf0.01.  Output dir name must end in ``sf1`` so bench.py parses
@@ -76,7 +84,7 @@ def main():
     )
 
     emb_parts = [
-        emb.withColumn("id", F.col("id") + F.lit(k * key_off))
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * key_off))
         for k in range(REPLICAS)
     ]
     emb_out = emb_parts[0]
@@ -90,8 +98,11 @@ def main():
     for k in range(REPLICAS):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * key_off))
         if k:
+            lo = "abcdefghijklmnopqrstuvwxyz"
+            up = lo.upper()
+            rot = lo[k:] + lo[:k]
             d = d.withColumn(
-                "text", F.regexp_replace("text", r"\s+", f" rk{k} ")
+                "text", F.translate("text", lo + up, rot + rot.upper())
             )
         doc_parts.append(d)
     docs_out = doc_parts[0]
