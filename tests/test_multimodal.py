@@ -181,3 +181,74 @@ def test_stacked_stats_match_per_row_loop(spark):
             )
             for k in ("mean_r", "mean_g", "mean_b", "brightness", "contrast"):
                 assert abs(g[k] - feats[k]) < 1e-9, (mid, k)
+
+
+# --- real BMP container codec (round 5) --------------------------------------
+
+
+def test_bmp_roundtrip_exact():
+    from top_secret_spark.kernel.media import decode_bmp, encode_bmp
+
+    for w, h in ((24, 18), (7, 5), (1, 1), (33, 2)):  # odd widths hit padding
+        img = synth_image(100 + w, w, h)
+        back = decode_bmp(encode_bmp(img))
+        np.testing.assert_array_equal(img, back)
+
+
+def test_bmp_top_down_rows():
+    import struct
+
+    from top_secret_spark.kernel.media import decode_bmp, encode_bmp
+
+    img = synth_image(3, 6, 4)
+    data = bytearray(encode_bmp(img))
+    # flip to top-down: negate biHeight and reverse the row order
+    h = struct.unpack_from("<i", data, 22)[0]
+    struct.pack_into("<i", data, 22, -h)
+    stride = (6 * 3 + 3) & ~3
+    off = struct.unpack_from("<I", data, 10)[0]
+    rows = [bytes(data[off + i * stride: off + (i + 1) * stride]) for i in range(h)]
+    data[off:] = b"".join(reversed(rows))
+    np.testing.assert_array_equal(img, decode_bmp(bytes(data)))
+
+
+def test_bmp_rejects_wrong_variants():
+    from top_secret_spark.kernel.media import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError, match="BM"):
+        decode_bmp(b"notabmp" * 10)
+    img = synth_image(5, 8, 8)
+    data = bytearray(encode_bmp(img))
+    data[28] = 32  # bpp 24 -> 32
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(data))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(encode_bmp(img)[:-10]))
+
+
+def test_bmp_through_decode_image_and_spark(spark):
+    import pandas as pd
+    from top_secret_spark.kernel.media import encode_bmp
+    from top_secret_spark.operators.multimodal import (
+        MEDIA_SCHEMA_DDL,
+        with_media_features,
+    )
+
+    rows = []
+    for r in range(8):
+        w, h = 8 + r, 6 + r
+        img = synth_image(500 + r, w, h)
+        rows.append((f"bmp-{r}", "image", bytearray(encode_bmp(img)),
+                     "bmp", w, h, 1, 0.0))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    feats = {x["media_id"]: x for x in with_media_features(df).collect()}
+    assert len(feats) == 8
+    for r in range(8):
+        f = feats[f"bmp-{r}"]
+        assert (f["dec_width"], f["dec_height"]) == (8 + r, 6 + r)
+    # metadata/container mismatch fails loudly (container authoritative)
+    bad = spark.createDataFrame(
+        [("bad", "image", bytearray(encode_bmp(synth_image(1, 4, 4))),
+          "bmp", 9, 9, 1, 0.0)], MEDIA_SCHEMA_DDL)
+    with pytest.raises(Exception, match="authoritative|container"):
+        with_media_features(bad).collect()

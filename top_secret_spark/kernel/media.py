@@ -22,6 +22,12 @@ import numpy as np
 
 RAW_IMAGE_CODEC = "raw_rgb8"
 RAW_VIDEO_CODEC = "raw_rgb8_frames"
+#: Real CONTAINER codec: uncompressed 24-bit BI_RGB Windows bitmap —
+#: the format is fully public (14-byte BITMAPFILEHEADER + 40-byte
+#: BITMAPINFOHEADER, BGR rows padded to 4 bytes, bottom-up unless
+#: height is negative) and needs no external library, so unlike
+#: jpeg/h264 it decodes for REAL here, vectorized.
+BMP_IMAGE_CODEC = "bmp"
 STUB_IMAGE_CODECS = ("jpeg", "png", "webp")
 STUB_VIDEO_CODECS = ("h264", "vp9", "av1")
 
@@ -51,7 +57,71 @@ def synth_image(seed: int, width: int, height: int) -> np.ndarray:
 def encode_image(img: np.ndarray, codec: str = RAW_IMAGE_CODEC) -> bytes:
     if codec == RAW_IMAGE_CODEC:
         return np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+    if codec == BMP_IMAGE_CODEC:
+        return encode_bmp(img)
     raise _stub_error(codec)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB .bmp bytes (bottom-up rows,
+    BGR byte order, rows padded to 4-byte multiples — the classic
+    Windows bitmap layout)."""
+    import struct
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    # RGB → BGR, top-down → bottom-up, pad each row
+    bgr = img[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    pixel_data = rows.tobytes()
+    off = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return file_header + dib + pixel_data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB .bmp bytes → (h, w, 3) uint8 RGB, fully vectorized.
+
+    Supports bottom-up (positive biHeight) and top-down (negative)
+    rows; anything but 24 bpp / BI_RGB / 1 plane raises ValueError —
+    a wrong container is a data error, not a decoder gap."""
+    import struct
+
+    if data is None:
+        raise ValueError("NULL image payload: nothing to decode")
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = struct.unpack_from("<I", data, 10)[0]
+    (
+        dib_size, w, h_signed, planes, bpp, compression
+    ) = struct.unpack_from("<IiiHHI", data, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (planes={planes}, bpp={bpp}, "
+            f"compression={compression}); only 24-bit BI_RGB decodes"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h_signed}")
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} bytes < {need}")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
 
 
 def decode_image(data: bytes, codec: str, width: int, height: int) -> np.ndarray:
@@ -68,6 +138,15 @@ def decode_image(data: bytes, codec: str, width: int, height: int) -> np.ndarray
                 f"({width}x{height})"
             )
         return arr.reshape(height, width, 3)
+    if codec == BMP_IMAGE_CODEC:
+        img = decode_bmp(data)
+        if img.shape[:2] != (height, width):
+            raise ValueError(
+                f"BMP container says {img.shape[1]}x{img.shape[0]}, "
+                f"metadata says {width}x{height} — the container is "
+                "authoritative; fix the metadata row"
+            )
+        return img
     raise _stub_error(codec)
 
 

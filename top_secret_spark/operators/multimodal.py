@@ -2,9 +2,11 @@
 
 Mirrors operators/audio.py: a typed-metadata media table, mapInPandas
 decode / feature-extract / resize / frame-sample, everything
-Arrow-batched (never per-row Python).  The synthetic ``raw_rgb8`` codec
-decodes for real (kernel/media.py); jpeg/png/h264/… are stubbed behind
-NotImplementedError because no decoder libraries exist in this
+Arrow-batched (never per-row Python).  Two image codecs decode for
+REAL: the synthetic ``raw_rgb8`` and uncompressed 24-bit ``bmp``
+containers (kernel/media.py — vectorized header parse + padded-row
+decode, public format, no library needed); jpeg/png/h264/… are stubbed
+behind NotImplementedError because no decoder libraries exist in this
 environment — the Spark plumbing (schema, partitioning, batch shape,
 UDF signatures) is real and tested either way.
 
