@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..kernel.media import (
+    BMP_IMAGE_CODEC,
     RAW_IMAGE_CODEC,
     RAW_VIDEO_CODEC,
     batch_frame_stats,
@@ -67,9 +68,14 @@ def media_rows_for_range(start: int, end: int) -> pd.DataFrame:
             out["fps"].append(float(10 + r % 20))
         else:
             n_frames = 1
-            data = encode_image(synth_image(MEDIA_SEED + r, width, height))
+            img = synth_image(MEDIA_SEED + r, width, height)
+            # alternate the two REAL image codecs: raw_rgb8 and the BMP
+            # container (r % 2) — q27's oracle checks decoded SHAPES, so
+            # the container parse itself sits under the oracle gate
+            codec = BMP_IMAGE_CODEC if r % 2 else RAW_IMAGE_CODEC
+            data = encode_image(img, codec)
             out["kind"].append("image")
-            out["codec"].append(RAW_IMAGE_CODEC)
+            out["codec"].append(codec)
             out["fps"].append(0.0)
         out["media_id"].append(f"media-{r:010d}")
         out["bytes"].append(data)
