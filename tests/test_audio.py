@@ -2673,3 +2673,15 @@ class TestWavSpecConformant:
                 + chunks + b"\x00" * 10)
         r = with_wav_header(self._df(spark, data)).collect()[0]
         assert r.wav_issue == "bad_fmt"
+
+
+def test_pack_partial_declaration_raises(spark):
+    import pytest
+
+    from top_secret_spark.operators.audio import pack_audio_examples
+
+    df = TestPackAudio._clips(TestPackAudio, spark, 4)
+    with pytest.raises(ValueError, match="BOTH codec and sr_hz"):
+        pack_audio_examples(df, 2500, codec="pcm16")
+    with pytest.raises(ValueError, match="BOTH codec and sr_hz"):
+        pack_audio_examples(df, 2500, sr_hz=8000)

@@ -219,3 +219,18 @@ def test_perplexity_hook_both_ways(monkeypatch):
             perplexity.perplexity_batch([EN], model=tabs), base)
     finally:
         _reset_ppl_hook()
+
+
+def test_langid_real_model_empty_batch(monkeypatch):
+    # an empty Arrow batch through the real-model path must return
+    # typed empties, not IndexError from a float64 empty mask
+    from top_secret_spark.kernel import langid
+    _reset_langid_hook()
+    monkeypatch.setenv(langid._REAL_MODEL_ENV, "/any/path.bin")
+    langid._MODEL_LOADER = lambda path: _FakeFastText()
+    try:
+        langs, conf = langid.detect_batch([])
+        assert len(langs) == 0 and len(conf) == 0
+        assert conf.dtype.kind == "f"
+    finally:
+        _reset_langid_hook()

@@ -58,8 +58,6 @@ def ensure_input(n_clips: int) -> str:
     deserialized-object cache: the vectorized columnar scan is cheaper
     JVM-side work per row, so less of the 4N arm's core budget goes to
     scan overhead (measured eff 0.69 cached → ~0.76 parquet)."""
-    if os.path.isdir(INPUT_PARQUET):
-        return INPUT_PARQUET
     from pyspark.sql import SparkSession
 
     spark = (
@@ -69,6 +67,17 @@ def ensure_input(n_clips: int) -> str:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if os.path.isdir(INPUT_PARQUET):
+        # validate, don't trust: a stale dir from a different
+        # TSS_SCALING_CLIPS (or a partial previous write) would be
+        # scanned silently while the record is stamped with n_clips
+        try:
+            have = spark.read.parquet(INPUT_PARQUET).count()
+        except Exception:
+            have = -1
+        if have == n_clips:
+            spark.stop()
+            return INPUT_PARQUET
     from top_secret_spark.sources.clips import clips_df
 
     clips_df(spark, n_clips, with_audio=False, partitions=128).write.mode(

@@ -77,8 +77,7 @@ def main():
         # the parquet fallback, and the output JSON records
         # iceberg="unresolved" so the attempt is auditable.
         builder = (
-            builder.config("spark.jars.packages", ICEBERG_COORDS)
-            .config(
+            builder.config(
                 "spark.sql.catalog.local",
                 "org.apache.iceberg.spark.SparkCatalog",
             )
@@ -88,7 +87,24 @@ def main():
                 os.path.join(args.root, "iceberg_warehouse"),
             )
         )
-    spark = builder.getOrCreate()
+    if args.iceberg:
+        # When the JVM is not up yet (direct `python` invocation), a
+        # failing spark.jars.packages resolution kills gateway launch
+        # outright — retry WITHOUT the packages conf so the documented
+        # parquet fallback (and the auditable "unresolved" record) is
+        # actually reachable.  Under spark-submit the JVM pre-exists,
+        # this conf is inert, and jars come from --packages instead.
+        try:
+            spark = builder.config(
+                "spark.jars.packages", ICEBERG_COORDS
+            ).getOrCreate()
+        except Exception as e:
+            print(f"iceberg runtime unresolvable ({type(e).__name__}); "
+                  "continuing on the parquet fallback", file=sys.stderr)
+            builder = builder.config("spark.jars.packages", "")
+            spark = builder.getOrCreate()
+    else:
+        spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from top_secret_spark.pipeline import run_pipeline

@@ -171,6 +171,10 @@ def _detect_real(model, texts) -> tuple[np.ndarray, np.ndarray]:
     """Batch predict through a real fastText model (labels like
     '__label__en' → bare code; sub-_MIN_CHARS texts → ('und', 0.0))."""
     cleaned = [(t or "").replace("\n", " ") for t in texts]
+    if not cleaned:
+        # an empty Arrow batch / empty partition must not index with a
+        # float64-dtype empty mask (IndexError) — return typed empties
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.float64)
     labels, probs = model.predict(cleaned)
     langs = np.array(
         [ls[0].removeprefix("__label__") if ls else UNKNOWN for ls in labels],
@@ -204,18 +208,13 @@ _CHUNK_BYTES = 128 * 1024
 def chunk_spans(lengths: np.ndarray, chunk_bytes: int = _CHUNK_BYTES):
     """(doc_start, doc_end, byte_start, byte_end) spans covering all docs,
     each span ≤ chunk_bytes total (an oversized single doc gets its own
-    span).  Shared by the langid and perplexity hot loops."""
-    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    ndocs = len(lengths)
-    start = 0
-    while start < ndocs:
-        end = start + 1
-        b0 = offsets[start]
-        while end < ndocs and offsets[end + 1] - b0 <= chunk_bytes:
-            end += 1
-        yield start, end, int(b0), int(offsets[end])
-        start = end
+    span).  Shared by the langid, perplexity, and char-signals hot
+    loops — delegates to the audio kernel's ``_clip_blocks``, which
+    implements the identical block-partitioning contract with an
+    O(log n) searchsorted per block instead of a per-doc Python loop."""
+    from .audio import _clip_blocks
+
+    yield from _clip_blocks(np.asarray(lengths, dtype=np.int64), chunk_bytes)
 
 
 def detect_batch(texts) -> tuple[np.ndarray, np.ndarray]:

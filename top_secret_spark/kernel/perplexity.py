@@ -149,8 +149,8 @@ def perplexity_batch(texts, model=None) -> np.ndarray:
             return np.minimum(
                 np.array(
                     [
-                        rm.perplexity(normalize(t)) if normalize(t) else _MAX_PPL
-                        for t in texts
+                        rm.perplexity(nt) if nt else _MAX_PPL
+                        for nt in (normalize(t) for t in texts)
                     ],
                     dtype=np.float64,
                 ),

@@ -2794,6 +2794,13 @@ def pack_audio_examples(
     from .packing import with_global_offset
 
     declared = codec is not None and sr_hz is not None
+    if (codec is None) != (sr_hz is None):
+        # a partial declaration must not silently fall back to inference
+        # (which would overwrite the caller's explicit half)
+        raise ValueError(
+            "pack_audio_examples: declare BOTH codec and sr_hz (got "
+            f"codec={codec!r}, sr_hz={sr_hz!r}) or neither"
+        )
     if not declared:
         kinds = df.select("codec", "sr_hz").distinct().collect()
         if len(kinds) != 1:
